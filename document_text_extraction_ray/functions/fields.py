@@ -1,0 +1,285 @@
+"""Field extractors M1-M13 (SURVEY.md §2.2): pure ``text -> value`` functions
+with the reference's exact regex/keyword semantics.
+
+Parity notes (reference file:line):
+  - emails            /root/reference/approach4_v1.py:48-49
+  - phones            /root/reference/approach4_v1.py:51-65
+  - linkedin/github   /root/reference/approach4_v1.py:69-73
+  - name (positional) /root/reference/approach4_v2.py:27-37
+  - name (shape)      /root/reference/parse_cv_docling.py:57-66
+  - address           /root/reference/approach4_v2.py:70-85
+  - skills (keyword)  /root/reference/approach4_v1.py:85-109
+  - skills (split)    /root/reference/parse_cv_docling.py:74-81
+  - education         /root/reference/approach4_v1.py:111-127, approach4_v2.py:122-162
+  - experience        /root/reference/approach4_v1.py:129-147
+  - date-like         /root/reference/parse_cv_docling.py:68-72
+  - sections          /root/reference/new_approaches/final.py:120-186
+  - GPA               /root/reference/approach4_v2.py:150-155 style
+
+One deliberate deviation: the reference uses ``list(set(...))`` whose order is
+process-dependent; we use ``sorted(set(...))`` everywhere (the deterministic
+ordering the reference itself uses for skills, parse_cv_docling.py:81), so
+output is byte-stable under Ray's parallel, retry-prone execution.
+All regexes are compiled once at import (module constants) so map_batches
+tasks pay no per-batch compile cost.
+"""
+
+from __future__ import annotations
+
+import re
+
+EMAIL_RE = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b")
+
+PHONE_RES = [
+    re.compile(r"\+\d{1,3}[-.\s]?\d{1,4}[-.\s]?\d{1,4}[-.\s]?\d{1,9}"),  # international
+    re.compile(r"\(\d{3}\)[-.\s]?\d{3}[-.\s]?\d{4}"),                    # (123) 456-7890
+    re.compile(r"\d{3}[-.\s]?\d{3}[-.\s]?\d{4}"),                        # 123-456-7890
+    re.compile(r"\d{10,}"),                                               # bare digits
+]
+
+LINKEDIN_RE = re.compile(r"linkedin\.com/in/[\w-]+")
+GITHUB_RE = re.compile(r"github\.com/[\w-]+")
+
+NAME_LINE_RE = re.compile(r"^[A-Za-z\s]+$")
+NAME_WORD_RE = re.compile(r"^[A-Za-z'.\-]+$")
+SECTION_KEYWORDS = (
+    "experience", "education", "skills", "projects", "summary",
+    "referees", "references",
+)
+
+SKILL_KEYWORDS = [
+    "python", "java", "javascript", "react", "nodejs", "sql", "mysql",
+    "postgresql", "mongodb", "docker", "kubernetes", "aws", "azure",
+    "git", "html", "css", "angular", "vue", "django", "flask",
+    "machine learning", "data analysis", "excel", "tableau", "powerbi",
+    "c++", "c#", "php", "ruby", "swift", "kotlin", "go", "rust",
+    "tensorflow", "pytorch", "pandas", "numpy", "scikit-learn",
+    "jenkins", "ci/cd", "agile", "scrum", "jira", "confluence",
+    "linux", "windows", "macos", "bash", "powershell",
+]
+
+SKILL_SPLIT_RE = re.compile(r"[,\|/•;]+")
+SKILL_TOKEN_RE = re.compile(r"^[A-Za-z0-9\.\+#\-\s]+$")
+
+DEGREE_RES = [
+    re.compile(
+        r"\b(bachelor|master|phd|doctorate|diploma|certificate"
+        r"|b\.?\s*[a-z]+|m\.?\s*[a-z]+|ph\.?\s*d\.?)\b",
+        re.IGNORECASE,
+    ),
+    re.compile(r"\b(undergraduate|graduate|postgraduate)\b", re.IGNORECASE),
+]
+GPA_RE = re.compile(r"(?:GPA|cGPA)[:\s]*([0-9]\.[0-9]+)", re.IGNORECASE)
+INSTITUTION_RE = re.compile(r"\b(?:University|Institute|College) of [A-Z][A-Za-z ]+")
+
+EXPERIENCE_RES = [
+    re.compile(r"(\d+)[\s\-\+]*year[s]?[\s]*(?:of\s)?(?:experience|exp)", re.IGNORECASE),
+    re.compile(r"(\d+)[\s\-\+]*yr[s]?[\s]*(?:of\s)?(?:experience|exp)", re.IGNORECASE),
+    re.compile(r"experience[:\s]*(\d+)[\s]*year[s]?", re.IGNORECASE),
+    re.compile(r"(\d+)[\s]*year[s]?[\s]*experience", re.IGNORECASE),
+]
+
+DATE_YEAR_RE = re.compile(r"\b(19|20)\d{2}\b")
+MONTH_TOKENS = (
+    "jan", "feb", "mar", "apr", "may", "jun",
+    "jul", "aug", "sep", "oct", "nov", "dec",
+)
+
+SECTION_CANON = {
+    "summary": ("summary", "objective", "profile", "about"),
+    "experience": ("experience", "employment", "work history", "career"),
+    "education": ("education", "academic", "qualification"),
+    "skills": ("skills", "technologies", "tech stack", "competencies"),
+    "projects": ("projects", "portfolio"),
+    "certifications": ("certifications", "certificates", "licenses"),
+    "references": ("references", "referees"),
+    "contact": ("contact", "personal details"),
+}
+
+
+def extract_emails(text: str) -> list:
+    """M1 — approach4_v1.py:48-49."""
+    return sorted(set(EMAIL_RE.findall(text)))
+
+
+def extract_phones(text: str) -> list:
+    """M2 — approach4_v1.py:51-65 (4 alternative patterns, len>=7 filter)."""
+    phones = []
+    for pat in PHONE_RES:
+        phones.extend(pat.findall(text))
+    return sorted({p.strip() for p in phones if len(p.strip()) >= 7})
+
+
+def extract_linkedin(text: str) -> list:
+    """M3 — approach4_v1.py:69-70 (match on lowercased text)."""
+    return sorted(set(LINKEDIN_RE.findall(text.lower())))
+
+
+def extract_github(text: str) -> list:
+    """M3 — approach4_v1.py:72-73."""
+    return sorted(set(GITHUB_RE.findall(text.lower())))
+
+
+def extract_name(text: str) -> str:
+    """M4 — approach4_v2.py:27-37: first 5 lines, 5<len<50, no @/+, letters+spaces."""
+    for line in text.split("\n")[:5]:
+        line = line.strip()
+        if 5 < len(line) < 50 and "@" not in line and "+" not in line:
+            if NAME_LINE_RE.match(line):
+                return line
+    return ""
+
+
+def likely_name(text: str) -> bool:
+    """M5 — parse_cv_docling.py:57-66."""
+    t = text.strip()
+    if not t or len(t) > 60:
+        return False
+    words = t.split()
+    if not (2 <= len(words) <= 5):
+        return False
+    if any(k in t.lower() for k in SECTION_KEYWORDS):
+        return False
+    return all(NAME_WORD_RE.match(w) for w in words)
+
+
+def extract_address(text: str) -> str:
+    """M6 — approach4_v2.py:70-85: scan first 10 lines for address markers."""
+    for line in text.split("\n")[:10]:
+        if any(k in line.lower() for k in ("contact details:", "address:")):
+            address_parts = []
+            for part in line.split(","):
+                part = part.strip()
+                if "@" not in part and "+" not in part and "contact" not in part.lower():
+                    if len(part) > 3:
+                        address_parts.append(part)
+            return ", ".join(address_parts)
+    return ""
+
+
+def extract_skills(text: str) -> list:
+    """M7 — approach4_v1.py:85-109: substring match against fixed vocabulary,
+    title-cased output. Vocabulary is a module constant => naturally broadcast
+    (captured once in the task closure, never re-shipped per batch)."""
+    text_lower = text.lower()
+    return sorted({s.title() for s in SKILL_KEYWORDS if s in text_lower})
+
+
+def split_skills(items) -> list:
+    """M8 — parse_cv_docling.py:74-81."""
+    skills = []
+    for item in items:
+        for part in SKILL_SPLIT_RE.split(item):
+            s = part.strip()
+            if 2 <= len(s) <= 40 and SKILL_TOKEN_RE.match(s):
+                skills.append(s)
+    return sorted(set(skills))
+
+
+def extract_education(text: str) -> dict:
+    """M9 — approach4_v1.py:111-127 degrees + institution/GPA regex family
+    (approach4_v2.py:122-162)."""
+    degrees = []
+    for pat in DEGREE_RES:
+        degrees.extend(m.lower() for m in pat.findall(text))
+    return {
+        "degrees": sorted(set(degrees)),
+        "institutions": sorted(set(INSTITUTION_RE.findall(text))),
+        "gpa": sorted(set(GPA_RE.findall(text))),
+    }
+
+
+def extract_experience_years(text: str) -> list:
+    """M10 — approach4_v1.py:129-147."""
+    years = []
+    for pat in EXPERIENCE_RES:
+        years.extend(pat.findall(text))
+    return sorted(set(years))
+
+
+def is_date_like(text: str) -> bool:
+    """M13 — parse_cv_docling.py:68-72."""
+    t = text.lower()
+    if DATE_YEAR_RE.search(t):
+        return True
+    return any(m in t for m in MONTH_TOKENS)
+
+
+def _is_section_header(line: str) -> bool:
+    """new_approaches/final.py:120-140 style: short keyword line or ALL-CAPS."""
+    s = line.strip()
+    if not s or len(s) >= 50:
+        return False
+    low = s.lower()
+    for names in SECTION_CANON.values():
+        if any(k in low for k in names):
+            return True
+    return s.isupper() and len(s.split()) <= 3
+
+
+def _normalize_section_name(line: str) -> str:
+    low = line.strip().lower()
+    for canon, names in SECTION_CANON.items():
+        if any(k in low for k in names):
+            return canon
+    return "other"
+
+
+def segment_sections(text: str) -> list:
+    """M12 — new_approaches/final.py:120-186: split text into named sections.
+
+    Returns an ordered ``[(name, body)]`` list (Arrow: list<struct<name,body>>).
+    """
+    sections = []
+    current_name = "preamble"
+    current_lines: list = []
+    for line in text.split("\n"):
+        if _is_section_header(line):
+            if current_lines:
+                sections.append((current_name, "\n".join(current_lines).strip()))
+            current_name = _normalize_section_name(line)
+            current_lines = []
+        else:
+            current_lines.append(line)
+    if current_lines:
+        sections.append((current_name, "\n".join(current_lines).strip()))
+    return [(n, b) for n, b in sections if b]
+
+
+def chunk_paragraphs(text: str, min_chunk: int = 20,
+                     target: int = 100, min_fallback: int = 15) -> list:
+    """M14 — cv_doclayout_extractor.py:47-105: split on blank lines keeping
+    chunks > ``min_chunk`` chars; fallback greedy line-merge into ~``target``
+    char chunks keeping > ``min_fallback``."""
+    chunks = [c.strip() for c in re.split(r"\n\s*\n", text) if len(c.strip()) > min_chunk]
+    if chunks:
+        return chunks
+    out, buf = [], ""
+    for line in text.split("\n"):
+        line = line.strip()
+        if not line:
+            continue
+        buf = (buf + " " + line).strip()
+        if len(buf) >= target:
+            out.append(buf)
+            buf = ""
+    if buf and len(buf) > min_fallback:
+        out.append(buf)
+    return out
+
+
+def extract_all_fields(text: str) -> dict:
+    """Run the full field-extraction suite over one document's text.
+
+    Output shape mirrors FIXTURES.md §1.2 ``expected_fields``.
+    """
+    edu = extract_education(text)
+    return {
+        "emails": extract_emails(text),
+        "phones": extract_phones(text),
+        "linkedin": extract_linkedin(text),
+        "github": extract_github(text),
+        "skills": extract_skills(text),
+        "degrees": edu["degrees"],
+        "gpa": edu["gpa"],
+    }

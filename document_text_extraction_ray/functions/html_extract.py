@@ -1,0 +1,319 @@
+"""Main-content extraction from HTML bytes: tokenizer -> DOM-lite -> block
+scoring (text/link density + tag/class blocklists) -> reading-order assembly.
+
+This is the web-native analogue of the reference's layout pipeline: the
+"threshold-ratio + min-size + blocklist" parameter style mirrors the density
+thresholds of the histogram detector (/root/reference/grid_detector_v4.py:274-286),
+the reading-order fold mirrors the docling body-children walk
+(/root/reference/parse_cv_docling.py:91-210) and the block->column y-sort
+(/root/reference/new_approaches/final.py:71-104).  Semantics are
+trafilatura/jusText-style boilerplate stripping from the public literature.
+
+Everything is pure Python/bytes — deterministic, byte-offset accurate, and
+shared verbatim between the golden oracle and the Ray map_batches UDF.
+
+Span convention: for each kept block we emit byte offsets into the ORIGINAL
+``html`` bytes.  When a block is exactly the inner content of one block
+element (the common case: ``<p>...</p>``), the span is
+(end-of-opening-tag, start-of-closing-tag).  When text sits directly inside a
+container mixed with other block elements, the span falls back to
+(first-text-token-start, last-text-token-end).
+"""
+
+from __future__ import annotations
+
+import html as _html
+from dataclasses import dataclass, field
+
+
+# Tags whose open/close delimits a text block (flush boundary).
+BLOCK_TAGS = frozenset(
+    """html head body main article section div p h1 h2 h3 h4 h5 h6 ul ol li
+    table thead tbody tfoot tr td th blockquote pre nav header footer aside
+    figure figcaption form fieldset dl dt dd details summary address
+    caption""".split()
+)
+
+# Subtrees whose text is never main content.
+DROP_SUBTREE_TAGS = frozenset("head nav aside header footer form".split())
+
+# Content skipped wholesale (raw-text elements).
+SKIP_CONTENT_TAGS = frozenset("script style noscript template svg iframe textarea".split())
+
+# Void elements: no closing tag ever.
+VOID_TAGS = frozenset("br img hr meta link input area base col embed source track wbr".split())
+
+# A class attribute containing any of these tokens drops the whole subtree.
+BLOCKLIST_CLASS_TOKENS = frozenset(
+    """sidebar footer header nav navbar menu ad ads advert advertisement banner
+    cookie consent share social related comment comments breadcrumb pagination
+    promo popup modal subscribe newsletter widget hidden""".split()
+)
+
+# True invisibility only (used for the permissive `visible_text` pass).
+_INVISIBLE_ONLY = frozenset({"head"})
+_NO_CLASSES: frozenset = frozenset()
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Tunable thresholds, in the style of grid_detector_v4.py:274-286
+    (fixed ratio-style constants, never adaptive)."""
+
+    min_chars: int = 10            # blocks shorter than this (normalized) are boilerplate crumbs
+    max_link_density: float = 0.4  # blocks with more anchor text than this are navigation
+    joiner: str = "\n\n"           # reading-order block separator in extracted_text
+
+
+DEFAULT_CONFIG = ExtractConfig()
+
+
+@dataclass
+class _Block:
+    """One candidate text block accumulated between block-tag boundaries."""
+
+    parts: list = field(default_factory=list)   # unescaped text pieces, raw whitespace
+    n_chars: int = 0                            # sum of stripped piece lengths
+    link_chars: int = 0                         # chars contributed inside <a>
+    gov_depth: int = -1                         # stack depth of governing block element
+    gov_tag: str = ""
+    gov_open_end: int = -1                      # byte offset just after governing open tag
+    first_text_start: int = -1
+    last_text_end: int = -1
+
+
+def _parse_class_attr(tag_body: bytes) -> frozenset:
+    """Extract lowercase class tokens from the attribute region of an open tag."""
+    idx = tag_body.find(b"class")
+    if idx < 0:
+        return _NO_CLASSES
+    rest = tag_body[idx + 5:].lstrip()
+    if not rest.startswith(b"="):
+        return _NO_CLASSES
+    rest = rest[1:].lstrip()
+    if rest[:1] in (b'"', b"'"):
+        quote = rest[:1]
+        end = rest.find(quote, 1)
+        val = rest[1:end] if end > 0 else rest[1:]
+    else:
+        end = 0
+        while end < len(rest) and not rest[end:end + 1].isspace():
+            end += 1
+        val = rest[:end]
+    try:
+        return frozenset(val.decode("utf-8", "replace").lower().split())
+    except Exception:
+        return _NO_CLASSES
+
+
+def extract_blocks(
+    html_bytes: bytes,
+    config: ExtractConfig = DEFAULT_CONFIG,
+    drop_subtree_tags: frozenset = DROP_SUBTREE_TAGS,
+    blocklist_class_tokens: frozenset = BLOCKLIST_CLASS_TOKENS,
+):
+    """Tokenize ``html_bytes`` and return the kept main-content blocks in
+    reading (document) order.
+
+    Returns a list of dicts ``{text, start, end, kind, n_chars, link_density}``
+    where (start, end) are byte offsets into ``html_bytes`` (span convention in
+    the module docstring) and ``kind`` is the governing element's tag name.
+    """
+    n = len(html_bytes)
+    pos = 0
+    lower_cache = None  # lazily lowercased copy, only if raw-text elements appear
+    # Stack entries are mutable lists: [tag, dropped, open_end, clean].
+    # clean == True while the element's inner content so far is a single
+    # uninterrupted text run (no nested block elements, no mid-element flush).
+    stack: list = []
+    drop_depth = 0        # >0 => inside a dropped subtree
+    link_depth = 0        # >0 => inside <a>
+    kept: list = []
+    cur = _Block()
+
+    def flush(close_tag_start: int = -1, closing_depth: int = -1, gov_clean: bool = False):
+        nonlocal cur
+        if cur.parts:
+            raw = "".join(cur.parts)
+            text = " ".join(raw.split())
+            if text:
+                density = cur.link_chars / cur.n_chars if cur.n_chars else 0.0
+                if len(text) >= config.min_chars and density <= config.max_link_density:
+                    if (
+                        close_tag_start >= 0
+                        and closing_depth == cur.gov_depth
+                        and cur.gov_open_end >= 0
+                        and gov_clean
+                    ):
+                        start, end = cur.gov_open_end, close_tag_start
+                    else:
+                        start, end = cur.first_text_start, cur.last_text_end
+                    kept.append(
+                        {
+                            "text": text,
+                            "start": start,
+                            "end": end,
+                            "kind": cur.gov_tag or "text",
+                            "n_chars": len(text),
+                            "link_density": density,
+                        }
+                    )
+            cur = _Block()
+        elif cur.gov_depth != -1:
+            cur = _Block()
+
+    def mark_all_unclean():
+        for entry in stack:
+            entry[3] = False
+
+    while pos < n:
+        lt = html_bytes.find(b"<", pos)
+        if lt < 0:
+            lt = n
+        if lt > pos:
+            # Text token between tags.
+            if drop_depth == 0:
+                piece = _html.unescape(html_bytes[pos:lt].decode("utf-8", "replace"))
+                if cur.gov_depth == -1:
+                    # Governing element = innermost open block element.
+                    for d in range(len(stack) - 1, -1, -1):
+                        if stack[d][0] in BLOCK_TAGS:
+                            cur.gov_depth = d
+                            cur.gov_tag = stack[d][0]
+                            cur.gov_open_end = stack[d][2]
+                            break
+                stripped_len = len(piece.strip())
+                if stripped_len:
+                    if cur.first_text_start < 0:
+                        cur.first_text_start = pos
+                    cur.last_text_end = lt
+                cur.parts.append(piece)
+                cur.n_chars += stripped_len
+                if link_depth > 0:
+                    cur.link_chars += stripped_len
+            pos = lt
+            continue
+        if lt >= n:
+            break
+        # Tag token starting at lt.
+        if html_bytes.startswith(b"<!--", lt):
+            end = html_bytes.find(b"-->", lt + 4)
+            pos = (end + 3) if end >= 0 else n
+            continue
+        if html_bytes[lt + 1: lt + 2] in (b"!", b"?"):
+            gt_ = html_bytes.find(b">", lt)
+            pos = (gt_ + 1) if gt_ >= 0 else n
+            continue
+        gt_ = html_bytes.find(b">", lt)
+        if gt_ < 0:
+            break
+        tag_end = gt_ + 1
+        body = html_bytes[lt + 1: gt_]
+        closing = body.startswith(b"/")
+        if closing:
+            body = body[1:]
+        self_closing = body.endswith(b"/")
+        if self_closing:
+            body = body[:-1]
+        name_end = 0
+        while name_end < len(body) and not body[name_end: name_end + 1].isspace():
+            name_end += 1
+        tag = body[:name_end].decode("ascii", "replace").lower()
+        attrs = body[name_end:]
+
+        if closing:
+            if tag == "a":
+                if link_depth > 0:
+                    link_depth -= 1
+            elif tag in BLOCK_TAGS:
+                match = -1
+                for d in range(len(stack) - 1, -1, -1):
+                    if stack[d][0] == tag:
+                        match = d
+                        break
+                if match >= 0:
+                    if drop_depth == 0:
+                        flush(close_tag_start=lt, closing_depth=match,
+                              gov_clean=stack[match][3])
+                    while len(stack) > match:
+                        popped = stack.pop()
+                        if popped[1]:
+                            drop_depth -= 1
+            pos = tag_end
+            continue
+
+        # Opening tag.
+        if tag in SKIP_CONTENT_TAGS and not self_closing:
+            close_pat = b"</" + tag.encode() + b">"
+            if lower_cache is None:
+                lower_cache = html_bytes.lower()
+            end = lower_cache.find(close_pat, tag_end)
+            pos = (end + len(close_pat)) if end >= 0 else n
+            continue
+        if tag == "a":
+            link_depth += 1
+            pos = tag_end
+            continue
+        if tag in VOID_TAGS:
+            if drop_depth == 0:
+                if tag == "br":
+                    cur.parts.append("\n")
+                elif tag == "hr":
+                    if cur.parts:
+                        mark_all_unclean()
+                    flush()
+            pos = tag_end
+            continue
+        if tag in BLOCK_TAGS:
+            if drop_depth == 0:
+                flush()
+            mark_all_unclean()
+            classes = _parse_class_attr(attrs)
+            dropped = (
+                tag in drop_subtree_tags
+                or not classes.isdisjoint(blocklist_class_tokens)
+            )
+            stack.append([tag, dropped, tag_end, True])
+            if dropped:
+                drop_depth += 1
+            if self_closing:
+                popped = stack.pop()
+                if popped[1]:
+                    drop_depth -= 1
+            pos = tag_end
+            continue
+        # Inline / unknown tag: transparent.
+        pos = tag_end
+
+    flush()
+    return kept
+
+
+def extract_main_text(html_bytes: bytes, config: ExtractConfig = DEFAULT_CONFIG):
+    """Extract main content from one page.
+
+    Returns ``(extracted_text, spans)`` where spans is a list of
+    ``(start, end, kind)`` tuples of byte offsets into ``html_bytes``.
+    Reading order is document order, mirroring the within-document-only
+    ordering contract of the reference (SURVEY.md §2.10).
+    """
+    blocks = extract_blocks(html_bytes, config)
+    text = config.joiner.join(b["text"] for b in blocks)
+    spans = [(b["start"], b["end"], b["kind"]) for b in blocks]
+    return text, spans
+
+
+def visible_text(html_bytes: bytes, joiner: str = "\n\n") -> str:
+    """Full visible text (boilerplate included) — the ``text`` corpus column.
+
+    Same tokenizer, but keeps every block regardless of density/blocklists;
+    only <script>/<style>/comments/<head> remain invisible.
+    """
+    permissive = ExtractConfig(min_chars=1, max_link_density=1.0, joiner=joiner)
+    blocks = extract_blocks(
+        html_bytes,
+        permissive,
+        drop_subtree_tags=_INVISIBLE_ONLY,
+        blocklist_class_tokens=_NO_CLASSES,
+    )
+    return joiner.join(b["text"] for b in blocks)

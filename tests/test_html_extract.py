@@ -1,0 +1,163 @@
+"""Unit tests for the HTML extraction kernel (tokenizer, scoring, spans)."""
+
+import html as _html
+
+from document_text_extraction_ray.functions.html_extract import (
+    ExtractConfig,
+    extract_blocks,
+    extract_main_text,
+    visible_text,
+)
+
+
+def test_basic_paragraph_kept():
+    html = b"<html><body><p>This is the main content paragraph.</p></body></html>"
+    text, spans = extract_main_text(html)
+    assert text == "This is the main content paragraph."
+    s, e, kind = spans[0]
+    assert kind == "p"
+    assert html[s:e] == b"This is the main content paragraph."
+
+
+def test_nav_and_footer_dropped():
+    html = (
+        b"<body><nav><a href='/'>Home sweet home</a></nav>"
+        b"<p>Real content stays here fine.</p>"
+        b"<footer>Copyright two thousand twenty five</footer></body>"
+    )
+    text, _ = extract_main_text(html)
+    assert text == "Real content stays here fine."
+
+
+def test_class_blocklist_drops_subtree():
+    html = (
+        b'<body><div class="sidebar"><p>Sidebar junk text long enough.</p></div>'
+        b"<p>Main body paragraph content.</p></body>"
+    )
+    text, _ = extract_main_text(html)
+    assert text == "Main body paragraph content."
+
+
+def test_link_density_drops_linkbar():
+    html = (
+        b'<body><div><a href="/a">Link number one</a> <a href="/b">Link number two</a></div>'
+        b"<p>Actual article body text goes on and on.</p></body>"
+    )
+    text, _ = extract_main_text(html)
+    assert text == "Actual article body text goes on and on."
+
+
+def test_low_link_density_kept():
+    html = (
+        b"<body><p>A long paragraph of text that happens to contain "
+        b'<a href="/x">one link</a> but is mostly prose and so it stays.</p></body>'
+    )
+    text, _ = extract_main_text(html)
+    assert "one link" in text
+    assert text.startswith("A long paragraph")
+
+
+def test_min_chars_drops_crumbs():
+    html = b"<body><p>(c) MMXX</p><p>This paragraph is long enough to keep.</p></body>"
+    text, _ = extract_main_text(html)
+    assert text == "This paragraph is long enough to keep."
+
+
+def test_script_style_comment_head_invisible():
+    html = (
+        b"<html><head><title>Page title text here</title>"
+        b"<style>p { color: red; }</style></head>"
+        b"<body><script>var x = '<p>fake</p>';</script>"
+        b"<!-- <p>commented out</p> -->"
+        b"<p>Only this visible paragraph counts.</p></body></html>"
+    )
+    text, _ = extract_main_text(html)
+    assert text == "Only this visible paragraph counts."
+    assert visible_text(html) == "Only this visible paragraph counts."
+
+
+def test_entities_unescaped():
+    html = b"<body><p>Tom &amp; Jerry &lt;3 &quot;cartoons&quot; forever.</p></body>"
+    text, _ = extract_main_text(html)
+    assert text == 'Tom & Jerry <3 "cartoons" forever.'
+
+
+def test_whitespace_normalized():
+    html = b"<body><p>\n   spaced \t\t out\n\n words   here okay\n</p></body>"
+    text, _ = extract_main_text(html)
+    assert text == "spaced out words here okay"
+
+
+def test_inline_tags_transparent():
+    html = b"<body><p>Some <b>bold</b> and <i>italic</i> inline words here.</p></body>"
+    text, _ = extract_main_text(html)
+    assert text == "Some bold and italic inline words here."
+
+
+def test_br_becomes_whitespace():
+    html = b"<body><p>line one here<br>line two there</p></body>"
+    text, _ = extract_main_text(html)
+    assert text == "line one here line two there"
+
+
+def test_span_inner_content_clean_element():
+    html = b"<body>\n<p>\n  padded inner content here\n</p>\n</body>"
+    _, spans = extract_main_text(html)
+    s, e, _ = spans[0]
+    # Span is exactly the inner content of the <p> element.
+    assert html[s - 3: s] == b"<p>"
+    assert html[e: e + 4] == b"</p>"
+
+
+def test_span_fallback_mixed_container():
+    # Text directly in a div that also holds a <p>: fallback to text-run span.
+    html = b"<body><div><p>first paragraph of content</p>trailing text run also long</div></body>"
+    text, spans = extract_main_text(html)
+    assert text == "first paragraph of content\n\ntrailing text run also long"
+    s, e, _ = spans[1]
+    assert html[s:e] == b"trailing text run also long"
+
+
+def test_reading_order_two_columns():
+    html = (
+        b"<body><table><tr>"
+        b"<td><p>left column first para</p><p>left column second para</p></td>"
+        b"<td><p>right column only para</p></td>"
+        b"</tr></table></body>"
+    )
+    text, _ = extract_main_text(html)
+    assert text.split("\n\n") == [
+        "left column first para",
+        "left column second para",
+        "right column only para",
+    ]
+
+
+def test_unbalanced_html_tolerated():
+    html = b"<body><div><p>unclosed paragraph keeps its text anyway</div></body>"
+    text, _ = extract_main_text(html)
+    assert text == "unclosed paragraph keeps its text anyway"
+
+
+def test_config_thresholds_respected():
+    html = b"<body><p>tiny</p><p>a block of twenty-five chars plus</p></body>"
+    strict = ExtractConfig(min_chars=100)
+    text, _ = extract_main_text(html, strict)
+    assert text == ""
+
+
+def test_blocks_metadata():
+    html = b"<body><p>paragraph with enough characters</p></body>"
+    blocks = extract_blocks(html)
+    assert blocks[0]["n_chars"] == len("paragraph with enough characters")
+    assert blocks[0]["link_density"] == 0.0
+
+
+def test_utf8_multibyte_spans():
+    para = "Füße über Straße — größer ähnlich".encode()
+    html = b"<body><p>" + _html.escape("Füße über Straße — größer ähnlich").encode() + b"</p></body>"
+    text, spans = extract_main_text(html)
+    assert text == "Füße über Straße — größer ähnlich"
+    s, e, _ = spans[0]
+    assert _html.unescape(html[s:e].decode()) == "Füße über Straße — größer ähnlich"
+    assert para  # byte-offset slicing stayed on char boundaries

@@ -1,0 +1,135 @@
+"""End-to-end: Ray pipeline output is byte-identical per url to the
+single-process golden oracle; checkpointed writes resume correctly."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from document_text_extraction_ray import schema as S
+from document_text_extraction_ray.pipelines.extract_pipeline import (
+    extract_dataset,
+    run_extraction_job,
+    status_summary,
+)
+from document_text_extraction_ray.sources.corpus import (
+    corpus_from_documents,
+    synth_corpus_dataset,
+    synth_corpus_table,
+)
+from document_text_extraction_ray.state import checkpoint as ckpt
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def golden():
+    t = synth_corpus_table(N, seed=42, include_golden=True)
+    return {
+        u: (txt, sp, fl)
+        for u, txt, sp, fl in zip(
+            t.column("url").to_pylist(),
+            t.column("expected_text").to_pylist(),
+            t.column("expected_spans").to_pylist(),
+            t.column("expected_fields").to_pylist(),
+        )
+    }
+
+
+def test_ray_pipeline_matches_golden(golden):
+    corpus = synth_corpus_dataset(N, seed=42)
+    extracted = extract_dataset(corpus, n_buckets=8)
+    out = extracted.to_pandas()
+    assert len(out) == N
+    assert set(out["status"]) == {"ok"}
+    for _, row in out.iterrows():
+        exp_text, exp_spans, exp_fields = golden[row["url"]]
+        assert row["extracted_text"] == exp_text          # byte-identical per url
+        got_spans = [(s["start"], s["end"], s["kind"]) for s in row["spans"]]
+        assert got_spans == [(s["start"], s["end"], s["kind"]) for s in exp_spans]
+        got_fields = {k: list(v) for k, v in row["fields"].items()}
+        assert got_fields == {k: list(v) for k, v in exp_fields.items()}
+
+
+def test_extracted_schema_declared(golden):
+    corpus = synth_corpus_dataset(32, seed=42)
+    ds = extract_dataset(corpus, n_buckets=8, with_fields=False)
+    assert ds.schema().base_schema.equals(S.EXTRACTED_SCHEMA)
+
+
+def test_poison_row_yields_error_status():
+    import pyarrow as pa
+
+    from document_text_extraction_ray.stages.extract import HtmlExtractor
+
+    batch = pa.table(
+        {
+            "url": pa.array(["https://x/1", "https://x/2"]),
+            "warc_ts": pa.array([0, 0], type=pa.timestamp("us")),
+            "html": pa.array([None, b"<p>good row content here</p>"],
+                             type=pa.large_binary()),
+            "text": pa.array(["", ""], type=pa.large_string()),
+            "lang": pa.array(["en", "en"]),
+        }
+    )
+    out = HtmlExtractor(with_fields=False)(batch)
+    assert out.column("status").to_pylist() == ["error", "ok"]
+    assert out.column("extracted_text").to_pylist()[1] == "good row content here"
+
+
+def test_status_summary():
+    corpus = synth_corpus_dataset(64, seed=42)
+    summary = status_summary(extract_dataset(corpus, with_fields=False)).to_pandas()
+    assert summary.loc[summary["status"] == "ok", "count()"].iloc[0] == 64
+
+
+def test_checkpoint_resume(tmp_path):
+    out_dir = str(tmp_path / "out")
+    corpus = synth_corpus_dataset(200, seed=42)
+
+    s1 = run_extraction_job(corpus, out_dir, run_id="r1", input_path="synth:200",
+                            n_buckets=8, with_fields=False)
+    assert s1["committed"] == 8 and s1["rows"] == 200
+
+    # Simulate a crashed second run: drop two manifests (their data dirs stay —
+    # manifests are the source of truth, so those buckets count as uncommitted).
+    removed = sorted(ckpt.committed_buckets(out_dir))[:2]
+    for b in removed:
+        os.remove(os.path.join(out_dir, ckpt.MANIFEST_DIR, f"bucket={b}.json"))
+
+    s2 = run_extraction_job(corpus, out_dir, run_id="r2", input_path="synth:200",
+                            n_buckets=8, with_fields=False)
+    assert s2["committed"] == 2 and s2["skipped"] == 0
+
+    # Final table: exactly one row per url, equal to a fresh full run.
+    files = ckpt.committed_files(out_dir)
+    table = pq.read_table(files, columns=["url", "n_chars", "status"])
+    assert table.num_rows == 200
+    assert len(set(table.column("url").to_pylist())) == 200
+
+    # Third run is a no-op (all buckets committed -> zero rows staged).
+    s3 = run_extraction_job(corpus, out_dir, run_id="r3", input_path="synth:200",
+                            n_buckets=8, with_fields=False)
+    assert s3["committed"] == 0 and s3["rows"] == 0
+
+    manifests = ckpt.read_manifests(out_dir)
+    assert len(manifests) == 8
+    assert all(m["extractor_version"] for m in manifests)
+    assert sum(m["row_count"] for m in manifests) == 200
+
+
+def test_corpus_from_documents_normalizes_text():
+    sf_dir = "/root/testdata/sf0.001"
+    corpus = corpus_from_documents(sf_dir)
+    extracted = extract_dataset(corpus, with_fields=False).to_pandas()
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    expected = {
+        f"https://docs.example/{d}": " ".join(t.split())
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    assert len(extracted) == len(docs)
+    for _, row in extracted.iterrows():
+        assert row["extracted_text"] == expected[row["url"]]
