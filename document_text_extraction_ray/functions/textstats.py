@@ -1,0 +1,147 @@
+"""Text analysis kernels: language-ID, quality scoring, token counting,
+document fingerprinting (per the training-data-pipeline operator mandate).
+
+All pure per-document functions; deterministic; regexes compiled at import.
+The stopword-ratio style follows the reference's threshold-heuristic idiom
+(approach4_v1.py length guards / grid_detector_v4.py fixed ratios); the
+algorithms themselves are standard public techniques (n-gram/stopword
+language ID, Rabin-Karp rolling hash, winnowing fingerprints).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+WORD_RE = re.compile(r"\w+", re.UNICODE)
+# BPE-ish pre-tokenizer in the GPT-2 style (public pattern family):
+# contractions, letter runs, digit runs, punctuation runs, whitespace.
+BPE_RE = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+)
+PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
+
+# Tiny per-language stopword profiles (top function words). Enough signal for
+# the synthetic/testdata corpora; swap for fasttext-style models via the
+# actor-pool stage when available.
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+           "was", "with", "on", "as", "are", "this", "be", "at", "by", "not"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "von", "mit", "den",
+           "des", "ein", "eine", "zu", "im", "für", "auf", "als", "auch"},
+    "fr": {"le", "la", "les", "et", "des", "est", "dans", "que", "pour",
+           "une", "du", "par", "sur", "avec", "pas", "au", "ce", "il"},
+    "es": {"el", "la", "los", "las", "y", "es", "en", "que", "por", "una",
+           "del", "con", "para", "su", "se", "no", "al", "lo", "como"},
+    "ta": {"ஒரு", "என்று", "மற்றும்", "இந்த", "அது", "என", "உள்ள", "இது"},
+}
+
+
+def tokenize_ws(text: str) -> list:
+    """Whitespace tokens (the reference's implicit split semantics)."""
+    return text.split()
+
+
+def count_tokens_ws(text: str) -> int:
+    return len(text.split())
+
+
+def count_tokens_bpe(text: str) -> int:
+    """BPE-ish pre-token count (regex pass, no model)."""
+    return len(BPE_RE.findall(text))
+
+
+def detect_language(text: str) -> str:
+    """Stopword-profile language ID. Returns the best-scoring language code
+    or 'und' when no profile matches."""
+    words = [w.lower() for w in WORD_RE.findall(text)]
+    if not words:
+        return "und"
+    wordset = set(words)
+    best, best_hits = "und", 0
+    for lang in sorted(STOPWORDS):  # sorted -> deterministic tie-break
+        hits = len(wordset & STOPWORDS[lang])
+        if hits > best_hits:
+            best, best_hits = lang, hits
+    return best
+
+
+def quality_score(text: str) -> dict:
+    """Length / punctuation / stopword-ratio quality features plus a single
+    [0,1] score (fixed-threshold style of the reference's guards, M17)."""
+    n_chars = len(text)
+    tokens = text.split()
+    n_tokens = len(tokens)
+    if n_tokens == 0:
+        return {
+            "n_chars": 0, "n_tokens": 0, "mean_token_len": 0.0,
+            "punct_ratio": 0.0, "stopword_ratio": 0.0, "score": 0.0,
+        }
+    n_punct = len(PUNCT_RE.findall(text))
+    lower = {t.lower().strip(".,;:!?") for t in tokens}
+    stop_hits = len(lower & STOPWORDS["en"])
+    stopword_ratio = stop_hits / len(lower)
+    punct_ratio = n_punct / n_chars
+    mean_token_len = (n_chars - (n_tokens - 1)) / n_tokens
+    score = 1.0
+    if n_chars < 50:
+        score *= 0.2
+    if punct_ratio > 0.2:
+        score *= 0.5
+    if mean_token_len < 2.0 or mean_token_len > 12.0:
+        score *= 0.5
+    score *= min(1.0, 0.3 + stopword_ratio * 3.0)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": round(mean_token_len, 4),
+        "punct_ratio": round(punct_ratio, 6),
+        "stopword_ratio": round(stopword_ratio, 6),
+        "score": round(score, 6),
+    }
+
+
+_B = 1_000_003        # Rabin-Karp base
+_M = (1 << 61) - 1    # Mersenne prime modulus
+
+
+def rolling_hashes(tokens: list, window: int = 8) -> list:
+    """Rabin-Karp rolling hashes over token hash stream (document
+    fingerprinting building block)."""
+    hs = [zlib.crc32(t.encode("utf-8")) for t in tokens]
+    if len(hs) < window:
+        if not hs:
+            return []
+        acc = 0
+        for h in hs:
+            acc = (acc * _B + h) % _M
+        return [acc]
+    out = []
+    power = pow(_B, window - 1, _M)
+    acc = 0
+    for h in hs[:window]:
+        acc = (acc * _B + h) % _M
+    out.append(acc)
+    for i in range(window, len(hs)):
+        acc = ((acc - hs[i - window] * power) * _B + hs[i]) % _M
+        out.append(acc)
+    return out
+
+
+def fingerprint(text: str, window: int = 8, keep: int = 16) -> list:
+    """Winnowing-style fingerprint: the `keep` smallest rolling hashes
+    (sorted, deduplicated) — a compact, order-insensitive sketch usable as a
+    mergeable per-batch partial."""
+    hashes = rolling_hashes(text.split(), window)
+    return sorted(set(hashes))[:keep]
+
+
+def content_hash(text: str) -> int:
+    """Stable 63-bit content hash of normalized text (exact-dedup key).
+
+    Masked to int64-positive range: Ray Data's shuffle/aggregate paths convert
+    key values through Python ints -> Arrow int64, so uint64-range keys
+    overflow (observed in the groupby reduce)."""
+    norm = " ".join(text.split()).encode("utf-8")
+    h = zlib.crc32(norm) | (zlib.crc32(norm[::-1]) << 32)
+    return h & 0x7FFF_FFFF_FFFF_FFFF

@@ -1,0 +1,274 @@
+"""Deduplication pipelines over a Dataset: exact, MinHash+LSH, SimHash.
+
+Shuffle discipline (ray_guide "Aggregation at scale" + SURVEY.md §7.4):
+  - exact dedup projects to (key, id) BEFORE the groupby, so the all-to-all
+    exchange moves two thin columns, never payload text;
+  - near-dup pipelines explode to (band_id, band_hash, doc_id[, sig]) rows and
+    group on the band key — the only wide exchange; candidate pairs are then a
+    tiny dataset and cluster labeling runs on pairs only;
+  - full-row outputs are recovered by broadcast semi-join (ray.put key set ->
+    vectorized is_in filter inside map_batches), never a second shuffle.
+
+Partitioning assumption (documented per the custom-operator mandate): doc ids
+are unique; band groups fit in one task (bands of a skewed hot key — e.g.
+millions of empty documents sharing a signature — should be pre-salted by
+adding a `len(text)==0` guard upstream, which `minhash_dedup` applies).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..functions import dedup as D
+from ..functions import textstats as T
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def add_content_hash(ds, text_column: str, out_column: str = "content_hash"):
+    def _hash(batch: pa.Table) -> pa.Table:
+        vals = [T.content_hash(t or "") for t in batch.column(text_column).to_pylist()]
+        return batch.append_column(out_column, pa.array(vals, pa.uint64()))
+
+    return ds.map_batches(_hash, batch_format="pyarrow")
+
+
+def exact_dedup_ids(ds, text_column: str, id_column: str):
+    """Cheap scale path: (hash, id) projection -> groupby(hash) -> min(id).
+
+    Returns a Dataset with columns (content_hash, {id_column}) — one row per
+    distinct content, keeping the smallest id (deterministic 'first')."""
+    from ray.data.aggregate import Min
+
+    thin = add_content_hash(ds.select_columns([id_column, text_column]),
+                            text_column).select_columns(["content_hash", id_column])
+    return thin.groupby("content_hash").aggregate(Min(id_column, alias_name=id_column))
+
+
+def exact_dedup(ds, text_column: str, id_column: str):
+    """Full-row exact dedup: keep the min-id row per content hash.
+
+    Two passes: a thin aggregate finds survivors, then a broadcast semi-join
+    filters the original dataset — no full-row shuffle."""
+    kept = exact_dedup_ids(ds, text_column, id_column)
+    kept_ids = pa.array(
+        sorted(r[id_column] for r in kept.take_all())
+    )
+    kept_ref = ray.put(kept_ids)
+
+    def _semi(batch: pa.Table) -> pa.Table:
+        ids = ray.get(kept_ref)
+        return batch.filter(pc.is_in(batch.column(id_column), value_set=ids))
+
+    return ds.map_batches(_semi, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- MinHash + LSH
+
+def _cluster_pairs(pairs: list) -> dict:
+    """Union-find over candidate pairs -> {id: cluster_min_id}.
+
+    Runs on the driver: the pair set is orders of magnitude smaller than the
+    corpus (only near-duplicates appear).  For pathological pair counts,
+    switch to iterative min-label propagation via groupby (same result)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def minhash_candidates(
+    ds,
+    text_column: str,
+    id_column: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    est_threshold: float = 0.5,
+):
+    """shingle -> minhash -> band -> bucket groupby -> candidate pairs.
+
+    Returns a Dataset of (id_a, id_b, est_jaccard) with id_a < id_b and
+    signature-estimated Jaccard >= est_threshold.  Empty documents are
+    excluded up front (hot-key defusal)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        band_ids, band_hashes, ids, sigs = [], [], [], []
+        for doc_id, text in zip(
+            batch.column(id_column).to_pylist(),
+            batch.column(text_column).to_pylist(),
+        ):
+            if not text or not text.strip():
+                continue
+            sig = D.minhash_signature(text, num_perm, shingle_k)
+            sig_bytes = sig.tobytes()
+            for band, h in D.band_keys(sig, bands):
+                band_ids.append(band)
+                band_hashes.append(h)
+                ids.append(doc_id)
+                sigs.append(sig_bytes)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.uint32()),
+                id_column: pa.array(ids),
+                "sig": pa.array(sigs, pa.large_binary()),
+            }
+        )
+
+    exploded = ds.select_columns([id_column, text_column]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.sort_values(g.columns[2])  # id column, deterministic
+        ids = g.iloc[:, 2].tolist()
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+        a_out, b_out, est_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= est_threshold:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    est_out.append(est)
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "est_jaccard": est_out})
+
+    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_of_group, batch_format="pandas"
+    )
+    # The same pair appears once per agreeing band: dedup.
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def minhash_dedup(
+    ds,
+    text_column: str,
+    id_column: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    est_threshold: float = 0.5,
+):
+    """Full near-dedup: returns (Dataset of kept rows, assignments dict
+    {id: cluster_id} for every id in a duplicate cluster)."""
+    pairs_ds = minhash_candidates(
+        ds, text_column, id_column, num_perm, bands, shingle_k, est_threshold
+    )
+    pairs = [(r["id_a"], r["id_b"]) for r in pairs_ds.take_all()]
+    labels = _cluster_pairs(pairs)
+    removed = pa.array(sorted(x for x, root in labels.items() if root != x))
+    removed_ref = ray.put(removed)
+
+    def _anti(batch: pa.Table) -> pa.Table:
+        rem = ray.get(removed_ref)
+        if len(rem) == 0:
+            return batch
+        return batch.filter(
+            pc.invert(pc.is_in(batch.column(id_column), value_set=rem))
+        )
+
+    return ds.map_batches(_anti, batch_format="pyarrow"), labels
+
+
+# ------------------------------------------------------------------- SimHash
+
+def simhash_pairs(ds, text_column: str, id_column: str,
+                  max_hamming: int = 3, chunks: int = 4):
+    """SimHash near-dup candidates: 16-bit chunk LSH -> hamming verify.
+
+    Pigeonhole guarantee: hamming < chunks implies one shared chunk."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(text_column).to_pylist()]
+        sims = D.simhash_batch(texts)
+        c_ids, c_keys, ids, vals = [], [], [], []
+        for doc_id, sh, text in zip(batch.column(id_column).to_pylist(), sims, texts):
+            if not text.strip():
+                continue
+            for chunk, key in D.simhash_band_keys(int(sh), chunks):
+                c_ids.append(chunk)
+                c_keys.append(key)
+                ids.append(doc_id)
+                vals.append(int(sh))
+        return pa.table(
+            {
+                "chunk_id": pa.array(c_ids, pa.int32()),
+                "chunk_key": pa.array(c_keys, pa.int64()),
+                id_column: pa.array(ids),
+                "simhash": pa.array(vals, pa.uint64()),
+            }
+        )
+
+    exploded = ds.select_columns([id_column, text_column]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.sort_values(g.columns[2])
+        ids = g.iloc[:, 2].tolist()
+        vals = g["simhash"].tolist()
+        a_out, b_out, h_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                h = D.hamming64(vals[i], vals[j])
+                if h <= max_hamming:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    h_out.append(h)
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": h_out})
+
+    pairs = exploded.groupby(["chunk_id", "chunk_key"]).map_groups(
+        pairs_of_group, batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------- n-gram verify
+
+def verify_pairs_jaccard(pairs_ds, texts_by_id_ref, n: int = 3,
+                         threshold: float = 0.8):
+    """True n-gram Jaccard verification of candidate pairs.
+
+    ``texts_by_id_ref`` is a ``ray.put`` dict {id: text} (broadcast small
+    side).  At corpus scale, replace with a bucket join of pairs against the
+    id-hash-partitioned text table — the predicate is unchanged."""
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_by_id_ref)
+        keep_a, keep_b, sims = [], [], []
+        for a, b in zip(batch.column("id_a").to_pylist(),
+                        batch.column("id_b").to_pylist()):
+            sim = D.ngram_jaccard(texts.get(a, ""), texts.get(b, ""), n)
+            if sim >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                sims.append(sim)
+        return pa.table({"id_a": pa.array(keep_a), "id_b": pa.array(keep_b),
+                         "jaccard": pa.array(sims, pa.float64())})
+
+    return pairs_ds.map_batches(_verify, batch_format="pyarrow")

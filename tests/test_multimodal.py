@@ -1,0 +1,52 @@
+"""Multimodal plumbing: fake-container decode stages (schema/actor/batch real)."""
+
+import ray.data
+
+from document_text_extraction_ray.stages import multimodal as MM
+
+
+def test_image_features_stage():
+    rows = [
+        {"img_id": i, "payload": MM.encode_fake_image(32 + i, 24 + i, seed=i)}
+        for i in range(20)
+    ]
+    rows.append({"img_id": 99, "payload": b"not an image"})
+    ds = ray.data.from_items(rows)
+    out = MM.image_features(ds, concurrency=2, batch_size=8).to_pandas()
+    ok = out[out["decode_status"] == "ok"]
+    assert len(ok) == 20
+    feats = {r["img_id"]: r["image_features"] for _, r in out.iterrows()}
+    assert feats[0]["width"] == 32 and feats[0]["height"] == 24
+    assert 0 < feats[0]["mean_intensity"] < 255
+    bad = out[out["img_id"] == 99].iloc[0]
+    assert bad["decode_status"].startswith("error")
+    assert bad["image_features"]["width"] == 0
+
+
+def test_image_resize_deterministic():
+    blob = MM.encode_fake_image(64, 64, seed=1)
+    ds = ray.data.from_items([{"img_id": 0, "payload": blob}])
+    a = MM.image_features(ds, concurrency=1, resize_to=8).to_pandas()
+    b = MM.image_features(ds, concurrency=1, resize_to=8).to_pandas()
+    assert (
+        a["image_features"][0]["checksum"] == b["image_features"][0]["checksum"]
+    )
+    full = MM.image_features(ds, concurrency=1).to_pandas()
+    assert full["image_features"][0]["checksum"] != a["image_features"][0]["checksum"]
+
+
+def test_audio_features_stage():
+    rows = [
+        {"aud_id": i, "payload": MM.encode_fake_audio(16000 * (i + 1), 16000, seed=i)}
+        for i in range(5)
+    ]
+    ds = ray.data.from_items(rows)
+    out = MM.audio_features(ds, concurrency=1).to_pandas()
+    assert set(out["decode_status"]) == {"ok"}
+    feats = sorted(
+        (r["audio_features"] for _, r in out.iterrows()),
+        key=lambda f: f["n_samples"],
+    )
+    assert feats[0]["duration_s"] == 1.0
+    assert feats[4]["duration_s"] == 5.0
+    assert all(f["rms"] > 0 for f in feats)

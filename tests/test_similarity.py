@@ -1,0 +1,63 @@
+"""ANN similarity search: brute-force cosine top-k + LSH-bucketed variant."""
+
+import numpy as np
+import ray.data
+
+from document_text_extraction_ray.stages import similarity as SIM
+
+
+def _embeddings(n=200, d=16, seed=3):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, d)
+    return ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)]
+    ), vecs
+
+
+def test_brute_force_topk_exact():
+    ds, vecs = _embeddings()
+    queries = vecs[:3]
+    out = SIM.brute_force_topk(ds, queries, query_ids=[0, 1, 2], k=5).to_pandas()
+    assert len(out) == 15
+    # Rank-1 neighbor of each query is itself (cosine 1.0).
+    for qid in range(3):
+        top = out[(out["query_id"] == qid) & (out["rank"] == 1)].iloc[0]
+        assert top["neighbor_id"] == qid
+        assert abs(top["cosine"] - 1.0) < 1e-9
+    # Matches a full numpy reference computation.
+    xn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ref_order = np.argsort(-(xn @ xn[1]))[:5]
+    got = out[out["query_id"] == 1].sort_values("rank")["neighbor_id"].tolist()
+    assert got == ref_order.tolist()
+
+
+def test_brute_force_partial_merge_across_blocks():
+    ds, vecs = _embeddings(n=500)
+    ds = ds.repartition(10)  # force many blocks -> real partial top-k merge
+    out = SIM.brute_force_topk(ds, vecs[:1], query_ids=[42], k=10).to_pandas()
+    assert len(out) == 10
+    assert out["query_id"].unique().tolist() == [42]
+    assert out.sort_values("rank")["cosine"].is_monotonic_decreasing
+
+
+def test_lsh_bucket_topk_finds_self():
+    ds, vecs = _embeddings()
+    out = SIM.lsh_bucket_topk(ds, vecs[:3], query_ids=[0, 1, 2], k=5).to_pandas()
+    # Each query's own vector shares its bucket by construction.
+    for qid in range(3):
+        mine = out[out["query_id"] == qid]
+        assert not mine.empty
+        assert mine[mine["rank"] == 1]["neighbor_id"].iloc[0] == qid
+
+
+def test_embedding_dup_pairs():
+    rng = np.random.RandomState(0)
+    base = rng.randn(8)
+    rows = [{"vec_id": 0, "embedding": base.tolist()},
+            {"vec_id": 1, "embedding": (base * 2).tolist()},      # cosine 1.0
+            {"vec_id": 2, "embedding": (base + rng.randn(8) * 5).tolist()}]
+    ds = ray.data.from_items(rows)
+    pairs = SIM.embedding_dup_pairs(ds, threshold=0.99).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+    assert all(0.99 <= c for c in pairs["cosine"])

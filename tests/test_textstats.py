@@ -1,0 +1,61 @@
+"""Text analysis kernels + stage."""
+
+import ray.data
+
+from document_text_extraction_ray.functions import textstats as T
+from document_text_extraction_ray.stages.textstats import text_stats
+
+
+def test_token_counts():
+    assert T.count_tokens_ws("one two  three") == 3
+    assert T.count_tokens_bpe("hello, world 123") >= 4
+    assert T.count_tokens_ws("") == 0
+
+
+def test_language_id():
+    assert T.detect_language("the cat and the dog are in the house") == "en"
+    assert T.detect_language("der Hund und die Katze sind nicht im Haus") == "de"
+    assert T.detect_language("le chat est dans la maison pour une nuit") == "fr"
+    assert T.detect_language("") == "und"
+    assert T.detect_language("zxqj vvkpl") == "und"
+
+
+def test_quality_score():
+    good = T.quality_score(
+        "The quick brown fox jumps over the lazy dog and runs far away into the woods."
+    )
+    junk = T.quality_score("!!! ??? ### $$$ %%%")
+    assert good["score"] > junk["score"]
+    assert good["n_tokens"] == 16
+    empty = T.quality_score("")
+    assert empty["score"] == 0.0
+
+
+def test_rolling_hashes_and_fingerprint():
+    toks = "a b c d e f g h i j".split()
+    hs = T.rolling_hashes(toks, window=4)
+    assert len(hs) == 7
+    # Shifted window over same content reproduces hashes (rolling property).
+    hs2 = T.rolling_hashes(toks[1:], window=4)
+    assert hs[1:] == hs2
+    fp = T.fingerprint("some repeated text " * 10)
+    assert fp == sorted(set(fp))
+    assert T.fingerprint("") == []
+
+
+def test_content_hash_normalizes_whitespace():
+    assert T.content_hash("a  b\tc") == T.content_hash("a b c")
+    assert T.content_hash("a b c") != T.content_hash("a b d")
+
+
+def test_text_stats_stage():
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "the cat and the dog are in the house"},
+            {"doc_id": 2, "text": ""},
+        ]
+    )
+    out = text_stats(ds, concurrency=1).to_pandas().sort_values("doc_id")
+    assert list(out["pred_lang"]) == ["en", "und"]
+    assert list(out["n_tokens_ws"]) == [9, 0]
+    assert out["quality_score"].iloc[0] > 0
