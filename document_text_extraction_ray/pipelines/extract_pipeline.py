@@ -38,14 +38,9 @@ def extract_dataset(
 ) -> ray.data.Dataset:
     """Attach the extraction stage (actor pool when ``concurrency`` given,
     elastic stateless tasks otherwise)."""
-    if concurrency is None:
-        # Actor pool sized to the cluster, leaving headroom so the read and
-        # write stages are never starved (ray_guide: a pool that reserves
-        # every CPU serializes the pipeline).
-        import ray
+    from ..util import pool_size
 
-        total = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(1, total - 2)
+    concurrency = pool_size(concurrency)
     return corpus.map_batches(
         HtmlExtractor,
         batch_format="pyarrow",

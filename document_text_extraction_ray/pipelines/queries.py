@@ -1,0 +1,543 @@
+"""Driver-facing query registry: one entry per operator family
+(SURVEY.md §2), each with a DuckDB oracle where SQL can express it.
+
+Contract (README / __ray_entry__): every callable takes ``sf_dir`` and
+returns a Dataset / DataFrame / pyarrow Table; computed columns carry the
+SAME names as the oracle SQL's aliases; float aggregates are rounded on BOTH
+sides so value-hash comparison is stable across summation orders.
+
+Scale notes are inline per query: reads prune columns; joins broadcast the
+small side; aggregates pre-reduce before any shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..sources.corpus import corpus_from_documents
+from ..stages import similarity as SIM
+from ..stages.dedup import exact_dedup_ids, minhash_dedup, simhash_pairs
+from ..stages.extract import FieldExtractor
+from ..stages.textstats import text_stats
+from .extract_pipeline import extract_dataset
+
+# SQL fragment: whitespace normalization identical to `" ".join(t.split())`
+# for ASCII-whitespace text (testdata is ASCII).
+_NORM = "regexp_replace(regexp_replace({col}, '\\s+', ' ', 'g'), '^ | $', '', 'g')"
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _scale_int(table: pa.Table, scales: dict) -> pa.Table:
+    """Float aggregate -> integer-scaled BIGINT (e.g. cents): value-hash-exact
+    across engines, immune to summation-order ULP drift.  The SQL side mirrors
+    with CAST(ROUND(expr * scale) AS BIGINT)."""
+    for c, scale in scales.items():
+        idx = table.column_names.index(c)
+        vals = np.rint(
+            np.asarray(pc.cast(table.column(c), pa.float64())) * scale
+        ).astype(np.int64)
+        table = table.set_column(idx, c, pa.array(vals, pa.int64()))
+    return table
+
+
+# ------------------------------------------------------------------ extraction
+
+def q_extract_main_text(sf_dir: str):
+    """Flagship on the wrapped documents corpus: extracted text per url ==
+    whitespace-normalized document text (SQL-checkable byte identity)."""
+    corpus = corpus_from_documents(sf_dir)
+    out = extract_dataset(corpus, with_fields=False, concurrency=4)
+    return out.select_columns(["url", "extracted_text"])
+
+
+def q_extract_stats(sf_dir: str):
+    """Per-lang doc counts + extracted char totals (G3/G4 analogue)."""
+    corpus = corpus_from_documents(sf_dir)
+    out = extract_dataset(corpus, with_fields=False, concurrency=4)
+    agg = out.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+    return agg.sort("lang")
+
+
+def q_field_email_counts(sf_dir: str):
+    """M1 vectorized over document text; counts are SQL-checkable."""
+    from ..util import pool_size
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FieldExtractor,
+        batch_format="pyarrow",
+        concurrency=pool_size(2),
+        fn_constructor_kwargs=dict(text_column="text"),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        emails = pc.list_value_length(pc.struct_field(t.column("fields"), "emails"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "email_count": pc.cast(emails, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_token_stats(sf_dir: str):
+    """Whitespace token counts per doc (text-analysis family)."""
+
+    def count(t: pa.Table) -> pa.Table:
+        toks = [len((x or "").split()) for x in t.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_tokens": pa.array(toks, pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(count, batch_format="pyarrow")
+
+
+def q_doc_source_stats(sf_dir: str):
+    """Per-source aggregates with partial pre-aggregation semantics."""
+    agg = (
+        _docs(sf_dir, ["source", "n_chars"])
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Mean("n_chars", alias_name="avg_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+    )
+    t = pa.Table.from_pandas(agg.sort("source").to_pandas(), preserve_index=False)
+    return _scale_int(t, {"avg_chars": 10_000})
+
+
+def q_lang_filter(sf_dir: str):
+    """Predicate pushdown at the read (prune + row filter)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+        filter=(pc.field("lang") == "en") & (pc.field("n_chars") >= 300),
+    )
+    return ds.sort("doc_id")
+
+
+def q_top_docs_by_len(sf_dir: str):
+    """Dataset-level sort + limit with deterministic tie-break."""
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup: min doc_id per distinct text."""
+    kept = exact_dedup_ids(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id")
+    return kept.select_columns(["doc_id"]).sort("doc_id")
+
+
+# --------------------------------------------------------------- TPC-H-style
+
+def q1_pricing(sf_dir: str):
+    """TPC-H Q1 shape: vectorized derivation + grouped aggregate + sort."""
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus",
+        ],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t.column("l_tax")))
+        t = t.append_column("disc_price", disc_price)
+        return t.append_column("charge", charge)
+
+    agg = (
+        li.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    t = pa.Table.from_pandas(
+        agg.sort(["l_returnflag", "l_linestatus"]).to_pandas(), preserve_index=False
+    )
+    return _scale_int(t, {"sum_qty": 100, "sum_base_price": 100,
+                          "sum_disc_price": 100, "sum_charge": 100,
+                          "avg_qty": 10_000, "avg_price": 10_000,
+                          "avg_disc": 10_000})
+
+
+def q3_top_revenue(sf_dir: str):
+    """3-way join expressed Ray-native: both dimension sides broadcast
+    (ray_guide 'small side -> broadcast'), fact table scanned once;
+    no shuffle join anywhere."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    seg_keys = set(
+        pc.filter(
+            cust.column("c_custkey"),
+            pc.equal(cust.column("c_mktsegment"), "BUILDING"),
+        ).to_pylist()
+    )
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    order_keys = set(
+        pc.filter(
+            orders.column("o_orderkey"),
+            pc.is_in(orders.column("o_custkey"),
+                     value_set=pa.array(sorted(seg_keys))),
+        ).to_pylist()
+    )
+    import ray as _ray
+
+    keys_ref = _ray.put(pa.array(sorted(order_keys)))
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial_revenue(t: pa.Table) -> pa.Table:
+        keys = _ray.get(keys_ref)
+        t = t.filter(pc.is_in(t.column("l_orderkey"), value_set=keys))
+        rev = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return pa.table({"o_orderkey": t.column("l_orderkey"), "revenue_part": rev})
+
+    agg = (
+        li.map_batches(partial_revenue, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("revenue_part", alias_name="revenue"))
+    )
+    df = agg.to_pandas()
+    df = df.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
+    t = pa.Table.from_pandas(df[["o_orderkey", "revenue"]], preserve_index=False)
+    return _scale_int(t, {"revenue": 100})
+
+
+def q_supplier_region(sf_dir: str):
+    """supplier x nation x region via chained broadcast dict lookups."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    r_name = dict(
+        zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist())
+    )
+    n_region = {
+        n: r_name[r]
+        for n, r in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_regionkey").to_pylist(),
+        )
+    }
+
+    sup = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_nationkey", "s_acctbal"]
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        regions = [n_region[k] for k in t.column("s_nationkey").to_pylist()]
+        return pa.table(
+            {"r_name": pa.array(regions, pa.string()), "s_acctbal": t.column("s_acctbal")}
+        )
+
+    agg = (
+        sup.map_batches(attach, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal"))
+    )
+    t = pa.Table.from_pandas(agg.sort("r_name").to_pandas(), preserve_index=False)
+    return _scale_int(t, {"total_acctbal": 100})
+
+
+def q_orders_by_status(sf_dir: str):
+    agg = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderstatus", "o_totalprice"],
+        )
+        .groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
+    )
+    t = pa.Table.from_pandas(agg.sort("o_orderstatus").to_pandas(), preserve_index=False)
+    return _scale_int(t, {"total_price": 100})
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window per event_type (streaming-shaped workload,
+    ray_guide: windows as grouped aggregation over epoch buckets)."""
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        win = pc.multiply(pc.divide(us, 3_600_000_000), 3600)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_s": pc.cast(win, pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    agg = (
+        ev.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "window_s"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+    t = pa.Table.from_pandas(
+        agg.sort(["event_type", "window_s"]).to_pandas(), preserve_index=False
+    )
+    return _scale_int(t, {"total_value": 100})
+
+
+def q_top_events(sf_dir: str):
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    out = ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _scale_int(t, {"value": 10_000})
+
+
+# ----------------------------------------------------------------- similarity
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first 5 vectors (float64 on both
+    sides; output keeps only integer columns so hashing is exact)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, filters=[("vec_id", "<", 5)])
+    q = np.asarray(head.column("embedding").to_pylist(), dtype=np.float64)
+    qids = head.column("vec_id").to_pylist()
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    out = SIM.brute_force_topk(emb, q, qids, k=10)
+    return pa.table(
+        {
+            "query_id": pc.cast(out.column("query_id"), pa.int64()),
+            "neighbor_id": pc.cast(out.column("neighbor_id"), pa.int64()),
+            "rnk": pc.cast(out.column("rank"), pa.int64()),
+        }
+    )
+
+
+def q_embedding_label_stats(sf_dir: str):
+    agg = (
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "label"])
+        .groupby("label")
+        .aggregate(Count(alias_name="n_vecs"), Min("vec_id", alias_name="min_vec_id"))
+    )
+    return agg.sort("label")
+
+
+# ------------------------------------------------- non-SQL-expressible (rows-only)
+
+def q_minhash_dedup(sf_dir: str):
+    kept, _ = minhash_dedup(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id")
+    return kept.select_columns(["doc_id"]).sort("doc_id")
+
+
+def q_simhash_pairs(sf_dir: str):
+    pairs = simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id",
+                          max_hamming=3)
+    return pairs.sort(["id_a", "id_b"])
+
+
+def q_lsh_ann(sf_dir: str):
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, filters=[("vec_id", "<", 5)])
+    q = np.asarray(head.column("embedding").to_pylist(), dtype=np.float64)
+    qids = head.column("vec_id").to_pylist()
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    out = SIM.lsh_bucket_topk(emb, q, qids, k=10)
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
+def q_text_analysis(sf_dir: str):
+    ds = text_stats(_docs(sf_dir, ["doc_id", "text"]), concurrency=4)
+    return ds.select_columns(
+        ["doc_id", "pred_lang", "n_tokens_ws", "n_tokens_bpe", "quality_score"]
+    ).sort("doc_id")
+
+
+def q_synth_extract(sf_dir: str):
+    """Pure synthetic corpus extraction smoke (full boilerplate-strip path).
+    Row count scales with sf via the documents row count."""
+    from ..sources.corpus import synth_corpus_dataset
+
+    n = _docs(sf_dir, ["doc_id"]).count()
+    corpus = synth_corpus_dataset(min(n, 2000), seed=42)
+    out = extract_dataset(corpus, with_fields=True, concurrency=4)
+    return out.select_columns(["url", "n_blocks", "n_chars", "status"])
+
+
+QUERIES = {
+    "extract_main_text": q_extract_main_text,
+    "extract_stats": q_extract_stats,
+    "field_email_counts": q_field_email_counts,
+    "token_stats": q_token_stats,
+    "doc_source_stats": q_doc_source_stats,
+    "lang_filter": q_lang_filter,
+    "top_docs_by_len": q_top_docs_by_len,
+    "exact_dedup": q_exact_dedup,
+    "q1_pricing": q1_pricing,
+    "q3_top_revenue": q3_top_revenue,
+    "supplier_region": q_supplier_region,
+    "orders_by_status": q_orders_by_status,
+    "events_window": q_events_window,
+    "top_events": q_top_events,
+    "ann_topk": q_ann_topk,
+    "embedding_label_stats": q_embedding_label_stats,
+    # rows-only (no SQL oracle):
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_pairs": q_simhash_pairs,
+    "lsh_ann": q_lsh_ann,
+    "text_analysis": q_text_analysis,
+    "synth_extract": q_synth_extract,
+}
+
+_NORM_TEXT = _NORM.format(col="text")
+
+ORACLE_SQL = {
+    "extract_main_text": f"""
+        SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+               {_NORM_TEXT} AS extracted_text
+        FROM documents
+    """,
+    "extract_stats": f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(length({_NORM_TEXT})) AS BIGINT) AS total_chars,
+               MAX(length({_NORM_TEXT})) AS max_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "field_email_counts": r"""
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text,
+                 '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b')) AS BIGINT)
+                 AS email_count
+        FROM documents
+    """,
+    "token_stats": r"""
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+    "doc_source_stats": """
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(ROUND(AVG(n_chars) * 10000) AS BIGINT) AS avg_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "lang_filter": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE lang = 'en' AND n_chars >= 300 ORDER BY doc_id
+    """,
+    "top_docs_by_len": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+    """,
+    "exact_dedup": """
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+    """,
+    "q1_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty,
+               CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_price,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT) AS sum_charge,
+               CAST(ROUND(AVG(l_quantity) * 10000) AS BIGINT) AS avg_qty,
+               CAST(ROUND(AVG(l_extendedprice) * 10000) AS BIGINT) AS avg_price,
+               CAST(ROUND(AVG(l_discount) * 10000) AS BIGINT) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_top_revenue": """
+        SELECT l_orderkey AS o_orderkey,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey
+        ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "supplier_region": """
+        SELECT r_name, COUNT(*) AS n_suppliers,
+               CAST(ROUND(SUM(s_acctbal) * 100) AS BIGINT) AS total_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "orders_by_status": """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS total_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "events_window": """
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_s,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(value) * 100) AS BIGINT) AS total_value
+        FROM events GROUP BY event_type, window_s
+        ORDER BY event_type, window_s
+    """,
+    "top_events": """
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 10000) AS BIGINT) AS value
+        FROM events ORDER BY events.value DESC, event_id ASC LIMIT 20
+    """,
+    "ann_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 5
+        ), x AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS w
+            FROM embeddings
+        ), scored AS (
+            SELECT q.query_id, x.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.v, x.w) DESC,
+                                x.neighbor_id ASC
+                   ) AS rnk
+            FROM q CROSS JOIN x
+        )
+        SELECT query_id, neighbor_id, rnk FROM scored WHERE rnk <= 10
+        ORDER BY query_id, rnk
+    """,
+    "embedding_label_stats": """
+        SELECT label, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+        FROM embeddings GROUP BY label ORDER BY label
+    """,
+}

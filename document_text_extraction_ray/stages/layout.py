@@ -90,6 +90,9 @@ class LayoutExtractor:
 
 def layout_extract(ds, core: str = "vector", concurrency: int = 8,
                    batch_size: int = 32, **kw):
+    from ..util import pool_size
+
+    concurrency = pool_size(concurrency)
     return ds.map_batches(
         LayoutExtractor,
         batch_format="pyarrow",

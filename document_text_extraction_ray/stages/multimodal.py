@@ -165,6 +165,9 @@ def image_features(ds, payload_column: str = "payload",
                    concurrency: int = 4, batch_size: int = 16, **kw):
     """Small batch_size: payload bytes x batch x concurrency must fit a
     worker heap (multi-MB blobs => 16 rows/batch)."""
+    from ..util import pool_size
+
+    concurrency = pool_size(concurrency)
     return ds.map_batches(
         ImageFeatureStage,
         batch_format="pyarrow",
@@ -176,6 +179,9 @@ def image_features(ds, payload_column: str = "payload",
 
 def audio_features(ds, payload_column: str = "payload",
                    concurrency: int = 4, batch_size: int = 16, **kw):
+    from ..util import pool_size
+
+    concurrency = pool_size(concurrency)
     return ds.map_batches(
         AudioFeatureStage,
         batch_format="pyarrow",

@@ -47,6 +47,9 @@ class TextStats:
 
 
 def text_stats(ds, text_column: str = "text", concurrency: int = 8, **kw):
+    from ..util import pool_size
+
+    concurrency = pool_size(concurrency)
     return ds.map_batches(
         TextStats,
         batch_format="pyarrow",
