@@ -1,0 +1,184 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline extraction pipeline + every queries() entry over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1) under
+ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N,
+   "headline": {docs, html_mb, docs_per_s, mb_per_s}}
+
+--scaling: runs the headline pipeline in fresh subprocesses at num_cpus=8 and
+num_cpus=32 on the SAME input (page cache warmed by the first generation) and
+reports both throughputs + scaling efficiency
+  eff = (t_small / t_large) / (cpus_large / cpus_small).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_N = int(os.environ.get("BENCH_N", "200000"))
+CORPUS_BASE = os.environ.get("BENCH_CORPUS_DIR", "/tmp/dte_bench_corpus")
+OUT_DIR = "/tmp/dte_bench_out"
+
+QUERY_SKIP = {"synth_extract"}  # covered by the headline itself
+
+
+def run_headline() -> dict:
+    """Flagship job: read corpus parquet -> extract(+fields) -> bucketed write."""
+    import shutil
+
+    import ray
+
+    from document_text_extraction_ray.pipelines.extract_pipeline import (
+        run_sharded_extraction_job,
+    )
+    from document_text_extraction_ray.sources.corpus import (
+        materialize_corpus_parquet,
+        read_corpus,
+    )
+
+    corpus_path = materialize_corpus_parquet(BENCH_N, seed=42, base_dir=CORPUS_BASE)
+    html_bytes = sum(
+        os.path.getsize(os.path.join(corpus_path, f))
+        for f in os.listdir(corpus_path)
+        if f.endswith(".parquet")
+    )
+    # Warm the page cache so we measure compute, not first disk read.
+    read_corpus(corpus_path, columns=["url"]).count()
+
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_sharded_extraction_job(
+        corpus_path,
+        OUT_DIR,
+        run_id=f"bench-{NUM_CPUS}",
+        files_per_partition=int(os.environ.get("BENCH_FILES_PER_PART", "100")),
+        n_buckets=64,
+        max_concurrent_partitions=int(os.environ.get("BENCH_PART_CONC", "1")),
+        blocks_per_cpu=int(os.environ.get("BENCH_BLOCKS_PER_CPU", "4")),
+    )
+    elapsed = time.perf_counter() - t0
+    return {
+        "sec": round(elapsed, 3),
+        "docs": BENCH_N,
+        "input_mb": round(html_bytes / 1e6, 1),
+        "docs_per_s": round(BENCH_N / elapsed, 1),
+        "mb_per_s": round(html_bytes / 1e6 / elapsed, 2),
+    }
+
+
+def run_queries() -> dict:
+    import pyarrow as pa
+
+    import __ray_entry__ as entrymod
+    import ray.data
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        if name in QUERY_SKIP:
+            continue
+        t0 = time.perf_counter()
+        result = fn(SF_DIR)
+        if isinstance(result, ray.data.Dataset):
+            result.to_pandas()  # consume the lazy pipeline
+        elif isinstance(result, pa.Table):
+            pass
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_bench():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    headline = run_headline()
+    queries = run_queries()
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "headline extraction pipeline wall time "
+                          f"({BENCH_N} synthetic CC-style pages, checkpointed sink)",
+                "value": headline["sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "headline": headline,
+            }
+        )
+    )
+
+
+def run_at(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SCALING_CHILD="1")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main_scaling():
+    lo_cpus, hi_cpus = int(os.environ.get("BENCH_CPUS_LO", "4")), int(os.environ.get("BENCH_CPUS_HI", "16"))
+    lo = run_at(lo_cpus)
+    hi = run_at(hi_cpus)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": "headline throughput scaling efficiency "
+                          f"({lo_cpus} vs {hi_cpus} cpus, same input)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                f"sec_{lo_cpus}": t_lo,
+                f"sec_{hi_cpus}": t_hi,
+                f"docs_per_s_{lo_cpus}": lo["headline"]["docs_per_s"],
+                f"docs_per_s_{hi_cpus}": hi["headline"]["docs_per_s"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        if os.environ.get("BENCH_SCALING_CHILD"):
+            # Scaling children skip the per-query sweep: the criterion is
+            # the headline pipeline at two parallelism levels.
+            import ray
+
+            ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                     ignore_reinit_error=True, logging_level="ERROR")
+            from ray.data import DataContext
+
+            DataContext.get_current().enable_progress_bars = False
+            headline = run_headline()
+            ray.shutdown()
+            print(json.dumps({"metric": "headline", "value": headline["sec"],
+                              "unit": "sec", "headline": headline,
+                              "num_cpus": NUM_CPUS, "sf": SF_DIR}))
+        else:
+            main_bench()

@@ -3,10 +3,17 @@
 Ray-Data-native restatement of the reference lifecycle (SURVEY.md §3.4):
 
     read_parquet(corpus)                          # or synthetic generation
-      -> map_batches(HtmlExtractor actor pool)    # S2/M18 + L-analogues + M1-M13
-      -> [resume anti-filter on committed buckets]
-      -> write_bucketed(out)                      # S7 + checkpoint manifests
+      -> map_batches(extract_batch, pyarrow)      # S2/M18 + L-analogues + M1-M13
+      -> checkpointed sink                        # S7 + lineage manifests
     driver: groupby("status").count() summary     # G3
+
+Two resumable jobs, two partitioning strategies:
+  * ``run_sharded_extraction_job`` — NO shuffle; commit unit = partition of
+    input files (lineage: input file + row counts); resume prunes whole input
+    files before the read.  The throughput flagship.
+  * ``run_extraction_job`` — one shuffle on the url-hash ``bucket`` key;
+    commit unit = bucket (hash-partitioned output layout for downstream
+    bucket joins / dedup); resume filters rows by committed bucket.
 
 No stage materializes the dataset; the streaming executor pipelines read,
 extraction and write with backpressure.  Payload-heavy stages run with a small
@@ -15,6 +22,8 @@ extraction and write with backpressure.  Payload-heavy stages run with a small
 """
 
 from __future__ import annotations
+
+import os
 
 import ray.data
 
@@ -35,20 +44,34 @@ def extract_dataset(
     with_fields: bool = True,
     concurrency=None,
     batch_size: int = EXTRACT_BATCH_SIZE,
+    use_actors: bool = False,
 ) -> ray.data.Dataset:
-    """Attach the extraction stage (actor pool when ``concurrency`` given,
-    elastic stateless tasks otherwise)."""
+    """Attach the extraction stage.
+
+    Default: stateless task pool (the kernel has no load-once state; tasks
+    skip actor spin-up and scale elastically).  ``use_actors=True`` switches
+    to the warm actor-pool form — the right shape once the core loads real
+    state (layout models, ML stages)."""
+    import functools
+
+    from ..stages.extract import extract_batch
     from ..util import pool_size
 
-    concurrency = pool_size(concurrency)
+    if use_actors:
+        return corpus.map_batches(
+            HtmlExtractor,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=pool_size(concurrency),
+            fn_constructor_kwargs=dict(
+                config=config, n_buckets=n_buckets, with_fields=with_fields
+            ),
+        )
     return corpus.map_batches(
-        HtmlExtractor,
+        functools.partial(extract_batch, config=config, n_buckets=n_buckets,
+                          with_fields=with_fields),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(
-            config=config, n_buckets=n_buckets, with_fields=with_fields
-        ),
     )
 
 
@@ -77,6 +100,99 @@ def run_extraction_job(
         resumed, out_dir, run_id=run_id, input_path=input_path,
         extractor_version=EXTRACTOR_VERSION,
     )
+
+
+def run_sharded_extraction_job(
+    corpus_path: str,
+    out_dir: str,
+    *,
+    run_id: str,
+    files_per_partition: int = 8,
+    n_buckets: int = 64,
+    with_fields: bool = True,
+    concurrency=None,
+    max_concurrent_partitions: int = 2,
+    blocks_per_cpu: int = 4,
+) -> dict:
+    """No-shuffle resumable job: the commit unit is a PARTITION OF INPUT FILES
+    (north-star lineage: input file + row counts), not a hash bucket.
+
+    Extraction is embarrassingly parallel, so hash-partitioning the OUTPUT is
+    pure shuffle cost; instead each partition of input files streams through
+    read -> extract -> write and commits atomically.  Resume prunes committed
+    partitions BEFORE the read — skipped input files are never opened (cheaper
+    than any row filter).  Use ``write_bucketed`` instead when downstream
+    needs hash-partitioned layout (e.g. bucket-join dedup).
+
+    ``max_concurrent_partitions`` overlaps partition pipelines (each is its
+    own Dataset execution driven from a thread) so the cluster never idles
+    during a partition's commit tail.
+    """
+    import glob as _glob
+    import shutil
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..util import stabilize_fsspec_http
+
+    stabilize_fsspec_http()
+
+    files = sorted(_glob.glob(os.path.join(corpus_path, "*.parquet")))
+    partitions = [
+        files[i: i + files_per_partition]
+        for i in range(0, len(files), files_per_partition)
+    ]
+    staging_root = os.path.join(out_dir, ckpt.STAGING_DIR)
+    os.makedirs(os.path.join(out_dir, ckpt.MANIFEST_DIR), exist_ok=True)
+    if os.path.isdir(staging_root):
+        for stale in os.listdir(staging_root):
+            shutil.rmtree(os.path.join(staging_root, stale), ignore_errors=True)
+
+    done = ckpt.committed_parts(out_dir)
+    summary = {"committed": 0, "skipped": 0, "rows": 0, "partitions": len(partitions)}
+
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+
+    def process(pid_chunk):
+        pid, chunk = pid_chunk
+        staged = os.path.join(staging_root, run_id, f"part={pid}")
+        os.makedirs(staged, exist_ok=True)
+        # Block-count tradeoff: Ray's default split heuristic makes ~8 blocks
+        # per input file -> hundreds of tiny output files (open/close + stat
+        # overhead); too few blocks -> skew stragglers (the 1% giant-page tail
+        # pins whole coarse tasks).  ~blocks_per_cpu tasks per core balances
+        # both; tune down for uniform rows, up for heavy skew.
+        ds = extract_dataset(
+            ray.data.read_parquet(
+                chunk, override_num_blocks=max(len(chunk), blocks_per_cpu * cpus)
+            ),
+            n_buckets=n_buckets, with_fields=with_fields, concurrency=concurrency,
+        )
+        ds.write_parquet(staged)
+        stats = ckpt.part_stats(staged)
+        manifest = {
+            "part": pid,
+            "input_files": chunk,
+            "row_range": [0, stats["row_count"]],
+            "extractor_version": EXTRACTOR_VERSION,
+            "run_id": run_id,
+            "committed_at_us": int(_time.time() * 1e6),
+            **stats,
+        }
+        ckpt.commit_part(out_dir, run_id, pid, staged, manifest)
+        return stats["row_count"]
+
+    todo = [(pid, chunk) for pid, chunk in enumerate(partitions) if pid not in done]
+    summary["skipped"] = len(partitions) - len(todo)
+    if todo:
+        with ThreadPoolExecutor(max_workers=max_concurrent_partitions) as ex:
+            for rows in ex.map(process, todo):
+                summary["committed"] += 1
+                summary["rows"] += rows
+    shutil.rmtree(os.path.join(staging_root, run_id), ignore_errors=True)
+    return summary
 
 
 def status_summary(extracted: ray.data.Dataset):

@@ -6,10 +6,12 @@ path, row counts, extractor version, commit time).  A killed-and-restarted
 job skips committed buckets and produces the same final table.
 
 Design (SURVEY.md §7.5 item 3 — sinks are at-least-once under retries):
-  1. the run writes ALL output under a run-scoped staging prefix
-     (``out/_staging/<run_id>/bucket=K/...``) via a streaming
-     ``write_parquet(partition_cols=["bucket"])`` — no extra shuffle, blocks
-     fan into partition dirs as they stream;
+  1. the run shuffles ONCE on the bucket key (``groupby("bucket")``) and each
+     bucket-group task writes its own Parquet file(s) under a run-scoped
+     staging prefix (``out/_staging/<run_id>/bucket=K/...``) AND computes its
+     lineage stats in-task; task retries rewrite the same paths (idempotent);
+     staging must be storage visible to the commit step (shared FS or object
+     store on a real cluster);
   2. after the sink completes, each staged bucket dir is committed by a
      driver-side atomic rename into ``out/bucket=K`` plus an atomically
      renamed manifest JSON.  **The manifest directory is the source of
@@ -81,7 +83,7 @@ def write_bucketed(
     run_id: str,
     input_path: str,
     extractor_version: str,
-    min_rows_per_file: int = 50_000,
+    min_rows_per_file: int | None = None,
 ) -> dict:
     """Stream ``ds`` (must carry a ``bucket`` column) into checkpointed
     per-bucket Parquet under ``out_dir``; commit manifests; return summary.
@@ -90,6 +92,8 @@ def write_bucketed(
     duplicates are discarded), so at-least-once task retries and job restarts
     both converge to exactly-once output.
     """
+    import pyarrow as pa
+
     staging_root = os.path.join(out_dir, STAGING_DIR)
     staging = os.path.join(staging_root, run_id)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
@@ -101,34 +105,72 @@ def write_bucketed(
                 shutil.rmtree(os.path.join(staging_root, stale), ignore_errors=True)
     os.makedirs(staging, exist_ok=True)
 
-    ds.write_parquet(staging, partition_cols=["bucket"],
-                     min_rows_per_file=min_rows_per_file)
+    # One shuffle on the bucket key (the engine's single partitioning key);
+    # each bucket-group task writes its own file AND computes its lineage
+    # stats in-task — no per-file driver stat pass, no tiny-file explosion
+    # (a naive write_parquet(partition_cols=...) fans every block into every
+    # partition dir: blocks x buckets files).  Scale contract: one bucket
+    # must fit in one task; size n_buckets so bucket ~ a few GB.
+    stats_schema = pa.schema(
+        [("bucket", pa.int32()), ("row_count", pa.int64()),
+         ("ok_count", pa.int64()), ("total_chars", pa.int64()),
+         ("n_files", pa.int32())]
+    )
+
+    def write_group(group: pa.Table) -> pa.Table:
+        # The hash shuffle may dictionary-encode key columns in some groups;
+        # decode so every committed file carries one uniform schema.
+        for i, f in enumerate(group.schema):
+            if pa.types.is_dictionary(f.type):
+                group = group.set_column(
+                    i, f.name, group.column(f.name).cast(f.type.value_type)
+                )
+        bucket = group.column("bucket")[0].as_py()
+        bucket_dir = os.path.join(staging, f"bucket={bucket}")
+        os.makedirs(bucket_dir, exist_ok=True)
+        target = min_rows_per_file or group.num_rows
+        n_files = 0
+        for start in range(0, group.num_rows, target):
+            pq.write_table(
+                group.slice(start, target),
+                os.path.join(bucket_dir, f"part-{n_files:05d}.parquet"),
+            )
+            n_files += 1
+        ok = 0
+        chars = 0
+        if "status" in group.column_names:
+            ok = pc.sum(
+                pc.cast(pc.equal(group.column("status"), "ok"), "int64")
+            ).as_py() or 0
+        if "n_chars" in group.column_names:
+            chars = pc.sum(group.column("n_chars")).as_py() or 0
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], pa.int32()),
+                "row_count": pa.array([group.num_rows], pa.int64()),
+                "ok_count": pa.array([ok], pa.int64()),
+                "total_chars": pa.array([chars], pa.int64()),
+                "n_files": pa.array([n_files], pa.int32()),
+            },
+            schema=stats_schema,
+        )
+
+    stats_rows = (
+        ds.groupby("bucket")
+        .map_groups(write_group, batch_format="pyarrow")
+        .take_all()
+    )
 
     committed_before = committed_buckets(out_dir)
     summary = {"committed": 0, "skipped": 0, "rows": 0}
-    for name in sorted(os.listdir(staging)):
-        if not name.startswith("bucket="):
-            continue
-        bucket = int(name.split("=", 1)[1])
-        src = os.path.join(staging, name)
+    for row in sorted(stats_rows, key=lambda r: r["bucket"]):
+        bucket = int(row["bucket"])
+        src = os.path.join(staging, f"bucket={bucket}")
         if bucket in committed_before:
             shutil.rmtree(src, ignore_errors=True)
             summary["skipped"] += 1
             continue
-        # Lineage stats from Parquet footers + the status column only
-        # (columnar projection — cheap relative to the payload columns).
-        files = sorted(
-            os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
-        )
-        row_count = ok_count = total_chars = 0
-        for f in files:
-            row_count += pq.read_metadata(f).num_rows
-            t = pq.read_table(f, columns=["status", "n_chars"])
-            ok_count += pc.sum(
-                pc.cast(pc.equal(t.column("status"), "ok"), "int64")
-            ).as_py() or 0
-            total_chars += pc.sum(t.column("n_chars")).as_py() or 0
-
+        files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
         dst = os.path.join(out_dir, f"bucket={bucket}")
         if os.path.exists(dst):  # stale files from a crashed, uncommitted run
             shutil.rmtree(dst)
@@ -136,11 +178,11 @@ def write_bucketed(
         manifest = {
             "bucket": bucket,
             "input_path": input_path,
-            "files": [os.path.join(f"bucket={bucket}", os.path.basename(f)) for f in files],
-            "row_count": row_count,
-            "ok_count": ok_count,
-            "error_count": row_count - ok_count,
-            "total_chars": total_chars,
+            "files": [os.path.join(f"bucket={bucket}", f) for f in files],
+            "row_count": int(row["row_count"]),
+            "ok_count": int(row["ok_count"]),
+            "error_count": int(row["row_count"]) - int(row["ok_count"]),
+            "total_chars": int(row["total_chars"]),
             "extractor_version": extractor_version,
             "run_id": run_id,
             "committed_at_us": int(time.time() * 1e6),
@@ -150,7 +192,7 @@ def write_bucketed(
             json.dump(manifest, fh)
         os.rename(tmp, _manifest_path(out_dir, bucket))
         summary["committed"] += 1
-        summary["rows"] += row_count
+        summary["rows"] += int(row["row_count"])
     shutil.rmtree(os.path.join(out_dir, STAGING_DIR, run_id), ignore_errors=True)
     return summary
 
@@ -163,6 +205,83 @@ def committed_files(out_dir: str) -> list:
             m = json.load(fh)
         files.extend(os.path.join(out_dir, rel) for rel in m["files"])
     return files
+
+
+def committed_parts(out_dir: str) -> set:
+    """Committed input-shard partitions (sharded no-shuffle sink)."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return set()
+    return {
+        int(n[len("part="): -len(".json")])
+        for n in os.listdir(mdir)
+        if n.startswith("part=") and n.endswith(".json")
+    }
+
+
+def commit_part(out_dir: str, run_id: str, part_id: int, staged_dir: str,
+                manifest: dict) -> None:
+    """Atomically promote a staged partition dir + write its manifest."""
+    dst = os.path.join(out_dir, f"part={part_id}")
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.rename(staged_dir, dst)
+    path = os.path.join(out_dir, MANIFEST_DIR, f"part={part_id}.json")
+    tmp = path + f".tmp.{run_id}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, path)
+
+
+def part_stats(part_dir: str) -> dict:
+    """Lineage stats from the written files (footers + two thin columns)."""
+    files = sorted(
+        os.path.join(part_dir, f) for f in os.listdir(part_dir)
+        if f.endswith(".parquet")
+    )
+    rows = ok = chars = 0
+    for f in files:
+        rows += pq.read_metadata(f).num_rows
+        t = pq.read_table(f, columns=["status", "n_chars"], partitioning=None)
+        ok += pc.sum(pc.cast(pc.equal(t.column("status"), "ok"), "int64")).as_py() or 0
+        chars += pc.sum(t.column("n_chars")).as_py() or 0
+    return {
+        "files": [os.path.basename(f) for f in files],
+        "row_count": rows,
+        "ok_count": ok,
+        "error_count": rows - ok,
+        "total_chars": chars,
+    }
+
+
+def committed_part_files(out_dir: str) -> list:
+    files = []
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    for part in sorted(committed_parts(out_dir)):
+        with open(os.path.join(mdir, f"part={part}.json")) as fh:
+            m = json.load(fh)
+        files.extend(
+            os.path.join(out_dir, f"part={part}", f) for f in m["files"]
+        )
+    return files
+
+
+def read_committed_table(out_dir: str, columns=None):
+    """Read the committed table via the manifest file list.
+
+    ``partitioning=None`` is required: the ``bucket=K`` directory names would
+    otherwise be hive-inferred as a dictionary-typed ``bucket`` column,
+    conflicting with the physical int32 column stored in the files."""
+    return pq.read_table(committed_files(out_dir), columns=columns,
+                         partitioning=None)
+
+
+def read_committed_dataset(out_dir: str, columns=None):
+    """Ray Dataset over the committed files (manifest-driven, resumable read)."""
+    import ray.data
+
+    return ray.data.read_parquet(committed_files(out_dir), columns=columns,
+                                 partitioning=None)
 
 
 def read_manifests(out_dir: str) -> list:

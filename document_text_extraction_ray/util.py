@@ -3,6 +3,34 @@
 from __future__ import annotations
 
 
+def stabilize_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable even without aiohttp.
+
+    Ray's ``_is_http_filesystem`` runs ``from fsspec.implementations.http
+    import HTTPFileSystem`` on every read/write path resolution, catching only
+    ModuleNotFoundError.  With aiohttp absent the import fails every time, and
+    two threads resolving paths concurrently race on the half-initialized
+    module — the loser gets a plain ImportError that Ray does NOT catch
+    (observed crashing concurrent partition pipelines).  Installing a sentinel
+    module makes the import succeed once and stay cached; the isinstance
+    check against the sentinel class is correctly always False."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import sys
+    import types
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # sentinel only — aiohttp absent => no http fs exists
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
 def pool_size(requested: int | None = None, headroom: int = 2) -> int:
     """Clamp an actor-pool size so it can never reserve every cluster CPU.
 

@@ -103,8 +103,7 @@ def test_checkpoint_resume(tmp_path):
     assert s2["committed"] == 2 and s2["skipped"] == 0
 
     # Final table: exactly one row per url, equal to a fresh full run.
-    files = ckpt.committed_files(out_dir)
-    table = pq.read_table(files, columns=["url", "n_chars", "status"])
+    table = ckpt.read_committed_table(out_dir, columns=["url", "n_chars", "status"])
     assert table.num_rows == 200
     assert len(set(table.column("url").to_pylist())) == 200
 
@@ -133,3 +132,35 @@ def test_corpus_from_documents_normalizes_text():
     assert len(extracted) == len(docs)
     for _, row in extracted.iterrows():
         assert row["extracted_text"] == expected[row["url"]]
+
+
+def test_sharded_job_resume(tmp_path):
+    """No-shuffle sharded sink: per-input-file-partition commit + resume."""
+    from document_text_extraction_ray.pipelines.extract_pipeline import (
+        run_sharded_extraction_job,
+    )
+    from document_text_extraction_ray.sources.corpus import synth_corpus_dataset
+
+    corpus_dir = str(tmp_path / "corpus")
+    synth_corpus_dataset(300, seed=42).repartition(6).write_parquet(corpus_dir)
+    out_dir = str(tmp_path / "out")
+
+    s1 = run_sharded_extraction_job(corpus_dir, out_dir, run_id="r1",
+                                    files_per_partition=2, with_fields=False)
+    assert s1["rows"] == 300 and s1["committed"] == s1["partitions"]
+
+    # Drop one partition manifest -> only that partition reprocesses.
+    parts = sorted(ckpt.committed_parts(out_dir))
+    os.remove(os.path.join(out_dir, ckpt.MANIFEST_DIR, f"part={parts[0]}.json"))
+    s2 = run_sharded_extraction_job(corpus_dir, out_dir, run_id="r2",
+                                    files_per_partition=2, with_fields=False)
+    assert s2["committed"] == 1 and s2["skipped"] == len(parts) - 1
+
+    table = pq.read_table(ckpt.committed_part_files(out_dir),
+                          columns=["url"], partitioning=None)
+    assert table.num_rows == 300
+    assert len(set(table.column("url").to_pylist())) == 300
+
+    s3 = run_sharded_extraction_job(corpus_dir, out_dir, run_id="r3",
+                                    files_per_partition=2, with_fields=False)
+    assert s3["committed"] == 0 and s3["skipped"] == s3["partitions"]
