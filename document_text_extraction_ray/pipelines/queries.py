@@ -356,6 +356,60 @@ def q_embedding_label_stats(sf_dir: str):
     return agg.sort("label")
 
 
+def q_hash_join_revenue(sf_dir: str):
+    """Partitioned hash join (both sides 'large'): lineitem x orders, revenue
+    per order priority — one shuffle per side, bucket-wise pandas merge."""
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return pa.table({"o_orderkey": t.column("l_orderkey"), "rev": rev})
+
+    li = li.map_batches(derive, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    from ..stages.join import partitioned_hash_join
+
+    joined = partitioned_hash_join(li, orders, on="o_orderkey", n_buckets=16)
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"), Sum("rev", alias_name="revenue")
+    )
+    t = pa.Table.from_pandas(agg.sort("o_orderpriority").to_pandas(),
+                             preserve_index=False)
+    return _scale_int(t, {"revenue": 100})
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessions per user (30 min): shuffle by user, per-key sorted
+    fold — oracle via DuckDB window functions."""
+    from ..stages.windows import sessionize
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id"])
+    out = sessionize(ev, "ts", "user_id", gap_s=1800)
+    return out.sort(["user_id", "session_start_s"])
+
+
+def q_sliding_window(sf_dir: str):
+    """1h windows sliding by 15 min over events (explode-to-buckets)."""
+    from ..stages.windows import sliding_window
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "value"])
+    agg = sliding_window(ev, "ts", "event_type", "value",
+                         width_s=3600, slide_s=900)
+    t = pa.Table.from_pandas(agg.sort(["event_type", "window_s"]).to_pandas(),
+                             preserve_index=False)
+    return _scale_int(t, {"total_value": 100})
+
+
 # ------------------------------------------------- non-SQL-expressible (rows-only)
 
 def q_minhash_dedup(sf_dir: str):
@@ -386,6 +440,48 @@ def q_text_analysis(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_structured_fold(sf_dir: str):
+    """M16-analogue ordered fold: document text -> nested structured record
+    (returned as JSON strings; inherently non-SQL)."""
+    import json as _json
+
+    from ..functions.structured import fold_structured
+
+    def fold(t: pa.Table) -> pa.Table:
+        outs = [
+            _json.dumps(fold_structured(x or ""), sort_keys=True)
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "structured": pa.array(outs, pa.large_string())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fold, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+def q_classify_ner(sf_dir: str):
+    """Stub model stages (A1/A2 analogues): section label + entity counts."""
+    from ..stages.models import classify_sections, ner_entities
+
+    ds = classify_sections(_docs(sf_dir, ["doc_id", "text"]), concurrency=2)
+    ds = ner_entities(ds, concurrency=2)
+
+    def project(t: pa.Table) -> pa.Table:
+        n_persons = pc.list_value_length(pc.struct_field(t.column("entities"), "persons"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "section_label": t.column("section_label"),
+                "n_persons": pc.cast(n_persons, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
 def q_synth_extract(sf_dir: str):
     """Pure synthetic corpus extraction smoke (full boilerplate-strip path).
     Row count scales with sf via the documents row count."""
@@ -414,11 +510,16 @@ QUERIES = {
     "top_events": q_top_events,
     "ann_topk": q_ann_topk,
     "embedding_label_stats": q_embedding_label_stats,
+    "hash_join_revenue": q_hash_join_revenue,
+    "sessionize": q_sessionize,
+    "sliding_window": q_sliding_window,
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "lsh_ann": q_lsh_ann,
     "text_analysis": q_text_analysis,
+    "structured_fold": q_structured_fold,
+    "classify_ner": q_classify_ner,
     "synth_extract": q_synth_extract,
 }
 
@@ -539,5 +640,48 @@ ORACLE_SQL = {
     "embedding_label_stats": """
         SELECT label, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
         FROM embeddings GROUP BY label ORDER BY label
+    """,
+    "hash_join_revenue": """
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "sessionize": """
+        WITH e AS (
+            SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+            FROM events
+        ), flagged AS (
+            SELECT user_id, sec,
+                   CASE WHEN sec - LAG(sec) OVER w > 1800 OR LAG(sec) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+        ), numbered AS (
+            SELECT user_id, sec,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id, MIN(sec) AS session_id, MIN(sec) AS session_start_s,
+               MAX(sec) AS session_end_s, COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, sid
+        ORDER BY user_id, session_start_s
+    """,
+    "sliding_window": """
+        WITH e AS (
+            SELECT event_type, value,
+                   CAST(FLOOR(epoch(ts) / 900) AS BIGINT) * 900 AS aligned,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+            FROM events
+        ), exploded AS (
+            SELECT event_type, value, aligned - 900 * i AS window_s, sec
+            FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+        )
+        SELECT event_type, window_s, COUNT(*) AS n_events,
+               CAST(ROUND(SUM(value) * 100) AS BIGINT) AS total_value
+        FROM exploded
+        WHERE window_s <= sec AND sec < window_s + 3600
+        GROUP BY event_type, window_s ORDER BY event_type, window_s
     """,
 }

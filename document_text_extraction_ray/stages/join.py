@@ -1,0 +1,130 @@
+"""Distributed joins, Ray-Data-native (SURVEY.md §2.5 — the reference has no
+joins; these are the engine additions a real pipeline needs).
+
+Two strategies, chosen by side size (ray_guide "Joins and lookups"):
+  * broadcast_join — small side materialized once, ``ray.put``, merged into
+    every batch with a pandas merge.  No shuffle.  Use when one side fits in
+    a worker's heap (dimension tables, vocabularies).
+  * partitioned_hash_join — both sides large: add ``__jbucket = hash(key) % B``
+    to each side, tag provenance, align schemas with typed nulls, union, one
+    groupby on the bucket, and merge the two sides of each bucket inside
+    ``map_groups``.  Exactly one shuffle of each side; B sized so a bucket
+    pair fits in one task.  Salt hot keys upstream when a single key
+    dominates.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def broadcast_join(
+    ds,
+    small: pd.DataFrame,
+    on: str,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Join a Dataset against a small in-memory table (broadcast, no shuffle)."""
+    small_ref = ray.put(small)
+
+    def _merge(batch: pd.DataFrame) -> pd.DataFrame:
+        rhs = ray.get(small_ref)
+        return batch.merge(rhs, on=on, how=how, suffixes=("", suffix))
+
+    return ds.map_batches(_merge, batch_format="pandas")
+
+
+def _bucket_array(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
+    if pa.types.is_integer(col.type):
+        vals = np.asarray(col.to_pylist(), dtype=np.uint64)
+        return (
+            ((vals * np.uint64(2654435761)) % np.uint64(2 ** 32))
+            % np.uint64(n_buckets)
+        ).astype(np.int32)
+    return np.fromiter(
+        (zlib.crc32(str(v).encode()) % n_buckets for v in col.to_pylist()),
+        dtype=np.int32, count=len(col),
+    )
+
+
+def partitioned_hash_join(
+    left,
+    right,
+    on: str,
+    n_buckets: int = 32,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Bucketed hash join of two Datasets on one key column.
+
+    Deterministic bucket = Knuth multiplicative hash (ints) / crc32 (strings)
+    mod B.  Each side is shuffled exactly once; a bucket's two sides meet in
+    a single map_groups task.  ``how`` supports 'inner' and 'left'.
+    """
+    left_schema = left.schema().base_schema
+    right_schema = right.schema().base_schema
+    left_cols = [n for n in left_schema.names]
+    right_cols = [n for n in right_schema.names]
+    # Disambiguate overlapping non-key columns up front (suffix on the right).
+    renamed_right = {
+        n: (n + suffix if (n in left_cols and n != on) else n) for n in right_cols
+    }
+    all_fields = {}
+    for f in left_schema:
+        all_fields[f.name] = f.type
+    for f in right_schema:
+        name = renamed_right[f.name]
+        if name not in all_fields:
+            all_fields[name] = f.type
+    union_names = list(all_fields)
+
+    def pad(batch: pa.Table, side: int) -> pa.Table:
+        n = batch.num_rows
+        if side == 1:
+            batch = batch.rename_columns([renamed_right[c] for c in batch.column_names])
+        cols = {}
+        for name in union_names:
+            if name in batch.column_names:
+                cols[name] = batch.column(name)
+            else:
+                cols[name] = pa.nulls(n, type=all_fields[name])
+        out = pa.table(cols)
+        out = out.append_column(
+            "__jbucket", pa.array(_bucket_array(out.column(on), n_buckets), pa.int32())
+        )
+        return out.append_column(
+            "__jside", pa.array(np.full(n, side, dtype=np.int8), pa.int8())
+        )
+
+    tagged = left.map_batches(lambda b: pad(b, 0), batch_format="pyarrow").union(
+        right.map_batches(lambda b: pad(b, 1), batch_format="pyarrow")
+    )
+
+    right_out = [renamed_right[c] for c in right_cols if renamed_right[c] != on]
+    # Null padding promotes int columns to float in pandas; once a side's own
+    # rows are isolated its columns are non-null again — cast back.
+    left_dtypes = {
+        f.name: f.type.to_pandas_dtype() for f in left_schema
+        if pa.types.is_integer(f.type)
+    }
+    right_dtypes = {
+        renamed_right[f.name]: f.type.to_pandas_dtype() for f in right_schema
+        if pa.types.is_integer(f.type)
+    }
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g["__jside"] == 0][left_cols].astype(left_dtypes)
+        rhs = g[g["__jside"] == 1][[on] + right_out].astype(
+            {k: v for k, v in right_dtypes.items() if k == on or k in right_out}
+        )
+        if lhs.empty or (rhs.empty and how == "inner"):
+            return pd.DataFrame(columns=left_cols + right_out)
+        return lhs.merge(rhs, on=on, how=how)
+
+    return tagged.groupby("__jbucket").map_groups(join_bucket, batch_format="pandas")

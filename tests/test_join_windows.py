@@ -1,0 +1,101 @@
+"""Joins (broadcast + partitioned hash) and streaming-shaped windows."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from document_text_extraction_ray.stages.join import broadcast_join, partitioned_hash_join
+from document_text_extraction_ray.stages.windows import (
+    sessionize,
+    sliding_window,
+    tumbling_window,
+)
+
+
+def _sides():
+    left = ray.data.from_items(
+        [{"k": i % 5, "lval": i} for i in range(50)]
+    )
+    right = ray.data.from_items(
+        [{"k": k, "rname": f"name{k}"} for k in range(4)]  # k=4 unmatched on left
+    )
+    return left, right
+
+
+def test_broadcast_join():
+    left, _ = _sides()
+    small = pd.DataFrame({"k": range(4), "rname": [f"name{k}" for k in range(4)]})
+    out = broadcast_join(left, small, on="k").to_pandas()
+    assert len(out) == 40  # k=4 rows dropped (inner)
+    assert set(out["rname"]) == {f"name{k}" for k in range(4)}
+
+
+def test_partitioned_hash_join_inner():
+    left, right = _sides()
+    out = partitioned_hash_join(left, right, on="k", n_buckets=8).to_pandas()
+    assert len(out) == 40
+    ref = (
+        left.to_pandas().merge(right.to_pandas(), on="k")
+        .sort_values(["k", "lval"]).reset_index(drop=True)
+    )
+    got = out.sort_values(["k", "lval"]).reset_index(drop=True)[ref.columns.tolist()]
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_partitioned_hash_join_left():
+    left, right = _sides()
+    out = partitioned_hash_join(left, right, on="k", n_buckets=8, how="left").to_pandas()
+    assert len(out) == 50
+    assert out[out["k"] == 4]["rname"].isna().all()
+
+
+def test_partitioned_hash_join_string_key_and_overlap():
+    left = ray.data.from_items([{"k": f"s{i%3}", "v": i} for i in range(9)])
+    right = ray.data.from_items([{"k": f"s{j}", "v": 100 + j} for j in range(3)])
+    out = partitioned_hash_join(left, right, on="k", n_buckets=4).to_pandas()
+    assert len(out) == 9
+    assert "v_r" in out.columns  # overlapping non-key column suffixed
+
+
+def _events(n=200, users=5):
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "ts": np.datetime64("2025-01-01T00:00:00", "us") + np.timedelta64(i * 300, "s"),
+                "user_id": i % users,
+                "value": float(i % 7),
+            }
+        )
+    return ray.data.from_items(rows)
+
+
+def test_tumbling_window():
+    out = tumbling_window(_events(), "ts", "user_id", "value", width_s=3600).to_pandas()
+    assert (out["window_s"] % 3600 == 0).all()
+    assert out["n_events"].sum() == 200
+
+
+def test_sliding_window_counts():
+    out = sliding_window(_events(48), "ts", "user_id", "value",
+                         width_s=3600, slide_s=900).to_pandas()
+    # every event falls in exactly width/slide = 4 windows
+    assert out["n_events"].sum() == 48 * 4
+    assert (out["window_s"] % 900 == 0).all()
+
+
+def test_sessionize():
+    rows = []
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    # user 1: two sessions separated by a 2h gap; user 2: one session
+    for off in (0, 60, 120, 8000, 8060):
+        rows.append({"ts": base + np.timedelta64(off, "s"), "user_id": 1, "value": 1.0})
+    for off in (0, 1700, 3300):  # gaps < 1800 chain into ONE session
+        rows.append({"ts": base + np.timedelta64(off, "s"), "user_id": 2, "value": 1.0})
+    out = sessionize(ray.data.from_items(rows), "ts", "user_id", gap_s=1800).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_start_s")
+    assert len(u1) == 2
+    assert u1["n_events"].tolist() == [3, 2]
+    u2 = out[out["user_id"] == 2]
+    assert len(u2) == 1 and u2["n_events"].iloc[0] == 3
+    assert (out["session_id"] == out["session_start_s"]).all()
