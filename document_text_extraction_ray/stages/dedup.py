@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+import ray.data
 
 from ..functions import dedup as D
 from ..functions import textstats as T
@@ -132,9 +133,48 @@ def minhash_candidates(
             }
         )
 
+    # The exploded sketch table (id, band keys, signature) is materialized
+    # once: it is consumed twice (thin count + candidate filter) and
+    # recomputing signatures would double the dominant CPU cost.  Size:
+    # bands x sig bytes per doc (~16 KB/doc at the defaults) — object-store
+    # resident, spillable.
     exploded = ds.select_columns([id_column, text_column]).map_batches(
         explode, batch_format="pyarrow"
+    ).materialize()
+
+    # Singleton defusal: the vast majority of (band, hash) groups have one
+    # member; running per-group Python over them dominated wall time
+    # (observed 76k groups -> 3.2k real candidates at sf0.1).  Count on the
+    # THIN projection (3 columns shuffle, never the 1 KB signatures), keep
+    # keys with >= 2 members, broadcast them, and only the surviving rows
+    # enter the pair-generation groupby.
+    counts = (
+        exploded.select_columns(["band_id", "band_hash"])
+        .groupby(["band_id", "band_hash"])
+        .count()
     )
+    multi = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("count()"), 1)),
+        batch_format="pyarrow",
+    )
+    dup_keys = {(r["band_id"], r["band_hash"]) for r in multi.take_all()}
+    if not dup_keys:
+        return ray.data.from_items([]).map_batches(
+            lambda b: pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}),
+            batch_format="pandas",
+        )
+    keys_ref = ray.put(dup_keys)
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = [
+            (b, h) in keys
+            for b, h in zip(batch.column("band_id").to_pylist(),
+                            batch.column("band_hash").to_pylist())
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    candidates = exploded.map_batches(keep_candidates, batch_format="pyarrow")
 
     def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -152,13 +192,21 @@ def minhash_candidates(
                     est_out.append(est)
         return pd.DataFrame({"id_a": a_out, "id_b": b_out, "est_jaccard": est_out})
 
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
+    pairs = candidates.groupby(["band_id", "band_hash"]).map_groups(
         pairs_of_group, batch_format="pandas"
     )
-    # The same pair appears once per agreeing band: dedup.
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # The same pair appears once per agreeing band: dedup.  The pair set is
+    # tiny by construction (only near-duplicates), so a driver-side
+    # drop_duplicates avoids a whole extra shuffle execution (~1s fixed cost
+    # each in Ray Data).  For pathological pair volumes swap back to
+    # groupby(["id_a","id_b"]).map_groups(head(1)).
+    df = pairs.to_pandas()
+    df = (
+        df.drop_duplicates(subset=["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"], kind="mergesort")
+        .reset_index(drop=True)
     )
+    return ray.data.from_pandas(df)
 
 
 def minhash_dedup(
