@@ -410,6 +410,44 @@ def q_sliding_window(sf_dir: str):
     return _scale_int(t, {"total_value": 100})
 
 
+def q_asof_latest_order(sf_dir: str):
+    """As-of join: each event matched to the user's latest order at-or-before
+    the event time (backward inner asof) — oracle via DuckDB ASOF JOIN."""
+    from ray.data.aggregate import Max
+
+    from ..stages.join import asof_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id"])
+    # Right side made unique per (key, time): max orderkey wins (both sides).
+    orders = (
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_custkey", "o_orderdate", "o_orderkey"])
+        .groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("o_custkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderkey": t.column("o_orderkey"),
+            }
+        )
+
+    orders = orders.map_batches(rename, batch_format="pyarrow")
+    joined = asof_join(ev, orders, by="user_id", left_on="ts",
+                       right_on="o_orderdate")
+    return joined.select_columns(["event_id", "user_id", "o_orderkey"]).sort("event_id")
+
+
+def q_distinct_langs(sf_dir: str):
+    """Dataset-level distinct (shuffle) — ds.unique."""
+    langs = sorted(_docs(sf_dir, ["lang"]).unique("lang"))
+    return pa.table({"lang": pa.array(langs, pa.string())})
+
+
 # ------------------------------------------------- non-SQL-expressible (rows-only)
 
 def q_minhash_dedup(sf_dir: str):
@@ -513,6 +551,8 @@ QUERIES = {
     "hash_join_revenue": q_hash_join_revenue,
     "sessionize": q_sessionize,
     "sliding_window": q_sliding_window,
+    "asof_latest_order": q_asof_latest_order,
+    "distinct_langs": q_distinct_langs,
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
@@ -667,6 +707,20 @@ ORACLE_SQL = {
                MAX(sec) AS session_end_s, COUNT(*) AS n_events
         FROM numbered GROUP BY user_id, sid
         ORDER BY user_id, session_start_s
+    """,
+    "asof_latest_order": """
+        WITH ord2 AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   MAX(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT event_id, events.user_id AS user_id, o_orderkey
+        FROM events ASOF JOIN ord2
+          ON events.user_id = ord2.user_id AND events.ts >= ord2.o_orderdate
+        ORDER BY event_id
+    """,
+    "distinct_langs": """
+        SELECT DISTINCT lang FROM documents ORDER BY lang
     """,
     "sliding_window": """
         WITH e AS (

@@ -128,3 +128,86 @@ def partitioned_hash_join(
         return lhs.merge(rhs, on=on, how=how)
 
     return tagged.groupby("__jbucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def asof_join(
+    left,
+    right,
+    by: str,
+    left_on: str,
+    right_on: str,
+    n_buckets: int = 32,
+):
+    """As-of join (backward): for each left row, the latest right row with
+    ``right_on <= left_on`` within the same ``by`` key.  Inner semantics
+    (left rows with no match are dropped) — DuckDB's ``ASOF JOIN``.
+
+    Physical plan: bucket both sides on the ``by`` key (one shuffle each),
+    then ``pd.merge_asof`` per bucket over time-sorted frames (ray_guide
+    "As-of / range join").  The right side must be unique per
+    (by, right_on) — pre-aggregate upstream for deterministic output.
+    """
+    left_schema = left.schema().base_schema
+    right_schema = right.schema().base_schema
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    all_fields = {f.name: f.type for f in left_schema}
+    for f in right_schema:
+        if f.name not in all_fields:
+            all_fields[f.name] = f.type
+    union_names = list(all_fields)
+
+    def pad(batch: pa.Table, side: int) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for name in union_names:
+            if name in batch.column_names:
+                cols[name] = batch.column(name)
+            else:
+                cols[name] = pa.nulls(n, type=all_fields[name])
+        out = pa.table(cols)
+        out = out.append_column(
+            "__jbucket", pa.array(_bucket_array(out.column(by), n_buckets), pa.int32())
+        )
+        return out.append_column(
+            "__jside", pa.array(np.full(n, side, dtype=np.int8), pa.int8())
+        )
+
+    tagged = left.map_batches(lambda b: pad(b, 0), batch_format="pyarrow").union(
+        right.map_batches(lambda b: pad(b, 1), batch_format="pyarrow")
+    )
+
+    int_back_l = {
+        f.name: f.type.to_pandas_dtype() for f in left_schema
+        if pa.types.is_integer(f.type)
+    }
+    int_back_r = {
+        f.name: f.type.to_pandas_dtype() for f in right_schema
+        if pa.types.is_integer(f.type)
+    }
+    out_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g["__jside"] == 0][left_cols].astype(int_back_l)
+        rhs = g[g["__jside"] == 1][right_cols].astype(int_back_r)
+        if lhs.empty or rhs.empty:
+            return pd.DataFrame(columns=out_cols)
+        # Normalize datetime resolution (parquet us vs groupby-output s).
+        if np.issubdtype(lhs[left_on].dtype, np.datetime64):
+            lhs[left_on] = lhs[left_on].astype("datetime64[us]")
+        if np.issubdtype(rhs[right_on].dtype, np.datetime64):
+            rhs[right_on] = rhs[right_on].astype("datetime64[us]")
+        lhs = lhs.sort_values(left_on, kind="mergesort")
+        rhs = rhs.sort_values(right_on, kind="mergesort")
+        merged = pd.merge_asof(
+            lhs, rhs, left_on=left_on, right_on=right_on,
+            left_by=by, right_by=by, direction="backward",
+        )
+        merged = merged.dropna(subset=[right_on])  # inner semantics
+        # merge_asof leaves right ints as float when some rows unmatched.
+        for c, dt in int_back_r.items():
+            if c in merged.columns:
+                merged[c] = merged[c].astype(dt)
+        return merged[out_cols]
+
+    return tagged.groupby("__jbucket").map_groups(join_bucket, batch_format="pandas")

@@ -99,3 +99,28 @@ def test_sessionize():
     u2 = out[out["user_id"] == 2]
     assert len(u2) == 1 and u2["n_events"].iloc[0] == 3
     assert (out["session_id"] == out["session_start_s"]).all()
+
+
+def test_asof_join():
+    import numpy as np
+
+    from document_text_extraction_ray.stages.join import asof_join
+
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    left = ray.data.from_items(
+        [{"eid": i, "k": i % 2, "ts": base + np.timedelta64(i * 100, "s")}
+         for i in range(10)]
+    )
+    right = ray.data.from_items(
+        [{"k": 0, "rts": base - np.timedelta64(1, "s"), "tag": 100},
+         {"k": 0, "rts": base + np.timedelta64(450, "s"), "tag": 101},
+         {"k": 1, "rts": base + np.timedelta64(150, "s"), "tag": 200}]
+    )
+    out = asof_join(left, right, by="k", left_on="ts", right_on="rts").to_pandas()
+    got = dict(zip(out["eid"], out["tag"]))
+    # k=0 events: eid 0,2,4 before 450s -> tag 100; eid 6,8 -> tag 101
+    assert got[0] == 100 and got[4] == 100
+    assert got[6] == 101 and got[8] == 101
+    # k=1 events: eid 1 (100s) has no match (dropped); eid 3.. -> tag 200
+    assert 1 not in got
+    assert got[3] == 200 and got[9] == 200
