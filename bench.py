@@ -23,7 +23,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_N = int(os.environ.get("BENCH_N", "200000"))
+BENCH_N = int(os.environ.get("BENCH_N", "400000"))
 CORPUS_BASE = os.environ.get("BENCH_CORPUS_DIR", "/tmp/dte_bench_corpus")
 OUT_DIR = "/tmp/dte_bench_out"
 
