@@ -520,6 +520,19 @@ def q_classify_ner(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow").sort("doc_id")
 
 
+def q_training_data(sf_dir: str):
+    """Full training-data composition over the wrapped documents corpus:
+    extract -> quality gate -> lang gate -> exact+near dedup (rows-only)."""
+    from .training_data import prepare_training_data
+
+    corpus = corpus_from_documents(sf_dir)
+    out, _ = prepare_training_data(corpus, min_chars=40, min_score=0.0,
+                                   langs=("en", "und"))
+    return out.select_columns(
+        ["url", "n_chars", "quality_score", "pred_lang"]
+    ).sort("url")
+
+
 def q_synth_extract(sf_dir: str):
     """Pure synthetic corpus extraction smoke (full boilerplate-strip path).
     Row count scales with sf via the documents row count."""
@@ -559,6 +572,7 @@ QUERIES = {
     "lsh_ann": q_lsh_ann,
     "text_analysis": q_text_analysis,
     "structured_fold": q_structured_fold,
+    "training_data": q_training_data,
     "classify_ner": q_classify_ner,
     "synth_extract": q_synth_extract,
 }

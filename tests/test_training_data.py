@@ -1,0 +1,61 @@
+"""End-to-end training-data pipeline composition over a synthetic corpus with
+planted exact and near duplicates."""
+
+import html as _html
+
+import pyarrow as pa
+import ray.data
+
+from document_text_extraction_ray.pipelines.training_data import prepare_training_data
+from document_text_extraction_ray.sources.corpus import synth_corpus_dataset
+
+
+def _page(url: str, body_text: str) -> dict:
+    html = (
+        "<html><body><nav><a href='/'>Home page link</a></nav>"
+        f"<article><p>{_html.escape(body_text)}</p></article>"
+        "<footer>footer text here</footer></body></html>"
+    ).encode()
+    return {"url": url, "warc_ts": 0, "html": html, "text": body_text, "lang": "en"}
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then the dog chases it "
+    "back across the wide green field while the sun is setting slowly behind "
+    "the old stone bridge near the quiet village"
+)
+
+
+def test_prepare_training_data_pipeline():
+    rows = [
+        _page("https://a/1", GOOD),
+        _page("https://a/2", GOOD),                              # exact dup of 1
+        _page("https://a/3", GOOD.replace("quiet", "sleepy")),   # near dup of 1
+        _page("https://a/4", "tiny"),                            # fails length gate
+        _page("https://a/5", "der hund und die katze sind nicht im haus und "
+                             "der tag ist lang und die nacht ist kurz und alles "
+                             "ist ruhig im alten dorf hinter dem wald"),  # non-en
+    ]
+    schema = pa.schema(
+        [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+         ("html", pa.large_binary()), ("text", pa.large_string()),
+         ("lang", pa.string())]
+    )
+    table = pa.Table.from_pylist(rows, schema=schema)
+    corpus = ray.data.from_arrow(table)
+
+    out, report = prepare_training_data(corpus, min_chars=80, min_score=0.2)
+    df = out.to_pandas()
+    # Only url /1 survives: /2 exact-dup, /3 near-dup, /4 short, /5 German.
+    assert sorted(df["url"]) == ["https://a/1"]
+    assert report["near_dup_cluster_ids"] >= 2
+
+
+def test_prepare_training_data_on_synth_corpus():
+    corpus = synth_corpus_dataset(120, seed=42)
+    out, _ = prepare_training_data(corpus, min_chars=40, min_score=0.0,
+                                   langs=("en", "und"), near_dedup=False)
+    df = out.to_pandas()
+    assert 0 < len(df) <= 120
+    assert (df["quality_score"] >= 0).all()
+    assert set(df["pred_lang"]) <= {"en", "und"}
