@@ -23,7 +23,27 @@ container mixed with other block elements, the span falls back to
 from __future__ import annotations
 
 import html as _html
+import re as _re
 from dataclasses import dataclass, field
+
+# Tag-name parser (replaces a per-character isspace scan — profiled hot).
+_TAGNAME_RE = _re.compile(rb"[a-zA-Z][a-zA-Z0-9]*")
+# Decoded/lowered tag-name cache: few distinct tags per corpus, hit ~always.
+_TAG_CACHE: dict = {}
+
+
+def _tag_name(body: bytes):
+    """(tag_str, attrs_bytes) for an opening/closing tag body."""
+    m = _TAGNAME_RE.match(body)
+    if m is None:
+        return "", body
+    raw = m.group(0)
+    tag = _TAG_CACHE.get(raw)
+    if tag is None:
+        tag = raw.decode("ascii", "replace").lower()
+        if len(_TAG_CACHE) < 4096:  # bound the cache against adversarial input
+            _TAG_CACHE[raw] = tag
+    return tag, body[m.end():]
 
 
 # Tags whose open/close delimits a text block (flush boundary).
@@ -196,11 +216,12 @@ def extract_blocks(
         if lt >= n:
             break
         # Tag token starting at lt.
-        if html_bytes.startswith(b"<!--", lt):
-            end = html_bytes.find(b"-->", lt + 4)
-            pos = (end + 3) if end >= 0 else n
-            continue
-        if html_bytes[lt + 1: lt + 2] in (b"!", b"?"):
+        second = html_bytes[lt + 1] if lt + 1 < n else 0
+        if second == 33 or second == 63:  # b'!' / b'?'
+            if html_bytes.startswith(b"<!--", lt):
+                end = html_bytes.find(b"-->", lt + 4)
+                pos = (end + 3) if end >= 0 else n
+                continue
             gt_ = html_bytes.find(b">", lt)
             pos = (gt_ + 1) if gt_ >= 0 else n
             continue
@@ -209,17 +230,13 @@ def extract_blocks(
             break
         tag_end = gt_ + 1
         body = html_bytes[lt + 1: gt_]
-        closing = body.startswith(b"/")
+        closing = second == 47  # b'/'
         if closing:
             body = body[1:]
         self_closing = body.endswith(b"/")
         if self_closing:
             body = body[:-1]
-        name_end = 0
-        while name_end < len(body) and not body[name_end: name_end + 1].isspace():
-            name_end += 1
-        tag = body[:name_end].decode("ascii", "replace").lower()
-        attrs = body[name_end:]
+        tag, attrs = _tag_name(body)
 
         if closing:
             if tag == "a":
