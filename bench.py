@@ -61,7 +61,7 @@ def run_headline() -> dict:
         run_id=f"bench-{NUM_CPUS}",
         files_per_partition=int(os.environ.get("BENCH_FILES_PER_PART", "100")),
         n_buckets=64,
-        max_concurrent_partitions=int(os.environ.get("BENCH_PART_CONC", "1")),
+        max_concurrent_partitions=int(os.environ.get("BENCH_PART_CONC", "2")),
         blocks_per_cpu=int(os.environ.get("BENCH_BLOCKS_PER_CPU", "4")),
     )
     elapsed = time.perf_counter() - t0
@@ -128,18 +128,32 @@ def main_bench():
     )
 
 
-def run_at(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SCALING_CHILD="1")
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env, capture_output=True, text=True, check=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    ).stdout
-    return json.loads(out.strip().splitlines()[-1])
+def run_at(ncpu: int, repeats: int | None = None) -> dict:
+    """Best-of-N child runs (min wall time): damps frequency-scaling and
+    page-cache noise (observed ±15% run-to-run on this host)."""
+    repeats = repeats or int(os.environ.get("BENCH_REPEATS", "2"))
+    best = None
+    for _ in range(repeats):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SCALING_CHILD="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        d = json.loads(out.strip().splitlines()[-1])
+        if best is None or d["value"] < best["value"]:
+            best = d
+    return best
 
 
 def main_scaling():
     lo_cpus, hi_cpus = int(os.environ.get("BENCH_CPUS_LO", "4")), int(os.environ.get("BENCH_CPUS_HI", "16"))
+    # Pre-generate the corpus at full parallelism: the low-CPU child would
+    # otherwise pay ~5 minutes of (untimed but wall-clock) generation.
+    env = dict(os.environ, RAY_GRAFT_CPUS="32", BENCH_GEN_ONLY="1")
+    subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                   capture_output=True, text=True, check=True,
+                   cwd=os.path.dirname(os.path.abspath(__file__)))
     lo = run_at(lo_cpus)
     hi = run_at(hi_cpus)
     t_lo, t_hi = lo["value"], hi["value"]
@@ -162,7 +176,21 @@ def main_scaling():
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if os.environ.get("BENCH_GEN_ONLY"):
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        from document_text_extraction_ray.sources.corpus import (
+            materialize_corpus_parquet,
+        )
+
+        materialize_corpus_parquet(BENCH_N, seed=42, base_dir=CORPUS_BASE)
+        ray.shutdown()
+    elif "--scaling" in sys.argv:
         main_scaling()
     else:
         if os.environ.get("BENCH_SCALING_CHILD"):

@@ -1,0 +1,126 @@
+"""Content-type dispatch: the reference's suffix routing (M18,
+approach4_v1.py:186-193) lifted to dataset scale as the cost ladder of
+SURVEY.md §4.2 — run the cheap path on every row it fits, reserve the
+expensive layout branch for the rows that need it.
+
+    mixed corpus (content_type column)
+      ├─ text/html            -> HtmlExtractor   (cheap vectorized path)
+      ├─ application/x-fakepdf -> LayoutExtractor (actor pool, parsers warm)
+      └─ anything else        -> in-band error rows
+    ... -> union -> one uniform output table
+
+The split is two vectorized filters over one scan each; the union is
+block-level concatenation (no shuffle).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..stages.extract import extract_batch
+from ..stages.layout import layout_extract
+
+HTML_TYPE = "text/html"
+FAKEPDF_TYPE = "application/x-fakepdf"
+
+DISPATCH_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("content_type", pa.string()),
+        ("extracted_text", pa.large_string()),
+        ("method", pa.string()),
+        ("status", pa.string()),
+    ]
+)
+
+
+def _html_branch(ds) -> ray.data.Dataset:
+    def run(batch: pa.Table) -> pa.Table:
+        # Reuse the HTML kernel; project to the dispatch schema.
+        out = extract_batch(
+            pa.table(
+                {
+                    "url": batch.column("url"),
+                    "warc_ts": pa.nulls(batch.num_rows, pa.timestamp("us")),
+                    "html": batch.column("payload"),
+                    "lang": pa.nulls(batch.num_rows, pa.string()),
+                }
+            ),
+            with_fields=False,
+        )
+        return pa.table(
+            {
+                "url": out.column("url"),
+                "content_type": pa.array([HTML_TYPE] * out.num_rows),
+                "extracted_text": out.column("extracted_text"),
+                "method": pa.array(["html"] * out.num_rows),
+                "status": out.column("status"),
+            },
+            schema=DISPATCH_SCHEMA,
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _pdf_branch(ds, concurrency: int = 4) -> ray.data.Dataset:
+    out = layout_extract(ds, core="vector", concurrency=concurrency)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "content_type": pa.array([FAKEPDF_TYPE] * batch.num_rows),
+                "extracted_text": batch.column("extracted_text"),
+                "method": batch.column("method"),
+                "status": batch.column("status"),
+            },
+            schema=DISPATCH_SCHEMA,
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def _unsupported_branch(ds) -> ray.data.Dataset:
+    def mark(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "content_type": batch.column("content_type"),
+                "extracted_text": pa.array([""] * batch.num_rows, pa.large_string()),
+                "method": pa.array(["none"] * batch.num_rows),
+                "status": pa.array(
+                    ["error: unsupported content_type"] * batch.num_rows
+                ),
+            },
+            schema=DISPATCH_SCHEMA,
+        )
+
+    return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def extract_dispatch(corpus: ray.data.Dataset, concurrency: int = 4):
+    """Route a mixed corpus (url, content_type, payload) through the right
+    extractor per row; unsupported types become error rows, never failures."""
+
+    def type_filter(ct: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("content_type"), ct))
+
+        return f
+
+    def other_filter(batch: pa.Table) -> pa.Table:
+        known = pa.array([HTML_TYPE, FAKEPDF_TYPE])
+        return batch.filter(
+            pc.invert(pc.is_in(batch.column("content_type"), value_set=known))
+        )
+
+    html_ds = corpus.map_batches(type_filter(HTML_TYPE), batch_format="pyarrow")
+    pdf_ds = corpus.map_batches(type_filter(FAKEPDF_TYPE), batch_format="pyarrow")
+    other_ds = corpus.map_batches(other_filter, batch_format="pyarrow")
+
+    return _html_branch(html_ds).union(
+        _pdf_branch(pdf_ds, concurrency=concurrency),
+        _unsupported_branch(other_ds),
+    )

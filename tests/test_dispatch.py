@@ -1,0 +1,49 @@
+"""Content-type dispatch: mixed corpus routed per row, union'd output."""
+
+import pyarrow as pa
+import ray.data
+
+from document_text_extraction_ray.pipelines.dispatch import (
+    DISPATCH_SCHEMA,
+    FAKEPDF_TYPE,
+    HTML_TYPE,
+    extract_dispatch,
+)
+from document_text_extraction_ray.sources.synth import synth_page
+from document_text_extraction_ray.sources.synth_pdf import synth_pdf_doc
+
+
+def _mixed_corpus(n_html=20, n_pdf=10):
+    rows = []
+    expected = {}
+    for i in range(n_html):
+        p = synth_page(i)
+        rows.append({"url": p["url"], "content_type": HTML_TYPE,
+                     "payload": p["html"]})
+        expected[p["url"]] = p["expected_text"]
+    for i in range(n_pdf):
+        d = synth_pdf_doc(i)
+        rows.append({"url": d["url"], "content_type": FAKEPDF_TYPE,
+                     "payload": d["payload"]})
+        expected[d["url"]] = d["expected_reading_order"]
+    rows.append({"url": "https://x/unknown", "content_type": "video/mp4",
+                 "payload": b"\x00\x01"})
+    schema = pa.schema([("url", pa.string()), ("content_type", pa.string()),
+                        ("payload", pa.large_binary())])
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema)), expected
+
+
+def test_dispatch_routes_and_matches_golden():
+    corpus, expected = _mixed_corpus()
+    out = extract_dispatch(corpus, concurrency=2)
+    assert out.schema().base_schema.equals(DISPATCH_SCHEMA)
+    df = out.to_pandas()
+    assert len(df) == 31
+    by_method = df.groupby("method").size().to_dict()
+    assert by_method == {"html": 20, "vector": 10, "none": 1}
+    ok = df[df["status"] == "ok"]
+    assert len(ok) == 30
+    for _, row in ok.iterrows():
+        assert row["extracted_text"] == expected[row["url"]]
+    bad = df[df["method"] == "none"].iloc[0]
+    assert bad["status"].startswith("error")
