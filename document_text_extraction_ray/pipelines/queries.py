@@ -471,6 +471,17 @@ def q_lsh_ann(sf_dir: str):
     return out.select(["query_id", "neighbor_id", "rank"])
 
 
+def q_ivf_ann(sf_dir: str):
+    """IVF approximate ANN (coarse-quantizer scale path, rows-only)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, filters=[("vec_id", "<", 5)])
+    q = np.asarray(head.column("embedding").to_pylist(), dtype=np.float64)
+    qids = head.column("vec_id").to_pylist()
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    out = SIM.ivf_topk(emb, q, qids, k=10, n_centroids=16, nprobe=4)
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
 def q_text_analysis(sf_dir: str):
     ds = text_stats(_docs(sf_dir, ["doc_id", "text"]), concurrency=4)
     return ds.select_columns(
@@ -570,6 +581,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "text_analysis": q_text_analysis,
     "structured_fold": q_structured_fold,
     "training_data": q_training_data,

@@ -209,3 +209,92 @@ def embedding_dup_pairs(
         return pd.DataFrame({"id_a": a_out, "id_b": b_out, "cosine": s_out})
 
     return coded.groupby("bucket_key").map_groups(pairs_of_group, batch_format="pandas")
+
+
+def _kmeans_lite(sample: np.ndarray, n_centroids: int, iters: int = 5,
+                 seed: int = 13) -> np.ndarray:
+    """Seeded mini k-means on a driver-side sample (deterministic)."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    centroids = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        sims = _normalize(sample) @ _normalize(centroids).T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 2048,
+):
+    """IVF (inverted-file) approximate cosine top-k — the coarse-quantizer
+    scale path alongside the LSH variant.
+
+    Train: mini k-means on a driver-side sample (seeded, deterministic).
+    Index: each vector assigned to its nearest centroid inside map_batches
+    (centroids broadcast once via ray.put).  Search: each query scans only
+    the vectors of its ``nprobe`` nearest centroids.  Recall grows with
+    nprobe; nprobe == n_centroids degenerates to brute force."""
+    sample_rows = ds.select_columns([embedding_column]).limit(train_sample).take_all()
+    sample = np.asarray([r[embedding_column] for r in sample_rows], dtype=np.float64)
+    centroids = _kmeans_lite(sample, n_centroids)
+    cn = _normalize(centroids)
+    q = np.asarray(queries, dtype=np.float64)
+    qn = _normalize(q)
+    q_probes = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]   # (nq, nprobe)
+    state_ref = ray.put((qn, q_probes, cn))
+    nq = qn.shape[0]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qn_, probes_, cn_ = ray.get(state_ref)
+        x = _batch_matrix(batch, embedding_column)
+        xn = _normalize(x)
+        assign = (xn @ cn_.T).argmax(axis=1)
+        id_type = batch.column(id_column).type
+        ids = np.asarray(batch.column(id_column).to_pylist())
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(nq):
+            mask = np.isin(assign, probes_[qi])
+            if not mask.any():
+                continue
+            sims = xn[mask] @ qn_[qi]
+            sub_ids = ids[mask]
+            kk = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            for j in idx:
+                out_q.append(qi)
+                out_id.append(sub_ids[j])
+                out_sim.append(float(sims[j]))
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                "neighbor_id": pa.array(out_id, type=id_type),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([id_column, embedding_column]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    df = partials.to_pandas()
+    if df.empty:
+        return pa.table({"query_id": [], "neighbor_id": [], "cosine": [], "rank": []})
+    df = df.sort_values(
+        ["query_idx", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_idx", sort=True).head(k)
+    df["rank"] = df.groupby("query_idx").cumcount() + 1
+    df["query_id"] = [query_ids[i] for i in df["query_idx"]]
+    out = df[["query_id", "neighbor_id", "cosine", "rank"]].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -61,3 +61,21 @@ def test_embedding_dup_pairs():
     got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert (0, 1) in got
     assert all(0.99 <= c for c in pairs["cosine"])
+
+
+def test_ivf_topk():
+    from document_text_extraction_ray.stages.similarity import ivf_topk
+
+    ds, vecs = _embeddings(n=400, d=16)
+    out = ivf_topk(ds, vecs[:3], query_ids=[0, 1, 2], k=5,
+                   n_centroids=8, nprobe=3).to_pandas()
+    # Each query's own vector lives in its top-1 probed centroid -> found.
+    for qid in range(3):
+        mine = out[out["query_id"] == qid]
+        assert not mine.empty
+        assert mine[mine["rank"] == 1]["neighbor_id"].iloc[0] == qid
+    # Full-probe IVF degenerates to exact brute force.
+    full = ivf_topk(ds, vecs[:2], query_ids=[0, 1], k=5,
+                    n_centroids=8, nprobe=8).to_pandas()
+    bf = SIM.brute_force_topk(ds, vecs[:2], query_ids=[0, 1], k=5).to_pandas()
+    assert full["neighbor_id"].tolist() == bf["neighbor_id"].tolist()
