@@ -377,7 +377,10 @@ def q_hash_join_revenue(sf_dir: str):
     )
     from ..stages.join import partitioned_hash_join
 
-    joined = partitioned_hash_join(li, orders, on="o_orderkey", n_buckets=16)
+    joined = partitioned_hash_join(
+        li, orders, on="o_orderkey", n_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()), ("rev", pa.float64())]),
+    )
     agg = joined.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_items"), Sum("rev", alias_name="revenue")
     )
@@ -437,8 +440,13 @@ def q_asof_latest_order(sf_dir: str):
         )
 
     orders = orders.map_batches(rename, batch_format="pyarrow")
-    joined = asof_join(ev, orders, by="user_id", left_on="ts",
-                       right_on="o_orderdate")
+    joined = asof_join(
+        ev, orders, by="user_id", left_on="ts", right_on="o_orderdate",
+        right_schema=pa.schema(
+            [("user_id", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+             ("o_orderkey", pa.int64())]
+        ),
+    )
     return joined.select_columns(["event_id", "user_id", "o_orderkey"]).sort("event_id")
 
 

@@ -60,15 +60,22 @@ def partitioned_hash_join(
     n_buckets: int = 32,
     how: str = "inner",
     suffix: str = "_r",
+    left_schema=None,
+    right_schema=None,
 ):
     """Bucketed hash join of two Datasets on one key column.
 
     Deterministic bucket = Knuth multiplicative hash (ints) / crc32 (strings)
     mod B.  Each side is shuffled exactly once; a bucket's two sides meet in
     a single map_groups task.  ``how`` supports 'inner' and 'left'.
+
+    Pass ``left_schema``/``right_schema`` (pyarrow) when a side sits behind
+    map_batches: ``Dataset.schema()`` on such a side executes its upstream
+    lineage for one block and the join then re-executes it — an avoidable
+    full extra pass (profiled).
     """
-    left_schema = left.schema().base_schema
-    right_schema = right.schema().base_schema
+    left_schema = left_schema or left.schema().base_schema
+    right_schema = right_schema or right.schema().base_schema
     left_cols = [n for n in left_schema.names]
     right_cols = [n for n in right_schema.names]
     # Disambiguate overlapping non-key columns up front (suffix on the right).
@@ -137,6 +144,8 @@ def asof_join(
     left_on: str,
     right_on: str,
     n_buckets: int = 32,
+    left_schema=None,
+    right_schema=None,
 ):
     """As-of join (backward): for each left row, the latest right row with
     ``right_on <= left_on`` within the same ``by`` key.  Inner semantics
@@ -146,9 +155,11 @@ def asof_join(
     then ``pd.merge_asof`` per bucket over time-sorted frames (ray_guide
     "As-of / range join").  The right side must be unique per
     (by, right_on) — pre-aggregate upstream for deterministic output.
+    Pass explicit schemas for map_batches-derived sides (see
+    partitioned_hash_join).
     """
-    left_schema = left.schema().base_schema
-    right_schema = right.schema().base_schema
+    left_schema = left_schema or left.schema().base_schema
+    right_schema = right_schema or right.schema().base_schema
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
     all_fields = {f.name: f.type for f in left_schema}
