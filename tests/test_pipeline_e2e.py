@@ -164,3 +164,24 @@ def test_sharded_job_resume(tmp_path):
     s3 = run_sharded_extraction_job(corpus_dir, out_dir, run_id="r3",
                                     files_per_partition=2, with_fields=False)
     assert s3["committed"] == 0 and s3["skipped"] == s3["partitions"]
+
+
+def test_committed_output_feeds_downstream_ops(tmp_path):
+    """Composability: the checkpointed table is itself a corpus for the
+    downstream operators (manifest-driven read -> text stats -> dedup)."""
+    from document_text_extraction_ray.stages.dedup import exact_dedup_ids
+    from document_text_extraction_ray.stages.textstats import text_stats
+
+    out_dir = str(tmp_path / "out")
+    corpus = synth_corpus_dataset(150, seed=42)
+    run_extraction_job(corpus, out_dir, run_id="r1", input_path="synth:150",
+                       n_buckets=4, with_fields=False)
+    committed = ckpt.read_committed_dataset(
+        out_dir, columns=["url", "extracted_text", "n_chars"]
+    )
+    stats = text_stats(committed, text_column="extracted_text",
+                       concurrency=1).to_pandas()
+    assert len(stats) == 150
+    assert (stats["n_tokens_ws"] > 0).all()
+    kept = exact_dedup_ids(committed, "extracted_text", "url")
+    assert kept.count() == 150  # synth pages are all distinct
