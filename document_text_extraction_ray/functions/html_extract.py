@@ -148,6 +148,9 @@ def extract_blocks(
     stack: list = []
     drop_depth = 0        # >0 => inside a dropped subtree
     link_depth = 0        # >0 => inside <a>
+    in_title = False      # inside the first <title> element (captured even
+    title_parts: list = []  # though <head> is a dropped subtree)
+    title_done = False
     kept: list = []
     cur = _Block()
 
@@ -192,6 +195,10 @@ def extract_blocks(
             lt = n
         if lt > pos:
             # Text token between tags.
+            if in_title and not title_done:
+                title_parts.append(
+                    _html.unescape(html_bytes[pos:lt].decode("utf-8", "replace"))
+                )
             if drop_depth == 0:
                 piece = _html.unescape(html_bytes[pos:lt].decode("utf-8", "replace"))
                 if cur.gov_depth == -1:
@@ -239,7 +246,11 @@ def extract_blocks(
         tag, attrs = _tag_name(body)
 
         if closing:
-            if tag == "a":
+            if tag == "title":
+                if in_title:
+                    in_title = False
+                    title_done = True
+            elif tag == "a":
                 if link_depth > 0:
                     link_depth -= 1
             elif tag in BLOCK_TAGS:
@@ -269,6 +280,10 @@ def extract_blocks(
             continue
         if tag == "a":
             link_depth += 1
+            pos = tag_end
+            continue
+        if tag == "title" and not title_done:
+            in_title = True
             pos = tag_end
             continue
         if tag in VOID_TAGS:
@@ -303,7 +318,8 @@ def extract_blocks(
         pos = tag_end
 
     flush()
-    return kept
+    title = " ".join("".join(title_parts).split())
+    return kept, title
 
 
 def extract_main_text(html_bytes: bytes, config: ExtractConfig = DEFAULT_CONFIG):
@@ -314,10 +330,22 @@ def extract_main_text(html_bytes: bytes, config: ExtractConfig = DEFAULT_CONFIG)
     Reading order is document order, mirroring the within-document-only
     ordering contract of the reference (SURVEY.md §2.10).
     """
-    blocks = extract_blocks(html_bytes, config)
+    blocks, _ = extract_blocks(html_bytes, config)
     text = config.joiner.join(b["text"] for b in blocks)
     spans = [(b["start"], b["end"], b["kind"]) for b in blocks]
     return text, spans
+
+
+def extract_page(html_bytes: bytes, config: ExtractConfig = DEFAULT_CONFIG) -> dict:
+    """Full page extraction: main text, spans, and the <title> (captured even
+    though <head> is invisible for block purposes)."""
+    blocks, title = extract_blocks(html_bytes, config)
+    return {
+        "text": config.joiner.join(b["text"] for b in blocks),
+        "spans": [(b["start"], b["end"], b["kind"]) for b in blocks],
+        "title": title,
+        "n_blocks": len(blocks),
+    }
 
 
 def visible_text(html_bytes: bytes, joiner: str = "\n\n") -> str:
@@ -327,7 +355,7 @@ def visible_text(html_bytes: bytes, joiner: str = "\n\n") -> str:
     only <script>/<style>/comments/<head> remain invisible.
     """
     permissive = ExtractConfig(min_chars=1, max_link_density=1.0, joiner=joiner)
-    blocks = extract_blocks(
+    blocks, _ = extract_blocks(
         html_bytes,
         permissive,
         drop_subtree_tags=_INVISIBLE_ONLY,

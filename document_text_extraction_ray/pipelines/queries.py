@@ -60,6 +60,14 @@ def q_extract_main_text(sf_dir: str):
     return out.select_columns(["url", "extracted_text"])
 
 
+def q_extract_titles(sf_dir: str):
+    """Title capture through the full pipeline (SQL-checkable on the wrapped
+    corpus: the template sets <title>Doc {id}</title>)."""
+    corpus = corpus_from_documents(sf_dir)
+    out = extract_dataset(corpus, with_fields=False, concurrency=4)
+    return out.select_columns(["url", "title"])
+
+
 def q_extract_stats(sf_dir: str):
     """Per-lang doc counts + extracted char totals (G3/G4 analogue)."""
     corpus = corpus_from_documents(sf_dir)
@@ -102,6 +110,19 @@ def q_token_stats(sf_dir: str):
         toks = [len((x or "").split()) for x in t.column("text").to_pylist()]
         return pa.table(
             {"doc_id": t.column("doc_id"), "n_tokens": pa.array(toks, pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(count, batch_format="pyarrow")
+
+
+def q_punct_counts(sf_dir: str):
+    """ASCII punctuation counts per doc (quality-feature family, SQL-checkable)."""
+    from ..functions.textstats import PUNCT_RE
+
+    def count(t: pa.Table) -> pa.Table:
+        vals = [len(PUNCT_RE.findall(x or "")) for x in t.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_punct": pa.array(vals, pa.int64())}
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(count, batch_format="pyarrow")
@@ -565,9 +586,11 @@ def q_synth_extract(sf_dir: str):
 
 QUERIES = {
     "extract_main_text": q_extract_main_text,
+    "extract_titles": q_extract_titles,
     "extract_stats": q_extract_stats,
     "field_email_counts": q_field_email_counts,
     "token_stats": q_token_stats,
+    "punct_counts": q_punct_counts,
     "doc_source_stats": q_doc_source_stats,
     "lang_filter": q_lang_filter,
     "top_docs_by_len": q_top_docs_by_len,
@@ -605,6 +628,11 @@ ORACLE_SQL = {
                {_NORM_TEXT} AS extracted_text
         FROM documents
     """,
+    "extract_titles": """
+        SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+               'Doc ' || CAST(doc_id AS VARCHAR) AS title
+        FROM documents
+    """,
     "extract_stats": f"""
         SELECT lang,
                COUNT(*) AS n_docs,
@@ -622,6 +650,12 @@ ORACLE_SQL = {
     "token_stats": r"""
         SELECT doc_id,
                CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+    "punct_counts": """
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS BIGINT)
+                   AS n_punct
         FROM documents
     """,
     "doc_source_stats": """

@@ -47,6 +47,7 @@ EXTRACTED_SCHEMA = pa.schema(
         ("bucket", pa.int32()),           # url-hash partition (state/checkpoint.py)
         ("extracted_text", pa.large_string()),
         ("spans", pa.large_list(SPAN_TYPE)),
+        ("title", pa.string()),
         ("n_blocks", pa.int32()),
         ("n_chars", pa.int64()),
         ("html_bytes", pa.int64()),

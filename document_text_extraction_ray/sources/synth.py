@@ -227,6 +227,7 @@ def synth_page(i: int, seed: int = 42) -> dict:
         "text": visible_text(html_bytes),
         "lang": lang,
         "expected_text": expected_text,
+        "expected_title": title,
         "expected_spans": [
             {"start": s, "end": e, "kind": k} for s, e, k, _ in main_blocks
         ],

@@ -19,7 +19,7 @@ import pyarrow as pa
 
 from .. import schema as S
 from ..functions import fields as F
-from ..functions.html_extract import DEFAULT_CONFIG, ExtractConfig, extract_main_text
+from ..functions.html_extract import DEFAULT_CONFIG, ExtractConfig, extract_page
 
 EXTRACTOR_VERSION = "dte-ray-0.1.0"
 
@@ -56,16 +56,18 @@ class HtmlExtractor:
             if "lang" in batch.column_names else [""] * len(urls)
         )
 
-        texts, spans_col, n_blocks, n_chars = [], [], [], []
+        texts, spans_col, titles, n_blocks, n_chars = [], [], [], [], []
         statuses, errors, fields_col = [], [], []
         for html_bytes in htmls:
             try:
-                text, spans = extract_main_text(html_bytes, self.config)
+                page = extract_page(html_bytes, self.config)
+                text = page["text"]
                 texts.append(text)
                 spans_col.append(
-                    [{"start": s, "end": e, "kind": k} for s, e, k in spans]
+                    [{"start": s, "end": e, "kind": k} for s, e, k in page["spans"]]
                 )
-                n_blocks.append(len(spans))
+                titles.append(page["title"])
+                n_blocks.append(page["n_blocks"])
                 n_chars.append(len(text))
                 statuses.append("ok")
                 errors.append("")
@@ -74,6 +76,7 @@ class HtmlExtractor:
             except Exception as exc:  # in-band error row, batch keeps going
                 texts.append("")
                 spans_col.append([])
+                titles.append("")
                 n_blocks.append(0)
                 n_chars.append(0)
                 statuses.append("error")
@@ -88,6 +91,7 @@ class HtmlExtractor:
             url_bucket_array(urls, self.n_buckets),
             pa.array(texts, type=pa.large_string()),
             pa.array(spans_col, type=pa.large_list(S.SPAN_TYPE)),
+            pa.array(titles, type=pa.string()),
             pa.array(n_blocks, type=pa.int32()),
             pa.array(n_chars, type=pa.int64()),
             pa.array([len(h) if h is not None else 0 for h in htmls], type=pa.int64()),

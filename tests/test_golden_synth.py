@@ -34,6 +34,14 @@ def test_spans_slice_back_to_block_text():
             assert " ".join(raw.split()) == block
 
 
+def test_title_golden():
+    from document_text_extraction_ray.functions.html_extract import extract_page
+
+    for i in range(0, N, 5):
+        row = synth_page(i, seed=42)
+        assert extract_page(row["html"])["title"] == row["expected_title"], i
+
+
 def test_generation_is_order_independent():
     a = synth_page(123, seed=42)
     b = synth_page(123, seed=42)

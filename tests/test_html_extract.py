@@ -148,7 +148,7 @@ def test_config_thresholds_respected():
 
 def test_blocks_metadata():
     html = b"<body><p>paragraph with enough characters</p></body>"
-    blocks = extract_blocks(html)
+    blocks, _ = extract_blocks(html)
     assert blocks[0]["n_chars"] == len("paragraph with enough characters")
     assert blocks[0]["link_density"] == 0.0
 
@@ -161,3 +161,17 @@ def test_utf8_multibyte_spans():
     s, e, _ = spans[0]
     assert _html.unescape(html[s:e].decode()) == "Füße über Straße — größer ähnlich"
     assert para  # byte-offset slicing stayed on char boundaries
+
+
+def test_title_extraction():
+    from document_text_extraction_ray.functions.html_extract import extract_page
+
+    html = (b"<html><head><title>My  Page &amp; Title</title></head>"
+            b"<body><p>body paragraph content here</p></body></html>")
+    page = extract_page(html)
+    assert page["title"] == "My Page & Title"
+    assert page["text"] == "body paragraph content here"
+    # no title -> empty string; only the FIRST title counts
+    assert extract_page(b"<p>no title anywhere here</p>")["title"] == ""
+    two = b"<title>first one</title><title>second</title><p>content text here</p>"
+    assert extract_page(two)["title"] == "first one"

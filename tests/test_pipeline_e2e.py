@@ -185,3 +185,30 @@ def test_committed_output_feeds_downstream_ops(tmp_path):
     assert (stats["n_tokens_ws"] > 0).all()
     kept = exact_dedup_ids(committed, "extracted_text", "url")
     assert kept.count() == 150  # synth pages are all distinct
+
+
+def test_giant_document_safe():
+    """A multi-MB page streams through the pipeline without failure and with
+    correct extraction (wide-record safety: large_* types, batch sizing)."""
+    import pyarrow as pa
+
+    big_para = "word " * 400_000  # ~2 MB of text
+    html = (
+        "<html><body><article><p>" + big_para.strip() + "</p></article>"
+        "<footer>small footer here</footer></body></html>"
+    ).encode()
+    corpus = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            [{"url": "https://big/1", "warc_ts": 0, "html": html,
+              "text": "", "lang": "en"}],
+            schema=pa.schema(
+                [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                 ("html", pa.large_binary()), ("text", pa.large_string()),
+                 ("lang", pa.string())]
+            ),
+        )
+    )
+    out = extract_dataset(corpus, with_fields=False).to_pandas()
+    assert out["status"][0] == "ok"
+    assert out["n_chars"][0] == len(big_para.strip())
+    assert out["extracted_text"][0] == big_para.strip()
