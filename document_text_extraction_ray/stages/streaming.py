@@ -1,0 +1,105 @@
+"""Incremental stateful streaming over an ordered log: one @ray.remote actor
+per key-hash bucket, fed batches in timestamp order (ray_guide
+"Streaming-shaped workloads" — the one shape where the Dataset API genuinely
+cannot express the semantics, so raw actors are the documented last resort).
+
+Ordering contract: the INPUT stream must arrive time-ordered (here enforced
+with a dataset-level sort, since Ray Data batches are otherwise unordered);
+each actor then sees its keys' events in ts order and maintains open-session
+state across batches — the behavior a true streaming job would have with
+watermarked partitions.
+
+The batch equivalent (`stages/windows.sessionize`) produces identical output
+(tested); the streaming form exists for incremental/continuous semantics:
+actors can be queried mid-stream for OPEN sessions, which no batch groupby
+can express.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+
+@ray.remote
+class SessionActor:
+    """Holds open-session state for one key-hash bucket."""
+
+    def __init__(self, gap_s: int):
+        self.gap_s = gap_s
+        self.open: dict = {}       # key -> [start_s, last_s, n_events]
+        self.closed: list = []
+
+    def ingest(self, keys, secs) -> int:
+        """Consume a time-ordered slice of (key, epoch-sec) events."""
+        for key, sec in zip(keys, secs):
+            sec = int(sec)
+            state = self.open.get(key)
+            if state is None:
+                self.open[key] = [sec, sec, 1]
+            elif sec - state[1] > self.gap_s:
+                self.closed.append((key, state[0], state[1], state[2]))
+                self.open[key] = [sec, sec, 1]
+            else:
+                state[1] = sec
+                state[2] += 1
+        return len(self.closed)
+
+    def open_sessions(self) -> list:
+        """Mid-stream introspection: sessions not yet closed by a gap."""
+        return [(k, s[0], s[1], s[2]) for k, s in sorted(self.open.items())]
+
+    def finalize(self) -> list:
+        out = list(self.closed)
+        out.extend((k, s[0], s[1], s[2]) for k, s in self.open.items())
+        self.open.clear()
+        self.closed = []
+        return out
+
+
+def streaming_sessionize(ds, ts_col: str, key_col: str, gap_s: int = 1800,
+                         n_actors: int = 8, batch_size: int = 4096) -> pd.DataFrame:
+    """Gap-based sessions computed INCREMENTALLY by keyed stateful actors.
+
+    Pipeline: dataset sort by ts (the ordering the log is assumed to have) ->
+    stream batches through the driver -> route rows to bucket actors by key
+    hash (ingests are async; per-actor ordering is preserved because sends
+    happen in stream order and Ray orders calls per actor-pair).  Returns the
+    closed+final sessions as a DataFrame (key, session_start_s, session_end_s,
+    n_events) equal to the batch `sessionize` output."""
+    actors = [SessionActor.remote(gap_s) for _ in range(n_actors)]
+    pending = []
+    for batch in (
+        ds.select_columns([key_col, ts_col])
+        .sort(ts_col)
+        .iter_batches(batch_size=batch_size, batch_format="pandas")
+    ):
+        secs = batch[ts_col].to_numpy().astype("datetime64[s]").astype("int64")
+        keys = batch[key_col].to_numpy()
+        if keys.dtype == object:
+            import zlib
+
+            buckets = np.asarray(
+                [zlib.crc32(str(k).encode()) % n_actors for k in keys],
+                dtype=np.int64,
+            )
+        else:
+            buckets = (
+                (keys.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(n_actors)
+            ).astype(np.int64)
+        for b in range(n_actors):
+            mask = buckets == b
+            if mask.any():
+                pending.append(actors[b].ingest.remote(keys[mask].tolist(),
+                                                       secs[mask].tolist()))
+    ray.get(pending)  # drain
+    rows = []
+    for chunk in ray.get([a.finalize.remote() for a in actors]):
+        rows.extend(chunk)
+    for a in actors:
+        ray.kill(a)
+    df = pd.DataFrame(rows, columns=[key_col, "session_start_s",
+                                     "session_end_s", "n_events"])
+    return df.sort_values([key_col, "session_start_s"]).reset_index(drop=True)

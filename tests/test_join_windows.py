@@ -124,3 +124,50 @@ def test_asof_join():
     # k=1 events: eid 1 (100s) has no match (dropped); eid 3.. -> tag 200
     assert 1 not in got
     assert got[3] == 200 and got[9] == 200
+
+
+def test_streaming_sessionize_equals_batch():
+    """Incremental keyed-actor sessionization == batch groupby sessionize."""
+    import numpy as np
+
+    from document_text_extraction_ray.stages.streaming import streaming_sessionize
+
+    rng = np.random.RandomState(5)
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = []
+    for i in range(400):
+        rows.append(
+            {"ts": base + np.timedelta64(int(rng.randint(0, 50_000)), "s"),
+             "user_id": int(rng.randint(0, 12)), "value": 1.0}
+        )
+    ds = ray.data.from_items(rows)
+
+    stream = streaming_sessionize(ds, "ts", "user_id", gap_s=900, n_actors=4)
+    batch = (
+        sessionize(ds, "ts", "user_id", gap_s=900)
+        .to_pandas()[["user_id", "session_start_s", "session_end_s", "n_events"]]
+        .sort_values(["user_id", "session_start_s"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        stream.astype({"user_id": "int64"}), batch.astype({"user_id": "int64"})
+    )
+
+
+def test_streaming_open_sessions_introspection():
+    import numpy as np
+
+    import ray as _ray
+
+    from document_text_extraction_ray.stages.streaming import SessionActor
+
+    actor = SessionActor.remote(gap_s=100)
+    _ray.get(actor.ingest.remote([1, 1, 2], [10, 50, 20]))
+    open_now = _ray.get(actor.open_sessions.remote())
+    assert (1, 10, 50, 2) in open_now and (2, 20, 20, 1) in open_now
+    _ray.get(actor.ingest.remote([1], [500]))  # gap closes user 1's first
+    final = _ray.get(actor.finalize.remote())
+    assert (1, 10, 50, 2) in final and (1, 500, 500, 1) in final
+    _ray.kill(actor)
