@@ -289,8 +289,13 @@ def read_committed_dataset(out_dir: str, columns=None):
 
 
 def read_manifests(out_dir: str) -> list:
+    """All committed manifests — bucket-keyed and part-keyed alike."""
     out = []
     for bucket in sorted(committed_buckets(out_dir)):
         with open(_manifest_path(out_dir, bucket)) as fh:
+            out.append(json.load(fh))
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    for part in sorted(committed_parts(out_dir)):
+        with open(os.path.join(mdir, f"part={part}.json")) as fh:
             out.append(json.load(fh))
     return out

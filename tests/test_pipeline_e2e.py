@@ -212,3 +212,28 @@ def test_giant_document_safe():
     assert out["status"][0] == "ok"
     assert out["n_chars"][0] == len(big_para.strip())
     assert out["extracted_text"][0] == big_para.strip()
+
+
+def test_cli_surface(tmp_path):
+    """The __main__ CLI: synth is importable-level tested via its functions;
+    here just the argument wiring + summary on an existing output dir."""
+    import json
+    import subprocess
+    import sys
+
+    from document_text_extraction_ray.pipelines.extract_pipeline import (
+        run_sharded_extraction_job,
+    )
+
+    corpus_dir = str(tmp_path / "c")
+    synth_corpus_dataset(60, seed=42).repartition(2).write_parquet(corpus_dir)
+    out_dir = str(tmp_path / "o")
+    run_sharded_extraction_job(corpus_dir, out_dir, run_id="r1",
+                               files_per_partition=2, with_fields=False)
+    r = subprocess.run(
+        [sys.executable, "-m", "document_text_extraction_ray", "summary",
+         "--out", out_dir],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    d = json.loads(r.stdout.strip().splitlines()[-1])
+    assert d["rows"] == 60 and d["errors"] == 0
