@@ -113,6 +113,7 @@ def run_sharded_extraction_job(
     concurrency=None,
     max_concurrent_partitions: int = 2,
     blocks_per_cpu: int = 4,
+    skip_failed_partitions: bool = False,
 ) -> dict:
     """No-shuffle resumable job: the commit unit is a PARTITION OF INPUT FILES
     (north-star lineage: input file + row counts), not a hash bucket.
@@ -127,6 +128,12 @@ def run_sharded_extraction_job(
     ``max_concurrent_partitions`` overlaps partition pipelines (each is its
     own Dataset execution driven from a thread) so the cluster never idles
     during a partition's commit tail.
+
+    ``skip_failed_partitions``: a partition whose READ fails (corrupt file,
+    truncated footer — row-level poison is already handled in-band by the
+    extractor) is recorded in ``summary["failed"]`` and the job continues;
+    the partition stays uncommitted, so a rerun retries exactly it.  Default
+    False: fail fast (committed partitions are still resumable).
     """
     import glob as _glob
     import shutil
@@ -184,13 +191,25 @@ def run_sharded_extraction_job(
         ckpt.commit_part(out_dir, run_id, pid, staged, manifest)
         return stats["row_count"]
 
+    def guarded(pid_chunk):
+        if not skip_failed_partitions:
+            return pid_chunk[0], process(pid_chunk), None
+        try:
+            return pid_chunk[0], process(pid_chunk), None
+        except Exception as exc:
+            return pid_chunk[0], None, f"{type(exc).__name__}: {exc}"
+
     todo = [(pid, chunk) for pid, chunk in enumerate(partitions) if pid not in done]
     summary["skipped"] = len(partitions) - len(todo)
+    summary["failed"] = []
     if todo:
         with ThreadPoolExecutor(max_workers=max_concurrent_partitions) as ex:
-            for rows in ex.map(process, todo):
-                summary["committed"] += 1
-                summary["rows"] += rows
+            for pid, rows, err in ex.map(guarded, todo):
+                if err is not None:
+                    summary["failed"].append({"part": pid, "error": err})
+                else:
+                    summary["committed"] += 1
+                    summary["rows"] += rows
     shutil.rmtree(os.path.join(staging_root, run_id), ignore_errors=True)
     return summary
 

@@ -237,3 +237,32 @@ def test_cli_surface(tmp_path):
     )
     d = json.loads(r.stdout.strip().splitlines()[-1])
     assert d["rows"] == 60 and d["errors"] == 0
+
+
+def test_sharded_job_skips_corrupt_partition(tmp_path):
+    """A corrupt input FILE fails only its partition; the rest commit, and a
+    rerun (with the file fixed) completes exactly the failed partition."""
+    from document_text_extraction_ray.pipelines.extract_pipeline import (
+        run_sharded_extraction_job,
+    )
+
+    corpus_dir = tmp_path / "corpus"
+    synth_corpus_dataset(120, seed=42).repartition(4).write_parquet(str(corpus_dir))
+    files = sorted(corpus_dir.glob("*.parquet"))
+    good_bytes = files[1].read_bytes()
+    files[1].write_bytes(b"not a parquet file at all")
+    out_dir = str(tmp_path / "out")
+
+    s1 = run_sharded_extraction_job(str(corpus_dir), out_dir, run_id="r1",
+                                    files_per_partition=1, with_fields=False,
+                                    skip_failed_partitions=True)
+    assert len(s1["failed"]) == 1 and s1["failed"][0]["part"] == 1
+    assert s1["committed"] == 3
+
+    files[1].write_bytes(good_bytes)  # "re-fetch" the bad file
+    s2 = run_sharded_extraction_job(str(corpus_dir), out_dir, run_id="r2",
+                                    files_per_partition=1, with_fields=False)
+    assert s2["committed"] == 1 and s2["skipped"] == 3
+    table = pq.read_table(ckpt.committed_part_files(out_dir),
+                          columns=["url"], partitioning=None)
+    assert table.num_rows == 120
