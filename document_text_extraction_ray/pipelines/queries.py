@@ -337,6 +337,32 @@ def q_events_window(sf_dir: str):
     return _scale_int(t, {"total_value": 100})
 
 
+def q_props_json_stats(sf_dir: str):
+    """JSON column extraction (the reference's json load/dump family, S6):
+    parse events.props per batch, aggregate the extracted field."""
+    import json as _json
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ks = []
+        for p_ in t.column("props").to_pylist():
+            try:
+                ks.append(int(_json.loads(p_)["k"]))
+            except Exception:
+                ks.append(None)
+        return pa.table({"event_type": t.column("event_type"),
+                         "k": pa.array(ks, pa.int64())})
+
+    agg = (
+        ev.map_batches(parse, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"), Sum("k", alias_name="sum_k"))
+    )
+    return agg.sort("event_type")
+
+
 def q_top_events(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
@@ -601,6 +627,7 @@ QUERIES = {
     "orders_by_status": q_orders_by_status,
     "events_window": q_events_window,
     "top_events": q_top_events,
+    "props_json_stats": q_props_json_stats,
     "ann_topk": q_ann_topk,
     "embedding_label_stats": q_embedding_label_stats,
     "hash_join_revenue": q_hash_join_revenue,
@@ -720,6 +747,12 @@ ORACLE_SQL = {
                CAST(ROUND(SUM(value) * 100) AS BIGINT) AS total_value
         FROM events GROUP BY event_type, window_s
         ORDER BY event_type, window_s
+    """,
+    "props_json_stats": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS sum_k
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "top_events": """
         SELECT event_id, event_type,

@@ -266,3 +266,28 @@ def test_sharded_job_skips_corrupt_partition(tmp_path):
     table = pq.read_table(ckpt.committed_part_files(out_dir),
                           columns=["url"], partitioning=None)
     assert table.num_rows == 120
+
+
+def test_two_runs_identical_output(tmp_path):
+    """Determinism under parallel execution: two independent runs over the
+    same corpus produce identical tables (row-order-insensitive)."""
+    from document_text_extraction_ray.pipelines.extract_pipeline import (
+        run_sharded_extraction_job,
+    )
+
+    corpus_dir = str(tmp_path / "c")
+    synth_corpus_dataset(250, seed=42).repartition(5).write_parquet(corpus_dir)
+
+    frames = []
+    for run in ("a", "b"):
+        out_dir = str(tmp_path / f"out_{run}")
+        run_sharded_extraction_job(corpus_dir, out_dir, run_id=run,
+                                   files_per_partition=2, with_fields=True)
+        t = pq.read_table(ckpt.committed_part_files(out_dir), partitioning=None)
+        df = t.select(
+            ["url", "extracted_text", "title", "n_blocks", "n_chars", "bucket"]
+        ).to_pandas().sort_values("url").reset_index(drop=True)
+        frames.append(df)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(frames[0], frames[1])
