@@ -222,3 +222,21 @@ def asof_join(
         return merged[out_cols]
 
     return tagged.groupby("__jbucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def native_join(left, right, on: str, n_partitions: int = 16,
+                how: str = "inner", right_suffix: str = "_r"):
+    """Ray's built-in hash join (``Dataset.join``, available since 2.49) —
+    prefer it where present; ``partitioned_hash_join`` is the explicit,
+    portable pattern (and documents the physical plan the native operator
+    implements)."""
+    if not hasattr(left, "join"):  # older Ray
+        return partitioned_hash_join(left, right, on=on, how=how,
+                                     n_buckets=n_partitions, suffix=right_suffix)
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=n_partitions,
+        on=(on,),
+        right_suffix=right_suffix,
+    )

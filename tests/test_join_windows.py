@@ -171,3 +171,23 @@ def test_streaming_open_sessions_introspection():
     final = _ray.get(actor.finalize.remote())
     assert (1, 10, 50, 2) in final and (1, 500, 500, 1) in final
     _ray.kill(actor)
+
+
+def test_native_join_matches_portable():
+    import pandas as pd
+
+    from document_text_extraction_ray.stages.join import (
+        native_join,
+        partitioned_hash_join,
+    )
+
+    left, right = _sides()
+    a = (
+        native_join(left, right, on="k", n_partitions=4)
+        .to_pandas().sort_values(["k", "lval"]).reset_index(drop=True)
+    )
+    b = (
+        partitioned_hash_join(left, right, on="k", n_buckets=4)
+        .to_pandas().sort_values(["k", "lval"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
