@@ -599,6 +599,41 @@ def q_training_data(sf_dir: str):
     ).sort("url")
 
 
+def q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing over deterministic fake image payloads derived
+    from the embeddings table ids (rows-only; decode stage is the documented
+    deterministic stub)."""
+    from ..stages.multimodal import encode_fake_image, image_features
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    ).column("vec_id").to_pylist()
+    rows = [
+        {"img_id": int(i), "payload": encode_fake_image(32 + i % 64, 24 + i % 48,
+                                                        seed=int(i))}
+        for i in ids[:500]
+    ]
+    t = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("img_id", pa.int64()), ("payload", pa.large_binary())]
+    ))
+    ds = rd.from_arrow(t)
+    out = image_features(ds, concurrency=2)
+
+    def project(b: pa.Table) -> pa.Table:
+        f = b.column("image_features")
+        return pa.table(
+            {
+                "img_id": b.column("img_id"),
+                "width": pc.struct_field(f, "width"),
+                "height": pc.struct_field(f, "height"),
+                "checksum": pc.struct_field(f, "checksum"),
+                "decode_status": b.column("decode_status"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow").sort("img_id")
+
+
 def q_synth_extract(sf_dir: str):
     """Pure synthetic corpus extraction smoke (full boilerplate-strip path).
     Row count scales with sf via the documents row count."""
@@ -644,6 +679,7 @@ QUERIES = {
     "structured_fold": q_structured_fold,
     "training_data": q_training_data,
     "classify_ner": q_classify_ner,
+    "multimodal_features": q_multimodal_features,
     "synth_extract": q_synth_extract,
 }
 
