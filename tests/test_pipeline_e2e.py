@@ -291,3 +291,14 @@ def test_two_runs_identical_output(tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+def test_actor_pool_extraction_path(golden):
+    """use_actors=True (warm actor pool) produces identical output to the
+    default stateless-task path."""
+    corpus = synth_corpus_dataset(80, seed=42)
+    out = extract_dataset(corpus, with_fields=False, use_actors=True,
+                          concurrency=2).to_pandas()
+    assert len(out) == 80 and set(out["status"]) == {"ok"}
+    for _, row in out.iterrows():
+        assert row["extracted_text"] == golden[row["url"]][0]
