@@ -302,3 +302,28 @@ def test_actor_pool_extraction_path(golden):
     assert len(out) == 80 and set(out["status"]) == {"ok"}
     for _, row in out.iterrows():
         assert row["extracted_text"] == golden[row["url"]][0]
+
+
+def test_empty_corpus_jobs(tmp_path):
+    """Empty inputs: zero partitions, zero rows, no crashes."""
+    from document_text_extraction_ray.pipelines.extract_pipeline import (
+        run_sharded_extraction_job,
+    )
+
+    empty_dir = tmp_path / "empty"
+    empty_dir.mkdir()
+    s = run_sharded_extraction_job(str(empty_dir), str(tmp_path / "out"),
+                                   run_id="r1")
+    assert s["partitions"] == 0 and s["rows"] == 0
+
+    # Empty (0-row) dataset through the extraction stage.
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+         ("html", pa.large_binary()), ("text", pa.large_string()),
+         ("lang", pa.string())]
+    )
+    empty_ds = ray.data.from_arrow(pa.Table.from_pylist([], schema=schema))
+    out = extract_dataset(empty_ds, with_fields=False).to_pandas()
+    assert len(out) == 0
