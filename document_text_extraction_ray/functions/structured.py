@@ -122,3 +122,43 @@ def fold_structured(text: str) -> dict:
     out["summary"] = " ".join(summary_lines)
     out["skills"] = F.split_skills(skills_items) if skills_items else out["contact"]["skills"]
     return out
+
+
+def flatten_structured(record: dict) -> dict:
+    """S7 — flatten a nested structured record into the reference's flat
+    CSV-row shape (llm_approach/1_batch.py:141-179: pipe-joined experience/
+    education, comma-joined skills; in-band empty strings for missing)."""
+    contact = record.get("contact", {})
+
+    def _fmt_exp(entries):
+        if not entries or not isinstance(entries, list):
+            return ""
+        out = []
+        for e in entries:
+            if isinstance(e, dict):
+                out.append(f"{e.get('title', '')} ({e.get('dates', '')})")
+        return " | ".join(out)
+
+    def _fmt_edu(entries):
+        if not entries or not isinstance(entries, list):
+            return ""
+        out = []
+        for e in entries:
+            if isinstance(e, dict):
+                out.append(f"{e.get('degree', '')} ({e.get('dates', '')})")
+        return " | ".join(out)
+
+    def _join(vals):
+        return ", ".join(vals) if isinstance(vals, list) else str(vals or "")
+
+    return {
+        "Name": record.get("name", ""),
+        "Emails": _join(contact.get("emails", [])),
+        "Phones": _join(contact.get("phones", [])),
+        "LinkedIn": _join(contact.get("linkedin", [])),
+        "GitHub": _join(contact.get("github", [])),
+        "Skills": _join(record.get("skills", [])),
+        "Experience": _fmt_exp(record.get("experience", [])),
+        "Education": _fmt_edu(record.get("education", [])),
+        "Summary_Length": len(record.get("summary", "")),
+    }

@@ -139,3 +139,31 @@ def test_raster_core_runs():
     out = layout_extract(ds, core="raster", concurrency=1, batch_size=4).to_pandas()
     assert set(out["status"]) == {"ok"}
     assert (out["extracted_text"].str.len() > 0).all()
+
+
+def test_histogram_detects_columns_on_rendered_pdfs():
+    """L1-L4 against realistic input: rendered two-column synthetic pages
+    must yield a vertical separator between the columns; single-column pages
+    must not split near the middle."""
+    import json
+
+    checked_two = checked_one = 0
+    for i in range(60):
+        doc = synth_pdf_doc(i)
+        pages = json.loads(doc["payload"].decode())["pages"]
+        page = pages[0]
+        img = L.render_page_raster(page["blocks"], page["width_pt"], page["height_pt"])
+        v_hist, _ = L.compute_histograms(img)
+        gaps = L.find_gaps(v_hist, **L.V4_VERTICAL)
+        best = L.choose_two_column_split(v_hist, gaps)
+        w = img.shape[1]
+        if doc["two_col"]:
+            assert best is not None, f"doc {i}: two-col page, no split found"
+            assert 0.35 * w < best["center"] < 0.65 * w
+            checked_two += 1
+        else:
+            # single column: no central split candidate should win
+            assert best is None or not (0.45 * w < best["center"] < 0.55 * w) \
+                or best["width"] < 0.02 * w
+            checked_one += 1
+    assert checked_two > 5 and checked_one > 5

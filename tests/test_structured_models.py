@@ -92,3 +92,15 @@ def test_llm_extract_stage():
     obj = json.loads(out["llm_json"][0])
     assert obj["emails"] == ["jane@x.io"]
     assert obj["name"] == "Jane Doe"
+
+
+def test_flatten_structured():
+    from document_text_extraction_ray.functions.structured import flatten_structured
+
+    flat = flatten_structured(fold_structured(CV_TEXT))
+    assert flat["Name"] == "John Michael Smith"
+    assert flat["Skills"] == "Docker, Python, SQL"
+    assert "Senior Engineer (March 2019 - present)" in flat["Experience"]
+    assert "Data Analyst" in flat["Experience"] and " | " in flat["Experience"]
+    assert flat["Education"].startswith("Bachelor Of Science")
+    assert flatten_structured({})["Name"] == ""
