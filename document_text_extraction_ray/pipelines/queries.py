@@ -525,6 +525,14 @@ def q_lsh_ann(sf_dir: str):
     return out.select(["query_id", "neighbor_id", "rank"])
 
 
+def q_embedding_dups(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs (>= 0.4) — broadcast matrix,
+    per-batch matmul, oracle via list_cosine_similarity cross join."""
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return SIM.exact_dup_pairs(emb, threshold=0.4).sort(["id_a", "id_b"])
+
+
 def q_ivf_ann(sf_dir: str):
     """IVF approximate ANN (coarse-quantizer scale path, rows-only)."""
     path = os.path.join(sf_dir, "embeddings.parquet")
@@ -674,6 +682,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
+    "embedding_dups": q_embedding_dups,
     "text_analysis": q_text_analysis,
     "structured_fold": q_structured_fold,
     "training_data": q_training_data,
@@ -816,6 +825,15 @@ ORACLE_SQL = {
     "embedding_label_stats": """
         SELECT label, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
         FROM embeddings GROUP BY label ORDER BY label
+    """,
+    "embedding_dups": """
+        WITH x AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM x a JOIN x b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        ORDER BY id_a, id_b
     """,
     "hash_join_revenue": """
         SELECT o_orderpriority, COUNT(*) AS n_items,

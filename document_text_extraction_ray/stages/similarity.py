@@ -83,6 +83,44 @@ def brute_force_topk(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def exact_dup_pairs(
+    ds,
+    threshold: float,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+):
+    """EXACT all-pairs cosine >= threshold: the full vector set is broadcast
+    once (ray.put) and each batch computes its rows against it — O(n^2) work
+    distributed over batches, zero shuffle.  The exactness makes it
+    SQL-oracle-checkable; use `embedding_dup_pairs` (LSH) as the scale path.
+
+    Returns a Dataset of (id_a, id_b) with id_a < id_b."""
+    all_rows = ds.select_columns([id_column, embedding_column]).take_all()
+    ids_all = np.asarray([r[id_column] for r in all_rows])
+    mat = _normalize(np.asarray([r[embedding_column] for r in all_rows],
+                                dtype=np.float64))
+    ref = ray.put((ids_all, mat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_a, mat_all = ray.get(ref)
+        x = _normalize(_batch_matrix(batch, embedding_column))
+        ids = np.asarray(batch.column(id_column).to_pylist())
+        sims = x @ mat_all.T
+        out_a, out_b = [], []
+        for row in range(x.shape[0]):
+            hits = np.nonzero(sims[row] >= threshold)[0]
+            for j in hits:
+                if ids[row] < ids_a[j]:   # i<j once, no self-pair
+                    out_a.append(int(ids[row]))
+                    out_b.append(int(ids_a[j]))
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64())})
+
+    return ds.select_columns([id_column, embedding_column]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_planes, dim))
