@@ -189,3 +189,84 @@ def audio_features(ds, payload_column: str = "payload",
         concurrency=concurrency,
         fn_constructor_kwargs=dict(payload_column=payload_column, **kw),
     )
+
+
+FAKE_VID_MAGIC = b"FAKEVID1"
+
+VIDEO_FEATURES_TYPE = pa.struct(
+    [
+        ("n_frames", pa.int32()),
+        ("fps", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("sampled_frames", pa.int32()),
+        ("frame_checksums", pa.list_(pa.int64())),
+    ]
+)
+
+
+def encode_fake_video(n_frames: int, width: int, height: int, fps: int = 24,
+                      seed: int = 0) -> bytes:
+    """Deterministic fake video container: magic + dims + raw frame planes."""
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 256, size=n_frames * width * height,
+                         dtype=np.int64).astype(np.uint8)
+    return (FAKE_VID_MAGIC + struct.pack("<IIII", n_frames, fps, width, height)
+            + frames.tobytes())
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: sample every k-th frame of a video payload and emit
+    per-frame features — the frame-sample step of the multimodal mandate.
+    Real decoders (cv2/ffmpeg) are absent; the FAKEVID container keeps the
+    plumbing (schema, sampling stride, per-frame work) real."""
+
+    def __init__(self, payload_column: str = "payload", every: int = 5):
+        self.payload_column = payload_column
+        self.every = max(1, every)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, statuses = [], []
+        for blob in batch.column(self.payload_column).to_pylist():
+            try:
+                if not blob.startswith(FAKE_VID_MAGIC):
+                    raise ValueError("not a FAKEVID payload")
+                n, fps, w, h = struct.unpack_from("<IIII", blob, len(FAKE_VID_MAGIC))
+                plane = np.frombuffer(
+                    blob, dtype=np.uint8, offset=len(FAKE_VID_MAGIC) + 16
+                )[: n * w * h].reshape(n, h, w)
+                sampled = plane[:: self.every]
+                feats.append(
+                    {
+                        "n_frames": int(n), "fps": int(fps),
+                        "width": int(w), "height": int(h),
+                        "sampled_frames": int(sampled.shape[0]),
+                        "frame_checksums": [
+                            int(zlib.crc32(f.tobytes())) for f in sampled
+                        ],
+                    }
+                )
+                statuses.append("ok")
+            except Exception as exc:
+                feats.append({"n_frames": 0, "fps": 0, "width": 0, "height": 0,
+                              "sampled_frames": 0, "frame_checksums": []})
+                statuses.append(f"error: {type(exc).__name__}")
+        batch = batch.append_column(
+            pa.field("video_features", VIDEO_FEATURES_TYPE),
+            pa.array(feats, VIDEO_FEATURES_TYPE),
+        )
+        return batch.append_column("decode_status", pa.array(statuses, pa.string()))
+
+
+def video_frame_samples(ds, payload_column: str = "payload", every: int = 5,
+                        concurrency: int = 4, batch_size: int = 8, **kw):
+    """Video payloads are the largest: batch_size 8 keeps batch bytes sane."""
+    from ..util import pool_size
+
+    return ds.map_batches(
+        VideoFrameSampleStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        fn_constructor_kwargs=dict(payload_column=payload_column, every=every, **kw),
+    )

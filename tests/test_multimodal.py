@@ -50,3 +50,24 @@ def test_audio_features_stage():
     assert feats[0]["duration_s"] == 1.0
     assert feats[4]["duration_s"] == 5.0
     assert all(f["rms"] > 0 for f in feats)
+
+
+def test_video_frame_sample_stage():
+    rows = [
+        {"vid_id": i,
+         "payload": MM.encode_fake_video(20 + i, 16, 12, fps=24, seed=i)}
+        for i in range(6)
+    ]
+    rows.append({"vid_id": 99, "payload": b"junk"})
+    ds = ray.data.from_items(rows)
+    out = MM.video_frame_samples(ds, every=5, concurrency=1).to_pandas()
+    ok = out[out["decode_status"] == "ok"]
+    assert len(ok) == 6
+    f0 = out[out["vid_id"] == 0]["video_features"].iloc[0]
+    assert f0["n_frames"] == 20 and f0["sampled_frames"] == 4
+    assert len(list(f0["frame_checksums"])) == 4
+    # Deterministic across runs
+    again = MM.video_frame_samples(ds, every=5, concurrency=1).to_pandas()
+    g0 = again[again["vid_id"] == 0]["video_features"].iloc[0]
+    assert list(g0["frame_checksums"]) == list(f0["frame_checksums"])
+    assert out[out["vid_id"] == 99]["decode_status"].iloc[0].startswith("error")
