@@ -509,6 +509,22 @@ def q_minhash_dedup(sf_dir: str):
     return kept.select_columns(["doc_id"]).sort("doc_id")
 
 
+def q_ngram_verified_dups(sf_dir: str):
+    """MinHash candidates verified by TRUE word-3-gram Jaccard >= 0.5
+    (the n-gram Jaccard dedup family; verification over broadcast texts)."""
+    import ray as _ray
+
+    from ..stages.dedup import minhash_candidates, verify_pairs_jaccard
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_candidates(docs, "text", "doc_id", est_threshold=0.4)
+    texts = {
+        r["doc_id"]: r["text"] for r in docs.take_all()
+    }
+    verified = verify_pairs_jaccard(pairs, _ray.put(texts), n=3, threshold=0.5)
+    return verified.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
+
+
 def q_simhash_pairs(sf_dir: str):
     pairs = simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id",
                           max_hamming=3)
@@ -680,6 +696,7 @@ QUERIES = {
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
+    "ngram_verified_dups": q_ngram_verified_dups,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
     "embedding_dups": q_embedding_dups,
