@@ -131,7 +131,7 @@ def main_bench():
 def run_at(ncpu: int, repeats: int | None = None) -> dict:
     """Best-of-N child runs (min wall time): damps frequency-scaling and
     page-cache noise (observed ±15% run-to-run on this host)."""
-    repeats = repeats or int(os.environ.get("BENCH_REPEATS", "2"))
+    repeats = repeats or int(os.environ.get("BENCH_REPEATS", "3"))
     best = None
     for _ in range(repeats):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SCALING_CHILD="1")
