@@ -261,6 +261,67 @@ def q3_top_revenue(sf_dir: str):
     return _scale_int(t, {"revenue": 100})
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: pure vectorized range filter + global aggregate —
+    predicates pushed to the parquet read."""
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(
+                __import__("datetime").datetime(1997, 1, 1)))
+            & (pc.field("l_shipdate") < pa.scalar(
+                __import__("datetime").datetime(1998, 1, 1)))
+            & (pc.field("l_discount") >= 0.05)
+            & (pc.field("l_discount") <= 0.07)
+            & (pc.field("l_quantity") < 24)
+        ),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(t.column("l_extendedprice"),
+                                 t.column("l_discount"))).as_py() or 0.0
+        return pa.table({"revenue_part": pa.array([rev], pa.float64()),
+                         "n_part": pa.array([t.num_rows], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("revenue_part", alias_name="revenue"), Sum("n_part", alias_name="n_items")
+    )
+    t = pa.table({"revenue": pa.array([agg["revenue"]], pa.float64()),
+                  "n_items": pa.array([int(agg["n_items"])], pa.int64())})
+    return _scale_int(t, {"revenue": 100})
+
+
+def q4_semi_join(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS semi-join): orders having at least one large
+    lineitem, counted per priority — key set broadcast, no shuffle join."""
+    import ray as _ray
+
+    big = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+        filter=(pc.field("l_quantity") >= 45),
+    )
+    keys = sorted(set(big.select_columns(["l_orderkey"]).unique("l_orderkey")))
+    keys_ref = _ray.put(pa.array(keys))
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def semi(t: pa.Table) -> pa.Table:
+        ks = _ray.get(keys_ref)
+        return t.filter(pc.is_in(t.column("o_orderkey"), value_set=ks))
+
+    agg = (
+        orders.map_batches(semi, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    return agg.sort("o_orderpriority")
+
+
 def q_supplier_region(sf_dir: str):
     """supplier x nation x region via chained broadcast dict lookups."""
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
@@ -681,6 +742,8 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "q1_pricing": q1_pricing,
     "q3_top_revenue": q3_top_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_semi_join": q4_semi_join,
     "supplier_region": q_supplier_region,
     "orders_by_status": q_orders_by_status,
     "events_window": q_events_window,
@@ -787,6 +850,25 @@ ORACLE_SQL = {
         GROUP BY l_orderkey
         ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l_orderkey ASC
         LIMIT 10
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(ROUND(SUM(l_extendedprice * l_discount) * 100) AS BIGINT)
+                   AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q4_semi_join": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity >= 45
+        )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "supplier_region": """
         SELECT r_name, COUNT(*) AS n_suppliers,
