@@ -322,6 +322,53 @@ def q4_semi_join(sf_dir: str):
     return agg.sort("o_orderpriority")
 
 
+def q_anti_join(sf_dir: str):
+    """Anti-join: orders NOT placed by BUILDING-segment customers (broadcast
+    key set, vectorized inverted is_in — ray_guide 'Semi / anti join');
+    counted per priority."""
+    import ray as _ray
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    custkeys = pc.filter(cust.column("c_custkey"),
+                         pc.equal(cust.column("c_mktsegment"), "BUILDING")).to_pylist()
+    keys_ref = _ray.put(pa.array(sorted(custkeys)))
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_orderpriority"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        ks = _ray.get(keys_ref)
+        return t.filter(pc.invert(pc.is_in(t.column("o_custkey"), value_set=ks)))
+
+    agg = (
+        orders.map_batches(anti, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orphans"))
+    )
+    return agg.sort("o_orderpriority")
+
+
+def q12_conditional_agg(sf_dir: str):
+    """TPC-H Q12 shape: conditional (CASE) counts inside a grouped aggregate —
+    vectorized flag columns, then sums."""
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderpriority", "o_totalprice"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        hi = pc.cast(pc.greater(t.column("o_totalprice"), 100_000.0), pa.int64())
+        lo = pc.cast(pc.less_equal(t.column("o_totalprice"), 100_000.0), pa.int64())
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                         "high_line_count": hi, "low_line_count": lo})
+
+    agg = (
+        orders.map_batches(flags, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                   Sum("low_line_count", alias_name="low_line_count"))
+    )
+    return agg.sort("o_orderpriority")
+
+
 def q_supplier_region(sf_dir: str):
     """supplier x nation x region via chained broadcast dict lookups."""
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
@@ -744,6 +791,8 @@ QUERIES = {
     "q3_top_revenue": q3_top_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_semi_join": q4_semi_join,
+    "anti_join": q_anti_join,
+    "q12_conditional_agg": q12_conditional_agg,
     "supplier_region": q_supplier_region,
     "orders_by_status": q_orders_by_status,
     "events_window": q_events_window,
@@ -869,6 +918,21 @@ ORACLE_SQL = {
             WHERE l_orderkey = o_orderkey AND l_quantity >= 45
         )
         GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "anti_join": """
+        SELECT o_orderpriority, COUNT(*) AS n_orphans FROM orders
+        WHERE o_custkey NOT IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q12_conditional_agg": """
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o_totalprice <= 100000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS low_line_count
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "supplier_region": """
         SELECT r_name, COUNT(*) AS n_suppliers,
