@@ -471,6 +471,49 @@ def q_props_json_stats(sf_dir: str):
     return agg.sort("event_type")
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type — two-level groupby plan."""
+    from ..stages.aggregate import exact_distinct_count
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return exact_distinct_count(ev, "event_type", "user_id").sort("event_type")
+
+
+def q_running_totals(sf_dir: str):
+    """Window-function family: per-user running sum of value ordered by ts
+    (SUM() OVER (PARTITION BY user ORDER BY ts, event_id)) — ties on ts are
+    broken by event_id in BOTH engines."""
+    from ..stages.aggregate import running_total
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def order_key(t: pa.Table) -> pa.Table:
+        # Composite deterministic order key: ts-us * 2^20 + event_id
+        us = pc.cast(t.column("ts"), pa.int64())
+        k = pc.add(pc.multiply(us, 1 << 20), t.column("event_id"))
+        return t.append_column("__ord", pc.cast(k, pa.int64()))
+
+    out = running_total(ev.map_batches(order_key, batch_format="pyarrow"),
+                        "user_id", "__ord", "value")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "running_total": t.column("running_total"),
+            }
+        )
+
+    t = pa.Table.from_pandas(
+        out.map_batches(project, batch_format="pyarrow").sort("event_id").to_pandas(),
+        preserve_index=False,
+    )
+    return _scale_int(t, {"running_total": 100})
+
+
 def q_top_events(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
@@ -797,6 +840,8 @@ QUERIES = {
     "orders_by_status": q_orders_by_status,
     "events_window": q_events_window,
     "top_events": q_top_events,
+    "distinct_users": q_distinct_users,
+    "running_totals": q_running_totals,
     "props_json_stats": q_props_json_stats,
     "ann_topk": q_ann_topk,
     "embedding_label_stats": q_embedding_label_stats,
@@ -954,6 +999,17 @@ ORACLE_SQL = {
                CAST(ROUND(SUM(value) * 100) AS BIGINT) AS total_value
         FROM events GROUP BY event_type, window_s
         ORDER BY event_type, window_s
+    """,
+    "distinct_users": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "running_totals": """
+        SELECT event_id, user_id,
+               CAST(ROUND(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) * 100) AS BIGINT) AS running_total
+        FROM events ORDER BY event_id
     """,
     "props_json_stats": """
         SELECT event_type, COUNT(*) AS n_events,

@@ -67,3 +67,60 @@ def salted_sum(ds, key: str, value: str, hot_keys, n_salt: int = 8):
         Sum("partial_sum", alias_name=f"sum_{value}"),
         Sum("partial_count", alias_name="n_rows"),
     )
+
+
+def exact_distinct_count(ds, group_col: str, value_col: str):
+    """Exact COUNT(DISTINCT value) per group: two-level groupby — dedup on
+    (group, value) first (thin shuffle), then count per group.  The standard
+    exact plan when the distinct set is too big to broadcast."""
+    dedup = (
+        ds.select_columns([group_col, value_col])
+        .groupby([group_col, value_col])
+        .count()
+    )
+    return dedup.groupby(group_col).aggregate(Count(alias_name="n_distinct"))
+
+
+def approx_distinct_count(ds, group_col: str, value_col: str, p: int = 12):
+    """Approximate COUNT(DISTINCT value) per group via mergeable HLL
+    sketches: one sketch per (group, batch) partial -> register-max merge.
+    Error ~1.04/sqrt(2^p).  Partials are tiny (2^p bytes) regardless of
+    cardinality — the sketch pattern from ray_guide 'Aggregation at scale'."""
+    from ..functions.textstats import HyperLogLog
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in batch.groupby(group_col, sort=False):
+            h = HyperLogLog(p)
+            for v in sub[value_col]:
+                h.add(v)
+            rows.append({group_col: g, "sketch": h.to_bytes()})
+        return pd.DataFrame(rows)
+
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        h = HyperLogLog(p)
+        for blob in g["sketch"]:
+            h = h.merge(HyperLogLog.from_bytes(bytes(blob), p))
+        return pd.DataFrame(
+            [{group_col: g[group_col].iloc[0],
+              "approx_distinct": int(round(h.estimate()))}]
+        )
+
+    return partials.groupby(group_col).map_groups(merge_group, batch_format="pandas")
+
+
+def running_total(ds, key_col: str, order_col: str, value_col: str):
+    """Per-key running (cumulative) sum ordered by ``order_col`` — the window
+    function family (SUM() OVER (PARTITION BY key ORDER BY ts)).  One shuffle
+    on the key, per-key sorted cumsum."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort").copy()
+        g["running_total"] = g[value_col].cumsum()
+        return g
+
+    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")

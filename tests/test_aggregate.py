@@ -46,3 +46,33 @@ def test_salted_sum_equals_naive():
     got = got.sort_values("k").reset_index(drop=True)
     assert got["n_rows"].tolist() == ref["n_rows"].tolist()
     assert np.allclose(got["sum_v"], ref["sum_v"])
+
+
+def test_distinct_counts_exact_vs_approx():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import (
+        approx_distinct_count,
+        exact_distinct_count,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [{"g": ["a", "b"][i % 2], "v": int(rng.randint(0, 2000))}
+            for i in range(20000)]
+    ds = rd.from_items(rows)
+    exact = exact_distinct_count(ds, "g", "v").to_pandas().set_index("g")["n_distinct"]
+    approx = approx_distinct_count(ds, "g", "v").to_pandas().set_index("g")["approx_distinct"]
+    for g in ("a", "b"):
+        assert abs(approx[g] - exact[g]) / exact[g] < 0.06, (g, exact[g], approx[g])
+
+
+def test_running_total():
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import running_total
+
+    rows = [{"k": i % 2, "ord": i, "v": float(i)} for i in range(10)]
+    out = running_total(rd.from_items(rows), "k", "ord", "v").to_pandas()
+    k0 = out[out["k"] == 0].sort_values("ord")["running_total"].tolist()
+    assert k0 == [0.0, 2.0, 6.0, 12.0, 20.0]  # cumsum of 0,2,4,6,8

@@ -59,3 +59,27 @@ def test_text_stats_stage():
     assert list(out["pred_lang"]) == ["en", "und"]
     assert list(out["n_tokens_ws"]) == [9, 0]
     assert out["quality_score"].iloc[0] > 0
+
+
+def test_hyperloglog_accuracy_and_merge():
+    from document_text_extraction_ray.functions.textstats import HyperLogLog
+
+    h = HyperLogLog()
+    for i in range(50_000):
+        h.add(f"user-{i}")
+    est = h.estimate()
+    assert abs(est - 50_000) / 50_000 < 0.05  # ~1.04/sqrt(4096) = 1.6% expected
+
+    # Merge of disjoint halves == union estimate; determinism across builds.
+    a, b, full = HyperLogLog(), HyperLogLog(), HyperLogLog()
+    for i in range(10_000):
+        (a if i % 2 else b).add(i)
+        full.add(i)
+    merged = a.merge(b)
+    assert merged.to_bytes() == full.to_bytes()
+    again = HyperLogLog()
+    for i in range(10_000):
+        again.add(i)
+    assert again.to_bytes() == full.to_bytes()
+    rt = HyperLogLog.from_bytes(full.to_bytes())
+    assert rt.estimate() == full.estimate()
