@@ -40,6 +40,24 @@ def broadcast_join(
     return ds.map_batches(_merge, batch_format="pandas")
 
 
+def _arrow_schema(ds) -> pa.Schema:
+    """Robust schema fetch: pandas-block datasets report a PandasBlockSchema
+    (names + numpy dtypes), not a pyarrow Schema."""
+    sch = ds.schema().base_schema
+    if isinstance(sch, pa.Schema):
+        return sch
+    fields = []
+    for name, dt in zip(sch.names, sch.types):
+        if isinstance(dt, pa.DataType):
+            fields.append((name, dt))
+        else:
+            try:
+                fields.append((name, pa.from_numpy_dtype(dt)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append((name, pa.string()))  # object dtype
+    return pa.schema(fields)
+
+
 def _bucket_array(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
     if pa.types.is_integer(col.type):
         vals = np.asarray(col.to_pylist(), dtype=np.uint64)
@@ -74,8 +92,8 @@ def partitioned_hash_join(
     lineage for one block and the join then re-executes it — an avoidable
     full extra pass (profiled).
     """
-    left_schema = left_schema or left.schema().base_schema
-    right_schema = right_schema or right.schema().base_schema
+    left_schema = left_schema or _arrow_schema(left)
+    right_schema = right_schema or _arrow_schema(right)
     left_cols = [n for n in left_schema.names]
     right_cols = [n for n in right_schema.names]
     # Disambiguate overlapping non-key columns up front (suffix on the right).
@@ -158,8 +176,8 @@ def asof_join(
     Pass explicit schemas for map_batches-derived sides (see
     partitioned_hash_join).
     """
-    left_schema = left_schema or left.schema().base_schema
-    right_schema = right_schema or right.schema().base_schema
+    left_schema = left_schema or _arrow_schema(left)
+    right_schema = right_schema or _arrow_schema(right)
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
     all_fields = {f.name: f.type for f in left_schema}

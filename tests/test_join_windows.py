@@ -191,3 +191,80 @@ def test_native_join_matches_portable():
         .to_pandas().sort_values(["k", "lval"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_hash_join_randomized_vs_pandas():
+    """Seeded random frames: partitioned_hash_join == pandas merge."""
+    import pandas as pd
+
+    from document_text_extraction_ray.stages.join import partitioned_hash_join
+
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        nl, nr = rng.randint(50, 400), rng.randint(10, 120)
+        left_df = pd.DataFrame({
+            "k": rng.randint(0, 40, size=nl),
+            "a": rng.randint(0, 1000, size=nl),
+        })
+        right_df = pd.DataFrame({
+            "k": rng.randint(0, 40, size=nr),
+            "b": rng.randint(0, 1000, size=nr),
+        }).drop_duplicates("k")
+        got = (
+            partitioned_hash_join(
+                ray.data.from_pandas(left_df), ray.data.from_pandas(right_df),
+                on="k", n_buckets=7,
+            )
+            .to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
+        )
+        ref = (
+            left_df.merge(right_df, on="k")
+            .sort_values(["k", "a"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[ref.columns.tolist()], ref,
+                                      check_dtype=False)
+
+
+def test_sessionize_randomized_vs_reference():
+    """Seeded random event streams: distributed sessionize == a plain
+    single-process reference fold."""
+    rng = np.random.RandomState(23)
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = [
+        {"ts": base + np.timedelta64(int(rng.randint(0, 100_000)), "s"),
+         "user_id": int(rng.randint(0, 7))}
+        for _ in range(500)
+    ]
+    got = (
+        sessionize(ray.data.from_items(rows), "ts", "user_id", gap_s=600)
+        .to_pandas()
+        .sort_values(["user_id", "session_start_s"])
+        .reset_index(drop=True)
+    )
+    # Reference: per-user sorted gap fold in plain python.
+    ref_rows = []
+    import collections
+
+    per_user = collections.defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(
+            int(r["ts"].astype("datetime64[s]").astype("int64"))
+        )
+    for uid, secs in per_user.items():
+        secs.sort()
+        start = prev = secs[0]
+        n = 1
+        for sec in secs[1:]:
+            if sec - prev > 600:
+                ref_rows.append((uid, start, prev, n))
+                start, n = sec, 0
+            prev = sec
+            n += 1
+        ref_rows.append((uid, start, prev, n))
+    import pandas as pd
+
+    ref = pd.DataFrame(
+        ref_rows, columns=["user_id", "session_start_s", "session_end_s", "n_events"]
+    ).sort_values(["user_id", "session_start_s"]).reset_index(drop=True)
+    got = got[["user_id", "session_start_s", "session_end_s", "n_events"]]
+    pd.testing.assert_frame_equal(got.astype("int64"), ref.astype("int64"))
