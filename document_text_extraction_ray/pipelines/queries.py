@@ -40,12 +40,14 @@ def _docs(sf_dir: str, columns=None):
 def _scale_int(table: pa.Table, scales: dict) -> pa.Table:
     """Float aggregate -> integer-scaled BIGINT (e.g. cents): value-hash-exact
     across engines, immune to summation-order ULP drift.  The SQL side mirrors
-    with CAST(ROUND(expr * scale) AS BIGINT)."""
+    with CAST(ROUND(expr * scale) AS BIGINT) — DuckDB ROUND is half-AWAY-from-
+    zero, so mirror that exactly (np.rint is half-to-even and differs on .5)."""
     for c, scale in scales.items():
         idx = table.column_names.index(c)
-        vals = np.rint(
-            np.asarray(pc.cast(table.column(c), pa.float64())) * scale
-        ).astype(np.int64)
+        raw = np.asarray(pc.cast(table.column(c), pa.float64())) * scale
+        vals = np.where(raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)).astype(
+            np.int64
+        )
         table = table.set_column(idx, c, pa.array(vals, pa.int64()))
     return table
 
@@ -489,14 +491,9 @@ def q_running_totals(sf_dir: str):
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "ts", "user_id", "value"])
 
-    def order_key(t: pa.Table) -> pa.Table:
-        # Composite deterministic order key: ts-us * 2^20 + event_id
-        us = pc.cast(t.column("ts"), pa.int64())
-        k = pc.add(pc.multiply(us, 1 << 20), t.column("event_id"))
-        return t.append_column("__ord", pc.cast(k, pa.int64()))
-
-    out = running_total(ev.map_batches(order_key, batch_format="pyarrow"),
-                        "user_id", "__ord", "value")
+    # Two-column ordering inside the per-key fold — no composite integer key
+    # (ts_us * 2^20 + event_id silently wraps int64 for 2024 timestamps).
+    out = running_total(ev, "user_id", ["ts", "event_id"], "value")
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table(

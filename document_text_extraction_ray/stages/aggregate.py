@@ -113,13 +113,19 @@ def approx_distinct_count(ds, group_col: str, value_col: str, p: int = 12):
     return partials.groupby(group_col).map_groups(merge_group, batch_format="pandas")
 
 
-def running_total(ds, key_col: str, order_col: str, value_col: str):
-    """Per-key running (cumulative) sum ordered by ``order_col`` — the window
-    function family (SUM() OVER (PARTITION BY key ORDER BY ts)).  One shuffle
-    on the key, per-key sorted cumsum."""
+def running_total(ds, key_col: str, order_cols, value_col: str):
+    """Per-key running (cumulative) sum ordered by ``order_cols`` — the window
+    function family (SUM() OVER (PARTITION BY key ORDER BY a, b)).  One shuffle
+    on the key, per-key sorted cumsum.
+
+    ``order_cols`` may be one column name or a list; a multi-column mergesort
+    inside the fold replaces any composite integer order key (a ts-scaled
+    composite key silently wraps int64 for microsecond timestamps)."""
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col, kind="mergesort").copy()
+        g = g.sort_values(list(order_cols), kind="mergesort").copy()
         g["running_total"] = g[value_col].cumsum()
         return g
 

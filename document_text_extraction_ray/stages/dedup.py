@@ -89,7 +89,12 @@ def _cluster_pairs(pairs: list) -> dict:
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
         if ra != rb:
-            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            # Natural id ordering (min-id survivor, matching exact_dedup's
+            # Min(id) convention); str() fallback only for mixed-type ids.
+            try:
+                lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            except TypeError:
+                lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
             parent[hi] = lo
     return {x: find(x) for x in parent}
 

@@ -59,12 +59,25 @@ def _arrow_schema(ds) -> pa.Schema:
 
 
 def _bucket_array(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
+    """Deterministic hash bucket per key.  Integer keys hash via int64
+    two's-complement (negatives fine); null keys are isolated into bucket 0
+    instead of raising (they can never equi-match, so any deterministic
+    bucket is correct)."""
     if pa.types.is_integer(col.type):
-        vals = np.asarray(col.to_pylist(), dtype=np.uint64)
-        return (
-            ((vals * np.uint64(2654435761)) % np.uint64(2 ** 32))
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        null_mask = np.asarray(arr.is_null())
+        # to_numpy with nulls yields float NaN; zero them before the view.
+        vals = arr.to_numpy(zero_copy_only=False)
+        if vals.dtype.kind == "f":
+            vals = np.nan_to_num(vals, nan=0.0)
+        v = vals.astype(np.int64).view(np.uint64)
+        out = (
+            ((v * np.uint64(2654435761)) % np.uint64(2 ** 32))
             % np.uint64(n_buckets)
         ).astype(np.int32)
+        if null_mask.any():
+            out[null_mask] = 0
+        return out
     return np.fromiter(
         (zlib.crc32(str(v).encode()) % n_buckets for v in col.to_pylist()),
         dtype=np.int32, count=len(col),

@@ -21,6 +21,24 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _topk_indices(sims_row: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (cosine desc, id asc), boundary-tie exact.
+
+    A bare argpartition keeps an ARBITRARY subset of candidates tied at the
+    k-boundary, so a tied neighbor with a smaller id could be dropped before
+    the global merge.  Expand the candidate set to every row tied with the
+    boundary value, then lexsort by (-cosine, id) and truncate."""
+    n = sims_row.shape[0]
+    kk = min(k, n)
+    if kk == 0:
+        return np.empty(0, dtype=np.int64)
+    part = np.argpartition(-sims_row, kk - 1)[:kk]
+    boundary = sims_row[part].min()
+    cand = np.nonzero(sims_row >= boundary)[0]
+    order = np.lexsort((ids[cand], -sims_row[cand]))
+    return cand[order[:kk]]
+
+
 def _batch_matrix(batch: pa.Table, embedding_column: str) -> np.ndarray:
     col = batch.column(embedding_column)
     if isinstance(col, pa.ChunkedArray):
@@ -51,12 +69,10 @@ def brute_force_topk(
         id_type = batch.column(id_column).type
         ids = np.asarray(batch.column(id_column).to_pylist())
         sims = q @ x.T                      # (nq, batch)
-        kk = min(k, x.shape[0])
-        # partial top-k per query within this batch
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         out_q, out_id, out_sim = [], [], []
         for qi in range(nq):
-            for j in idx[qi]:
+            # partial top-k per query within this batch, boundary-tie exact
+            for j in _topk_indices(sims[qi], ids, k):
                 out_q.append(qi)
                 out_id.append(ids[j])
                 out_sim.append(sims[qi, j])
@@ -166,9 +182,7 @@ def lsh_bucket_topk(
                 continue
             sims = xn[mask] @ qn_[qi]
             sub_ids = ids[mask]
-            kk = min(k, sims.shape[0])
-            idx = np.argpartition(-sims, kk - 1)[:kk]
-            for j in idx:
+            for j in _topk_indices(sims, sub_ids, k):
                 out_q.append(qi)
                 out_id.append(sub_ids[j])
                 out_sim.append(float(sims[j]))
@@ -308,9 +322,7 @@ def ivf_topk(
                 continue
             sims = xn[mask] @ qn_[qi]
             sub_ids = ids[mask]
-            kk = min(k, sims.shape[0])
-            idx = np.argpartition(-sims, kk - 1)[:kk]
-            for j in idx:
+            for j in _topk_indices(sims, sub_ids, k):
                 out_q.append(qi)
                 out_id.append(sub_ids[j])
                 out_sim.append(float(sims[j]))

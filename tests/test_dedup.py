@@ -103,3 +103,11 @@ def test_cluster_pairs_union_find():
     labels = SD._cluster_pairs([(1, 2), (2, 3), (7, 8)])
     assert labels[1] == labels[2] == labels[3] == 1
     assert labels[7] == labels[8] == 7
+
+
+def test_cluster_pairs_min_id_is_natural_order():
+    """Union-find survivor must be the NATURAL min id (9 beats 10), matching
+    exact_dedup's Min(id) convention — not lexicographic ('10' < '9')."""
+    labels = SD._cluster_pairs([(9, 10), (10, 11), (2, 30)])
+    assert labels[9] == 9 and labels[10] == 9 and labels[11] == 9
+    assert labels[30] == 2

@@ -268,3 +268,19 @@ def test_sessionize_randomized_vs_reference():
     ).sort_values(["user_id", "session_start_s"]).reset_index(drop=True)
     got = got[["user_id", "session_start_s", "session_end_s", "n_events"]]
     pd.testing.assert_frame_equal(got.astype("int64"), ref.astype("int64"))
+
+
+def test_partitioned_hash_join_negative_and_null_keys():
+    """Integer keys may be negative or null: buckets must stay deterministic
+    (nulls isolated, never crash) and nulls never equi-match."""
+    left = ray.data.from_items(
+        [{"k": -3, "lval": 1}, {"k": -3, "lval": 2}, {"k": None, "lval": 3},
+         {"k": 7, "lval": 4}]
+    )
+    right = ray.data.from_items(
+        [{"k": -3, "rname": "neg"}, {"k": 7, "rname": "pos"},
+         {"k": None, "rname": "nul"}]
+    )
+    out = partitioned_hash_join(left, right, on="k", n_buckets=4).to_pandas()
+    got = sorted(zip(out["lval"], out["rname"]))
+    assert got == [(1, "neg"), (2, "neg"), (4, "pos")]

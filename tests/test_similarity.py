@@ -79,3 +79,23 @@ def test_ivf_topk():
                     n_centroids=8, nprobe=8).to_pandas()
     bf = SIM.brute_force_topk(ds, vecs[:2], query_ids=[0, 1], k=5).to_pandas()
     assert full["neighbor_id"].tolist() == bf["neighbor_id"].tolist()
+
+
+def test_brute_force_topk_boundary_ties_keep_smallest_ids():
+    """Duplicate vectors tie at the k-boundary: the partial top-k must keep
+    the smallest neighbor ids, not an arbitrary argpartition subset.
+
+    One-hot embeddings make the cosines EXACT floats (1.0 / 0.0) — general
+    duplicated vectors can ULP-differ across BLAS column positions, which
+    would make exact ties unobservable."""
+    def onehot(j):
+        v = [0.0] * 8
+        v[j] = 1.0
+        return v
+
+    rows = [{"vec_id": i, "embedding": onehot(0 if i < 20 else 1)}
+            for i in range(30)]  # ids 0..19 all cosine exactly 1.0
+    ds = ray.data.from_items(rows).repartition(5)
+    out = SIM.brute_force_topk(ds, np.asarray([onehot(0)]), query_ids=[99],
+                               k=10).to_pandas()
+    assert out.sort_values("rank")["neighbor_id"].tolist() == list(range(10))
