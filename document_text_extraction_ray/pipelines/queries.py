@@ -106,25 +106,28 @@ def q_field_email_counts(sf_dir: str):
 
 
 def q_token_stats(sf_dir: str):
-    """Whitespace token counts per doc (text-analysis family)."""
+    """Whitespace token counts per doc (text-analysis family) — fully
+    vectorized: one Arrow re2 kernel pass, no per-row Python."""
 
     def count(t: pa.Table) -> pa.Table:
-        toks = [len((x or "").split()) for x in t.column("text").to_pylist()]
+        toks = pc.count_substring_regex(t.column("text"), r"\S+")
         return pa.table(
-            {"doc_id": t.column("doc_id"), "n_tokens": pa.array(toks, pa.int64())}
+            {"doc_id": t.column("doc_id"),
+             "n_tokens": pc.cast(pc.coalesce(toks, 0), pa.int64())}
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(count, batch_format="pyarrow")
 
 
 def q_punct_counts(sf_dir: str):
-    """ASCII punctuation counts per doc (quality-feature family, SQL-checkable)."""
-    from ..functions.textstats import PUNCT_RE
+    """ASCII punctuation counts per doc (quality-feature family,
+    SQL-checkable) — vectorized Arrow re2 kernel."""
 
     def count(t: pa.Table) -> pa.Table:
-        vals = [len(PUNCT_RE.findall(x or "")) for x in t.column("text").to_pylist()]
+        vals = pc.count_substring_regex(t.column("text"), r"[!-/:-@\[-`{-~]")
         return pa.table(
-            {"doc_id": t.column("doc_id"), "n_punct": pa.array(vals, pa.int64())}
+            {"doc_id": t.column("doc_id"),
+             "n_punct": pc.cast(pc.coalesce(vals, 0), pa.int64())}
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(count, batch_format="pyarrow")
@@ -212,55 +215,54 @@ def q1_pricing(sf_dir: str):
 
 
 def q3_top_revenue(sf_dir: str):
-    """3-way join expressed Ray-native: both dimension sides broadcast
-    (ray_guide 'small side -> broadcast'), fact table scanned once;
-    no shuffle join anywhere."""
+    """3-way join, scale-shaped: ONLY the customer dimension is broadcast
+    (bounded by |customer segment|); the fact-derived orders side joins the
+    lineitem fact dataset-side (one hash-join shuffle per side, never a
+    driver-collected fact key set), and the top-10 is a dataset sort+limit."""
+    import ray as _ray
+
+    from ..stages.join import native_join
+
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_mktsegment"],
     )
-    seg_keys = set(
-        pc.filter(
-            cust.column("c_custkey"),
-            pc.equal(cust.column("c_mktsegment"), "BUILDING"),
-        ).to_pylist()
+    seg_keys = pc.filter(
+        cust.column("c_custkey"),
+        pc.equal(cust.column("c_mktsegment"), "BUILDING"),
     )
-    orders = pq.read_table(
+    keys_ref = _ray.put(seg_keys.combine_chunks())
+
+    orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
     )
-    order_keys = set(
-        pc.filter(
-            orders.column("o_orderkey"),
-            pc.is_in(orders.column("o_custkey"),
-                     value_set=pa.array(sorted(seg_keys))),
-        ).to_pylist()
-    )
-    import ray as _ray
 
-    keys_ref = _ray.put(pa.array(sorted(order_keys)))
+    def seg_orders(t: pa.Table) -> pa.Table:
+        keys = _ray.get(keys_ref)
+        t = t.filter(pc.is_in(t.column("o_custkey"), value_set=keys))
+        return t.select(["o_orderkey"])
+
+    orders = orders.map_batches(seg_orders, batch_format="pyarrow")
 
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
-    def partial_revenue(t: pa.Table) -> pa.Table:
-        keys = _ray.get(keys_ref)
-        t = t.filter(pc.is_in(t.column("l_orderkey"), value_set=keys))
+    def derive(t: pa.Table) -> pa.Table:
         rev = pc.multiply(
             t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
         )
         return pa.table({"o_orderkey": t.column("l_orderkey"), "revenue_part": rev})
 
-    agg = (
-        li.map_batches(partial_revenue, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Sum("revenue_part", alias_name="revenue"))
+    li = li.map_batches(derive, batch_format="pyarrow")
+    joined = native_join(li, orders, on="o_orderkey", n_partitions=16)
+    agg = joined.groupby("o_orderkey").aggregate(
+        Sum("revenue_part", alias_name="revenue")
     )
-    df = agg.to_pandas()
-    df = df.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
-    t = pa.Table.from_pandas(df[["o_orderkey", "revenue"]], preserve_index=False)
-    return _scale_int(t, {"revenue": 100})
+    top = agg.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    return _scale_int(t.select(["o_orderkey", "revenue"]), {"revenue": 100})
 
 
 def q6_forecast_revenue(sf_dir: str):
@@ -298,26 +300,25 @@ def q6_forecast_revenue(sf_dir: str):
 
 def q4_semi_join(sf_dir: str):
     """TPC-H Q4 shape (EXISTS semi-join): orders having at least one large
-    lineitem, counted per priority — key set broadcast, no shuffle join."""
-    import ray as _ray
+    lineitem, counted per priority.  The key set derives from the lineitem
+    FACT table, so it is semi-joined dataset-side (thin distinct-key shuffle
+    + one hash join) — never collected to the driver."""
+    from ..stages.join import semi_join
 
     big = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_quantity"],
         filter=(pc.field("l_quantity") >= 45),
+    ).map_batches(
+        lambda t: pa.table({"o_orderkey": t.column("l_orderkey")}),
+        batch_format="pyarrow",
     )
-    keys = sorted(set(big.select_columns(["l_orderkey"]).unique("l_orderkey")))
-    keys_ref = _ray.put(pa.array(keys))
 
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_orderpriority"])
 
-    def semi(t: pa.Table) -> pa.Table:
-        ks = _ray.get(keys_ref)
-        return t.filter(pc.is_in(t.column("o_orderkey"), value_set=ks))
-
     agg = (
-        orders.map_batches(semi, batch_format="pyarrow")
+        semi_join(orders, big, on="o_orderkey", n_partitions=16)
         .groupby("o_orderpriority")
         .aggregate(Count(alias_name="n_orders"))
     )
@@ -659,17 +660,14 @@ def q_minhash_dedup(sf_dir: str):
 
 def q_ngram_verified_dups(sf_dir: str):
     """MinHash candidates verified by TRUE word-3-gram Jaccard >= 0.5
-    (the n-gram Jaccard dedup family; verification over broadcast texts)."""
-    import ray as _ray
-
-    from ..stages.dedup import minhash_candidates, verify_pairs_jaccard
+    (the n-gram Jaccard dedup family).  Texts are attached to candidate
+    pairs by ONE distributed hash join — the corpus is never take_all-ed."""
+    from ..stages.dedup import minhash_candidates, verify_pairs_jaccard_join
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     pairs = minhash_candidates(docs, "text", "doc_id", est_threshold=0.4)
-    texts = {
-        r["doc_id"]: r["text"] for r in docs.take_all()
-    }
-    verified = verify_pairs_jaccard(pairs, _ray.put(texts), n=3, threshold=0.5)
+    verified = verify_pairs_jaccard_join(pairs, docs, "doc_id", "text",
+                                         n=3, threshold=0.5)
     return verified.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
 
 

@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import textstats as T
-from ..stages.dedup import exact_dedup_ids, minhash_dedup
+from ..stages.dedup import minhash_dedup
 from .extract_pipeline import extract_dataset
 
 
@@ -85,15 +85,13 @@ def prepare_training_data(
 
 def exact_dedup_survivors(ds):
     """Exact dedup keyed on extracted_text with url as the deterministic
-    tie-break id (thin shuffle + broadcast semi-join)."""
-    import ray
+    tie-break id.
 
-    kept = exact_dedup_ids(ds, "extracted_text", "url")
-    kept_urls = pa.array(sorted(r["url"] for r in kept.take_all()))
-    ref = ray.put(kept_urls)
+    Survivor recovery is the co-partitioned shuffle plan (exact_dedup
+    strategy='shuffle': groupby content_hash, keep min-url row) — the
+    survivor set is ~corpus cardinality, so it must never be
+    collected/broadcast from the driver; nested columns (field structs,
+    span lists) rule out the arrow-join variant."""
+    from ..stages.dedup import exact_dedup
 
-    def semi(batch: pa.Table) -> pa.Table:
-        urls = ray.get(ref)
-        return batch.filter(pc.is_in(batch.column("url"), value_set=urls))
-
-    return ds.map_batches(semi, batch_format="pyarrow")
+    return exact_dedup(ds, "extracted_text", "url", strategy="shuffle")

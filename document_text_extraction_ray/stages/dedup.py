@@ -6,8 +6,9 @@ Shuffle discipline (ray_guide "Aggregation at scale" + SURVEY.md §7.4):
   - near-dup pipelines explode to (band_id, band_hash, doc_id[, sig]) rows and
     group on the band key — the only wide exchange; candidate pairs are then a
     tiny dataset and cluster labeling runs on pairs only;
-  - full-row outputs are recovered by broadcast semi-join (ray.put key set ->
-    vectorized is_in filter inside map_batches), never a second shuffle.
+  - full-row outputs are recovered by a distributed hash join against the
+    thin survivor-id table (default), or a broadcast semi-join (ray.put key
+    set -> vectorized is_in) when the set is known-small.
 
 Partitioning assumption (documented per the custom-operator mandate): doc ids
 are unique; band groups fit in one task (bands of a skewed hot key — e.g.
@@ -50,16 +51,42 @@ def exact_dedup_ids(ds, text_column: str, id_column: str):
     return thin.groupby("content_hash").aggregate(Min(id_column, alias_name=id_column))
 
 
-def exact_dedup(ds, text_column: str, id_column: str):
+def exact_dedup(ds, text_column: str, id_column: str, strategy: str = "shuffle",
+                n_partitions: int = 16):
     """Full-row exact dedup: keep the min-id row per content hash.
 
-    Two passes: a thin aggregate finds survivors, then a broadcast semi-join
-    filters the original dataset — no full-row shuffle."""
+    Three equivalent physical plans (equivalence-tested):
+      * ``"shuffle"`` (default, the scale path): hash-co-partition the full
+        rows on content_hash, keep the min-id row per group — ONE full-row
+        shuffle, bounded everywhere, works with any schema (incl. nested
+        columns, which pyarrow joins reject).  The survivor set is ~corpus
+        cardinality, so it must never be driver-collected at 100 TB.
+      * ``"join"``: thin survivor-id aggregate + one distributed hash join —
+        same bounds; only for FLAT schemas (arrow join limitation).
+      * ``"broadcast"``: survivor ids ``take_all``-ed + vectorized ``is_in``
+        filter — no full-row shuffle; small corpora only."""
+    if strategy == "shuffle":
+        hashed = add_content_hash(ds, text_column)
+
+        def keep_min(g: pa.Table) -> pa.Table:
+            ids = g.column(id_column)
+            i = pc.index(ids, pc.min(ids)).as_py()
+            return g.take([i]).drop_columns(["content_hash"])
+
+        return hashed.groupby("content_hash").map_groups(
+            keep_min, batch_format="pyarrow"
+        )
+
     kept = exact_dedup_ids(ds, text_column, id_column)
-    kept_ids = pa.array(
-        sorted(r[id_column] for r in kept.take_all())
-    )
-    kept_ref = ray.put(kept_ids)
+    if strategy == "join":
+        from .join import native_join
+
+        kept_ids = kept.select_columns([id_column])
+        return native_join(ds, kept_ids, on=id_column, n_partitions=n_partitions,
+                           right_from_aggregate=True)
+
+    kept_arr = pa.array(sorted(r[id_column] for r in kept.take_all()))
+    kept_ref = ray.put(kept_arr)
 
     def _semi(batch: pa.Table) -> pa.Table:
         ids = ray.get(kept_ref)
@@ -69,6 +96,130 @@ def exact_dedup(ds, text_column: str, id_column: str):
 
 
 # ------------------------------------------------------------- MinHash + LSH
+
+def cluster_pairs_distributed(pairs_ds, max_iters: int = 32,
+                              n_partitions: int = 4):
+    """Connected components over the candidate-pair graph, dataset-native:
+    iterative min-label propagation PLUS pointer jumping (label <- label of
+    label), so chains converge in O(log diameter) rounds, not O(diameter).
+
+    Replaces the driver union-find when the pair volume is pathological
+    (adversarial corpora where near-dup pairs ~ corpus size, VERDICT r1 #5).
+    Returns a Dataset of (node, label) with label = min id of the component —
+    identical to ``_cluster_pairs``'s assignment (equivalence-tested).
+
+    Each round is two thin joins + one groupby-min over the label table
+    (|nodes| rows, 2 thin columns), materialized per round to truncate
+    lineage.  Convergence: labels are per-node non-increasing, so for
+    NUMERIC ids a stall of sum(label) is an exact converged test (one cheap
+    aggregate); for other id types a diff-count join detects the round in
+    which no label changed."""
+    import ray.data as _rd
+    from ray.data.aggregate import Min, Sum
+
+    from .join import native_join
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a, b = t.column("id_a"), t.column("id_b")
+        return pa.table(
+            {"src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+             "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])}
+        )
+
+    edges = pairs_ds.select_columns(["id_a", "id_b"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    ).materialize()
+    if edges.count() == 0:
+        return _rd.from_items([])
+
+    from .join import coalesce_aggregate_blocks
+
+    # Every aggregate output below is coalesced first: Ray's hash aggregate
+    # emits zero-column empty blocks for empty shuffle partitions, which
+    # crash the arrow joins (and map stages never see empty blocks, so they
+    # cannot repair them).  The label table is thin — the extra exchange is
+    # negligible.
+    labels = (
+        coalesce_aggregate_blocks(
+            edges.select_columns(["src"]).groupby("src").count()
+        )
+        .map_batches(
+            lambda t: pa.table({"node": t.column("src"), "label": t.column("src")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    numeric_labels = pa.types.is_integer(
+        labels.schema().base_schema.field("label").type
+    ) or pa.types.is_floating(labels.schema().base_schema.field("label").type)
+    prev_sum = (
+        labels.aggregate(Sum("label", alias_name="s"))["s"] if numeric_labels
+        else None
+    )
+    for _ in range(max_iters):
+        # Propagate: each edge carries its src's label to dst.
+        msgs = native_join(
+            edges,
+            labels.map_batches(
+                lambda t: pa.table({"src": t.column("node"), "label": t.column("label")}),
+                batch_format="pyarrow",
+            ),
+            on="src",
+            n_partitions=n_partitions,
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        # Pointer-jump: label(v) <- label(label(v)) halves chain depth.
+        jumped = native_join(
+            labels.map_batches(
+                lambda t: pa.table({"node": t.column("node"), "mid": t.column("label")}),
+                batch_format="pyarrow",
+            ),
+            labels.map_batches(
+                lambda t: pa.table({"mid": t.column("node"), "label": t.column("label")}),
+                batch_format="pyarrow",
+            ),
+            on="mid",
+            n_partitions=n_partitions,
+        ).map_batches(
+            lambda t: t.select(["node", "label"]), batch_format="pyarrow"
+        )
+        new_labels = coalesce_aggregate_blocks(
+            labels.union(msgs, jumped)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        if numeric_labels:
+            cur = new_labels.aggregate(Sum("label", alias_name="s"))["s"]
+            converged = cur == prev_sum
+            prev_sum = cur
+        else:
+            converged = native_join(
+                new_labels.map_batches(
+                    lambda t: pa.table({"node": t.column("node"), "new": t.column("label")}),
+                    batch_format="pyarrow",
+                ),
+                labels.map_batches(
+                    lambda t: pa.table({"node": t.column("node"), "old": t.column("label")}),
+                    batch_format="pyarrow",
+                ),
+                on="node",
+                n_partitions=n_partitions,
+            ).map_batches(
+                lambda t: pa.table(
+                    {"c": pa.array(
+                        [t.filter(pc.invert(pc.equal(t.column("new"), t.column("old")))).num_rows],
+                        pa.int64(),
+                    )}
+                ),
+                batch_format="pyarrow",
+            ).aggregate(Sum("c", alias_name="c"))["c"] == 0
+        labels = new_labels
+        if converged:
+            break
+    return labels
+
 
 def _cluster_pairs(pairs: list) -> dict:
     """Union-find over candidate pairs -> {id: cluster_min_id}.
@@ -159,7 +310,8 @@ def minhash_candidates(
         .count()
     )
     multi = counts.map_batches(
-        lambda t: t.filter(pc.greater(t.column("count()"), 1)),
+        lambda t: t if t.num_columns == 0  # empty aggregate shuffle partition
+        else t.filter(pc.greater(t.column("count()"), 1)),
         batch_format="pyarrow",
     )
     dup_keys = {(r["band_id"], r["band_hash"]) for r in multi.take_all()}
@@ -222,14 +374,27 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     est_threshold: float = 0.5,
+    labeling: str = "driver",
 ):
     """Full near-dedup: returns (Dataset of kept rows, assignments dict
-    {id: cluster_id} for every id in a duplicate cluster)."""
+    {id: cluster_id} for every id in a duplicate cluster).
+
+    ``labeling="driver"`` (default): union-find over the collected pair set —
+    pairs are near-duplicates only, orders of magnitude smaller than the
+    corpus.  ``labeling="distributed"``: min-label propagation via dataset
+    joins (``cluster_pairs_distributed``) for adversarial corpora where the
+    pair volume itself is unbounded; identical assignment (tested).  The
+    removed-id broadcast below is bounded by the number of DUPLICATES, not
+    the corpus."""
     pairs_ds = minhash_candidates(
         ds, text_column, id_column, num_perm, bands, shingle_k, est_threshold
     )
-    pairs = [(r["id_a"], r["id_b"]) for r in pairs_ds.take_all()]
-    labels = _cluster_pairs(pairs)
+    if labeling == "distributed":
+        label_rows = cluster_pairs_distributed(pairs_ds).take_all()
+        labels = {r["node"]: r["label"] for r in label_rows}
+    else:
+        pairs = [(r["id_a"], r["id_b"]) for r in pairs_ds.take_all()]
+        labels = _cluster_pairs(pairs)
     removed = pa.array(sorted(x for x, root in labels.items() if root != x))
     removed_ref = ray.put(removed)
 
@@ -308,8 +473,9 @@ def verify_pairs_jaccard(pairs_ds, texts_by_id_ref, n: int = 3,
     """True n-gram Jaccard verification of candidate pairs.
 
     ``texts_by_id_ref`` is a ``ray.put`` dict {id: text} (broadcast small
-    side).  At corpus scale, replace with a bucket join of pairs against the
-    id-hash-partitioned text table — the predicate is unchanged."""
+    side).  At corpus scale use ``verify_pairs_jaccard_join`` — identical
+    predicate, texts fetched by a single distributed join instead of a
+    whole-corpus broadcast."""
 
     def _verify(batch: pa.Table) -> pa.Table:
         texts = ray.get(texts_by_id_ref)
@@ -325,3 +491,50 @@ def verify_pairs_jaccard(pairs_ds, texts_by_id_ref, n: int = 3,
                          "jaccard": pa.array(sims, pa.float64())})
 
     return pairs_ds.map_batches(_verify, batch_format="pyarrow")
+
+
+def verify_pairs_jaccard_join(pairs_ds, docs, id_column: str, text_column: str,
+                              n: int = 3, threshold: float = 0.8,
+                              n_partitions: int = 16):
+    """True n-gram Jaccard verification of candidate pairs, scale path.
+
+    Never materializes the corpus: each pair is exploded into two thin rows
+    (id_a, id_b, key=member id), texts are attached by ONE distributed hash
+    join against the id-partitioned (id, text) projection — the document
+    table shuffles exactly once, keyed the same way any downstream per-id
+    stage would want it — then each (id_a, id_b) group (exactly two rows)
+    computes the true word-n-gram Jaccard.  Same predicate and output as the
+    broadcast ``verify_pairs_jaccard`` (equivalence-tested)."""
+    from .join import native_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").combine_chunks()
+        b = t.column("id_b").combine_chunks()
+        return pa.table(
+            {
+                "id_a": pa.concat_arrays([a, a]),
+                "id_b": pa.concat_arrays([b, b]),
+                "key": pa.concat_arrays([a, b]),
+            }
+        )
+
+    exploded = pairs_ds.select_columns(["id_a", "id_b"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    texts = docs.select_columns([id_column, text_column]).map_batches(
+        lambda t: pa.table({"key": t.column(id_column),
+                            "text": t.column(text_column)}),
+        batch_format="pyarrow",
+    )
+    joined = native_join(exploded, texts, on="key", n_partitions=n_partitions)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # Exactly two rows per pair (key == id_a and key == id_b).
+        by_key = dict(zip(g["key"], g["text"]))
+        a, b = g["id_a"].iloc[0], g["id_b"].iloc[0]
+        sim = D.ngram_jaccard(by_key.get(a, "") or "", by_key.get(b, "") or "", n)
+        if sim < threshold:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        return pd.DataFrame({"id_a": [a], "id_b": [b], "jaccard": [sim]})
+
+    return joined.groupby(["id_a", "id_b"]).map_groups(fold, batch_format="pandas")

@@ -157,8 +157,20 @@ def partitioned_hash_join(
     }
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lhs = g[g["__jside"] == 0][left_cols].astype(left_dtypes)
-        rhs = g[g["__jside"] == 1][[on] + right_out].astype(
+        lhs = g[g["__jside"] == 0][left_cols]
+        rhs = g[g["__jside"] == 1][[on] + right_out]
+        # Null keys never equi-match: drop them from the right always, and
+        # from the left for inner joins (kept unmatched for left joins —
+        # pandas NaN keys merge to no match, which is correct).
+        rhs = rhs[rhs[on].notna()]
+        if how == "inner":
+            lhs = lhs[lhs[on].notna()]
+        lhs_casts = {
+            k: v for k, v in left_dtypes.items()
+            if not (k == on and lhs[on].isna().any())
+        }
+        lhs = lhs.astype(lhs_casts)
+        rhs = rhs.astype(
             {k: v for k, v in right_dtypes.items() if k == on or k in right_out}
         )
         if lhs.empty or (rhs.empty and how == "inner"):
@@ -255,15 +267,55 @@ def asof_join(
     return tagged.groupby("__jbucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def semi_join(left, right, on: str, n_partitions: int = 16):
+    """Distributed semi-join: keep left rows whose key appears in ``right``.
+
+    The right side is first reduced to DISTINCT keys (thin groupby — only the
+    key column shuffles), then one inner hash join against the left.  Use
+    this instead of a broadcast ``is_in`` whenever the key set derives from a
+    FACT table (unbounded at corpus scale); keep the broadcast form for
+    dimension-derived sets."""
+    keys = (
+        right.select_columns([on])
+        .groupby(on)
+        .count()
+        .map_batches(lambda t: t.select([on]), batch_format="pyarrow")
+    )
+    return native_join(left, keys, on=on, n_partitions=n_partitions,
+                       right_from_aggregate=True)
+
+
+def coalesce_aggregate_blocks(ds, n_blocks: int = 8):
+    """Purge the zero-column EMPTY blocks Ray's hash aggregate emits for
+    empty shuffle partitions.
+
+    Such blocks crash a downstream ``Dataset.join`` ('no match for key
+    field ... on right side'), and they CANNOT be repaired by a map stage:
+    Ray deliberately passes empty blocks through map_batches without calling
+    the UDF.  A repartition concatenates them away.  Only ever call this on
+    aggregate outputs (thin by construction) — it is an extra exchange."""
+    return ds.repartition(n_blocks)
+
+
 def native_join(left, right, on: str, n_partitions: int = 16,
-                how: str = "inner", right_suffix: str = "_r"):
+                how: str = "inner", right_suffix: str = "_r",
+                left_from_aggregate: bool = False,
+                right_from_aggregate: bool = False):
     """Ray's built-in hash join (``Dataset.join``, available since 2.49) —
     prefer it where present; ``partitioned_hash_join`` is the explicit,
     portable pattern (and documents the physical plan the native operator
-    implements)."""
+    implements).
+
+    Set ``left_from_aggregate`` / ``right_from_aggregate`` when a side is a
+    groupby/aggregate output: those can carry zero-column empty blocks that
+    crash the arrow join, and are coalesced away first (thin tables — cheap)."""
     if not hasattr(left, "join"):  # older Ray
         return partitioned_hash_join(left, right, on=on, how=how,
                                      n_buckets=n_partitions, suffix=right_suffix)
+    if left_from_aggregate:
+        left = coalesce_aggregate_blocks(left, n_partitions)
+    if right_from_aggregate:
+        right = coalesce_aggregate_blocks(right, n_partitions)
     return left.join(
         right,
         join_type=how,

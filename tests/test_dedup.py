@@ -111,3 +111,57 @@ def test_cluster_pairs_min_id_is_natural_order():
     labels = SD._cluster_pairs([(9, 10), (10, 11), (2, 30)])
     assert labels[9] == 9 and labels[10] == 9 and labels[11] == 9
     assert labels[30] == 2
+
+
+def test_exact_dedup_strategies_equivalent():
+    """Survivor recovery: co-partitioned shuffle == distributed join ==
+    broadcast semi-join."""
+    ds = _docs()
+    a = SD.exact_dedup(ds, "text", "doc_id", strategy="shuffle").to_pandas()
+    b = SD.exact_dedup(ds, "text", "doc_id", strategy="join").to_pandas()
+    c = SD.exact_dedup(ds, "text", "doc_id", strategy="broadcast").to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"]) == sorted(c["doc_id"]) \
+        == [1, 3, 4, 5]
+    assert sorted(a.columns) == sorted(c.columns)
+
+
+def test_cluster_pairs_distributed_matches_union_find():
+    """Min-label propagation (joins + pointer jumping) == driver union-find,
+    including a long chain (pathological pair volume shape)."""
+    import ray.data as rd
+
+    # chain 0-1-2-...-8 (diameter 8: exercises pointer jumping — plain
+    # propagation would need 8 rounds, jumping converges in ~4),
+    # plus a separate triangle and an isolated pair.
+    pairs = [(i, i + 1) for i in range(8)]
+    pairs += [(100, 101), (101, 102), (100, 102), (200, 201)]
+    ref = SD._cluster_pairs(pairs)
+    pairs_ds = rd.from_items([{"id_a": a, "id_b": b} for a, b in pairs])
+    got_rows = SD.cluster_pairs_distributed(pairs_ds, max_iters=8).take_all()
+    got = {r["node"]: r["label"] for r in got_rows}
+    assert got == ref
+    assert got[8] == 0 and got[102] == 100 and got[201] == 200
+
+
+def test_verify_pairs_jaccard_join_equals_broadcast():
+    ds = _docs()
+    pairs = SD.minhash_candidates(ds, "text", "doc_id", est_threshold=0.3)
+    texts = {r["doc_id"]: r["text"] for r in ds.take_all()}
+    bc = SD.verify_pairs_jaccard(pairs, ray.put(texts), n=3,
+                                 threshold=0.4).to_pandas()
+    jn = SD.verify_pairs_jaccard_join(pairs, ds, "doc_id", "text", n=3,
+                                      threshold=0.4).to_pandas()
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"],
+                                df["jaccard"].round(9)))
+    assert key(jn) == key(bc)
+    assert (1, 2) in {(a, b) for a, b in zip(jn["id_a"], jn["id_b"])}
+
+
+def test_minhash_dedup_distributed_labeling_matches_driver():
+    ds = _docs()
+    kept_d, lab_d = SD.minhash_dedup(ds, "text", "doc_id", labeling="driver")
+    kept_x, lab_x = SD.minhash_dedup(ds, "text", "doc_id",
+                                     labeling="distributed")
+    assert lab_d == lab_x
+    assert sorted(kept_d.to_pandas()["doc_id"]) == sorted(
+        kept_x.to_pandas()["doc_id"])
