@@ -288,3 +288,30 @@ def extract_all_fields(text: str) -> dict:
         "degrees": edu["degrees"],
         "gpa": edu["gpa"],
     }
+
+
+def extract_projects(text: str, limit: int = 5) -> list:
+    """M11 — approach4_v2.py:195-218: stateful scan of the projects section.
+
+    Entering on a short line containing 'projects'; 'tech stack' lines flush
+    the accumulated project and are kept verbatim; other non-indented lines
+    accumulate; capped at ``limit`` entries."""
+    projects: list = []
+    in_projects = False
+    current = ""
+    for line in text.split("\n"):
+        if "projects" in line.lower() and len(line.strip()) < 20:
+            in_projects = True
+            continue
+        if not in_projects:
+            continue
+        if "tech stack" in line.lower():
+            if current:
+                projects.append(current.strip())
+            current = ""
+            projects.append(line.strip())
+        elif line.strip() and not line.startswith(" " * 8):
+            current += " " + line.strip()
+    if current.strip():
+        projects.append(current.strip())
+    return projects[:limit]

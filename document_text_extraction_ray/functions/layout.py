@@ -264,3 +264,123 @@ def render_page_raster(blocks, page_w_pt: float, page_h_pt: float,
                                    b["x1"] * scale, b["y1"] * scale, w, h)
         img[y1:y2, x1:x2] = 0
     return img
+
+
+# ---------------------------------------------- A5: detection post-processing
+# The reference's YOLO post-processing suite (cv_yolo_extractor.py:131-258):
+# oversized detections are valley-split on the horizontal ink profile,
+# empty pages fall back to fixed bands, and sections are classified by
+# position.  Re-expressed over this module's grayscale raster model.
+
+def is_large_region(bbox, img_w: int, img_h: int,
+                    coverage: float = 0.7) -> bool:
+    """cv_yolo_extractor.py:131-141: detection covering > ``coverage`` of
+    the page is too large and must be split."""
+    x1, y1, x2, y2 = bbox
+    return (x2 - x1) * (y2 - y1) > coverage * img_w * img_h
+
+
+def split_large_region(bbox, img: np.ndarray, min_section_px: int = 30,
+                       gap_run: int = 8, threshold_ratio: float = 0.6):
+    """cv_yolo_extractor.py:143-215: split an oversized region at the
+    valleys of its smoothed horizontal intensity profile.
+
+    Valleys = rows whose smoothed mean intensity falls below
+    ``threshold_ratio`` * profile mean; runs longer than ``gap_run`` rows
+    become section boundaries (at the run center); sections shorter than
+    ``min_section_px`` are dropped.  Returns [(x1, y1, x2, y2), ...]."""
+    x1, y1, x2, y2 = (int(v) for v in bbox)
+    roi = img[y1:y2, x1:x2]
+    if roi.size == 0:
+        return []
+    profile = roi.mean(axis=1)
+    k = max(3, len(profile) // 100)
+    smoothed = _box_blur_1d(profile.astype(np.float64), k)
+    gaps = np.nonzero(smoothed < smoothed.mean() * threshold_ratio)[0]
+
+    boundaries = [0]
+    if len(gaps) > 10:
+        run_start = prev = gaps[0]
+        for pos in list(gaps[1:]) + [None]:
+            if pos is not None and pos == prev + 1:
+                prev = pos
+                continue
+            if prev - run_start + 1 > gap_run:
+                boundaries.append((run_start + prev) // 2)
+            if pos is not None:
+                run_start = prev = pos
+    boundaries.append(len(smoothed))
+
+    out = []
+    for a, b in zip(boundaries, boundaries[1:]):
+        if b - a < min_section_px:
+            continue
+        out.append((x1, y1 + a, x2, y1 + b))
+    return out
+
+
+def default_sections(img_w: int, img_h: int):
+    """cv_yolo_extractor.py:217-241: fixed fallback bands when detection
+    finds nothing — header / summary / experience / education quarters."""
+    names = ("header", "summary", "experience", "education")
+    out = []
+    for i, name in enumerate(names):
+        out.append({
+            "name": name,
+            "bbox": (0, int(img_h * i / 4), img_w, int(img_h * (i + 1) / 4)),
+        })
+    return out
+
+
+def classify_section_position(index: int, total: int) -> str:
+    """cv_yolo_extractor.py:243-253: positional section label."""
+    if index == 0:
+        return "header"
+    if index == 1:
+        return "summary"
+    if index < total * 0.6:
+        return "experience"
+    if index < total * 0.8:
+        return "education"
+    return "skills"
+
+
+def merge_nearby_regions(regions, max_gap_px: int = 12):
+    """Merge vertically adjacent regions with the same x-extent whose gap is
+    <= ``max_gap_px`` (the reference's merge-nearby-boxes cleanup between
+    split and extraction).  Input/output: [(x1, y1, x2, y2), ...] sorted by
+    (y1, x1)."""
+    if not regions:
+        return []
+    regions = sorted(regions, key=lambda r: (r[1], r[0]))
+    merged = [list(regions[0])]
+    for x1, y1, x2, y2 in regions[1:]:
+        last = merged[-1]
+        if x1 == last[0] and x2 == last[2] and y1 - last[3] <= max_gap_px:
+            last[3] = max(last[3], y2)
+        else:
+            merged.append([x1, y1, x2, y2])
+    return [tuple(r) for r in merged]
+
+
+def postprocess_detections(detections, img: np.ndarray):
+    """Full A5 chain over raw detections [(bbox, class_name), ...]:
+    split-oversized -> merge-nearby -> fallback-bands -> reading-order sort
+    (cv_yolo_extractor.py:96-128).  Returns [{'bbox', 'class_name'}, ...]."""
+    h, w = img.shape[:2]
+    out = []
+    for bbox, cls in detections:
+        if is_large_region(bbox, w, h):
+            parts = merge_nearby_regions(split_large_region(bbox, img))
+            n = max(len(parts), 1)
+            for i, part in enumerate(parts):
+                out.append({"bbox": part,
+                            "class_name": classify_section_position(i, n)})
+        else:
+            out.append({"bbox": tuple(int(v) for v in bbox),
+                        "class_name": cls})
+    if not out:
+        out = [{"bbox": s["bbox"], "class_name": s["name"]}
+               for s in default_sections(w, h)]
+    out.sort(key=lambda d: (d["bbox"][1], d["bbox"][0]))
+    return out

@@ -4,9 +4,11 @@ SURVEY.md §4.2 — run the cheap path on every row it fits, reserve the
 expensive layout branch for the rows that need it.
 
     mixed corpus (content_type column)
-      ├─ text/html            -> HtmlExtractor   (cheap vectorized path)
+      ├─ text/html             -> HtmlExtractor   (cheap vectorized path)
       ├─ application/x-fakepdf -> LayoutExtractor (actor pool, parsers warm)
-      └─ anything else        -> in-band error rows
+      ├─ application/pdf       -> RealPdfExtractor (PyMuPDF if importable,
+      │                           in-band 'decoder unavailable' rows if not)
+      └─ anything else         -> in-band error rows
     ... -> union -> one uniform output table
 
 The split is two vectorized filters over one scan each; the union is
@@ -24,6 +26,13 @@ from ..stages.layout import layout_extract
 
 HTML_TYPE = "text/html"
 FAKEPDF_TYPE = "application/x-fakepdf"
+PDF_TYPE = "application/pdf"
+
+try:  # pragma: no cover - PyMuPDF absent from this environment
+    import fitz  # noqa: F401
+    _HAVE_FITZ = True
+except ImportError:
+    _HAVE_FITZ = False
 
 DISPATCH_SCHEMA = pa.schema(
     [
@@ -82,6 +91,60 @@ def _pdf_branch(ds, concurrency: int = 4) -> ray.data.Dataset:
     return out.map_batches(project, batch_format="pyarrow")
 
 
+class RealPdfExtractor:
+    """Real application/pdf route (S2), import-guarded like the model stubs:
+    PyMuPDF's ``fitz.open(stream=payload)`` + per-page ``get_text("blocks")``
+    in reading order (the reference's cheap vector path,
+    approach4_v1.py:21-31, batch_multi_column.py) when the library exists;
+    in-band 'decoder unavailable' error rows otherwise — a real PDF payload
+    fails SOFT, never crashes the pipeline."""
+
+    def __init__(self):
+        self.available = _HAVE_FITZ
+
+    def _extract_one(self, payload: bytes) -> tuple:
+        if not self.available:
+            return "", "error: pdf decoder unavailable (PyMuPDF not installed)"
+        try:  # pragma: no cover - requires PyMuPDF
+            import fitz as _fitz
+
+            doc = _fitz.open(stream=bytes(payload), filetype="pdf")
+            parts = []
+            for page in doc:
+                blocks = sorted(page.get_text("blocks"),
+                                key=lambda b: (b[1], b[0]))
+                parts.extend(b[4].strip() for b in blocks if b[4].strip())
+            return "\n".join(parts), "ok"
+        except Exception as exc:  # pragma: no cover
+            return "", f"error: {type(exc).__name__}"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts, statuses = [], []
+        for payload in batch.column("payload").to_pylist():
+            text, status = self._extract_one(payload or b"")
+            texts.append(text)
+            statuses.append(status)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "content_type": pa.array([PDF_TYPE] * batch.num_rows),
+                "extracted_text": pa.array(texts, pa.large_string()),
+                "method": pa.array(["pymupdf"] * batch.num_rows),
+                "status": pa.array(statuses, pa.string()),
+            },
+            schema=DISPATCH_SCHEMA,
+        )
+
+
+def _real_pdf_branch(ds, concurrency: int = 2) -> ray.data.Dataset:
+    from ..util import pool_size
+
+    return ds.map_batches(
+        RealPdfExtractor, batch_format="pyarrow",
+        concurrency=pool_size(concurrency),
+    )
+
+
 def _unsupported_branch(ds) -> ray.data.Dataset:
     def mark(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -111,16 +174,18 @@ def extract_dispatch(corpus: ray.data.Dataset, concurrency: int = 4):
         return f
 
     def other_filter(batch: pa.Table) -> pa.Table:
-        known = pa.array([HTML_TYPE, FAKEPDF_TYPE])
+        known = pa.array([HTML_TYPE, FAKEPDF_TYPE, PDF_TYPE])
         return batch.filter(
             pc.invert(pc.is_in(batch.column("content_type"), value_set=known))
         )
 
     html_ds = corpus.map_batches(type_filter(HTML_TYPE), batch_format="pyarrow")
     pdf_ds = corpus.map_batches(type_filter(FAKEPDF_TYPE), batch_format="pyarrow")
+    real_pdf_ds = corpus.map_batches(type_filter(PDF_TYPE), batch_format="pyarrow")
     other_ds = corpus.map_batches(other_filter, batch_format="pyarrow")
 
     return _html_branch(html_ds).union(
         _pdf_branch(pdf_ds, concurrency=concurrency),
+        _real_pdf_branch(real_pdf_ds, concurrency=concurrency),
         _unsupported_branch(other_ds),
     )

@@ -814,6 +814,358 @@ def q_synth_extract(sf_dir: str):
     return out.select_columns(["url", "n_blocks", "n_chars", "status"])
 
 
+
+
+# ----------------------------------------------- round-2 query additions
+
+def q_lang_pred_counts(sf_dir: str):
+    """Language-ID (stopword-profile heuristic) oracle-checked end-to-end:
+    per-predicted-language doc counts; the DuckDB side reconstructs the
+    detector (distinct-word stopword hits, first-max-wins tie-break)."""
+    from ..functions.textstats import detect_language
+
+    def pred(t: pa.Table) -> pa.Table:
+        langs = [detect_language(x or "") for x in t.column("text").to_pylist()]
+        return pa.table({"pred_lang": pa.array(langs, pa.string())})
+
+    agg = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pred, batch_format="pyarrow")
+        .groupby("pred_lang")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+    return agg.sort("pred_lang")
+
+
+def q_quality_features(sf_dir: str):
+    """Quality-scoring feature extraction, integer-exact per doc: chars,
+    tokens, punct, EN-stopword hits (on the lower/stripped distinct token
+    set), and mean token length as a fixed-point e4 integer."""
+    from ..functions.textstats import PUNCT_RE, STOPWORDS
+
+    stop_en = STOPWORDS["en"]
+
+    def feats(t: pa.Table) -> pa.Table:
+        nc, nt, npct, sh, mtl = [], [], [], [], []
+        for x in t.column("text").to_pylist():
+            text = x or ""
+            toks = text.split()
+            n_chars, n_tokens = len(text), len(toks)
+            nc.append(n_chars)
+            nt.append(n_tokens)
+            npct.append(len(PUNCT_RE.findall(text)))
+            lower = {tk.lower().strip(".,;:!?") for tk in toks}
+            sh.append(len(lower & stop_en))
+            mtl.append(
+                0 if n_tokens == 0
+                else int(np.floor((n_chars - n_tokens + 1) * 10000.0 / n_tokens
+                                  + 0.5))
+            )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": pa.array(nc, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_punct": pa.array(npct, pa.int64()),
+                "stop_hits": pa.array(sh, pa.int64()),
+                "mtl_e4": pa.array(mtl, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(feats, batch_format="pyarrow")
+
+
+def q_rank_orders(sf_dir: str):
+    """Window-function family: top-3 orders per customer by
+    (o_totalprice DESC, o_orderkey ASC) with their rank — one shuffle on the
+    customer key, per-key sorted head."""
+    import pandas as pd
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(3)
+        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["o_custkey", "o_orderkey", "rnk"]]
+
+    return orders.groupby("o_custkey").map_groups(
+        top3, batch_format="pandas"
+    ).sort(["o_custkey", "rnk"])
+
+
+def q_event_lag_diffs(sf_dir: str):
+    """LAG window: per-user value delta vs the previous event ordered by
+    (ts, event_id); first event per user has no predecessor and is dropped
+    on both sides."""
+    import pandas as pd
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g = g.assign(value_diff=g["value"].diff())
+        g = g.dropna(subset=["value_diff"])
+        return g[["event_id", "user_id", "value_diff"]]
+
+    out = ev.groupby("user_id").map_groups(lag, batch_format="pandas")
+    t = pa.Table.from_pandas(out.sort("event_id").to_pandas(),
+                             preserve_index=False)
+    return _scale_int(t, {"value_diff": 100})
+
+
+def q_user_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE window shape: per user, first and last event
+    value in (ts, event_id) order plus the event count."""
+    import pandas as pd
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            [{"user_id": g["user_id"].iloc[0],
+              "first_value": g["value"].iloc[0],
+              "last_value": g["value"].iloc[-1],
+              "n_events": len(g)}]
+        )
+
+    out = ev.groupby("user_id").map_groups(fold, batch_format="pandas")
+    t = pa.Table.from_pandas(out.sort("user_id").to_pandas(),
+                             preserve_index=False)
+    return _scale_int(t, {"first_value": 100, "last_value": 100})
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: revenue of RETURNED items per customer, top 20 —
+    returnflag pushed to the scan, one hash join to orders, dimension name
+    attached by broadcast lookup after the top-k."""
+    from ..stages.join import native_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=(pc.field("l_returnflag") == "R"),
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table({"o_orderkey": t.column("l_orderkey"), "rev": rev})
+
+    li = li.map_batches(derive, batch_format="pyarrow")
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    per_cust = (
+        native_join(li, orders, on="o_orderkey", n_partitions=16)
+        .groupby("o_custkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    top = per_cust.sort(["revenue", "o_custkey"],
+                        descending=[True, False]).limit(20)
+    df = top.to_pandas()
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+    names = dict(zip(cust.column("c_custkey").to_pylist(),
+                     cust.column("c_name").to_pylist()))
+    df["c_name"] = [names[k] for k in df["o_custkey"]]
+    df = df.rename(columns={"o_custkey": "c_custkey"})
+    t = pa.Table.from_pandas(df[["c_custkey", "c_name", "revenue"]],
+                             preserve_index=False)
+    return _scale_int(t, {"revenue": 100})
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: PROMO vs total revenue — part is a dimension, so
+    only its PROMO key set broadcasts; per-batch partial sums, one global
+    reduce."""
+    import ray as _ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    promo = pc.filter(
+        part.column("p_partkey"),
+        pc.starts_with(part.column("p_type"), "PROMO"),
+    )
+    promo_ref = _ray.put(promo.combine_chunks())
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = _ray.get(promo_ref)
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        is_promo = pc.is_in(t.column("l_partkey"), value_set=keys)
+        promo_rev = pc.sum(pc.if_else(is_promo, rev, pa.scalar(0.0))).as_py() or 0.0
+        return pa.table({
+            "promo_part": pa.array([promo_rev], pa.float64()),
+            "total_part": pa.array([pc.sum(rev).as_py() or 0.0], pa.float64()),
+            "n_part": pa.array([t.num_rows], pa.int64()),
+        })
+
+    agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo_part", alias_name="promo_revenue"),
+        Sum("total_part", alias_name="total_revenue"),
+        Sum("n_part", alias_name="n_items"),
+    )
+    t = pa.table({
+        "promo_revenue": pa.array([agg["promo_revenue"]], pa.float64()),
+        "total_revenue": pa.array([agg["total_revenue"]], pa.float64()),
+        "n_items": pa.array([int(agg["n_items"])], pa.int64()),
+    })
+    return _scale_int(t, {"promo_revenue": 100, "total_revenue": 100})
+
+
+def q13_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape (LEFT JOIN distribution): customers per order count.
+    The zero-order bucket is |customer| - |customers with orders| — customer
+    is a dimension, its cardinality comes from parquet metadata, never a
+    driver materialization of the fact side."""
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    counts = orders.groupby("o_custkey").count()
+    dist = (
+        counts.map_batches(
+            lambda t: pa.table({"c_count": t.column("count()")}),
+            batch_format="pyarrow",
+        )
+        .groupby("c_count")
+        .aggregate(Count(alias_name="custdist"))
+    )
+    df = dist.to_pandas()
+    n_customers = pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")
+    ).metadata.num_rows
+    zero = n_customers - int(df["custdist"].sum())
+    if zero > 0:
+        import pandas as pd
+
+        df = pd.concat(
+            [df, pd.DataFrame([{"c_count": 0, "custdist": zero}])],
+            ignore_index=True,
+        )
+    df = df.sort_values(["custdist", "c_count"], ascending=[False, False])
+    df["c_count"] = df["c_count"].astype("int64")
+    df["custdist"] = df["custdist"].astype("int64")
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
+    per-batch partial pre-aggregation (combiner) before the orderkey
+    shuffle, HAVING filter on the aggregate, one hash join to orders."""
+    from ..stages.aggregate import pre_aggregated_sum
+    from ..stages.join import native_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+    sums = pre_aggregated_sum(li, "l_orderkey", "l_quantity")
+
+    def having(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("sum_l_quantity"), 180.0))
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "total_qty": t.column("sum_l_quantity")})
+
+    big = sums.map_batches(having, batch_format="pyarrow")
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = native_join(big, orders, on="o_orderkey", n_partitions=16,
+                         left_from_aggregate=True)
+    t = pa.Table.from_pandas(joined.sort("o_orderkey").to_pandas(),
+                             preserve_index=False)
+    return _scale_int(t.select(["o_orderkey", "o_custkey", "total_qty"]),
+                      {"total_qty": 100})
+
+
+def q_bigram_top(sf_dir: str):
+    """Corpus-wide top-20 word bigrams: per-batch Counter combiner (the
+    pre-aggregation pattern — only distinct bigrams per batch shuffle),
+    grouped sum, dataset sort+limit."""
+    import re as _re
+    from collections import Counter
+
+    tok = _re.compile(r"[a-z0-9]+")
+
+    def explode(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            w = tok.findall((x or "").lower())
+            c.update(a + " " + b for a, b in zip(w, w[1:]))
+        ks = list(c.keys())
+        return pa.table({"bigram": pa.array(ks, pa.string()),
+                         "partial": pa.array([c[k] for k in ks], pa.int64())})
+
+    agg = (
+        _docs(sf_dir, ["text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+    top = agg.sort(["n", "bigram"], descending=[True, False]).limit(20)
+    df = top.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_structured_graph(sf_dir: str):
+    """M16 block-graph fold over the corpus: text -> docling-style block
+    graph -> $ref-walk structured record (JSON strings; inherently
+    non-SQL)."""
+    import json as _json
+
+    from ..functions.structured import fold_structured_graph, text_to_block_graph
+
+    def fold(t: pa.Table) -> pa.Table:
+        outs = [
+            _json.dumps(fold_structured_graph(text_to_block_graph(x or "")),
+                        sort_keys=True)
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "structured": pa.array(outs, pa.large_string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fold, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+def q_doc_markdown(sf_dir: str):
+    """S9 markdown export over the corpus block graphs (rows-only)."""
+    from ..functions.structured import export_markdown, text_to_block_graph
+
+    def render(t: pa.Table) -> pa.Table:
+        outs = [export_markdown(text_to_block_graph(x or ""))
+                for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "markdown": pa.array(outs, pa.large_string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        render, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+def q_llm_extract(sf_dir: str):
+    """A7 LLM structured extraction (stub backend, full lifecycle) over the
+    documents table (rows-only; statuses + JSON payloads)."""
+    from ..stages.models import llm_extract
+
+    ds = llm_extract(_docs(sf_dir, ["doc_id", "text"]), text_column="text",
+                     concurrency=2)
+    return ds.select_columns(["doc_id", "llm_json", "llm_status"]).sort("doc_id")
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -845,6 +1197,16 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "asof_latest_order": q_asof_latest_order,
     "distinct_langs": q_distinct_langs,
+    "lang_pred_counts": q_lang_pred_counts,
+    "quality_features": q_quality_features,
+    "rank_orders": q_rank_orders,
+    "event_lag_diffs": q_event_lag_diffs,
+    "user_first_last": q_user_first_last,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q13_order_distribution": q13_order_distribution,
+    "q18_large_orders": q18_large_orders,
+    "bigram_top": q_bigram_top,
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
@@ -858,6 +1220,9 @@ QUERIES = {
     "classify_ner": q_classify_ner,
     "multimodal_features": q_multimodal_features,
     "synth_extract": q_synth_extract,
+    "structured_graph": q_structured_graph,
+    "doc_markdown": q_doc_markdown,
+    "llm_extract": q_llm_extract,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -1107,3 +1472,157 @@ ORACLE_SQL = {
         GROUP BY event_type, window_s ORDER BY event_type, window_s
     """,
 }
+
+
+def _sql_stoplist(lang: str) -> str:
+    """Stopword list as a DuckDB list literal, generated from the SAME
+    Python profiles the detector uses — zero drift by construction."""
+    from ..functions.textstats import STOPWORDS
+
+    return "[" + ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS[lang])
+    ) + "]"
+
+
+# Language-ID reconstruction: distinct \w+ words of lower(text), stopword
+# hits per profile, first-max-wins over the sorted language order (matches
+# detect_language's strictly-greater iteration).  \p{M} keeps combining
+# marks inside words, matching Python's Unicode \w.
+ORACLE_SQL_LANG_PRED = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_distinct(regexp_extract_all(lower(text),
+                   '[\\p{{L}}\\p{{M}}\\p{{N}}_]+')) AS words
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               len(list_intersect(words, {_sql_stoplist('de')})) AS h_de,
+               len(list_intersect(words, {_sql_stoplist('en')})) AS h_en,
+               len(list_intersect(words, {_sql_stoplist('es')})) AS h_es,
+               len(list_intersect(words, {_sql_stoplist('fr')})) AS h_fr,
+               len(list_intersect(words, {_sql_stoplist('ta')})) AS h_ta
+        FROM w
+    ), p AS (
+        SELECT doc_id,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_ta) = 0 THEN 'und'
+                    WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
+                         AND h_de >= h_ta THEN 'de'
+                    WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_ta THEN 'en'
+                    WHEN h_es >= h_fr AND h_es >= h_ta THEN 'es'
+                    WHEN h_fr >= h_ta THEN 'fr'
+                    ELSE 'ta' END AS pred_lang
+        FROM h
+    )
+    SELECT pred_lang, COUNT(*) AS n_docs
+    FROM p GROUP BY pred_lang ORDER BY pred_lang
+"""
+
+ORACLE_SQL.update({
+    "lang_pred_counts": ORACLE_SQL_LANG_PRED,
+    "quality_features": f"""
+        WITH t AS (
+            SELECT doc_id, length(text) AS n_chars,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS toks,
+                   len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS n_punct
+            FROM documents
+        ), u AS (
+            SELECT doc_id, n_chars, len(toks) AS n_tokens, n_punct,
+                   list_distinct(list_transform(toks,
+                       x -> trim(lower(x), '.,;:!?'))) AS lowset
+            FROM t
+        )
+        SELECT doc_id, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_punct AS BIGINT) AS n_punct,
+               CAST(len(list_intersect(lowset, {_sql_stoplist('en')})) AS BIGINT)
+                   AS stop_hits,
+               CAST(CASE WHEN n_tokens = 0 THEN 0
+                    ELSE FLOOR((n_chars - n_tokens + 1) * 10000.0 / n_tokens
+                               + 0.5) END AS BIGINT) AS mtl_e4
+        FROM u
+    """,
+    "rank_orders": """
+        SELECT o_custkey, o_orderkey, rnk FROM (
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+            FROM orders
+        ) WHERE rnk <= 3 ORDER BY o_custkey, rnk
+    """,
+    "event_lag_diffs": """
+        SELECT event_id, user_id,
+               CAST(ROUND(value_diff * 100) AS BIGINT) AS value_diff
+        FROM (
+            SELECT event_id, user_id,
+                   value - LAG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS value_diff
+            FROM events
+        ) WHERE value_diff IS NOT NULL ORDER BY event_id
+    """,
+    "user_first_last": """
+        WITH ordered AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        )
+        SELECT user_id,
+               CAST(ROUND(MAX(CASE WHEN rn = 1 THEN value END) * 100) AS BIGINT)
+                   AS first_value,
+               CAST(ROUND(MAX(CASE WHEN rn = n THEN value END) * 100) AS BIGINT)
+                   AS last_value,
+               COUNT(*) AS n_events
+        FROM ordered GROUP BY user_id ORDER BY user_id
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                    AS BIGINT) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q14_promo_revenue": """
+        SELECT CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0 END) * 100) AS BIGINT) AS promo_revenue,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                    AS BIGINT) AS total_revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    "q13_order_distribution": """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    "q18_large_orders": """
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(total_qty * 100) AS BIGINT) AS total_qty
+        FROM (
+            SELECT l_orderkey, SUM(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+        ) JOIN orders ON l_orderkey = o_orderkey
+        ORDER BY o_orderkey
+    """,
+    "bigram_top": """
+        WITH toks AS (
+            SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), bg AS (
+            SELECT w[i] || ' ' || w[i + 1] AS bigram
+            FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM bg GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+})

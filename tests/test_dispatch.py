@@ -47,3 +47,22 @@ def test_dispatch_routes_and_matches_golden():
         assert row["extracted_text"] == expected[row["url"]]
     bad = df[df["method"] == "none"].iloc[0]
     assert bad["status"].startswith("error")
+
+
+def test_dispatch_real_pdf_fails_soft():
+    """application/pdf routes through the import-guarded PyMuPDF branch:
+    with the decoder absent, rows come back as in-band errors (never raise)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.pipelines.dispatch import extract_dispatch
+
+    corpus = rd.from_arrow(pa.table({
+        "url": ["u1", "u2"],
+        "content_type": ["application/pdf", "text/html"],
+        "payload": [b"%PDF-1.4 fake", b"<html><title>T</title><body><p>hello world</p></body></html>"],
+    }))
+    out = extract_dispatch(corpus).to_pandas().set_index("url")
+    assert out.loc["u1", "method"] == "pymupdf"
+    assert out.loc["u1", "status"].startswith("error: pdf decoder unavailable")
+    assert out.loc["u2", "status"] == "ok"

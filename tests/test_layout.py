@@ -167,3 +167,58 @@ def test_histogram_detects_columns_on_rendered_pdfs():
                 or best["width"] < 0.02 * w
             checked_one += 1
     assert checked_two > 5 and checked_one > 5
+
+
+def test_a5_split_large_region_valleys():
+    """A5: oversized detection splits at ink-profile valleys."""
+    import numpy as np
+
+    from document_text_extraction_ray.functions.layout import (
+        is_large_region,
+        split_large_region,
+    )
+
+    img = np.full((400, 200), 255, dtype=np.uint8)
+    img[20:150, 20:180] = 0     # dark band 1
+    img[250:380, 20:180] = 0    # dark band 2
+    bbox = (0, 0, 200, 400)
+    assert is_large_region(bbox, 200, 400, coverage=0.7)
+    parts = split_large_region(bbox, img)
+    # Reference semantics (cv_yolo_extractor.py:162-186): boundaries at the
+    # CENTERS of below-threshold (dark) runs -> two bands give 3 sections
+    # split at ~85 and ~315.
+    assert len(parts) == 3
+    assert parts[0][1] == 0 and parts[-1][3] == 400
+    assert abs(parts[0][3] - 85) <= 3 and abs(parts[1][3] - 315) <= 3
+    assert all(x1 == 0 and x2 == 200 for x1, _, x2, _ in parts)
+    # sections under 30 px are dropped
+    small = np.full((50, 200), 255, dtype=np.uint8)
+    assert split_large_region((0, 0, 200, 29), small) == []
+
+
+def test_a5_postprocess_fallback_and_order():
+    import numpy as np
+
+    from document_text_extraction_ray.functions.layout import (
+        classify_section_position,
+        default_sections,
+        merge_nearby_regions,
+        postprocess_detections,
+    )
+
+    img = np.full((400, 200), 255, dtype=np.uint8)
+    # no detections -> 4 fixed bands in reading order
+    out = postprocess_detections([], img)
+    assert [d["class_name"] for d in out] == [
+        "header", "summary", "experience", "education"]
+    assert out == sorted(out, key=lambda d: (d["bbox"][1], d["bbox"][0]))
+    assert len(default_sections(200, 400)) == 4
+    # positional classifier follows the reference's thresholds
+    assert classify_section_position(0, 5) == "header"
+    assert classify_section_position(1, 5) == "summary"
+    assert classify_section_position(2, 5) == "experience"
+    assert classify_section_position(4, 5) == "skills"
+    # adjacent same-width regions merge across small gaps
+    merged = merge_nearby_regions([(0, 0, 10, 20), (0, 25, 10, 40),
+                                   (0, 100, 10, 120)], max_gap_px=10)
+    assert merged == [(0, 0, 10, 40), (0, 100, 10, 120)]

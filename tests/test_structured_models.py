@@ -104,3 +104,82 @@ def test_flatten_structured():
     assert "Data Analyst" in flat["Experience"] and " | " in flat["Experience"]
     assert flat["Education"].startswith("Bachelor Of Science")
     assert flatten_structured({})["Name"] == ""
+
+
+CV_GRAPH_TEXT = (
+    "Jane Mary Doe\n"
+    "jane@x.com +12345678901 linkedin.com/in/janedoe\n"
+    "SUMMARY\nBuilds distributed systems.\n"
+    "EXPERIENCE\nSenior Engineer\nAcme Corp\nJan 2020 - Dec 2022\n"
+    "- shipped the pipeline\n- led a team of four\n"
+    "Lead Developer\nBeta Inc\n2023 - Present\n"
+    "EDUCATION\nMaster Of Science\nState University\n2016 - 2018\n"
+    "SKILLS\n- Python, SQL | Docker\n"
+    "PROJECTS\nBuilt a crawler for fun.\n"
+    "REFERENCES\nAvailable on request\n"
+)
+
+
+def test_fold_structured_graph_reference_shape():
+    """M16: the $ref-graph walk reproduces the reference's structured-CV
+    shape (parse_cv_docling.py:91-210) from a docling-style block graph."""
+    from document_text_extraction_ray.functions.structured import (
+        fold_structured_graph,
+        text_to_block_graph,
+    )
+
+    g = text_to_block_graph(CV_GRAPH_TEXT)
+    assert any(t["label"] == "section_header" for t in g["texts"])
+    assert any(grp["name"] == "list" for grp in g["groups"])
+    r = fold_structured_graph(g)
+    assert r["name"] == "Jane Mary Doe"
+    assert r["contact"]["email"] == "jane@x.com"
+    assert r["contact"]["phone"] == "+12345678901"
+    assert r["contact"]["linkedin"] == "https://linkedin.com/in/janedoe"
+    assert r["summary"] == "Builds distributed systems."
+    assert [j["title"] for j in r["experience"]] == [
+        "Senior Engineer", "Lead Developer"]
+    assert r["experience"][0]["company"] == "Acme Corp"
+    assert r["experience"][0]["dates"] == "Jan 2020 - Dec 2022"
+    assert r["experience"][0]["bullets"] == [
+        "shipped the pipeline", "led a team of four"]
+    assert r["education"] == [{"degree": "Master Of Science",
+                               "institution": "State University",
+                               "dates": "2016 - 2018", "details": []}]
+    assert r["skills"] == ["Docker", "Python", "SQL"]
+    assert r["projects"] == [{"name": "", "description": "Built a crawler for fun."}]
+    assert r["references"] == ["Available on request"]
+
+
+def test_export_markdown():
+    """S9: markdown QA artifact from the block graph."""
+    from document_text_extraction_ray.functions.structured import (
+        export_markdown,
+        text_to_block_graph,
+    )
+
+    md = export_markdown(text_to_block_graph(CV_GRAPH_TEXT))
+    assert "## SUMMARY" in md and "## EXPERIENCE" in md
+    assert "- shipped the pipeline" in md
+    assert "Builds distributed systems." in md
+
+
+def test_extract_projects_reference_scan():
+    """M11: stateful projects-section scan (approach4_v2.py:195-218)."""
+    from document_text_extraction_ray.functions.fields import extract_projects
+
+    text = (
+        "Intro line\nProjects\n"
+        "Crawler that indexes docs\nacross many sites\n"
+        "Tech Stack: Python, Ray\n"
+        "Search engine frontend\n"
+        "Tech Stack: React\n"
+    )
+    got = extract_projects(text)
+    assert got[0] == "Crawler that indexes docs across many sites"
+    assert got[1] == "Tech Stack: Python, Ray"
+    assert got[2] == "Search engine frontend"
+    assert got[3] == "Tech Stack: React"
+    # cap at 5
+    many = "Projects\n" + "\n".join(f"Tech Stack: {i}" for i in range(9))
+    assert len(extract_projects(many)) == 5
