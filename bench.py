@@ -112,20 +112,25 @@ def main_bench():
     headline = run_headline()
     queries = run_queries()
     ray.shutdown()
-    print(
-        json.dumps(
-            {
-                "metric": "headline extraction pipeline wall time "
-                          f"({BENCH_N} synthetic CC-style pages, checkpointed sink)",
-                "value": headline["sec"],
-                "unit": "sec",
-                "queries": queries,
-                "sf": SF_DIR,
-                "num_cpus": NUM_CPUS,
-                "headline": headline,
-            }
-        )
-    )
+    out = {
+        "metric": "headline extraction pipeline wall time "
+                  f"({BENCH_N} synthetic CC-style pages, checkpointed sink)",
+        "value": headline["sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "headline": headline,
+    }
+    # Diffable scaling evidence: embed the last `bench.py --scaling` result
+    # (written to SCALING.json next to this file) so BENCH_r*.json carries
+    # the two-parallelism throughputs + efficiency per round.
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling"] = json.load(f)
+    print(json.dumps(out))
 
 
 def run_at(ncpu: int, repeats: int | None = None) -> dict:
@@ -158,21 +163,24 @@ def main_scaling():
     hi = run_at(hi_cpus)
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
-    print(
-        json.dumps(
-            {
-                "metric": "headline throughput scaling efficiency "
-                          f"({lo_cpus} vs {hi_cpus} cpus, same input)",
-                "value": round(eff, 3),
-                "unit": "efficiency",
-                f"sec_{lo_cpus}": t_lo,
-                f"sec_{hi_cpus}": t_hi,
-                f"docs_per_s_{lo_cpus}": lo["headline"]["docs_per_s"],
-                f"docs_per_s_{hi_cpus}": hi["headline"]["docs_per_s"],
-                "sf": SF_DIR,
-            }
-        )
-    )
+    result = {
+        "metric": "headline throughput scaling efficiency "
+                  f"({lo_cpus} vs {hi_cpus} cpus, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "cpus_small": lo_cpus,
+        "cpus_large": hi_cpus,
+        f"sec_{lo_cpus}": t_lo,
+        f"sec_{hi_cpus}": t_hi,
+        f"docs_per_s_{lo_cpus}": lo["headline"]["docs_per_s"],
+        f"docs_per_s_{hi_cpus}": hi["headline"]["docs_per_s"],
+        "sf": SF_DIR,
+    }
+    # Persist next to the repo so plain `bench.py` runs embed it per round.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SCALING.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
