@@ -1156,6 +1156,34 @@ def q_doc_markdown(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_doc_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (rolling-hash sketch) per doc —
+    deterministic ints, rows-only (no SQL rolling hash)."""
+    from ..functions.textstats import fingerprint
+
+    def fp(t: pa.Table) -> pa.Table:
+        outs = [fingerprint(x or "") for x in t.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "fingerprint": pa.array(outs, pa.list_(pa.int64())),
+             "n_hashes": pa.array([len(o) for o in outs], pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL-sketch approximate COUNT(DISTINCT user) per event type —
+    mergeable per-batch partials (rows-only: estimates, not exact)."""
+    from ..stages.aggregate import approx_distinct_count
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return approx_distinct_count(ev, "event_type", "user_id").sort("event_type")
+
+
 def q_llm_extract(sf_dir: str):
     """A7 LLM structured extraction (stub backend, full lifecycle) over the
     documents table (rows-only; statuses + JSON payloads)."""
@@ -1223,6 +1251,8 @@ QUERIES = {
     "structured_graph": q_structured_graph,
     "doc_markdown": q_doc_markdown,
     "llm_extract": q_llm_extract,
+    "doc_fingerprints": q_doc_fingerprints,
+    "approx_distinct_users": q_approx_distinct_users,
 }
 
 _NORM_TEXT = _NORM.format(col="text")

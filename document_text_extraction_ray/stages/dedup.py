@@ -461,8 +461,12 @@ def simhash_pairs(ds, text_column: str, id_column: str,
     pairs = exploded.groupby(["chunk_id", "chunk_key"]).map_groups(
         pairs_of_group, batch_format="pandas"
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # A pair appears once per agreeing chunk with the SAME hamming value:
+    # a vectorized Min aggregate dedups it (no per-group Python).
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )
 
 
