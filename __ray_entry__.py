@@ -6,9 +6,12 @@ calls ``ray.init()`` / ``ray.shutdown()``.
 - ``entry()``       — flagship extraction pipeline on /root/testdata/sf0.001
 - ``queries()``     — one callable per implemented operator family
                       (SURVEY.md §2 + the training-data operators)
-- ``oracle_sql()``  — DuckDB-equivalent SQL per query where expressible;
-                      rows-only queries (minhash/simhash/LSH-ANN/langid/
-                      synthetic-corpus extraction) are intentionally absent.
+- ``oracle_sql()``  — DuckDB-equivalent SQL per query where expressible
+                      (41 of 57, incl. SQL reconstructions of the
+                      language-ID and quality-feature kernels); rows-only
+                      queries (minhash/simhash/LSH-ANN/structured folds/
+                      sketches/synthetic-corpus extraction) are
+                      intentionally absent.
 """
 
 from __future__ import annotations

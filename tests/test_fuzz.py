@@ -89,3 +89,68 @@ def test_structured_fold_total(text):
     }
     obj, err = clean_llm_json(text)
     assert (obj is None) == bool(err)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=500))
+def test_fold_structured_graph_never_crashes(text):
+    """The graph builder + $ref fold must handle arbitrary text and be
+    deterministic (same guarantees as the line fold)."""
+    from document_text_extraction_ray.functions.structured import (
+        export_markdown,
+        fold_structured_graph,
+        text_to_block_graph,
+    )
+
+    g1, g2 = text_to_block_graph(text), text_to_block_graph(text)
+    assert g1 == g2
+    r1, r2 = fold_structured_graph(g1), fold_structured_graph(g2)
+    assert r1 == r2
+    assert set(r1) == {"name", "contact", "summary", "experience",
+                       "education", "skills", "projects", "certifications",
+                       "references"}
+    assert isinstance(export_markdown(g1), str)
+
+
+def test_cluster_pairs_distributed_random_graphs():
+    """Randomized: distributed label propagation == driver union-find on
+    arbitrary pair graphs (the two plans must agree everywhere)."""
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages import dedup as SD
+
+    rng = np.random.RandomState(17)
+    for trial in range(3):
+        n = 30
+        m = rng.randint(5, 25)
+        pairs = [tuple(sorted(rng.choice(n, size=2, replace=False)))
+                 for _ in range(m)]
+        pairs = sorted({(int(a), int(b)) for a, b in pairs})
+        ref = SD._cluster_pairs(pairs)
+        ds = rd.from_items([{"id_a": a, "id_b": b} for a, b in pairs])
+        got = {r["node"]: r["label"]
+               for r in SD.cluster_pairs_distributed(ds, max_iters=12).take_all()}
+        assert got == ref, (trial, pairs)
+
+
+def test_exact_dedup_strategies_random_equivalence():
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages import dedup as SD
+
+    rng = np.random.RandomState(5)
+    rows = [{"doc_id": i, "text": f"text {rng.randint(0, 12)}", "extra": i * 2}
+            for i in range(80)]
+    ds = rd.from_items(rows)
+    got = {}
+    for strat in ("shuffle", "join", "broadcast"):
+        df = SD.exact_dedup(ds, "text", "doc_id", strategy=strat).to_pandas()
+        got[strat] = sorted(zip(df["doc_id"], df["extra"]))
+    assert got["shuffle"] == got["join"] == got["broadcast"]
+    # survivor = min doc_id per distinct text
+    texts = {}
+    for r in rows:
+        texts.setdefault(r["text"], r["doc_id"])
+    assert [d for d, _ in got["shuffle"]] == sorted(texts.values())
