@@ -1184,6 +1184,111 @@ def q_approx_distinct_users(sf_dir: str):
     return approx_distinct_count(ev, "event_type", "user_id").sort("event_type")
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic ~10% corpus sample keyed on md5(doc_id) — stable under
+    retries/resharding, SQL-oracle-checkable (DuckDB md5)."""
+    from ..stages.sampling import hash_sample
+
+    out = hash_sample(_docs(sf_dir, ["doc_id", "n_chars"]), "doc_id",
+                      rate_hex="1a")
+    return out.sort("doc_id")
+
+
+def q_split_counts(sf_dir: str):
+    """Deterministic train/val/test split assignment (md5 buckets), counted
+    with char totals per split."""
+    from ..stages.sampling import assign_split
+
+    ds = assign_split(_docs(sf_dir, ["doc_id", "n_chars"]), "doc_id")
+    agg = ds.groupby("split").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+    return agg.sort("split")
+
+
+def q_token_budget_bins(sf_dir: str):
+    """Sequence packing: per-source token-budget bin per doc (exclusive
+    prefix sum over doc_id order / 5000) — the shard-building step of a
+    training pipeline, oracle via SUM() OVER."""
+    from ..stages.sampling import token_budget_bins
+
+    def tokens(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column("text"), r"\S+")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "n_tokens": pc.cast(pc.coalesce(n, 0), pa.int64()),
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        tokens, batch_format="pyarrow"
+    )
+    out = token_budget_bins(ds, "source", "doc_id", "n_tokens", budget=5000)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "source", "bin_id"])
+
+    return out.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
+def q_multimodal_av(sf_dir: str):
+    """Audio + video plumbing over deterministic fake payloads (actor pools,
+    small batches, in-band decode errors; rows-only — codecs are stubs)."""
+    from ..stages.multimodal import (
+        audio_features,
+        encode_fake_audio,
+        encode_fake_video,
+        video_frame_samples,
+    )
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    ).column("vec_id").to_pylist()[:200]
+    aud_rows = [
+        {"media_id": int(i),
+         "payload": encode_fake_audio(8000 + (i % 50) * 160, 16000, seed=int(i))}
+        for i in ids
+    ]
+    vid_rows = [
+        {"media_id": int(i),
+         "payload": encode_fake_video(12 + i % 24, 16 + i % 16, 12 + i % 12,
+                                      fps=24, seed=int(i))}
+        for i in ids
+    ]
+    aud = audio_features(rd.from_arrow(pa.Table.from_pylist(
+        aud_rows, schema=pa.schema([("media_id", pa.int64()),
+                                    ("payload", pa.large_binary())]))),
+        concurrency=2)
+    vid = video_frame_samples(rd.from_arrow(pa.Table.from_pylist(
+        vid_rows, schema=pa.schema([("media_id", pa.int64()),
+                                    ("payload", pa.large_binary())]))),
+        every=5, concurrency=2)
+
+    def aproj(b: pa.Table) -> pa.Table:
+        f = b.column("audio_features")
+        return pa.table({
+            "media_id": b.column("media_id"),
+            "kind": pa.array(["audio"] * b.num_rows),
+            "metric_a": pc.cast(pc.struct_field(f, "n_samples"), pa.int64()),
+            "metric_b": pc.cast(pc.struct_field(f, "sample_rate"), pa.int64()),
+            "decode_status": b.column("decode_status"),
+        })
+
+    def vproj(b: pa.Table) -> pa.Table:
+        f = b.column("video_features")
+        return pa.table({
+            "media_id": b.column("media_id"),
+            "kind": pa.array(["video"] * b.num_rows),
+            "metric_a": pc.cast(pc.struct_field(f, "n_frames"), pa.int64()),
+            "metric_b": pc.cast(pc.struct_field(f, "sampled_frames"), pa.int64()),
+            "decode_status": b.column("decode_status"),
+        })
+
+    return aud.map_batches(aproj, batch_format="pyarrow").union(
+        vid.map_batches(vproj, batch_format="pyarrow")
+    ).sort(["kind", "media_id"])
+
+
 def q_llm_extract(sf_dir: str):
     """A7 LLM structured extraction (stub backend, full lifecycle) over the
     documents table (rows-only; statuses + JSON payloads)."""
@@ -1253,6 +1358,10 @@ QUERIES = {
     "llm_extract": q_llm_extract,
     "doc_fingerprints": q_doc_fingerprints,
     "approx_distinct_users": q_approx_distinct_users,
+    "hash_sample": q_hash_sample,
+    "split_counts": q_split_counts,
+    "token_budget_bins": q_token_budget_bins,
+    "multimodal_av": q_multimodal_av,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -1654,5 +1763,41 @@ ORACLE_SQL.update({
         )
         SELECT bigram, COUNT(*) AS n
         FROM bg GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+})
+
+
+ORACLE_SQL.update({
+    "hash_sample": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        ORDER BY doc_id
+    """,
+    "split_counts": """
+        SELECT split, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM (
+            SELECT CASE WHEN p < '1a' THEN 'val'
+                        WHEN p < '34' THEN 'test'
+                        ELSE 'train' END AS split, n_chars
+            FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS p,
+                         n_chars
+                  FROM documents)
+        ) GROUP BY split ORDER BY split
+    """,
+    "token_budget_bins": r"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, source,
+                   SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS prior
+            FROM t
+        )
+        SELECT doc_id, source, CAST(FLOOR(prior / 5000) AS BIGINT) AS bin_id
+        FROM c ORDER BY doc_id
     """,
 })

@@ -1,0 +1,89 @@
+"""Deterministic sampling, split assignment, and sequence-packing operators —
+the corpus-curation steps of a training-data pipeline (sample a pilot set,
+carve train/val/test, pack documents into token-budget bins).
+
+All decisions derive from md5 of the row id (or a per-key ordered prefix
+sum), never an RNG: re-running any shard reproduces the same output, a
+failed partition can be retried without re-sampling the world, and the same
+predicate is expressible in SQL (DuckDB md5 / SUM OVER), which is how the
+oracles check these end-to-end.
+
+Scale notes: sampling and splitting are embarrassingly parallel row-local
+map_batches; packing shuffles once on the partition key (bins are
+per-source, so the global-order dependence is confined to one group).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+
+def md5_prefix(value) -> str:
+    """First hex byte (2 lowercase hex chars) of md5(str(value)) — the
+    deterministic 0..255 bucket every operator here keys on."""
+    return hashlib.md5(str(value).encode("utf-8")).hexdigest()[:2]
+
+
+def _prefix_column(batch: pa.Table, id_column: str) -> list:
+    return [md5_prefix(v) for v in batch.column(id_column).to_pylist()]
+
+
+def hash_sample(ds, id_column: str, rate_hex: str = "1a"):
+    """Deterministic Bernoulli-style sample: keep rows whose md5 prefix is
+    lexicographically below ``rate_hex`` (e.g. '1a' = 26/256 ~ 10.2%).
+
+    Unlike ``ds.random_sample`` this is stable under retries and resharding
+    — the membership of a row depends only on its id."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pa.array([p < rate_hex for p in _prefix_column(batch, id_column)],
+                        pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SPLIT_BOUNDS = (("val", "1a"), ("test", "34"))  # 26/256 each; rest = train
+
+
+def assign_split(ds, id_column: str, out_column: str = "split"):
+    """Deterministic train/val/test assignment from the id hash:
+    prefix < '1a' -> val, < '34' -> test, else train (~10/10/80)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        labels = []
+        for p in _prefix_column(batch, id_column):
+            for name, bound in SPLIT_BOUNDS:
+                if p < bound:
+                    labels.append(name)
+                    break
+            else:
+                labels.append("train")
+        return batch.append_column(out_column, pa.array(labels, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def token_budget_bins(ds, key_column: str, order_column: str,
+                      tokens_column: str, budget: int = 5000,
+                      out_column: str = "bin_id"):
+    """Sequence-packing bin assignment: within each ``key_column`` group,
+    rows ordered by ``order_column`` are assigned
+    bin_id = floor(exclusive-prefix-sum(tokens) / budget).
+
+    This is the streaming 'chunk by cumulative token budget' packing used to
+    build ~budget-token training shards; the prefix-sum semantics (a doc may
+    straddle a boundary and belongs to the bin its prefix sum starts in) is
+    exactly SUM() OVER in SQL, which the oracle exploits.  One shuffle on the
+    key; global order dependence confined to each group."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_column, kind="mergesort").copy()
+        prior = g[tokens_column].cumsum() - g[tokens_column]
+        g[out_column] = (prior // budget).astype("int64")
+        return g
+
+    return ds.groupby(key_column).map_groups(fold, batch_format="pandas")
