@@ -52,6 +52,13 @@ def _scale_int(table: pa.Table, scales: dict) -> pa.Table:
     return table
 
 
+def _scale_int_ds(ds, scales: dict):
+    """Dataset-side variant of ``_scale_int``: the scaling runs inside
+    map_batches so fact-sized window-function outputs stay streaming (the
+    driver never materializes them; the comparator collects at ITS choice)."""
+    return ds.map_batches(lambda t: _scale_int(t, scales), batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ extraction
 
 def q_extract_main_text(sf_dir: str):
@@ -505,11 +512,9 @@ def q_running_totals(sf_dir: str):
             }
         )
 
-    t = pa.Table.from_pandas(
-        out.map_batches(project, batch_format="pyarrow").sort("event_id").to_pandas(),
-        preserve_index=False,
-    )
-    return _scale_int(t, {"running_total": 100})
+    return _scale_int_ds(
+        out.map_batches(project, batch_format="pyarrow"), {"running_total": 100}
+    ).sort("event_id")
 
 
 def q_top_events(sf_dir: str):
@@ -913,9 +918,7 @@ def q_event_lag_diffs(sf_dir: str):
         return g[["event_id", "user_id", "value_diff"]]
 
     out = ev.groupby("user_id").map_groups(lag, batch_format="pandas")
-    t = pa.Table.from_pandas(out.sort("event_id").to_pandas(),
-                             preserve_index=False)
-    return _scale_int(t, {"value_diff": 100})
+    return _scale_int_ds(out, {"value_diff": 100}).sort("event_id")
 
 
 def q_user_first_last(sf_dir: str):
