@@ -129,7 +129,13 @@ def main_bench():
                                 "SCALING.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            out["scaling"] = json.load(f)
+            scaling = json.load(f)
+        # Staleness flag: the embedded result carries the commit it was
+        # measured at; a mismatch means "from an earlier code state".
+        scaling["stale"] = (
+            scaling.get("measured_at_commit", "unknown") != _git_head()
+        )
+        out["scaling"] = scaling
     print(json.dumps(out))
 
 
@@ -176,11 +182,23 @@ def main_scaling():
         f"docs_per_s_{hi_cpus}": hi["headline"]["docs_per_s"],
         "sf": SF_DIR,
     }
+    result["measured_at_commit"] = _git_head()
     # Persist next to the repo so plain `bench.py` runs embed it per round.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "SCALING.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
+
+
+def _git_head() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
 
 
 if __name__ == "__main__":

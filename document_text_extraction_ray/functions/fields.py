@@ -312,6 +312,7 @@ def extract_projects(text: str, limit: int = 5) -> list:
             projects.append(line.strip())
         elif line.strip() and not line.startswith(" " * 8):
             current += " " + line.strip()
-    if current.strip():
-        projects.append(current.strip())
+    # NOTE: a trailing accumulated project with no following 'tech stack'
+    # line is DISCARDED — faithful to the reference (approach4_v2.py:218
+    # returns without flushing current_project).
     return projects[:limit]

@@ -372,7 +372,14 @@ def postprocess_detections(detections, img: np.ndarray):
     for bbox, cls in detections:
         if is_large_region(bbox, w, h):
             parts = merge_nearby_regions(split_large_region(bbox, img))
-            n = max(len(parts), 1)
+            if not parts:
+                # Degenerate split (roi empty / every section < min px):
+                # keep the detection whole rather than dropping the page's
+                # main content region.
+                out.append({"bbox": tuple(int(v) for v in bbox),
+                            "class_name": cls})
+                continue
+            n = len(parts)
             for i, part in enumerate(parts):
                 out.append({"bbox": part,
                             "class_name": classify_section_position(i, n)})

@@ -66,22 +66,34 @@ def detect_language(text: str) -> str:
     return best
 
 
+def quality_int_features(text: str) -> dict:
+    """Integer-exact quality features — the SINGLE source for both
+    ``quality_score`` and the oracle-checked ``quality_features`` query
+    (the SQL oracle hand-mirrors these; keeping one kernel prevents the two
+    from silently desynchronizing)."""
+    tokens = text.split()
+    lower = {t.lower().strip(".,;:!?") for t in tokens}
+    return {
+        "n_chars": len(text),
+        "n_tokens": len(tokens),
+        "n_punct": len(PUNCT_RE.findall(text)),
+        "stop_hits": len(lower & STOPWORDS["en"]),
+        "n_distinct_lower": len(lower),
+    }
+
+
 def quality_score(text: str) -> dict:
     """Length / punctuation / stopword-ratio quality features plus a single
     [0,1] score (fixed-threshold style of the reference's guards, M17)."""
-    n_chars = len(text)
-    tokens = text.split()
-    n_tokens = len(tokens)
+    f = quality_int_features(text)
+    n_chars, n_tokens = f["n_chars"], f["n_tokens"]
     if n_tokens == 0:
         return {
             "n_chars": 0, "n_tokens": 0, "mean_token_len": 0.0,
             "punct_ratio": 0.0, "stopword_ratio": 0.0, "score": 0.0,
         }
-    n_punct = len(PUNCT_RE.findall(text))
-    lower = {t.lower().strip(".,;:!?") for t in tokens}
-    stop_hits = len(lower & STOPWORDS["en"])
-    stopword_ratio = stop_hits / len(lower)
-    punct_ratio = n_punct / n_chars
+    stopword_ratio = f["stop_hits"] / f["n_distinct_lower"]
+    punct_ratio = f["n_punct"] / n_chars
     mean_token_len = (n_chars - (n_tokens - 1)) / n_tokens
     score = 1.0
     if n_chars < 50:

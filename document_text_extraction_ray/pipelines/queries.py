@@ -846,21 +846,17 @@ def q_quality_features(sf_dir: str):
     """Quality-scoring feature extraction, integer-exact per doc: chars,
     tokens, punct, EN-stopword hits (on the lower/stripped distinct token
     set), and mean token length as a fixed-point e4 integer."""
-    from ..functions.textstats import PUNCT_RE, STOPWORDS
-
-    stop_en = STOPWORDS["en"]
+    from ..functions.textstats import quality_int_features
 
     def feats(t: pa.Table) -> pa.Table:
         nc, nt, npct, sh, mtl = [], [], [], [], []
         for x in t.column("text").to_pylist():
-            text = x or ""
-            toks = text.split()
-            n_chars, n_tokens = len(text), len(toks)
+            f = quality_int_features(x or "")
+            n_chars, n_tokens = f["n_chars"], f["n_tokens"]
             nc.append(n_chars)
             nt.append(n_tokens)
-            npct.append(len(PUNCT_RE.findall(text)))
-            lower = {tk.lower().strip(".,;:!?") for tk in toks}
-            sh.append(len(lower & stop_en))
+            npct.append(f["n_punct"])
+            sh.append(f["stop_hits"])
             mtl.append(
                 0 if n_tokens == 0
                 else int(np.floor((n_chars - n_tokens + 1) * 10000.0 / n_tokens
@@ -1041,7 +1037,9 @@ def q13_order_distribution(sf_dir: str):
     counts = orders.groupby("o_custkey").count()
     dist = (
         counts.map_batches(
-            lambda t: pa.table({"c_count": t.column("count()")}),
+            # zero-column empty aggregate partitions pass through untouched
+            lambda t: t if t.num_columns == 0
+            else pa.table({"c_count": t.column("count()")}),
             batch_format="pyarrow",
         )
         .groupby("c_count")
@@ -1077,6 +1075,8 @@ def q18_large_orders(sf_dir: str):
     sums = pre_aggregated_sum(li, "l_orderkey", "l_quantity")
 
     def having(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # empty aggregate shuffle partition
+            return t
         t = t.filter(pc.greater(t.column("sum_l_quantity"), 180.0))
         return pa.table({"o_orderkey": t.column("l_orderkey"),
                          "total_qty": t.column("sum_l_quantity")})
@@ -1626,15 +1626,18 @@ def _sql_stoplist(lang: str) -> str:
     ) + "]"
 
 
-# Language-ID reconstruction: distinct \w+ words of lower(text), stopword
-# hits per profile, first-max-wins over the sorted language order (matches
-# detect_language's strictly-greater iteration).  \p{M} keeps combining
-# marks inside words, matching Python's Unicode \w.
+# Language-ID reconstruction mirroring detect_language exactly: \w+ words
+# extracted from the ORIGINAL text (python \w = [\p{L}\p{N}_], combining
+# marks split words in BOTH engines), lowercased AFTER extraction (python
+# does w.lower() per word), distinct, stopword hits per profile,
+# first-max-wins over the sorted language order (matches the detector's
+# strictly-greater iteration).
 ORACLE_SQL_LANG_PRED = f"""
     WITH w AS (
         SELECT doc_id,
-               list_distinct(regexp_extract_all(lower(text),
-                   '[\\p{{L}}\\p{{M}}\\p{{N}}_]+')) AS words
+               list_distinct(list_transform(
+                   regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_]+'),
+                   x -> lower(x))) AS words
         FROM documents
     ), h AS (
         SELECT doc_id,

@@ -149,11 +149,16 @@ def cluster_pairs_distributed(pairs_ds, max_iters: int = 32,
         )
         .materialize()
     )
-    numeric_labels = pa.types.is_integer(
+    # Sum-stall is a cheap NECESSARY convergence signal for integer labels
+    # (labels are per-node non-increasing), but not sufficient on its own
+    # (int64 sums can wrap for huge graphs of near-2^63 ids); a stall is
+    # therefore CONFIRMED by the exact changed-label join before breaking.
+    # Float / string ids skip the shortcut and always use the exact check.
+    int_labels = pa.types.is_integer(
         labels.schema().base_schema.field("label").type
-    ) or pa.types.is_floating(labels.schema().base_schema.field("label").type)
+    )
     prev_sum = (
-        labels.aggregate(Sum("label", alias_name="s"))["s"] if numeric_labels
+        labels.aggregate(Sum("label", alias_name="s"))["s"] if int_labels
         else None
     )
     for _ in range(max_iters):
@@ -190,12 +195,8 @@ def cluster_pairs_distributed(pairs_ds, max_iters: int = 32,
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
         ).materialize()
-        if numeric_labels:
-            cur = new_labels.aggregate(Sum("label", alias_name="s"))["s"]
-            converged = cur == prev_sum
-            prev_sum = cur
-        else:
-            converged = native_join(
+        def no_label_changed() -> bool:
+            return native_join(
                 new_labels.map_batches(
                     lambda t: pa.table({"node": t.column("node"), "new": t.column("label")}),
                     batch_format="pyarrow",
@@ -215,6 +216,13 @@ def cluster_pairs_distributed(pairs_ds, max_iters: int = 32,
                 ),
                 batch_format="pyarrow",
             ).aggregate(Sum("c", alias_name="c"))["c"] == 0
+
+        if int_labels:
+            cur = new_labels.aggregate(Sum("label", alias_name="s"))["s"]
+            converged = cur == prev_sum and no_label_changed()
+            prev_sum = cur
+        else:
+            converged = no_label_changed()
         labels = new_labels
         if converged:
             break

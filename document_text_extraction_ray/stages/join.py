@@ -66,10 +66,11 @@ def _bucket_array(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
     if pa.types.is_integer(col.type):
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         null_mask = np.asarray(arr.is_null())
-        # to_numpy with nulls yields float NaN; zero them before the view.
-        vals = arr.to_numpy(zero_copy_only=False)
-        if vals.dtype.kind == "f":
-            vals = np.nan_to_num(vals, nan=0.0)
+        # fill_null keeps the INTEGER dtype (a to_numpy of a null-carrying
+        # int column yields float64, which silently rounds keys above 2^53
+        # — equal keys would land in different buckets and drop join rows).
+        # The filled zeros are overridden to bucket 0 via null_mask below.
+        vals = arr.fill_null(0).to_numpy(zero_copy_only=False)
         v = vals.astype(np.int64).view(np.uint64)
         out = (
             ((v * np.uint64(2654435761)) % np.uint64(2 ** 32))
@@ -279,7 +280,12 @@ def semi_join(left, right, on: str, n_partitions: int = 16):
         right.select_columns([on])
         .groupby(on)
         .count()
-        .map_batches(lambda t: t.select([on]), batch_format="pyarrow")
+        .map_batches(
+            # Empty aggregate shuffle partitions emit zero-column blocks
+            # (and some Ray paths DO hand them to the UDF) — pass through.
+            lambda t: t if t.num_columns == 0 else t.select([on]),
+            batch_format="pyarrow",
+        )
     )
     return native_join(left, keys, on=on, n_partitions=n_partitions,
                        right_from_aggregate=True)

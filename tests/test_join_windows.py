@@ -284,3 +284,18 @@ def test_partitioned_hash_join_negative_and_null_keys():
     out = partitioned_hash_join(left, right, on="k", n_buckets=4).to_pandas()
     got = sorted(zip(out["lval"], out["rname"]))
     assert got == [(1, "neg"), (2, "neg"), (4, "pos")]
+
+
+def test_partitioned_hash_join_huge_keys_with_nulls():
+    """Keys above 2^53 in a null-carrying column must keep integer
+    precision: a float64 round-trip would silently bucket equal keys apart
+    and drop matching rows."""
+    k1, k2 = (1 << 53) + 1, (1 << 60) + 7
+    left = ray.data.from_items(
+        [{"k": k1, "lval": 1}, {"k": k2, "lval": 2}, {"k": None, "lval": 3}]
+    )
+    right = ray.data.from_items(
+        [{"k": k1, "rname": "a"}, {"k": k2, "rname": "b"}]
+    )
+    out = partitioned_hash_join(left, right, on="k", n_buckets=8).to_pandas()
+    assert sorted(zip(out["lval"], out["rname"])) == [(1, "a"), (2, "b")]

@@ -183,3 +183,6 @@ def test_extract_projects_reference_scan():
     # cap at 5
     many = "Projects\n" + "\n".join(f"Tech Stack: {i}" for i in range(9))
     assert len(extract_projects(many)) == 5
+    # a trailing project with no 'tech stack' line is DISCARDED, matching
+    # the reference's scan which never flushes the final accumulator
+    assert extract_projects("Projects\nBuilt a compiler") == []
