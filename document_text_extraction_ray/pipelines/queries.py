@@ -741,10 +741,25 @@ def q_structured_fold(sf_dir: str):
 
 
 def q_classify_ner(sf_dir: str):
-    """Stub model stages (A1/A2 analogues): section label + entity counts."""
+    """Stub model stages (A1/A2 analogues), oracle-checked end-to-end: the
+    corpus text is deterministically title-cased first (a pure per-token
+    case map, reconstructible in SQL) so the NER stub's
+    capitalized-sequence scan has real per-doc signal; persons = distinct
+    2-5-word capitalized runs surviving likely_name."""
     from ..stages.models import classify_sections, ner_entities
 
-    ds = classify_sections(_docs(sf_dir, ["doc_id", "text"]), concurrency=2)
+    def titlecase(t: pa.Table) -> pa.Table:
+        capped = [
+            " ".join(w[:1].upper() + w[1:] for w in (x or "").split(" "))
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(capped, pa.large_string())})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        titlecase, batch_format="pyarrow"
+    )
+    ds = classify_sections(ds, concurrency=2)
     ds = ner_entities(ds, concurrency=2)
 
     def project(t: pa.Table) -> pa.Table:
@@ -1302,6 +1317,67 @@ def q_llm_extract(sf_dir: str):
     return ds.select_columns(["doc_id", "llm_json", "llm_status"]).sort("doc_id")
 
 
+def q_domain_cap(sf_dir: str):
+    """Per-domain quota sampling: keep at most 10 docs per source (ordered
+    by doc_id) with their in-group rank — bounds any one domain's share of
+    the training mix.  One shuffle on source; output bounded by cap x
+    n_domains regardless of skew."""
+    from ..stages.curation import cap_per_key
+
+    out = cap_per_key(_docs(sf_dir, ["doc_id", "source"]), "source",
+                      "doc_id", cap=10)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "source", "rn"])
+
+    return out.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing any lowercase word 3-gram
+    with the 'benchmark' slice (doc_id % 41 == 0) are contaminated; report
+    each with its distinct-shared-gram count.  The benchmark gram set is
+    broadcast (ray.put) — the corpus side never shuffles."""
+    from ..stages.curation import benchmark_ngram_set, ngram_contamination
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(t.column("doc_id"), pa.int64()))
+        return t.filter(pa.array(ids % 41 == 0))
+
+    def cand_only(t: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(t.column("doc_id"), pa.int64()))
+        return t.filter(pa.array(ids % 41 != 0))
+
+    grams = benchmark_ngram_set(
+        docs.map_batches(bench_only, batch_format="pyarrow"), "text", n=3
+    )
+    out = ngram_contamination(
+        docs.map_batches(cand_only, batch_format="pyarrow"), grams, n=3
+    )
+
+    def contaminated(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("n_shared_grams"), 0))
+        return t.select(["doc_id", "n_shared_grams"])
+
+    return out.map_batches(contaminated, batch_format="pyarrow").sort("doc_id")
+
+
+def q_repetition_stats(sf_dir: str):
+    """Intra-doc repetition features (Gopher-style duplicate-2-gram
+    fraction) per doc — pure per-row kernel, no shuffle."""
+    from ..stages.curation import repetition_stats
+
+    out = repetition_stats(_docs(sf_dir, ["doc_id", "text"]), n=2)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "n_ngrams", "n_distinct_ngrams",
+                         "dup_ngram_frac_e4"])
+
+    return out.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -1343,6 +1419,10 @@ QUERIES = {
     "q13_order_distribution": q13_order_distribution,
     "q18_large_orders": q18_large_orders,
     "bigram_top": q_bigram_top,
+    "domain_cap": q_domain_cap,
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
+    "classify_ner": q_classify_ner,
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
@@ -1353,7 +1433,6 @@ QUERIES = {
     "text_analysis": q_text_analysis,
     "structured_fold": q_structured_fold,
     "training_data": q_training_data,
-    "classify_ner": q_classify_ner,
     "multimodal_features": q_multimodal_features,
     "synth_extract": q_synth_extract,
     "structured_graph": q_structured_graph,
@@ -1807,3 +1886,117 @@ ORACLE_SQL.update({
         FROM c ORDER BY doc_id
     """,
 })
+
+
+ORACLE_SQL.update({
+    "domain_cap": """
+        SELECT doc_id, source, rn FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                       AS rn
+            FROM documents
+        ) WHERE rn <= 10 ORDER BY doc_id
+    """,
+    # Word tokenization [a-z0-9]+ over lower(text) matches curation.WORD_RE;
+    # 3-grams as space-joined slices; benchmark slice = doc_id % 41 == 0.
+    "decontaminate": """
+        WITH tok AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+            FROM documents
+        ), gr AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> array_to_string(list_slice(w, i, i + 2), ' '))
+                       AS gs
+            FROM tok
+        ), bench AS (
+            SELECT DISTINCT unnest(gs) AS g FROM gr WHERE doc_id % 41 = 0
+        ), cand AS (
+            SELECT doc_id, unnest(gs) AS g FROM gr WHERE doc_id % 41 <> 0
+        )
+        SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared_grams
+        FROM cand c JOIN bench b ON c.g = b.g
+        GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    "repetition_stats": """
+        WITH gr AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(len(w), 1)),
+                       i -> array_to_string(list_slice(w, i, i + 1), ' '))
+                       AS gs
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                  FROM documents)
+        )
+        SELECT doc_id,
+               CAST(len(gs) AS BIGINT) AS n_ngrams,
+               CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_ngrams,
+               CASE WHEN len(gs) = 0 THEN 0
+                    ELSE CAST(ROUND((len(gs) - len(list_distinct(gs)))
+                              * 10000.0 / len(gs)) AS BIGINT)
+               END AS dup_ngram_frac_e4
+        FROM gr ORDER BY doc_id
+    """,
+})
+
+
+def _sql_classify_ner() -> str:
+    """classify_ner oracle, generated from the SAME python constants the
+    stub uses (stages/models.py): per-label keyword-hit counts with
+    strictly-greater first-wins argmax over the label order, and persons =
+    distinct 2-5-word capitalized runs of the title-cased text passing
+    likely_name (fields.py:136).  lower(titlecased) == lower(text), so
+    label hits run on lower(text) directly."""
+    from ..functions.fields import SECTION_KEYWORDS
+    from ..stages.models import SECTION_LABELS, _LABEL_KEYWORDS
+
+    def hits(label: str) -> str:
+        ks = _LABEL_KEYWORDS.get(label, ())
+        if not ks:
+            return "0"
+        return " + ".join(
+            f"((length(lt) - length(replace(lt, '{k}', ''))) // {len(k)})"
+            for k in ks
+        )
+
+    hit_cols = ", ".join(
+        f"({hits(label)}) AS h{i}" for i, label in enumerate(SECTION_LABELS)
+    )
+    mx = "greatest(" + ", ".join(f"h{i}" for i in range(len(SECTION_LABELS))) + ")"
+    label_case = "CASE WHEN " + mx + " = 0 THEN 'other' " + " ".join(
+        f"WHEN h{i} = {mx} THEN '{label}'"
+        for i, label in enumerate(SECTION_LABELS)
+    ) + " END"
+    name_kw = " AND ".join(
+        f"NOT contains(lower(m), '{k}')" for k in SECTION_KEYWORDS
+    )
+    return f"""
+        WITH capped AS (
+            SELECT doc_id,
+                   substr(array_to_string(list_transform(
+                       string_split(text, ' '),
+                       x -> upper(substr(x, 1, 1)) || substr(x, 2)), ' '),
+                       1, 10000) AS ct,
+                   lower(text) AS lt
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, ct, {hit_cols} FROM capped
+        ), runs AS (
+            SELECT doc_id, {label_case} AS section_label,
+                   list_distinct(regexp_extract_all(ct,
+                       '\\b[A-Z][a-z]+( [A-Z][a-z]+)+\\b')) AS ms
+            FROM scored
+        )
+        SELECT doc_id, section_label,
+               CAST(len(list_filter(ms, m ->
+                   len(string_split(m, ' ')) BETWEEN 2 AND 5
+                   AND length(m) <= 60
+                   AND NOT regexp_matches(m,
+                       ' (Inc|Corp|Ltd|LLC|GmbH|University|Institute|College|Labs)$')
+                   AND {name_kw})) AS BIGINT) AS n_persons
+        FROM runs ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["classify_ner"] = _sql_classify_ner()

@@ -1,0 +1,69 @@
+"""Corpus-curation operators: per-key caps, n-gram decontamination,
+repetition stats."""
+
+import ray.data as rd
+
+from document_text_extraction_ray.stages.curation import (
+    benchmark_ngram_set,
+    cap_per_key,
+    ngram_contamination,
+    repetition_stats,
+    word_ngrams,
+)
+
+
+def test_word_ngrams_tokenization():
+    assert word_ngrams("The quick, Brown FOX!", 2) == [
+        "the quick", "quick brown", "brown fox"]
+    assert word_ngrams("one", 2) == []
+    assert word_ngrams("", 3) == []
+    # digits are word chars; punctuation splits
+    assert word_ngrams("v2.0 beta", 3) == ["v2 0 beta"]
+
+
+def test_cap_per_key_quota_and_rank():
+    ds = rd.from_items(
+        [{"id": i, "dom": f"d{i % 2}"} for i in range(10)]
+    )
+    out = cap_per_key(ds, "dom", "id", cap=3).to_pandas()
+    got = sorted(zip(out["dom"], out["id"], out["rn"]))
+    # first 3 ids per domain, 1-based ranks in id order
+    assert got == [("d0", 0, 1), ("d0", 2, 2), ("d0", 4, 3),
+                   ("d1", 1, 1), ("d1", 3, 2), ("d1", 5, 3)]
+
+
+def test_cap_per_key_small_groups_kept_whole():
+    ds = rd.from_items([{"id": 7, "dom": "solo"}])
+    out = cap_per_key(ds, "dom", "id", cap=10).to_pandas()
+    assert list(out["id"]) == [7] and list(out["rn"]) == [1]
+
+
+def test_ngram_contamination_counts_distinct_shared():
+    bench = rd.from_items([{"text": "alpha beta gamma delta"}])
+    grams = benchmark_ngram_set(bench, "text", n=2)
+    assert grams == {"alpha beta", "beta gamma", "gamma delta"}
+    docs = rd.from_items([
+        # shares 'alpha beta' twice -> counted ONCE (distinct)
+        {"doc_id": 1, "text": "alpha beta x alpha beta"},
+        {"doc_id": 2, "text": "beta gamma delta"},  # 2 shared grams? ->
+        # grams: 'beta gamma', 'gamma delta' -> both shared
+        {"doc_id": 3, "text": "zeta eta theta"},    # clean
+    ])
+    out = (
+        ngram_contamination(docs, grams, n=2)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert list(out["n_shared_grams"]) == [1, 2, 0]
+
+
+def test_repetition_stats_dup_fraction():
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "a b a b a b"},   # 5 bigrams, 2 distinct
+        {"doc_id": 2, "text": "u v w x"},       # 3 bigrams, all distinct
+        {"doc_id": 3, "text": "single"},        # no bigrams
+    ])
+    out = repetition_stats(docs, n=2).to_pandas().sort_values("doc_id")
+    assert list(out["n_ngrams"]) == [5, 3, 0]
+    assert list(out["n_distinct_ngrams"]) == [2, 3, 0]
+    # (5-2)/5 = 0.6 -> 6000 e4; clean -> 0; empty -> 0
+    assert list(out["dup_ngram_frac_e4"]) == [6000, 0, 0]
