@@ -264,8 +264,16 @@ def q3_top_revenue(sf_dir: str):
 
     li = li.map_batches(derive, batch_format="pyarrow")
     joined = native_join(li, orders, on="o_orderkey", n_partitions=16)
-    agg = joined.groupby("o_orderkey").aggregate(
-        Sum("revenue_part", alias_name="revenue")
+    # Bucketed pre-aggregated sum: Ray's groupby(key) sorts the exchange by
+    # the full (high-cardinality) orderkey — measured far slower than a
+    # bucket-id exchange (stages/aggregate.bucketed_combine).
+    from ..stages.aggregate import pre_aggregated_sum
+
+    agg = pre_aggregated_sum(joined, "o_orderkey", "revenue_part").map_batches(
+        lambda t: t if t.num_columns == 0
+        else pa.table({"o_orderkey": t.column("o_orderkey"),
+                       "revenue": t.column("sum_revenue_part")}),
+        batch_format="pyarrow",
     )
     top = agg.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
     t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
@@ -581,8 +589,22 @@ def q_hash_join_revenue(sf_dir: str):
     # native Dataset.join (3-4x the portable partitioned_hash_join here;
     # equivalence of the two is tested in test_join_windows).
     joined = native_join(li, orders, on="o_orderkey", n_partitions=16)
-    agg = joined.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_items"), Sum("rev", alias_name="revenue")
+
+    # o_orderpriority has ~5 distinct values: a per-batch pyarrow partial
+    # shrinks each joined block to 5 rows before the (tiny) final groupby.
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate(
+            [("rev", "sum"), ([], "count_all")]
+        )
+        return pa.table({"o_orderpriority": g.column("o_orderpriority"),
+                         "p_sum": g.column("rev_sum"),
+                         "p_n": g.column("count_all")})
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("p_n", alias_name="n_items"),
+                   Sum("p_sum", alias_name="revenue"))
     )
     t = pa.Table.from_pandas(agg.sort("o_orderpriority").to_pandas(),
                              preserve_index=False)
@@ -977,10 +999,16 @@ def q10_returned_items(sf_dir: str):
     li = li.map_batches(derive, batch_format="pyarrow")
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"])
-    per_cust = (
-        native_join(li, orders, on="o_orderkey", n_partitions=16)
-        .groupby("o_custkey")
-        .aggregate(Sum("rev", alias_name="revenue"))
+    from ..stages.aggregate import pre_aggregated_sum
+
+    per_cust = pre_aggregated_sum(
+        native_join(li, orders, on="o_orderkey", n_partitions=16),
+        "o_custkey", "rev",
+    ).map_batches(
+        lambda t: t if t.num_columns == 0
+        else pa.table({"o_custkey": t.column("o_custkey"),
+                       "revenue": t.column("sum_rev")}),
+        batch_format="pyarrow",
     )
     top = per_cust.sort(["revenue", "o_custkey"],
                         descending=[True, False]).limit(20)
@@ -1047,14 +1075,15 @@ def q13_order_distribution(sf_dir: str):
     The zero-order bucket is |customer| - |customers with orders| — customer
     is a dimension, its cardinality comes from parquet metadata, never a
     driver materialization of the fact side."""
+    from ..stages.aggregate import pre_aggregated_count
+
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_custkey"])
-    counts = orders.groupby("o_custkey").count()
+    counts = pre_aggregated_count(orders, "o_custkey", alias="c_count")
     dist = (
         counts.map_batches(
             # zero-column empty aggregate partitions pass through untouched
-            lambda t: t if t.num_columns == 0
-            else pa.table({"c_count": t.column("count()")}),
+            lambda t: t if t.num_columns == 0 else t.select(["c_count"]),
             batch_format="pyarrow",
         )
         .groupby("c_count")
@@ -1099,7 +1128,7 @@ def q18_large_orders(sf_dir: str):
     big = sums.map_batches(having, batch_format="pyarrow")
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"])
-    joined = native_join(big, orders, on="o_orderkey", n_partitions=16,
+    joined = native_join(big, orders, on="o_orderkey", n_partitions=8,
                          left_from_aggregate=True)
     t = pa.Table.from_pandas(joined.sort("o_orderkey").to_pandas(),
                              preserve_index=False)

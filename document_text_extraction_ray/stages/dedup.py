@@ -274,7 +274,7 @@ def minhash_candidates(
     excluded up front (hot-key defusal)."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        band_ids, band_hashes, ids, sigs = [], [], [], []
+        band_keys, ids, sigs = [], [], []
         for doc_id, text in zip(
             batch.column(id_column).to_pylist(),
             batch.column(text_column).to_pylist(),
@@ -284,14 +284,14 @@ def minhash_candidates(
             sig = D.minhash_signature(text, num_perm, shingle_k)
             sig_bytes = sig.tobytes()
             for band, h in D.band_keys(sig, bands):
-                band_ids.append(band)
-                band_hashes.append(h)
+                # One uint64 LSH key: (band << 32) | chunk-hash — a single
+                # integer column buckets/filters vectorized downstream.
+                band_keys.append((band << 32) | h)
                 ids.append(doc_id)
                 sigs.append(sig_bytes)
         return pa.table(
             {
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.uint32()),
+                "band_key": pa.array(band_keys, pa.uint64()),
                 id_column: pa.array(ids),
                 "sig": pa.array(sigs, pa.large_binary()),
             }
@@ -306,24 +306,25 @@ def minhash_candidates(
         explode, batch_format="pyarrow"
     ).materialize()
 
-    # Singleton defusal: the vast majority of (band, hash) groups have one
+    # Singleton defusal: the vast majority of band-key groups have one
     # member; running per-group Python over them dominated wall time
     # (observed 76k groups -> 3.2k real candidates at sf0.1).  Count on the
-    # THIN projection (3 columns shuffle, never the 1 KB signatures), keep
-    # keys with >= 2 members, broadcast them, and only the surviving rows
-    # enter the pair-generation groupby.
-    counts = (
-        exploded.select_columns(["band_id", "band_hash"])
-        .groupby(["band_id", "band_hash"])
-        .count()
-    )
+    # THIN key projection with the bucketed combine (never the 1 KB
+    # signatures, never a key-sorted exchange), keep keys with >= 2
+    # members, broadcast them, and only the surviving rows enter the
+    # pair-generation stage.
+    from .aggregate import bucketed_map_groups, pre_aggregated_count
+
+    counts = pre_aggregated_count(exploded, "band_key", alias="n")
     multi = counts.map_batches(
         lambda t: t if t.num_columns == 0  # empty aggregate shuffle partition
-        else t.filter(pc.greater(t.column("count()"), 1)),
+        else t.filter(pc.greater(t.column("n"), 1)),
         batch_format="pyarrow",
     )
-    dup_keys = {(r["band_id"], r["band_hash"]) for r in multi.take_all()}
-    if not dup_keys:
+    dup_keys = np.sort(
+        np.asarray(multi.to_pandas()["band_key"], dtype=np.uint64)
+    )
+    if dup_keys.size == 0:
         return ray.data.from_items([]).map_batches(
             lambda b: pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}),
             batch_format="pandas",
@@ -332,20 +333,22 @@ def minhash_candidates(
 
     def keep_candidates(batch: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
-        mask = [
-            (b, h) in keys
-            for b, h in zip(batch.column("band_id").to_pylist(),
-                            batch.column("band_hash").to_pylist())
-        ]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        vals = batch.column("band_key").combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint64)
+        # Vectorized membership against the sorted broadcast key array.
+        idx = np.searchsorted(keys, vals)
+        idx[idx >= keys.size] = 0
+        mask = keys[idx] == vals
+        return batch.filter(pa.array(mask))
 
     candidates = exploded.map_batches(keep_candidates, batch_format="pyarrow")
 
     def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.sort_values(g.columns[2])  # id column, deterministic
-        ids = g.iloc[:, 2].tolist()
+        g = g.sort_values(id_column)  # deterministic pair order
+        ids = g[id_column].tolist()
         sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
         a_out, b_out, est_out = [], [], []
         for i in range(len(ids)):
@@ -357,8 +360,9 @@ def minhash_candidates(
                     est_out.append(est)
         return pd.DataFrame({"id_a": a_out, "id_b": b_out, "est_jaccard": est_out})
 
-    pairs = candidates.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_of_group, batch_format="pandas"
+    pairs = bucketed_map_groups(
+        candidates, "band_key", pairs_of_group,
+        empty_result=pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}),
     )
     # The same pair appears once per agreeing band: dedup.  The pair set is
     # tiny by construction (only near-duplicates), so a driver-side
@@ -428,19 +432,18 @@ def simhash_pairs(ds, text_column: str, id_column: str,
     def explode(batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch.column(text_column).to_pylist()]
         sims = D.simhash_batch(texts)
-        c_ids, c_keys, ids, vals = [], [], [], []
+        c_keys, ids, vals = [], [], []
         for doc_id, sh, text in zip(batch.column(id_column).to_pylist(), sims, texts):
             if not text.strip():
                 continue
             for chunk, key in D.simhash_band_keys(int(sh), chunks):
-                c_ids.append(chunk)
-                c_keys.append(key)
+                # single uint64 LSH key: (chunk << 16) | 16-bit prefix
+                c_keys.append((chunk << 16) | key)
                 ids.append(doc_id)
                 vals.append(int(sh))
         return pa.table(
             {
-                "chunk_id": pa.array(c_ids, pa.int32()),
-                "chunk_key": pa.array(c_keys, pa.int64()),
+                "chunk_key": pa.array(c_keys, pa.uint64()),
                 id_column: pa.array(ids),
                 "simhash": pa.array(vals, pa.uint64()),
             }
@@ -453,8 +456,8 @@ def simhash_pairs(ds, text_column: str, id_column: str,
     def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values(g.columns[2])
-        ids = g.iloc[:, 2].tolist()
+        g = g.sort_values(id_column)
+        ids = g[id_column].tolist()
         vals = g["simhash"].tolist()
         a_out, b_out, h_out = [], [], []
         for i in range(len(ids)):
@@ -466,8 +469,11 @@ def simhash_pairs(ds, text_column: str, id_column: str,
                     h_out.append(h)
         return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": h_out})
 
-    pairs = exploded.groupby(["chunk_id", "chunk_key"]).map_groups(
-        pairs_of_group, batch_format="pandas"
+    from .aggregate import bucketed_map_groups
+
+    pairs = bucketed_map_groups(
+        exploded, "chunk_key", pairs_of_group,
+        empty_result=pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}),
     )
     # A pair appears once per agreeing chunk with the SAME hamming value:
     # a vectorized Min aggregate dedups it (no per-group Python).
@@ -549,4 +555,9 @@ def verify_pairs_jaccard_join(pairs_ds, docs, id_column: str, text_column: str,
             return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
         return pd.DataFrame({"id_a": [a], "id_b": [b], "jaccard": [sim]})
 
-    return joined.groupby(["id_a", "id_b"]).map_groups(fold, batch_format="pandas")
+    from .aggregate import bucketed_map_groups
+
+    return bucketed_map_groups(
+        joined, ["id_a", "id_b"], fold,
+        empty_result=pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}),
+    )
