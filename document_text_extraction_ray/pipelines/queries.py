@@ -638,30 +638,38 @@ def q_sliding_window(sf_dir: str):
 def q_asof_latest_order(sf_dir: str):
     """As-of join: each event matched to the user's latest order at-or-before
     the event time (backward inner asof) — oracle via DuckDB ASOF JOIN."""
-    from ray.data.aggregate import Max
-
+    from ..stages.aggregate import bucketed_combine
     from ..stages.join import asof_join
 
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "ts", "user_id"])
-    # Right side made unique per (key, time): max orderkey wins (both sides).
-    orders = (
-        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                        columns=["o_custkey", "o_orderdate", "o_orderkey"])
-        .groupby(["o_custkey", "o_orderdate"])
-        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
-    )
+    # Right side made unique per (key, time): max orderkey wins (both
+    # sides).  Per-batch partial max + bucketed combine on the custkey
+    # (the orderdate rides along inside each bucket's pyarrow group_by) —
+    # the (cust, date) key is near-unique, Ray's key-sort groupby is the
+    # slow path there.
+    raw = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_custkey", "o_orderdate", "o_orderkey"])
 
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": t.column("o_custkey"),
-                "o_orderdate": t.column("o_orderdate"),
-                "o_orderkey": t.column("o_orderkey"),
-            }
+    def partial_max(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey", "o_orderdate"]).aggregate(
+            [("o_orderkey", "max")]
         )
+        return pa.table({"user_id": g.column("o_custkey"),
+                         "o_orderdate": g.column("o_orderdate"),
+                         "o_orderkey": g.column("o_orderkey_max")})
 
-    orders = orders.map_batches(rename, batch_format="pyarrow")
+    partials = raw.map_batches(partial_max, batch_format="pyarrow")
+
+    def combine_max(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "o_orderdate"]).aggregate(
+            [("o_orderkey", "max")]
+        )
+        return pa.table({"user_id": g.column("user_id"),
+                         "o_orderdate": g.column("o_orderdate"),
+                         "o_orderkey": g.column("o_orderkey_max")})
+
+    orders = bucketed_combine(partials, "user_id", combine_max)
     joined = asof_join(
         ev, orders, by="user_id", left_on="ts", right_on="o_orderdate",
         right_schema=pa.schema(
@@ -930,9 +938,11 @@ def q_rank_orders(sf_dir: str):
         g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
         return g[["o_custkey", "o_orderkey", "rnk"]]
 
-    return orders.groupby("o_custkey").map_groups(
-        top3, batch_format="pandas"
-    ).sort(["o_custkey", "rnk"])
+    from ..stages.aggregate import bucketed_map_groups
+
+    return bucketed_map_groups(orders, "o_custkey", top3).sort(
+        ["o_custkey", "rnk"]
+    )
 
 
 def q_event_lag_diffs(sf_dir: str):
@@ -950,7 +960,9 @@ def q_event_lag_diffs(sf_dir: str):
         g = g.dropna(subset=["value_diff"])
         return g[["event_id", "user_id", "value_diff"]]
 
-    out = ev.groupby("user_id").map_groups(lag, batch_format="pandas")
+    from ..stages.aggregate import bucketed_map_groups
+
+    out = bucketed_map_groups(ev, "user_id", lag)
     return _scale_int_ds(out, {"value_diff": 100}).sort("event_id")
 
 
@@ -971,7 +983,13 @@ def q_user_first_last(sf_dir: str):
               "n_events": len(g)}]
         )
 
-    out = ev.groupby("user_id").map_groups(fold, batch_format="pandas")
+    from ..stages.aggregate import bucketed_map_groups
+
+    out = bucketed_map_groups(
+        ev, "user_id", fold,
+        empty_result=pd.DataFrame({"user_id": [], "first_value": [],
+                                   "last_value": [], "n_events": []}),
+    )
     t = pa.Table.from_pandas(out.sort("user_id").to_pandas(),
                              preserve_index=False)
     return _scale_int(t, {"first_value": 100, "last_value": 100})

@@ -253,4 +253,4 @@ def running_total(ds, key_col: str, order_cols, value_col: str):
         g["running_total"] = g[value_col].cumsum()
         return g
 
-    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+    return bucketed_map_groups(ds, key_col, fold)

@@ -52,7 +52,9 @@ def cap_per_key(ds, key_column: str, order_column: str, cap: int,
         g[rank_column] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    return ds.groupby(key_column).map_groups(fold, batch_format="pandas")
+    from .aggregate import bucketed_map_groups
+
+    return bucketed_map_groups(ds, key_column, fold)
 
 
 def benchmark_ngram_set(bench_ds, text_column: str = "text", n: int = 3) -> set:

@@ -86,4 +86,6 @@ def token_budget_bins(ds, key_column: str, order_column: str,
         g[out_column] = (prior // budget).astype("int64")
         return g
 
-    return ds.groupby(key_column).map_groups(fold, batch_format="pandas")
+    from .aggregate import bucketed_map_groups
+
+    return bucketed_map_groups(ds, key_column, fold)

@@ -103,4 +103,6 @@ def sessionize(ds, ts_col: str, key_col: str, gap_s: int = 1800):
             )
         return pd.DataFrame(rows)
 
-    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+    from .aggregate import bucketed_map_groups
+
+    return bucketed_map_groups(ds, key_col, fold)
