@@ -269,15 +269,19 @@ def q3_top_revenue(sf_dir: str):
     # bucket-id exchange (stages/aggregate.bucketed_combine).
     from ..stages.aggregate import pre_aggregated_sum
 
+    # Scale revenue to integer cents BEFORE the top-k sort: ranks become
+    # ULP-immune (float sums ordered only by rank-stable integers, both
+    # here and in the oracle's ORDER BY).
     agg = pre_aggregated_sum(joined, "o_orderkey", "revenue_part").map_batches(
         lambda t: t if t.num_columns == 0
-        else pa.table({"o_orderkey": t.column("o_orderkey"),
-                       "revenue": t.column("sum_revenue_part")}),
+        else _scale_int(pa.table({"o_orderkey": t.column("o_orderkey"),
+                                  "revenue": t.column("sum_revenue_part")}),
+                        {"revenue": 100}),
         batch_format="pyarrow",
     )
     top = agg.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
     t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
-    return _scale_int(t.select(["o_orderkey", "revenue"]), {"revenue": 100})
+    return t.select(["o_orderkey", "revenue"])
 
 
 def q6_forecast_revenue(sf_dir: str):
@@ -1019,13 +1023,16 @@ def q10_returned_items(sf_dir: str):
                              columns=["o_orderkey", "o_custkey"])
     from ..stages.aggregate import pre_aggregated_sum
 
+    # Integer-cents scaling before the top-k: rank-stable ordering (see
+    # q3_top_revenue).
     per_cust = pre_aggregated_sum(
         native_join(li, orders, on="o_orderkey", n_partitions=16),
         "o_custkey", "rev",
     ).map_batches(
         lambda t: t if t.num_columns == 0
-        else pa.table({"o_custkey": t.column("o_custkey"),
-                       "revenue": t.column("sum_rev")}),
+        else _scale_int(pa.table({"o_custkey": t.column("o_custkey"),
+                                  "revenue": t.column("sum_rev")}),
+                        {"revenue": 100}),
         batch_format="pyarrow",
     )
     top = per_cust.sort(["revenue", "o_custkey"],
@@ -1037,9 +1044,8 @@ def q10_returned_items(sf_dir: str):
                      cust.column("c_name").to_pylist()))
     df["c_name"] = [names[k] for k in df["o_custkey"]]
     df = df.rename(columns={"o_custkey": "c_custkey"})
-    t = pa.Table.from_pandas(df[["c_custkey", "c_name", "revenue"]],
-                             preserve_index=False)
-    return _scale_int(t, {"revenue": 100})
+    return pa.Table.from_pandas(df[["c_custkey", "c_name", "revenue"]],
+                                preserve_index=False)
 
 
 def q14_promo_revenue(sf_dir: str):
@@ -1570,7 +1576,8 @@ ORACLE_SQL = {
         JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'
         GROUP BY l_orderkey
-        ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l_orderkey ASC
+        ORDER BY CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                 AS BIGINT) DESC, l_orderkey ASC
         LIMIT 10
     """,
     "q6_forecast_revenue": """
@@ -1856,7 +1863,8 @@ ORACLE_SQL.update({
         JOIN lineitem ON l_orderkey = o_orderkey
         WHERE l_returnflag = 'R'
         GROUP BY c_custkey, c_name
-        ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, c_custkey ASC
+        ORDER BY CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                 AS BIGINT) DESC, c_custkey ASC
         LIMIT 20
     """,
     "q14_promo_revenue": """
