@@ -193,16 +193,34 @@ def salted_sum(ds, key: str, value: str, hot_keys, n_salt: int = 8):
     )
 
 
-def exact_distinct_count(ds, group_col: str, value_col: str):
-    """Exact COUNT(DISTINCT value) per group: two-level groupby — dedup on
-    (group, value) first (thin shuffle), then count per group.  The standard
-    exact plan when the distinct set is too big to broadcast."""
-    dedup = (
-        ds.select_columns([group_col, value_col])
-        .groupby([group_col, value_col])
-        .count()
+def exact_distinct_count(ds, group_col: str, value_col: str,
+                         n_buckets: int = 32):
+    """Exact COUNT(DISTINCT value) per group: per-batch distinct partial,
+    value-hash bucketed final dedup (a pair's bucket depends only on the
+    value, so each (group, value) pair meets exactly once), then per-group
+    partial counts reduced by one tiny groupby on the (low-cardinality)
+    group key.  The standard exact plan when the distinct set is too big to
+    broadcast — with the near-unique-pair exchange bucketed rather than
+    key-sorted (see ``bucketed_combine``)."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by([group_col, value_col]).aggregate([])
+
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        partial, batch_format="pyarrow"
     )
-    return dedup.groupby(group_col).aggregate(Count(alias_name="n_distinct"))
+
+    def combine(t: pa.Table) -> pa.Table:
+        d = t.group_by([group_col, value_col]).aggregate([])
+        c = d.group_by(group_col).aggregate([([], "count_all")])
+        return pa.table({group_col: c.column(group_col),
+                         "partial_n": c.column("count_all")})
+
+    per_bucket = bucketed_combine(partials, value_col, combine, n_buckets)
+    return per_bucket.groupby(group_col).aggregate(
+        Sum("partial_n", alias_name="n_distinct")
+    )
 
 
 def approx_distinct_count(ds, group_col: str, value_col: str, p: int = 12):
