@@ -336,10 +336,18 @@ def q4_semi_join(sf_dir: str):
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_orderpriority"])
 
+    semi = semi_join(orders, big, on="o_orderkey", n_partitions=16)
+
+    # ~5 distinct priorities: per-batch partial counts, tiny final groupby.
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([([], "count_all")])
+        return pa.table({"o_orderpriority": g.column("o_orderpriority"),
+                         "p_n": g.column("count_all")})
+
     agg = (
-        semi_join(orders, big, on="o_orderkey", n_partitions=16)
+        semi.map_batches(partial, batch_format="pyarrow")
         .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_orders"))
+        .aggregate(Sum("p_n", alias_name="n_orders"))
     )
     return agg.sort("o_orderpriority")
 
@@ -1431,6 +1439,35 @@ def q_repetition_stats(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow").sort("doc_id")
 
 
+def q_source_quantiles(sf_dir: str):
+    """Per-source exact char-length quantiles (PERCENTILE_DISC semantics)
+    — distribution profiling per domain; bucketed shuffle on source."""
+    from ..stages.aggregate import grouped_quantiles
+
+    out = grouped_quantiles(_docs(sf_dir, ["source", "n_chars"]),
+                            "source", "n_chars")
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["source", "n_rows", "p25", "p50", "p75"])
+
+    return out.map_batches(project, batch_format="pyarrow").sort("source")
+
+
+STRATA_RATES = {"src0": "40", "src1": "0c", "src2": "80"}  # rest: default 1a
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sampling: sources get different md5-prefix
+    bounds (mix rebalancing) — row-local, no shuffle."""
+    from ..stages.sampling import stratified_hash_sample
+
+    out = stratified_hash_sample(
+        _docs(sf_dir, ["doc_id", "source"]), "doc_id", "source",
+        rates=STRATA_RATES, default_hex="1a",
+    )
+    return out.sort("doc_id")
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -1476,6 +1513,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
     "classify_ner": q_classify_ner,
+    "source_quantiles": q_source_quantiles,
+    "stratified_sample": q_stratified_sample,
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
@@ -2055,3 +2094,27 @@ def _sql_classify_ner() -> str:
 
 
 ORACLE_SQL["classify_ner"] = _sql_classify_ner()
+
+
+def _sql_strata_case() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN '{b}'" for s, b in STRATA_RATES.items()
+    )
+    return f"CASE {whens} ELSE '1a' END"
+
+
+ORACLE_SQL.update({
+    "source_quantiles": """
+        SELECT source,
+               COUNT(*) AS n_rows,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS p25,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_chars) AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS p75
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "stratified_sample": f"""
+        SELECT doc_id, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_sql_strata_case()}
+        ORDER BY doc_id
+    """,
+})

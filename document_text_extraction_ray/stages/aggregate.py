@@ -223,6 +223,31 @@ def exact_distinct_count(ds, group_col: str, value_col: str,
     )
 
 
+def grouped_quantiles(ds, key: str, value: str, ps=(0.25, 0.5, 0.75),
+                      n_buckets: int = 32):
+    """Exact per-group discrete quantiles (PERCENTILE_DISC semantics: the
+    first sorted value whose cumulative share reaches p — always an actual
+    element).  One bucketed shuffle on the key; each group's values meet in
+    one task.
+
+    Scale note: exact quantiles need a whole group in one task — right for
+    per-domain / per-category stats (bounded groups).  For corpus-wide
+    quantiles over unbounded groups, sample first or use a mergeable sketch
+    instead."""
+    import math
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[value].sort_values(kind="mergesort").to_numpy()
+        n = len(vals)
+        row = {key: g[key].iloc[0], "n_rows": n}
+        for p in ps:
+            idx = max(int(math.ceil(p * n)) - 1, 0)
+            row[f"p{int(p * 100)}"] = vals[idx]
+        return pd.DataFrame([row])
+
+    return bucketed_map_groups(ds.select_columns([key, value]), key, fold)
+
+
 def approx_distinct_count(ds, group_col: str, value_col: str, p: int = 12):
     """Approximate COUNT(DISTINCT value) per group via mergeable HLL
     sketches: one sketch per (group, batch) partial -> register-max merge.

@@ -276,16 +276,15 @@ def semi_join(left, right, on: str, n_partitions: int = 16):
     this instead of a broadcast ``is_in`` whenever the key set derives from a
     FACT table (unbounded at corpus scale); keep the broadcast form for
     dimension-derived sets."""
-    keys = (
-        right.select_columns([on])
-        .groupby(on)
-        .count()
-        .map_batches(
-            # Empty aggregate shuffle partitions emit zero-column blocks
-            # (and some Ray paths DO hand them to the UDF) — pass through.
-            lambda t: t if t.num_columns == 0 else t.select([on]),
-            batch_format="pyarrow",
-        )
+    from .aggregate import pre_aggregated_count
+
+    # Distinct keys via the bucketed combine (the key is near-unique, so
+    # Ray's key-sort groupby is the slow path — see bucketed_combine).
+    keys = pre_aggregated_count(right, on, alias="__n").map_batches(
+        # Empty aggregate shuffle partitions emit zero-column blocks
+        # (and some Ray paths DO hand them to the UDF) — pass through.
+        lambda t: t if t.num_columns == 0 else t.select([on]),
+        batch_format="pyarrow",
     )
     return native_join(left, keys, on=on, n_partitions=n_partitions,
                        right_from_aggregate=True)

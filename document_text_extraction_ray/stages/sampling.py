@@ -46,6 +46,25 @@ def hash_sample(ds, id_column: str, rate_hex: str = "1a"):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_hash_sample(ds, id_column: str, strata_column: str,
+                           rates: dict, default_hex: str = "1a"):
+    """Per-stratum deterministic sampling: each stratum gets its own
+    md5-prefix bound (e.g. downsample an over-represented domain to 5% and
+    keep a rare one at 50%) — the mix-rebalancing step of a training
+    pipeline.  Row-local and retry-stable like ``hash_sample``; no
+    shuffle."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ps = _prefix_column(batch, id_column)
+        strata = batch.column(strata_column).to_pylist()
+        mask = [
+            p < rates.get(s, default_hex) for p, s in zip(ps, strata)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 SPLIT_BOUNDS = (("val", "1a"), ("test", "34"))  # 26/256 each; rest = train
 
 

@@ -56,3 +56,44 @@ def test_token_budget_bins_prefix_sum_semantics():
     for src, g in out.groupby("src"):
         bins = g.sort_values("doc_id")["bin_id"].tolist()
         assert bins == sorted(bins)
+
+
+def test_stratified_hash_sample_per_stratum_rates():
+    from document_text_extraction_ray.stages.sampling import (
+        stratified_hash_sample,
+    )
+
+    ds = rd.from_items(
+        [{"id": i, "s": "hot" if i % 2 == 0 else "rare"} for i in range(400)]
+    )
+    out = stratified_hash_sample(ds, "id", "s",
+                                 rates={"hot": "08", "rare": "80"}).to_pandas()
+    # membership is exactly the per-stratum md5 predicate
+    expect = sorted(
+        i for i in range(400)
+        if md5_prefix(i) < ("08" if i % 2 == 0 else "80")
+    )
+    assert sorted(out["id"]) == expect
+    # the rare stratum keeps ~8x the rate of the hot one
+    hot = (out["s"] == "hot").sum()
+    rare = (out["s"] == "rare").sum()
+    assert rare > hot
+
+
+def test_grouped_quantiles_percentile_disc_semantics():
+    import pandas as pd
+
+    from document_text_extraction_ray.stages.aggregate import (
+        grouped_quantiles,
+    )
+
+    rows = [{"g": "a", "v": v} for v in [10, 20, 30, 40]]  # even n
+    rows += [{"g": "b", "v": v} for v in [5, 1, 9]]        # odd n, unsorted
+    out = (
+        grouped_quantiles(rd.from_items(rows), "g", "v")
+        .to_pandas().set_index("g").sort_index()
+    )
+    # PERCENTILE_DISC: first element at cumulative share >= p
+    assert list(out.loc["a", ["p25", "p50", "p75"]]) == [10, 20, 30]
+    assert list(out.loc["b", ["p25", "p50", "p75"]]) == [1, 5, 9]
+    assert list(out["n_rows"]) == [4, 3]
