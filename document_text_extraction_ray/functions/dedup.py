@@ -49,14 +49,27 @@ def word_ngrams(text: str, n: int = 3) -> set:
     return {" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)}
 
 
+_SHINGLE_B = np.uint64(1000003)
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """crc32 of each char shingle (uint64 for the universal hash)."""
-    sh = char_shingles(text, k)
-    if not sh:
+    """Distinct k-byte-window polynomial hashes (uint64) of the normalized
+    text — fully vectorized (sliding_window_view x power vector, wrapping
+    uint64 arithmetic), replacing a per-shingle Python crc32 loop.  Byte
+    windows == char windows for ASCII; for multi-byte UTF-8 the window
+    domain shifts, which only re-randomizes the hash family."""
+    norm = " ".join(text.lower().split())
+    if not norm:
         return np.zeros(0, dtype=np.uint64)
-    return np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) for s in sh), dtype=np.uint64, count=len(sh)
-    )
+    data = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(data) < k:
+        powers = _SHINGLE_B ** np.arange(len(data) - 1, -1, -1, dtype=np.uint64)
+        return np.array([(data * powers).sum()], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(data, k)
+    powers = _SHINGLE_B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    # np.unique mirrors the shingle-SET semantics (hash-level dedup; a
+    # collision merging two shingles is harmless for a min-hash).
+    return np.unique((win * powers[None, :]).sum(axis=1))
 
 
 def minhash_signature(text: str, num_perm: int = 128, k: int = 5) -> np.ndarray:
