@@ -754,10 +754,23 @@ def q_ivf_ann(sf_dir: str):
 
 
 def q_text_analysis(sf_dir: str):
+    """Combined text-analysis profile per doc, oracle-checked end-to-end:
+    language ID, ws + BPE-ish token counts, and the quality score as a
+    fixed-point e4 integer (hash-stable across engines)."""
     ds = text_stats(_docs(sf_dir, ["doc_id", "text"]), concurrency=4)
-    return ds.select_columns(
-        ["doc_id", "pred_lang", "n_tokens_ws", "n_tokens_bpe", "quality_score"]
-    ).sort("doc_id")
+
+    def project(t: pa.Table) -> pa.Table:
+        score = np.asarray(pc.cast(t.column("quality_score"), pa.float64()))
+        e4 = np.floor(score * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "pred_lang": t.column("pred_lang"),
+            "n_tokens_ws": t.column("n_tokens_ws"),
+            "n_tokens_bpe": t.column("n_tokens_bpe"),
+            "quality_score_e4": pa.array(e4, pa.int64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow").sort("doc_id")
 
 
 def q_structured_fold(sf_dir: str):
@@ -1515,6 +1528,7 @@ QUERIES = {
     "classify_ner": q_classify_ner,
     "source_quantiles": q_source_quantiles,
     "stratified_sample": q_stratified_sample,
+    "text_analysis": q_text_analysis,
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
@@ -1522,7 +1536,6 @@ QUERIES = {
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
     "embedding_dups": q_embedding_dups,
-    "text_analysis": q_text_analysis,
     "structured_fold": q_structured_fold,
     "training_data": q_training_data,
     "multimodal_features": q_multimodal_features,
@@ -1804,7 +1817,8 @@ def _sql_stoplist(lang: str) -> str:
 # does w.lower() per word), distinct, stopword hits per profile,
 # first-max-wins over the sorted language order (matches the detector's
 # strictly-greater iteration).
-ORACLE_SQL_LANG_PRED = f"""
+# Reusable per-doc prediction CTE (ends with p(doc_id, pred_lang)).
+ORACLE_SQL_PRED_CTE = f"""
     WITH w AS (
         SELECT doc_id,
                list_distinct(list_transform(
@@ -1830,6 +1844,9 @@ ORACLE_SQL_LANG_PRED = f"""
                     ELSE 'ta' END AS pred_lang
         FROM h
     )
+"""
+
+ORACLE_SQL_LANG_PRED = ORACLE_SQL_PRED_CTE + """
     SELECT pred_lang, COUNT(*) AS n_docs
     FROM p GROUP BY pred_lang ORDER BY pred_lang
 """
@@ -2118,3 +2135,57 @@ ORACLE_SQL.update({
         ORDER BY doc_id
     """,
 })
+
+
+def _sql_text_analysis() -> str:
+    """text_analysis oracle: per-doc pred_lang (shared CTE), ws + BPE-ish
+    token counts, and the quality score reconstructed step by step.
+
+    The python BPE regex's `\\s+(?!\\S)` lookahead branch is dropped for
+    RE2: the plain `\\s+` union yields a different whitespace-run SPLIT but
+    the identical match COUNT (a w-space run before a token is 2 tokens
+    either way, before EOL 1), and only counts are compared.  Score factors
+    multiply in the python kernel's order; the e4 fixed point uses the same
+    floor(x*1e4+0.5) on both sides."""
+    bpe = ("''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+           "| ?[^\\sA-Za-z0-9]+|\\s+")
+    en_stop = _sql_stoplist("en")
+    return ORACLE_SQL_PRED_CTE + f"""
+    , q AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+               len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS n_punct,
+               list_distinct(list_transform(
+                   regexp_extract_all(text, '\\S+'),
+                   x -> trim(lower(x), '.,;:!?'))) AS lowers
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n_chars, n_tokens,
+               CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                   (CASE WHEN n_chars < 50 THEN 0.2 ELSE 1.0 END)
+                   * (CASE WHEN n_punct / CAST(n_chars AS DOUBLE) > 0.2
+                           THEN 0.5 ELSE 1.0 END)
+                   * (CASE WHEN (n_chars - (n_tokens - 1))
+                                / CAST(n_tokens AS DOUBLE) < 2.0
+                             OR (n_chars - (n_tokens - 1))
+                                / CAST(n_tokens AS DOUBLE) > 12.0
+                           THEN 0.5 ELSE 1.0 END)
+                   * least(1.0, 0.3 + len(list_intersect(lowers, {en_stop}))
+                                / CAST(len(lowers) AS DOUBLE) * 3.0)
+               END AS score
+        FROM q
+    )
+    SELECT s.doc_id, p.pred_lang,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(d.text, '{bpe}')) AS BIGINT)
+               AS n_tokens_bpe,
+           CAST(FLOOR(ROUND(s.score, 6) * 10000 + 0.5) AS BIGINT)
+               AS quality_score_e4
+    FROM s JOIN p ON s.doc_id = p.doc_id
+    JOIN documents d ON d.doc_id = s.doc_id
+    ORDER BY s.doc_id
+    """
+
+
+ORACLE_SQL["text_analysis"] = _sql_text_analysis()
