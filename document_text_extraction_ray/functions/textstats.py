@@ -117,10 +117,19 @@ _B = 1_000_003        # Rabin-Karp base
 _M = (1 << 61) - 1    # Mersenne prime modulus
 
 
+def _token_hash(t: str) -> int:
+    """64-bit token hash = little-endian last 8 md5 bytes — exactly
+    DuckDB's ``md5_number_lower``, so the fingerprint oracle reconstructs
+    the same hash stream in SQL."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:], "little")
+
+
 def rolling_hashes(tokens: list, window: int = 8) -> list:
     """Rabin-Karp rolling hashes over token hash stream (document
     fingerprinting building block)."""
-    hs = [zlib.crc32(t.encode("utf-8")) for t in tokens]
+    hs = [_token_hash(t) for t in tokens]
     if len(hs) < window:
         if not hs:
             return []

@@ -1249,15 +1249,20 @@ def q_doc_markdown(sf_dir: str):
 
 
 def q_doc_fingerprints(sf_dir: str):
-    """Winnowing document fingerprints (rolling-hash sketch) per doc —
-    deterministic ints, rows-only (no SQL rolling hash)."""
+    """Winnowing document fingerprints (rolling-hash sketch) per doc,
+    oracle-checked: token hashes are md5_number_lower-compatible and the
+    Rabin-Karp window reduce is replayed in SQL via list_reduce over
+    HUGEINT.  The fingerprint is emitted as a comma-joined string (list
+    columns stringify engine-dependently in the hash compare)."""
     from ..functions.textstats import fingerprint
 
     def fp(t: pa.Table) -> pa.Table:
         outs = [fingerprint(x or "") for x in t.column("text").to_pylist()]
         return pa.table(
             {"doc_id": t.column("doc_id"),
-             "fingerprint": pa.array(outs, pa.list_(pa.int64())),
+             "fingerprint": pa.array(
+                 [",".join(str(h) for h in o) for o in outs],
+                 pa.large_string()),
              "n_hashes": pa.array([len(o) for o in outs], pa.int64())}
         )
 
@@ -1529,6 +1534,7 @@ QUERIES = {
     "source_quantiles": q_source_quantiles,
     "stratified_sample": q_stratified_sample,
     "text_analysis": q_text_analysis,
+    "doc_fingerprints": q_doc_fingerprints,
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
@@ -1543,7 +1549,6 @@ QUERIES = {
     "structured_graph": q_structured_graph,
     "doc_markdown": q_doc_markdown,
     "llm_extract": q_llm_extract,
-    "doc_fingerprints": q_doc_fingerprints,
     "approx_distinct_users": q_approx_distinct_users,
     "hash_sample": q_hash_sample,
     "split_counts": q_split_counts,
@@ -2189,3 +2194,42 @@ def _sql_text_analysis() -> str:
 
 
 ORACLE_SQL["text_analysis"] = _sql_text_analysis()
+
+
+# doc_fingerprints oracle: token hash = md5_number_lower (== python
+# little-endian last-8 md5 bytes); each 8-token window's Rabin-Karp value is
+# replayed with list_reduce over HUGEINT ((a*B + h) % M; the trailing % M
+# also reduces the 1-element seed case, where list_reduce never applies the
+# lambda); winnowing = 16 smallest distinct; emitted as a comma-joined
+# string to stringify identically across engines.
+ORACLE_SQL["doc_fingerprints"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(regexp_extract_all(text, '\S+'),
+                   x -> CAST(md5_number_lower(x) AS HUGEINT)) AS hs
+        FROM documents
+    ), r AS (
+        SELECT doc_id,
+               CASE
+                   WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                   WHEN len(hs) < 8 THEN [CAST(
+                       list_reduce(hs, (a, h) ->
+                           (a * 1000003 + h) % 2305843009213693951)
+                       % 2305843009213693951 AS BIGINT)]
+                   ELSE list_transform(range(1, len(hs) - 6),
+                       i -> CAST(
+                           list_reduce(list_slice(hs, i, i + 7), (a, h) ->
+                               (a * 1000003 + h) % 2305843009213693951)
+                           % 2305843009213693951 AS BIGINT))
+               END AS rh
+        FROM t
+    ), f AS (
+        SELECT doc_id,
+               list_slice(list_sort(list_distinct(rh)), 1, 16) AS fp
+        FROM r
+    )
+    SELECT doc_id,
+           array_to_string(fp, ',') AS fingerprint,
+           CAST(len(fp) AS BIGINT) AS n_hashes
+    FROM f ORDER BY doc_id
+"""

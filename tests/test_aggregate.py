@@ -104,3 +104,74 @@ def test_running_total_multi_order_no_composite_key():
     ref = ref.assign(expected=ref.groupby("user_id")["value"].cumsum())
     merged = out.merge(ref[["event_id", "expected"]], on="event_id")
     assert np.allclose(merged["running_total"], merged["expected"])
+
+
+def test_bucketed_combine_matches_ray_groupby_with_nulls_and_negatives():
+    import pyarrow as pa
+
+    import ray.data as rd
+    from document_text_extraction_ray.stages.aggregate import (
+        pre_aggregated_sum,
+    )
+
+    rows = [{"k": k, "v": float(i)} for i, k in enumerate(
+        [-5, -5, 3, 3, 3, None, None, 2**60, 2**60, 0]
+    )]
+    ds = rd.from_arrow(pa.Table.from_pylist(
+        rows, schema=pa.schema([("k", pa.int64()), ("v", pa.float64())])
+    ))
+    got = pre_aggregated_sum(ds, "k", "v").to_pandas()
+    got = {r["k"]: (r["sum_v"], r["n_rows"]) for _, r in got.iterrows()}
+    import math
+    # nulls group together (pandas groupby drops them server-side is NOT
+    # acceptable — pyarrow group_by keeps a null group)
+    assert got[-5] == (1.0, 2)
+    assert got[3] == (9.0, 3)
+    assert got[2**60] == (15.0, 2)
+    assert got[0] == (9.0, 1)
+    null_keys = [k for k in got if k is None or (isinstance(k, float) and math.isnan(k))]
+    assert len(null_keys) == 1
+    assert got[null_keys[0]] == (11.0, 2)
+
+
+def test_bucketed_map_groups_skewed_hot_key():
+    import pandas as pd
+
+    import ray.data as rd
+    from document_text_extraction_ray.stages.aggregate import (
+        bucketed_map_groups,
+    )
+
+    # one key holds 90% of rows; groups must still be key-complete
+    rows = [{"k": "hot", "v": i} for i in range(900)]
+    rows += [{"k": f"c{i}", "v": i} for i in range(100)]
+    ds = rd.from_items(rows)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"k": g["k"].iloc[0], "n": len(g),
+                              "s": int(g["v"].sum())}])
+
+    out = bucketed_map_groups(ds, "k", fold).to_pandas().set_index("k")
+    assert out.loc["hot", "n"] == 900
+    assert out.loc["hot", "s"] == sum(range(900))
+    assert len(out) == 101
+
+
+def test_bucketed_map_groups_multi_key_and_string_keys():
+    import pandas as pd
+
+    import ray.data as rd
+    from document_text_extraction_ray.stages.aggregate import (
+        bucketed_map_groups,
+    )
+
+    rows = [{"a": f"x{i % 3}", "b": i % 2, "v": i} for i in range(60)]
+    ds = rd.from_items(rows)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"a": g["a"].iloc[0], "b": g["b"].iloc[0],
+                              "n": len(g)}])
+
+    out = bucketed_map_groups(ds, ["a", "b"], fold).to_pandas()
+    assert len(out) == 6
+    assert set(out["n"]) == {10}
