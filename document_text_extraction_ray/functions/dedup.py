@@ -108,6 +108,15 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return jaccard(word_ngrams(text_a, n), word_ngrams(text_b, n))
 
 
+def _feature_hash(f: str) -> int:
+    """64-bit feature hash = little-endian last 8 md5 bytes — exactly
+    DuckDB's ``md5_number_lower``, so the simhash oracle replays the same
+    bit votes in SQL."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(f.encode("utf-8")).digest()[8:], "little")
+
+
 def simhash(text: str, bits: int = 64) -> int:
     """Charikar SimHash over word-ngram features (weighted bit voting)."""
     feats = word_ngrams(text, 2) | set(text.lower().split())
@@ -115,7 +124,7 @@ def simhash(text: str, bits: int = 64) -> int:
         return 0
     acc = np.zeros(bits, dtype=np.int64)
     for f in feats:
-        h = zlib.crc32(f.encode("utf-8")) | (zlib.crc32(f[::-1].encode("utf-8")) << 32)
+        h = _feature_hash(f)
         for i in range(bits):
             acc[i] += 1 if (h >> i) & 1 else -1
     out = 0
@@ -134,13 +143,7 @@ def simhash_batch(texts, bits: int = 64) -> np.ndarray:
         if not feats:
             continue
         hs = np.fromiter(
-            (
-                zlib.crc32(f.encode("utf-8"))
-                | (zlib.crc32(f[::-1].encode("utf-8")) << 32)
-                for f in feats
-            ),
-            dtype=np.uint64,
-            count=len(feats),
+            (_feature_hash(f) for f in feats), dtype=np.uint64, count=len(feats)
         )
         # bits x feats sign matrix summed -> majority vote per bit
         votes = ((hs[None, :] >> bit_idx[:, None]) & np.uint64(1)).astype(np.int64)

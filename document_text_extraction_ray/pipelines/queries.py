@@ -1535,9 +1535,9 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "text_analysis": q_text_analysis,
     "doc_fingerprints": q_doc_fingerprints,
+    "simhash_pairs": q_simhash_pairs,
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
-    "simhash_pairs": q_simhash_pairs,
     "ngram_verified_dups": q_ngram_verified_dups,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
@@ -2232,4 +2232,47 @@ ORACLE_SQL["doc_fingerprints"] = r"""
            array_to_string(fp, ',') AS fingerprint,
            CAST(len(fp) AS BIGINT) AS n_hashes
     FROM f ORDER BY doc_id
+"""
+
+
+# simhash_pairs oracle: features (distinct words + word-bigrams of
+# lower(text)) hashed with md5_number_lower (== the python kernel's
+# _feature_hash), per-bit majority vote folded into a UBIGINT simhash,
+# 4x16-bit pigeonhole chunks self-joined for candidates, hamming via
+# bit_count(xor).  Empty-feature docs are excluded on both sides.
+ORACLE_SQL["simhash_pairs"] = r"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        FROM documents
+    ), f AS (
+        SELECT doc_id, list_distinct(list_concat(
+            CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])
+                 ELSE CAST([] AS VARCHAR[]) END,
+            toks)) AS feats
+        FROM w
+    ), h AS (
+        SELECT doc_id, list_transform(feats, x -> md5_number_lower(x)) AS hs
+        FROM f
+    ), s AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 64),
+                   i -> CASE WHEN 2 * len(list_filter(hs,
+                                   v -> (v >> i) & 1 = 1)) > len(hs)
+                             THEN (CAST(1 AS UBIGINT) << i)
+                             ELSE CAST(0 AS UBIGINT) END))
+                   AS UBIGINT) AS sh
+        FROM h WHERE len(hs) > 0
+    ), c AS (
+        SELECT doc_id, sh, c.i AS chunk,
+               (sh >> (c.i * 16)) & 65535 AS chunk_key
+        FROM s, (SELECT unnest(range(0, 4)) AS i) c
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM c a JOIN c b
+      ON a.chunk = b.chunk AND a.chunk_key = b.chunk_key
+         AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    ORDER BY id_a, id_b
 """
