@@ -175,3 +175,37 @@ def test_bucketed_map_groups_multi_key_and_string_keys():
     out = bucketed_map_groups(ds, ["a", "b"], fold).to_pandas()
     assert len(out) == 6
     assert set(out["n"]) == {10}
+
+
+def test_bucketed_map_groups_equals_ray_groupby_randomized():
+    """Equivalence on seeded random data: the bucketed exchange must return
+    exactly the per-key folds Ray's key-sort groupby produces."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from document_text_extraction_ray.stages.aggregate import (
+        bucketed_map_groups,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        {"k": int(rng.randint(-50, 50)), "v": float(rng.rand())}
+        for _ in range(2000)
+    ]
+    ds = rd.from_items(rows)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v", kind="mergesort")
+        return pd.DataFrame([{"k": g["k"].iloc[0], "n": len(g),
+                              "vmin": g["v"].iloc[0], "vmax": g["v"].iloc[-1]}])
+
+    a = (
+        ds.groupby("k").map_groups(fold, batch_format="pandas")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    b = (
+        bucketed_map_groups(ds, "k", fold)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

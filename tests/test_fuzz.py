@@ -154,3 +154,35 @@ def test_exact_dedup_strategies_random_equivalence():
     for r in rows:
         texts.setdefault(r["text"], r["doc_id"])
     assert [d for d, _ in got["shuffle"]] == sorted(texts.values())
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=500), st.integers(min_value=1, max_value=6))
+def test_word_ngrams_kernel_invariants(text, n):
+    from document_text_extraction_ray.stages.curation import (
+        WORD_RE,
+        word_ngrams,
+    )
+
+    grams = word_ngrams(text, n)
+    words = WORD_RE.findall(text.lower())
+    assert len(grams) == max(len(words) - n + 1, 0)
+    for g in grams:
+        assert len(g.split(" ")) == n
+    # deterministic
+    assert grams == word_ngrams(text, n)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=400))
+def test_repetition_fraction_brute_force(text):
+    import numpy as np
+
+    from document_text_extraction_ray.stages.curation import word_ngrams
+
+    gs = word_ngrams(text, 2)
+    total, uniq = len(gs), len(set(gs))
+    frac = 0 if total == 0 else int(np.floor((total - uniq) * 10000.0 / total + 0.5))
+    assert 0 <= frac <= 10000
+    if total:
+        assert (frac == 0) == (total == uniq)
