@@ -1199,11 +1199,18 @@ def q_bigram_top(sf_dir: str):
         return pa.table({"bigram": pa.array(ks, pa.string()),
                          "partial": pa.array([c[k] for k in ks], pa.int64())})
 
-    agg = (
-        _docs(sf_dir, ["text"])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("partial", alias_name="n"))
+    from ..stages.aggregate import bucketed_combine
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("bigram").aggregate([("partial", "sum")])
+        return pa.table({"bigram": g.column("bigram"),
+                         "n": g.column("partial_sum")})
+
+    # Corpus-distinct bigrams are high-cardinality at scale: bucketed final
+    # combine instead of Ray's key-sort groupby.
+    agg = bucketed_combine(
+        _docs(sf_dir, ["text"]).map_batches(explode, batch_format="pyarrow"),
+        "bigram", combine,
     )
     top = agg.sort(["n", "bigram"], descending=[True, False]).limit(20)
     df = top.to_pandas()
