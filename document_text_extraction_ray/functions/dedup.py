@@ -13,6 +13,10 @@ import zlib
 
 import numpy as np
 
+# 64-bit md5_number_lower-compatible hash shared with the fingerprint
+# kernel — one definition keeps the SQL-oracle contract in one place.
+from .textstats import md5_u64 as _feature_hash
+
 # Deterministic universal-hash parameters for MinHash permutations:
 # h_i(x) = (a_i * x + b_i) mod p   (p Mersenne prime 2^61-1)
 _P = (1 << 61) - 1
@@ -106,15 +110,6 @@ def jaccard(a: set, b: set) -> float:
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     """Word n-gram Jaccard similarity (near-dup verification predicate)."""
     return jaccard(word_ngrams(text_a, n), word_ngrams(text_b, n))
-
-
-def _feature_hash(f: str) -> int:
-    """64-bit feature hash = little-endian last 8 md5 bytes — exactly
-    DuckDB's ``md5_number_lower``, so the simhash oracle replays the same
-    bit votes in SQL."""
-    import hashlib
-
-    return int.from_bytes(hashlib.md5(f.encode("utf-8")).digest()[8:], "little")
 
 
 def simhash(text: str, bits: int = 64) -> int:

@@ -10,8 +10,16 @@ language ID, Rabin-Karp rolling hash, winnowing fingerprints).
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
+
+
+def md5_u64(s: str) -> int:
+    """64-bit string hash = little-endian last 8 md5 bytes — exactly
+    DuckDB's ``md5_number_lower``, the shared hash for every SQL-replayable
+    kernel (fingerprints, simhash features)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
 
 WORD_RE = re.compile(r"\w+", re.UNICODE)
 # BPE-ish pre-tokenizer in the GPT-2 style (public pattern family):
@@ -117,19 +125,10 @@ _B = 1_000_003        # Rabin-Karp base
 _M = (1 << 61) - 1    # Mersenne prime modulus
 
 
-def _token_hash(t: str) -> int:
-    """64-bit token hash = little-endian last 8 md5 bytes — exactly
-    DuckDB's ``md5_number_lower``, so the fingerprint oracle reconstructs
-    the same hash stream in SQL."""
-    import hashlib
-
-    return int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:], "little")
-
-
 def rolling_hashes(tokens: list, window: int = 8) -> list:
-    """Rabin-Karp rolling hashes over token hash stream (document
-    fingerprinting building block)."""
-    hs = [_token_hash(t) for t in tokens]
+    """Rabin-Karp rolling hashes over the md5_u64 token hash stream
+    (document fingerprinting building block; SQL-replayable)."""
+    hs = [md5_u64(t) for t in tokens]
     if len(hs) < window:
         if not hs:
             return []

@@ -155,10 +155,6 @@ def run_sharded_extraction_job(
     from ..util import stabilize_fsspec_http
 
     stabilize_fsspec_http()
-    _ctx = DataContext.get_current()
-    _prev_block = _ctx.target_max_block_size
-    if target_block_mb is not None:
-        _ctx.target_max_block_size = target_block_mb * 1024 * 1024
 
     files = sorted(_glob.glob(os.path.join(corpus_path, "*.parquet")))
     partitions = [
@@ -218,7 +214,13 @@ def run_sharded_extraction_job(
     todo = [(pid, chunk) for pid, chunk in enumerate(partitions) if pid not in done]
     summary["skipped"] = len(partitions) - len(todo)
     summary["failed"] = []
+    # Mutate the global block-size override immediately before the guarded
+    # region so no exception path can leak it process-wide.
+    _ctx = DataContext.get_current()
+    _prev_block = _ctx.target_max_block_size
     try:
+        if target_block_mb is not None:
+            _ctx.target_max_block_size = target_block_mb * 1024 * 1024
         if todo:
             with ThreadPoolExecutor(max_workers=max_concurrent_partitions) as ex:
                 for pid, rows, err in ex.map(guarded, todo):

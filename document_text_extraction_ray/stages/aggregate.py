@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pandas as pd
 from ray.data.aggregate import Count, Sum
 
@@ -96,37 +97,32 @@ def bucketed_map_groups(ds, key_cols, fold_fn, empty_result=None,
     ``bucketed_combine``: Ray's groupby sorts the exchange by the full key,
     which is the dominant cost at high key cardinality; bucket-hash
     collisions are harmless because the in-bucket pandas groupby still
-    separates real keys.  ``empty_result`` (an empty DataFrame with the
-    fold's output columns) is returned for buckets where every group folds
-    to nothing."""
-    import numpy as np
+    separates real keys.  Null-key rows form their own group (dropna=False
+    — matching Ray's groupby, which also keeps a null-key group).
+    ``empty_result`` (an empty DataFrame with the fold's output columns) is
+    returned for buckets where every group folds to nothing."""
     import pyarrow as pa
+
+    from .join import _bucket_array
 
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        # Per-column bucketing delegates to join._bucket_array (one shared
+        # hash path incl. null isolation); the per-column bucket ids are
+        # folded into one tuple bucket.
         h = np.zeros(t.num_rows, dtype=np.uint64)
         for c in key_cols:
-            col = t.column(c)
-            if pa.types.is_integer(col.type):
-                arr = col.combine_chunks()
-                v = (
-                    arr.fill_null(0).to_numpy(zero_copy_only=False)
-                    .astype(np.int64).view(np.uint64)
-                )
-            else:
-                v = np.fromiter(
-                    (zlib.crc32(str(x).encode()) for x in col.to_pylist()),
-                    dtype=np.uint64, count=t.num_rows,
-                )
-            h = h * np.uint64(1099511628211) + v * np.uint64(2654435761)
-        b = ((h % np.uint64(2 ** 32)) % np.uint64(n_buckets)).astype(np.int32)
+            h = (h * np.uint64(1099511628211)
+                 + _bucket_array(t.column(c), n_buckets).astype(np.uint64))
+        b = (h % np.uint64(n_buckets)).astype(np.int32)
         return t.append_column("__gbucket", pa.array(b, pa.int32()))
 
     def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["__gbucket"])
         outs = [
-            fold_fn(sub) for _, sub in g.groupby(key_cols, sort=False)
+            fold_fn(sub)
+            for _, sub in g.groupby(key_cols, sort=False, dropna=False)
         ]
         outs = [o for o in outs if len(o)]
         if not outs:
@@ -245,7 +241,8 @@ def grouped_quantiles(ds, key: str, value: str, ps=(0.25, 0.5, 0.75),
             row[f"p{int(p * 100)}"] = vals[idx]
         return pd.DataFrame([row])
 
-    return bucketed_map_groups(ds.select_columns([key, value]), key, fold)
+    return bucketed_map_groups(ds.select_columns([key, value]), key, fold,
+                               n_buckets=n_buckets)
 
 
 def approx_distinct_count(ds, group_col: str, value_col: str, p: int = 12):

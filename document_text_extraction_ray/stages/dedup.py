@@ -321,14 +321,22 @@ def minhash_candidates(
         else t.filter(pc.greater(t.column("n"), 1)),
         batch_format="pyarrow",
     )
-    dup_keys = np.sort(
-        np.asarray(multi.to_pandas()["band_key"], dtype=np.uint64)
+    multi_df = multi.to_pandas()
+    # An all-empty corpus yields a schemaless empty aggregate (explode
+    # skipped every doc) — no band_key column at all.
+    dup_keys = (
+        np.sort(np.asarray(multi_df["band_key"], dtype=np.uint64))
+        if "band_key" in multi_df.columns
+        else np.zeros(0, dtype=np.uint64)
     )
     if dup_keys.size == 0:
-        return ray.data.from_items([]).map_batches(
-            lambda b: pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}),
-            batch_format="pandas",
-        )
+        # Schema-carrying empty result (a bare from_items([]) would be
+        # schemaless since map_batches never runs on empty input).
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }))
     keys_ref = ray.put(dup_keys)
 
     def keep_candidates(batch: pa.Table) -> pa.Table:
@@ -437,8 +445,10 @@ def simhash_pairs(ds, text_column: str, id_column: str,
             if not text.strip():
                 continue
             for chunk, key in D.simhash_band_keys(int(sh), chunks):
-                # single uint64 LSH key: (chunk << 16) | 16-bit prefix
-                c_keys.append((chunk << 16) | key)
+                # single uint64 LSH key: chunk id above the chunk's actual
+                # bit width (64 // chunks; hardcoding 16 would collide
+                # distinct (chunk, key) pairs for chunks < 4)
+                c_keys.append((chunk << (64 // chunks)) | key)
                 ids.append(doc_id)
                 vals.append(int(sh))
         return pa.table(

@@ -209,3 +209,49 @@ def test_bucketed_map_groups_equals_ray_groupby_randomized():
         .to_pandas().sort_values("k").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bucketed_map_groups_keeps_null_key_group():
+    """Null-key rows must form their own group, exactly as Ray's
+    groupby(key).map_groups does (review finding: pandas dropna default
+    silently dropped them)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from document_text_extraction_ray.stages.aggregate import (
+        bucketed_map_groups,
+    )
+
+    ds = rd.from_arrow(pa.Table.from_pylist(
+        [{"k": 1, "v": 1}, {"k": 1, "v": 2}, {"k": None, "v": 5}],
+        schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+    ))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"k": g["k"].iloc[0], "n": len(g),
+                              "s": int(g["v"].sum())}])
+
+    out = bucketed_map_groups(ds, "k", fold).to_pandas()
+    assert len(out) == 2
+    nn = out[out["k"].notna()]
+    assert nn["n"].iloc[0] == 2 and nn["s"].iloc[0] == 3
+    null_row = out[out["k"].isna()]
+    assert null_row["n"].iloc[0] == 1 and null_row["s"].iloc[0] == 5
+
+
+def test_grouped_quantiles_null_key_no_crash():
+    import pyarrow as pa
+
+    import ray.data as rd
+    from document_text_extraction_ray.stages.aggregate import (
+        grouped_quantiles,
+    )
+
+    ds = rd.from_arrow(pa.Table.from_pylist(
+        [{"g": "a", "v": 1}, {"g": "a", "v": 2}, {"g": None, "v": 5}],
+        schema=pa.schema([("g", pa.string()), ("v", pa.int64())]),
+    ))
+    out = grouped_quantiles(ds, "g", "v").to_pandas()
+    assert len(out) == 2
+    assert out[out["g"].isna()]["p50"].iloc[0] == 5

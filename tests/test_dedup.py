@@ -165,3 +165,19 @@ def test_minhash_dedup_distributed_labeling_matches_driver():
     assert lab_d == lab_x
     assert sorted(kept_d.to_pandas()["doc_id"]) == sorted(
         kept_x.to_pandas()["doc_id"])
+
+
+def test_minhash_candidates_all_empty_corpus():
+    """All-empty/whitespace docs: no signatures exist, and the candidate
+    stage must return an empty pairs dataset instead of KeyError-ing on the
+    schemaless empty aggregate (review finding)."""
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.dedup import minhash_candidates
+
+    ds = rd.from_items([{"doc_id": 1, "text": "   "}, {"doc_id": 2, "text": ""}])
+    out = minhash_candidates(ds, "text", "doc_id")
+    assert out.count() == 0
+    # the empty result still carries the pairs schema (to_pandas on an
+    # empty Dataset drops columns — a Ray quirk — so check schema())
+    assert set(out.schema().names) >= {"id_a", "id_b"}
