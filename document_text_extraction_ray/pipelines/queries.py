@@ -1493,6 +1493,34 @@ def q_stratified_sample(sf_dir: str):
     return out.sort("doc_id")
 
 
+def q_redact_pii(sf_dir: str):
+    """PII redaction end-to-end, oracle-checked: the corpus is augmented
+    with a deterministic per-doc contact line (email + phone derived from
+    doc_id — SQL-reconstructible, same trick as classify_ner's title-cased
+    view) so the redaction kernel has real input; emails then each phone
+    pattern are masked in order, with sentinel counts."""
+    from ..stages.curation import redact_pii
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        aug = [
+            f"{x or ''} contact: user{i}@example.com or call "
+            f"+1-202-555-{1000 + i % 9000}"
+            for i, x in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(aug, pa.large_string())})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        augment, batch_format="pyarrow"
+    )
+    out = redact_pii(ds)
+    return out.select_columns(
+        ["doc_id", "redacted_text", "n_emails", "n_phones"]
+    ).sort("doc_id")
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -1543,6 +1571,7 @@ QUERIES = {
     "text_analysis": q_text_analysis,
     "doc_fingerprints": q_doc_fingerprints,
     "simhash_pairs": q_simhash_pairs,
+    "redact_pii": q_redact_pii,
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
     "ngram_verified_dups": q_ngram_verified_dups,
@@ -2282,4 +2311,42 @@ ORACLE_SQL["simhash_pairs"] = r"""
          AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sh, b.sh)) <= 3
     ORDER BY id_a, id_b
+"""
+
+
+# redact_pii oracle: the same augmentation, then nested regexp_replace in
+# the kernel's order (emails, then the four reference phone patterns);
+# sentinel counts via length arithmetic.  DuckDB standard strings do not
+# process backslashes, so the python patterns paste in verbatim.
+ORACLE_SQL["redact_pii"] = r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call +1-202-555-'
+                    || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+        FROM documents
+    ), red AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t,
+                         '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b',
+                         '<EMAIL>', 'g'),
+                       '\+\d{1,3}[-.\s]?\d{1,4}[-.\s]?\d{1,4}[-.\s]?\d{1,9}',
+                       '<PHONE>', 'g'),
+                     '\(\d{3}\)[-.\s]?\d{3}[-.\s]?\d{4}', '<PHONE>', 'g'),
+                   '\d{3}[-.\s]?\d{3}[-.\s]?\d{4}', '<PHONE>', 'g'),
+                 '\d{10,}', '<PHONE>', 'g') AS redacted_text
+        FROM aug
+    )
+    SELECT doc_id, redacted_text,
+           CAST((length(redacted_text)
+                 - length(replace(redacted_text, '<EMAIL>', ''))) / 7
+                AS BIGINT) AS n_emails,
+           CAST((length(redacted_text)
+                 - length(replace(redacted_text, '<PHONE>', ''))) / 7
+                AS BIGINT) AS n_phones
+    FROM red ORDER BY doc_id
 """

@@ -95,6 +95,34 @@ def ngram_contamination(ds, bench_grams: set, text_column: str = "text",
     return ds.map_batches(scan, batch_format="pyarrow")
 
 
+def redact_pii(ds, text_column: str = "text",
+               out_column: str = "redacted_text"):
+    """PII redaction over the text column: emails -> ``<EMAIL>`` then each
+    reference phone pattern (fields.PHONE_RES, applied in order) ->
+    ``<PHONE>``.  Conservative: the per-match length>=7 filter of the
+    EXTRACTOR is intentionally not applied when redacting (over-redacting a
+    short digit run is safe; leaking a phone number is not).  Appends
+    ``n_emails`` / ``n_phones`` counted from the redacted output (sentinel
+    occurrences — the same count SQL reconstructs).  Pure per-row kernel,
+    no shuffle; regexes compiled at import."""
+    from ..functions.fields import EMAIL_RE, PHONE_RES
+
+    def scrub(t: pa.Table) -> pa.Table:
+        outs = []
+        for x in t.column(text_column).to_pylist():
+            s = EMAIL_RE.sub("<EMAIL>", x or "")
+            for pat in PHONE_RES:
+                s = pat.sub("<PHONE>", s)
+            outs.append(s)
+        t = t.append_column(out_column, pa.array(outs, pa.large_string()))
+        t = t.append_column("n_emails", pa.array(
+            [s.count("<EMAIL>") for s in outs], pa.int64()))
+        return t.append_column("n_phones", pa.array(
+            [s.count("<PHONE>") for s in outs], pa.int64()))
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 def repetition_stats(ds, text_column: str = "text", n: int = 2):
     """Intra-document repetition features (Gopher-style duplicate-n-gram
     signal): total n-grams, distinct n-grams, and the duplicate fraction

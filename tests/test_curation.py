@@ -67,3 +67,21 @@ def test_repetition_stats_dup_fraction():
     assert list(out["n_distinct_ngrams"]) == [2, 3, 0]
     # (5-2)/5 = 0.6 -> 6000 e4; clean -> 0; empty -> 0
     assert list(out["dup_ngram_frac_e4"]) == [6000, 0, 0]
+
+
+def test_redact_pii_masks_emails_and_phones():
+    from document_text_extraction_ray.stages.curation import redact_pii
+
+    docs = rd.from_items([
+        {"doc_id": 1,
+         "text": "mail a.b@x.co or call (123) 456-7890 / +44 20 7946 0958"},
+        {"doc_id": 2, "text": "no pii here"},
+        {"doc_id": 3, "text": "digits 12345678901 masked too"},
+    ])
+    out = redact_pii(docs).to_pandas().sort_values("doc_id")
+    r1 = out.iloc[0]["redacted_text"]
+    assert "<EMAIL>" in r1 and "a.b@x.co" not in r1
+    assert r1.count("<PHONE>") == 2
+    assert out.iloc[0]["n_emails"] == 1 and out.iloc[0]["n_phones"] == 2
+    assert out.iloc[1]["redacted_text"] == "no pii here"
+    assert out.iloc[2]["n_phones"] == 1 and "12345678901" not in out.iloc[2]["redacted_text"]
