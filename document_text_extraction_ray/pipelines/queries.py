@@ -1572,13 +1572,13 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "simhash_pairs": q_simhash_pairs,
     "redact_pii": q_redact_pii,
+    "structured_fold": q_structured_fold,
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
     "ngram_verified_dups": q_ngram_verified_dups,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
     "embedding_dups": q_embedding_dups,
-    "structured_fold": q_structured_fold,
     "training_data": q_training_data,
     "multimodal_features": q_multimodal_features,
     "synth_extract": q_synth_extract,
@@ -2349,4 +2349,35 @@ ORACLE_SQL["redact_pii"] = r"""
                  - length(replace(redacted_text, '<PHONE>', ''))) / 7
                 AS BIGINT) AS n_phones
     FROM red ORDER BY doc_id
+"""
+
+
+# structured_fold oracle: on single-line corpora no line is a section
+# header / likely name, so the fold reduces to contact extraction +
+# summary = the whole line; the oracle reassembles the exact
+# json.dumps(sort_keys=True) string (degree regexes replayed verbatim —
+# the b/m prefix branches give per-doc variance; other contact fields are
+# provably empty for digit-free lowercase text).  The multi-line fold
+# logic is covered by unit tests (test_structured_models).
+ORACLE_SQL["structured_fold"] = r"""
+    WITH deg AS (
+        SELECT doc_id, text,
+               list_sort(list_distinct(list_concat(
+                   regexp_extract_all(lower(text),
+                       '\b(bachelor|master|phd|doctorate|diploma|certificate|b\.?\s*[a-z]+|m\.?\s*[a-z]+|ph\.?\s*d\.?)\b',
+                       1),
+                   regexp_extract_all(lower(text),
+                       '\b(undergraduate|graduate|postgraduate)\b', 1))))
+                   AS degrees
+        FROM documents
+    )
+    SELECT doc_id,
+           '{"contact": {"degrees": ['
+           || CASE WHEN len(degrees) = 0 THEN ''
+                   ELSE '"' || array_to_string(degrees, '", "') || '"' END
+           || '], "emails": [], "github": [], "gpa": [], "linkedin": [], '
+           || '"phones": [], "skills": []}, "education": [], '
+           || '"experience": [], "name": "", "references": [], '
+           || '"skills": [], "summary": "' || text || '"}' AS structured
+    FROM deg ORDER BY doc_id
 """
