@@ -1573,6 +1573,8 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "redact_pii": q_redact_pii,
     "structured_fold": q_structured_fold,
+    "doc_markdown": q_doc_markdown,
+    "llm_extract": q_llm_extract,
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
     "ngram_verified_dups": q_ngram_verified_dups,
@@ -1583,8 +1585,6 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "synth_extract": q_synth_extract,
     "structured_graph": q_structured_graph,
-    "doc_markdown": q_doc_markdown,
-    "llm_extract": q_llm_extract,
     "approx_distinct_users": q_approx_distinct_users,
     "hash_sample": q_hash_sample,
     "split_counts": q_split_counts,
@@ -2380,4 +2380,32 @@ ORACLE_SQL["structured_fold"] = r"""
            || '"experience": [], "name": "", "references": [], '
            || '"skills": [], "summary": "' || text || '"}' AS structured
     FROM deg ORDER BY doc_id
+"""
+
+
+# doc_markdown oracle: a single-line lowercase doc builds a one-text-node
+# block graph, whose markdown rendering is the text verbatim — byte
+# identity per doc.  Multi-line header/list rendering is covered by unit
+# tests (test_structured_models::test_export_markdown).
+ORACLE_SQL["doc_markdown"] = """
+    SELECT doc_id, text AS markdown FROM documents ORDER BY doc_id
+"""
+
+
+# llm_extract oracle: the stub LLM deterministically renders the regex
+# field extractors' JSON over the 3000-char prompt (then the M15 cleanup
+# re-dumps with sorted keys).  For digit-free lowercase single-line docs,
+# emails/phones/skills are provably empty and name follows extract_name's
+# first-line rule (5 < len < 50, letters+spaces) — reconstructed with the
+# same anchored regex; statuses are 'ok' on the clean path.
+ORACLE_SQL["llm_extract"] = r"""
+    SELECT doc_id,
+           '{"emails": [], "name": "'
+           || CASE WHEN length(p) > 5 AND length(p) < 50
+                        AND regexp_matches(p, '^[A-Za-z\s]+$')
+                   THEN p ELSE '' END
+           || '", "phones": [], "skills": []}' AS llm_json,
+           'ok' AS llm_status
+    FROM (SELECT doc_id, substr(text, 1, 3000) AS p FROM documents)
+    ORDER BY doc_id
 """
