@@ -1521,6 +1521,61 @@ def q_redact_pii(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_doc_global_rank(sf_dir: str):
+    """Global ROW_NUMBER over the corpus (by n_chars DESC, doc_id ASC):
+    one dataset sort + per-block offsets (one driver row per BLOCK, never
+    per row) — the distributed global-window pattern."""
+    from ..stages.windows import global_row_number
+
+    out = global_row_number(
+        _docs(sf_dir, ["doc_id", "n_chars"]), ["n_chars", "doc_id"],
+        descending=[True, False], out_column="rn",
+    )
+    return out.select_columns(["doc_id", "n_chars", "rn"]).sort("doc_id")
+
+
+def q_moving_avg(sf_dir: str):
+    """Trailing 5-row moving average of event value per user (AVG OVER
+    ROWS 4 PRECEDING), integer-exact: values scale to cents first so the
+    window sums are integer (identical on both engines) and the average is
+    emitted as a floor(sum*100/n + .5) e4 fixed point."""
+    from ..stages.aggregate import bucketed_map_groups
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = np.asarray(pc.cast(t.column("value"), pa.float64())) * 100.0
+        cents = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "ts": t.column("ts"),
+            "user_id": t.column("user_id"),
+            "cents": pa.array(cents.astype(np.int64), pa.int64()),
+        })
+
+    import pandas as pd
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        c = g["cents"].to_numpy()
+        n = len(c)
+        cs = np.concatenate([[0], np.cumsum(c)])
+        idx = np.arange(n)
+        lo = np.maximum(0, idx - 4)
+        ws = cs[idx + 1] - cs[lo]
+        cnt = idx + 1 - lo
+        e4 = np.floor(ws * 100.0 / cnt + 0.5).astype(np.int64)
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"],
+                             "moving_avg_e4": e4})
+
+    out = bucketed_map_groups(
+        ev.map_batches(to_cents, batch_format="pyarrow"), "user_id", fold
+    )
+    return out.sort("event_id")
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -1575,6 +1630,8 @@ QUERIES = {
     "structured_fold": q_structured_fold,
     "doc_markdown": q_doc_markdown,
     "llm_extract": q_llm_extract,
+    "doc_global_rank": q_doc_global_rank,
+    "moving_avg": q_moving_avg,
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
     "ngram_verified_dups": q_ngram_verified_dups,
@@ -2409,3 +2466,26 @@ ORACLE_SQL["llm_extract"] = r"""
     FROM (SELECT doc_id, substr(text, 1, 3000) AS p FROM documents)
     ORDER BY doc_id
 """
+
+
+ORACLE_SQL.update({
+    "doc_global_rank": """
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM documents ORDER BY doc_id
+    """,
+    "moving_avg": """
+        WITH c AS (
+            SELECT event_id, user_id, ts,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(FLOOR(SUM(cents) OVER w * 100.0 / COUNT(*) OVER w + 0.5)
+                    AS BIGINT) AS moving_avg_e4
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+})

@@ -71,6 +71,102 @@ def sliding_window(ds, ts_col: str, key_col: str, value_col: str,
     )
 
 
+def global_row_number(ds, sort_cols, descending=False, out_column="rn"):
+    """Global ROW_NUMBER over the whole dataset: one dataset sort, then a
+    tiny per-block summary pass (one row per block: first-row key +
+    row count) collected to the driver, offsets broadcast back, and each
+    block numbers itself with a vectorized arange.
+
+    The driver holds ONE ROW PER BLOCK (not per row) — the pattern scales
+    to any corpus whose block count is driver-sized.  The sort key
+    (including tie-break columns) must be UNIQUE per row: the first-row
+    key identifies each block when offsets are applied."""
+    import numpy as np
+    import ray
+
+    import functools
+
+    if isinstance(sort_cols, str):
+        sort_cols = [sort_cols]
+    desc = (
+        [descending] * len(sort_cols) if isinstance(descending, bool)
+        else list(descending)
+    )
+    sorted_ds = ds.sort(sort_cols, descending=descending).materialize()
+
+    def summarize(b: pa.Table) -> pa.Table:
+        ktypes = [b.schema.field(c).type for c in sort_cols]
+        if b.num_rows == 0:
+            arrays = {f"__k{i}": pa.array([], t)
+                      for i, t in enumerate(ktypes)}
+            arrays["__n"] = pa.array([], pa.int64())
+        else:
+            arrays = {
+                f"__k{i}": pa.array([b.column(c)[0].as_py()], t)
+                for i, (c, t) in enumerate(zip(sort_cols, ktypes))
+            }
+            arrays["__n"] = pa.array([b.num_rows], pa.int64())
+        return pa.table(arrays)
+
+    # One row PER BLOCK (typed first key + row count); blocks are disjoint
+    # key ranges after the sort, so ordering summaries by their typed first
+    # keys (respecting per-column direction) reproduces the global block
+    # order regardless of the take_all enumeration order.
+    summaries = sorted_ds.map_batches(
+        summarize, batch_size=None, batch_format="pyarrow"
+    ).take_all()
+
+    def cmp(a, bb):
+        for i in range(len(sort_cols)):
+            x, y = a[f"__k{i}"], bb[f"__k{i}"]
+            if x == y:
+                continue
+            lt = x < y
+            return (1 if desc[i] else -1) if lt else (-1 if desc[i] else 1)
+        return 0
+
+    offs = {}
+    acc = 0
+    for s in sorted(summaries, key=functools.cmp_to_key(cmp)):
+        key = "\x00".join(str(s[f"__k{i}"]) for i in range(len(sort_cols)))
+        offs[key] = acc
+        acc += s["__n"]
+    ref = ray.put(offs)
+
+    def number(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column(out_column, pa.array([], pa.int64()))
+        table = ray.get(ref)
+        first = "\x00".join(str(b.column(c)[0].as_py()) for c in sort_cols)
+        base = table[first]
+        rn = np.arange(base + 1, base + 1 + b.num_rows, dtype=np.int64)
+        return b.append_column(out_column, pa.array(rn, pa.int64()))
+
+    return sorted_ds.map_batches(number, batch_size=None, batch_format="pyarrow")
+
+
+def moving_avg(ds, key_col: str, order_cols, value_col: str, window: int = 5,
+               out_column: str = "moving_avg"):
+    """Per-key trailing moving average (AVG OVER ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW): one bucketed shuffle on the key, per-key
+    sorted pandas rolling mean."""
+    import pandas as pd
+
+    from .aggregate import bucketed_map_groups
+
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_cols), kind="mergesort").copy()
+        g[out_column] = (
+            g[value_col].rolling(window, min_periods=1).mean()
+        )
+        return g
+
+    return bucketed_map_groups(ds, key_col, fold)
+
+
 def sessionize(ds, ts_col: str, key_col: str, gap_s: int = 1800):
     """Gap-based sessions per key: a new session starts when the inter-event
     gap exceeds ``gap_s``.  One shuffle (groupby key), then a per-key sorted

@@ -299,3 +299,33 @@ def test_partitioned_hash_join_huge_keys_with_nulls():
     )
     out = partitioned_hash_join(left, right, on="k", n_buckets=8).to_pandas()
     assert sorted(zip(out["lval"], out["rname"])) == [(1, "a"), (2, "b")]
+
+
+def test_global_row_number_multi_block():
+    from document_text_extraction_ray.stages.windows import global_row_number
+
+    # enough rows to span multiple blocks; unique tie-broken key (v, id)
+    rows = [{"id": i, "v": (i * 37) % 500} for i in range(3000)]
+    ds = ray.data.from_items(rows).repartition(13)
+    out = global_row_number(ds, ["v", "id"], descending=[True, False],
+                            out_column="rn").to_pandas()
+    ref = sorted(rows, key=lambda r: (-r["v"], r["id"]))
+    expect = {r["id"]: i + 1 for i, r in enumerate(ref)}
+    got = dict(zip(out["id"], out["rn"]))
+    assert got == expect
+
+
+def test_moving_avg_matches_pandas_reference():
+    import numpy as np
+    import pandas as pd
+
+    from document_text_extraction_ray.stages.windows import moving_avg
+
+    rows = [{"k": i % 3, "o": i, "v": float((i * 7) % 11)} for i in range(60)]
+    out = moving_avg(ray.data.from_items(rows), "k", "o", "v",
+                     window=4).to_pandas()
+    df = pd.DataFrame(rows).sort_values(["k", "o"])
+    df["expect"] = df.groupby("k")["v"].transform(
+        lambda s: s.rolling(4, min_periods=1).mean())
+    merged = out.merge(df[["k", "o", "expect"]], on=["k", "o"])
+    assert np.allclose(merged["moving_avg"], merged["expect"])
