@@ -66,3 +66,20 @@ def test_dispatch_real_pdf_fails_soft():
     assert out.loc["u1", "method"] == "pymupdf"
     assert out.loc["u1", "status"].startswith("error: pdf decoder unavailable")
     assert out.loc["u2", "status"] == "ok"
+
+
+def test_dispatch_single_pass_equals_filter_union_plan():
+    """The one-scan in-task router must produce exactly the rows of the
+    explicit filter+union plan (order-insensitive)."""
+    corpus, _ = _mixed_corpus(n_html=15, n_pdf=7)
+    a = (
+        extract_dispatch(corpus, concurrency=2, single_pass=True)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    b = (
+        extract_dispatch(corpus, concurrency=2, single_pass=False)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
