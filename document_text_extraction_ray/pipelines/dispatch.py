@@ -211,22 +211,25 @@ class DispatchExtractor:
         return pa.concat_tables(parts)
 
 
-def extract_dispatch(corpus: ray.data.Dataset, concurrency: int = 4,
-                     single_pass: bool = True):
+def extract_dispatch(corpus: ray.data.Dataset, concurrency: int | None = None,
+                     single_pass: bool = True, batch_size: int = 64,
+                     core: str = "vector"):
     """Route a mixed corpus (url, content_type, payload) through the right
     extractor per row; unsupported types become error rows, never failures.
 
     ``single_pass=True`` (default, scale-correct): one scan, in-task
-    routing via ``DispatchExtractor``.  ``single_pass=False``: the explicit
-    filter+union plan (one scan PER BRANCH) — kept as the readable
-    reference plan and for per-branch resource isolation when branches need
-    different pool sizes; both are equivalence-tested."""
+    routing via ``DispatchExtractor``; ``concurrency=None`` sizes the pool
+    to the cluster (pool_size cap) so the HTML-dominant case keeps its
+    parallelism.  ``single_pass=False``: the explicit filter+union plan
+    (one scan PER BRANCH) — kept for per-branch resource isolation when
+    branches need different pool sizes; both are equivalence-tested."""
     if single_pass:
         from ..util import pool_size
 
         return corpus.map_batches(
-            DispatchExtractor, batch_format="pyarrow", batch_size=32,
+            DispatchExtractor, batch_format="pyarrow", batch_size=batch_size,
             concurrency=pool_size(concurrency),
+            fn_constructor_kwargs=dict(core=core),
         )
 
     def type_filter(ct: str):

@@ -1545,14 +1545,16 @@ def q_moving_avg(sf_dir: str):
                          columns=["event_id", "ts", "user_id", "value"])
 
     def to_cents(t: pa.Table) -> pa.Table:
-        v = np.asarray(pc.cast(t.column("value"), pa.float64())) * 100.0
-        cents = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
-        return pa.table({
-            "event_id": t.column("event_id"),
-            "ts": t.column("ts"),
-            "user_id": t.column("user_id"),
-            "cents": pa.array(cents.astype(np.int64), pa.int64()),
-        })
+        # _scale_int is the module's single half-away rounding rule.
+        return _scale_int(
+            pa.table({
+                "event_id": t.column("event_id"),
+                "ts": t.column("ts"),
+                "user_id": t.column("user_id"),
+                "cents": t.column("value"),
+            }),
+            {"cents": 100},
+        )
 
     import pandas as pd
 
@@ -2409,14 +2411,33 @@ ORACLE_SQL["redact_pii"] = r"""
 """
 
 
+def _sql_skills_list(lt_expr: str) -> str:
+    """SQL list of matched skill keywords (title-cased, sorted) — generated
+    from the SAME python vocabulary extract_skills scans, so the oracle
+    tracks vocabulary changes instead of hardcoding emptiness."""
+    from ..functions.fields import SKILL_KEYWORDS
+
+    titled = sorted({s.title() for s in SKILL_KEYWORDS})
+    lst = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in titled) + "]"
+    return f"list_filter({lst}, t -> contains({lt_expr}, lower(t)))"
+
+
+def _sql_json_str_list(list_expr: str) -> str:
+    """Render a SQL VARCHAR list as the inside of a JSON string array."""
+    return (f"CASE WHEN len({list_expr}) = 0 THEN '' "
+            f"ELSE '\"' || array_to_string({list_expr}, '\", \"') || '\"' END")
+
+
 # structured_fold oracle: on single-line corpora no line is a section
 # header / likely name, so the fold reduces to contact extraction +
 # summary = the whole line; the oracle reassembles the exact
-# json.dumps(sort_keys=True) string (degree regexes replayed verbatim —
-# the b/m prefix branches give per-doc variance; other contact fields are
-# provably empty for digit-free lowercase text).  The multi-line fold
-# logic is covered by unit tests (test_structured_models).
-ORACLE_SQL["structured_fold"] = r"""
+# json.dumps(sort_keys=True) string.  Degree regexes and the skills
+# vocabulary are replayed from the python constants (per-doc variance);
+# emails/phones/gpa/linkedin/github are empty because the corpus text
+# contains no '@' / '.' / digits (verified; those extractors all require
+# one of them).  The multi-line fold logic is covered by unit tests
+# (test_structured_models).
+ORACLE_SQL["structured_fold"] = rf"""
     WITH deg AS (
         SELECT doc_id, text,
                list_sort(list_distinct(list_concat(
@@ -2425,17 +2446,19 @@ ORACLE_SQL["structured_fold"] = r"""
                        1),
                    regexp_extract_all(lower(text),
                        '\b(undergraduate|graduate|postgraduate)\b', 1))))
-                   AS degrees
+                   AS degrees,
+               {_sql_skills_list('lower(text)')} AS sk
         FROM documents
     )
     SELECT doc_id,
-           '{"contact": {"degrees": ['
-           || CASE WHEN len(degrees) = 0 THEN ''
-                   ELSE '"' || array_to_string(degrees, '", "') || '"' END
+           '{{"contact": {{"degrees": ['
+           || {_sql_json_str_list('degrees')}
            || '], "emails": [], "github": [], "gpa": [], "linkedin": [], '
-           || '"phones": [], "skills": []}, "education": [], '
+           || '"phones": [], "skills": [' || {_sql_json_str_list('sk')}
+           || ']}}, "education": [], '
            || '"experience": [], "name": "", "references": [], '
-           || '"skills": [], "summary": "' || text || '"}' AS structured
+           || '"skills": [' || {_sql_json_str_list('sk')}
+           || '], "summary": "' || text || '"}}' AS structured
     FROM deg ORDER BY doc_id
 """
 
@@ -2451,17 +2474,21 @@ ORACLE_SQL["doc_markdown"] = """
 
 # llm_extract oracle: the stub LLM deterministically renders the regex
 # field extractors' JSON over the 3000-char prompt (then the M15 cleanup
-# re-dumps with sorted keys).  For digit-free lowercase single-line docs,
-# emails/phones/skills are provably empty and name follows extract_name's
-# first-line rule (5 < len < 50, letters+spaces) — reconstructed with the
-# same anchored regex; statuses are 'ok' on the clean path.
-ORACLE_SQL["llm_extract"] = r"""
+# re-dumps with sorted keys).  Skills replay the python vocabulary
+# (substring scan of the lowercased prompt); emails/phones are empty
+# because the corpus text contains no '@' / digits (verified — both
+# extractors require one); name follows extract_name's first-line rule
+# (5 < len < 50, letters+spaces) via the same anchored regex; statuses
+# are 'ok' on the clean path.
+ORACLE_SQL["llm_extract"] = rf"""
     SELECT doc_id,
-           '{"emails": [], "name": "'
+           '{{"emails": [], "name": "'
            || CASE WHEN length(p) > 5 AND length(p) < 50
                         AND regexp_matches(p, '^[A-Za-z\s]+$')
                    THEN p ELSE '' END
-           || '", "phones": [], "skills": []}' AS llm_json,
+           || '", "phones": [], "skills": ['
+           || {_sql_json_str_list(_sql_skills_list('lower(p)'))}
+           || ']}}' AS llm_json,
            'ok' AS llm_status
     FROM (SELECT doc_id, substr(text, 1, 3000) AS p FROM documents)
     ORDER BY doc_id

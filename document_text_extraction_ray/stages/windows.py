@@ -119,6 +119,11 @@ def global_row_number(ds, sort_cols, descending=False, out_column="rn"):
     def cmp(a, bb):
         for i in range(len(sort_cols)):
             x, y = a[f"__k{i}"], bb[f"__k{i}"]
+            if x is None or y is None:
+                raise ValueError(
+                    "global_row_number: null sort-key values are not "
+                    "supported (the key must be unique and orderable)"
+                )
             if x == y:
                 continue
             lt = x < y
@@ -129,6 +134,14 @@ def global_row_number(ds, sort_cols, descending=False, out_column="rn"):
     acc = 0
     for s in sorted(summaries, key=functools.cmp_to_key(cmp)):
         key = "\x00".join(str(s[f"__k{i}"]) for i in range(len(sort_cols)))
+        if key in offs:
+            # Two blocks share a first key => the sort key is not unique
+            # per row; silent offset overwrite would corrupt every rn in
+            # both blocks.  Fail loudly instead.
+            raise ValueError(
+                "global_row_number requires a per-row-unique sort key "
+                f"(add a tie-break id column); duplicate block key: {key!r}"
+            )
         offs[key] = acc
         acc += s["__n"]
     ref = ray.put(offs)
