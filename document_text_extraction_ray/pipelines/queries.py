@@ -1578,6 +1578,41 @@ def q_moving_avg(sf_dir: str):
     return out.sort("event_id")
 
 
+def q_fields_struct_counts(sf_dir: str):
+    """Field-extractor family end-to-end with an oracle: the corpus gains a
+    deterministic per-doc contact/education line (SQL-reconstructible) and
+    phones / linkedin / github / degrees / gpa are counted through the full
+    extract_all_fields suite (M2/M3/M9)."""
+    from ..functions.fields import extract_all_fields
+
+    def augment_and_count(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        np_, nl, ng, nd, na = [], [], [], [], []
+        for i, x in zip(ids, texts):
+            aug = (f"{x or ''} reach me +1-415-555-{i % 10000:04d} "
+                   f"linkedin.com/in/user{i} github.com/user{i} "
+                   f"gpa: 3.{i % 9 + 1} bachelor of science")
+            f = extract_all_fields(aug)
+            np_.append(len(f["phones"]))
+            nl.append(len(f["linkedin"]))
+            ng.append(len(f["github"]))
+            nd.append(len(f["degrees"]))
+            na.append(len(f["gpa"]))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_phones": pa.array(np_, pa.int64()),
+            "n_linkedin": pa.array(nl, pa.int64()),
+            "n_github": pa.array(ng, pa.int64()),
+            "n_degrees": pa.array(nd, pa.int64()),
+            "n_gpa": pa.array(na, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        augment_and_count, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -1634,6 +1669,7 @@ QUERIES = {
     "llm_extract": q_llm_extract,
     "doc_global_rank": q_doc_global_rank,
     "moving_avg": q_moving_avg,
+    "fields_struct_counts": q_fields_struct_counts,
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
     "ngram_verified_dups": q_ngram_verified_dups,
@@ -2516,3 +2552,44 @@ ORACLE_SQL.update({
         ORDER BY event_id
     """,
 })
+
+
+# fields_struct_counts oracle: same augmentation; phones replay all four
+# reference patterns with the strip + len>=7 + set-dedup semantics;
+# linkedin/github/gpa/degree regexes paste in verbatim (all RE2-safe).
+ORACLE_SQL["fields_struct_counts"] = r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' reach me +1-415-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' linkedin.com/in/user' || CAST(doc_id AS VARCHAR)
+                    || ' github.com/user' || CAST(doc_id AS VARCHAR)
+                    || ' gpa: 3.' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                    || ' bachelor of science' AS t
+        FROM documents
+    ), f AS (
+        SELECT doc_id, t, lower(t) AS lt FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(list_filter(list_transform(list_concat(
+                 regexp_extract_all(t, '\+\d{1,3}[-.\s]?\d{1,4}[-.\s]?\d{1,4}[-.\s]?\d{1,9}'),
+                 list_concat(
+                   regexp_extract_all(t, '\(\d{3}\)[-.\s]?\d{3}[-.\s]?\d{4}'),
+                   list_concat(
+                     regexp_extract_all(t, '\d{3}[-.\s]?\d{3}[-.\s]?\d{4}'),
+                     regexp_extract_all(t, '\d{10,}')))),
+                 x -> trim(x)), x -> length(x) >= 7))) AS BIGINT) AS n_phones,
+           CAST(len(list_distinct(regexp_extract_all(lt,
+                 'linkedin\.com/in/[\w-]+'))) AS BIGINT) AS n_linkedin,
+           CAST(len(list_distinct(regexp_extract_all(lt,
+                 'github\.com/[\w-]+'))) AS BIGINT) AS n_github,
+           CAST(len(list_distinct(list_concat(
+                 regexp_extract_all(lt,
+                   '\b(bachelor|master|phd|doctorate|diploma|certificate|b\.?\s*[a-z]+|m\.?\s*[a-z]+|ph\.?\s*d\.?)\b', 1),
+                 regexp_extract_all(lt,
+                   '\b(undergraduate|graduate|postgraduate)\b', 1))))
+                 AS BIGINT) AS n_degrees,
+           CAST(len(list_distinct(regexp_extract_all(lt,
+                 '(?:gpa|cgpa)[:\s]*([0-9]\.[0-9]+)', 1))) AS BIGINT) AS n_gpa
+    FROM f ORDER BY doc_id
+"""
