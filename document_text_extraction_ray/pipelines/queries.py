@@ -1613,6 +1613,45 @@ def q_fields_struct_counts(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_doc_profile_fields(sf_dir: str):
+    """M6/M10/M13/M14 end-to-end with an oracle: each doc gains
+    deterministic contact/experience lines (blank-line separated for even
+    ids), then address extraction, experience years, the date-like
+    predicate, and paragraph chunking run over the full kernels."""
+    from ..functions.fields import (
+        chunk_paragraphs,
+        extract_address,
+        extract_experience_years,
+        is_date_like,
+    )
+
+    def profile(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        addr, expy, hasd, nchunks = [], [], [], []
+        for i, x in zip(ids, texts):
+            sep = "\n\n" if i % 2 == 0 else "\n"
+            when = (f"since {1990 + i % 35}" if i % 3 != 0 else "recently")
+            aug = (f"{x or ''}{sep}contact details: {100 + i % 900} main "
+                   f"street, springfield {i}\n{1 + i % 30} years "
+                   f"experience {when}")
+            addr.append(extract_address(aug))
+            expy.append(",".join(extract_experience_years(aug)))
+            hasd.append(is_date_like(aug))
+            nchunks.append(len(chunk_paragraphs(aug)))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "address": pa.array(addr, pa.string()),
+            "exp_years": pa.array(expy, pa.string()),
+            "has_date": pa.array(hasd, pa.bool_()),
+            "n_chunks": pa.array(nchunks, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        profile, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -1670,6 +1709,7 @@ QUERIES = {
     "doc_global_rank": q_doc_global_rank,
     "moving_avg": q_moving_avg,
     "fields_struct_counts": q_fields_struct_counts,
+    "doc_profile_fields": q_doc_profile_fields,
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
     "ngram_verified_dups": q_ngram_verified_dups,
@@ -2592,4 +2632,54 @@ ORACLE_SQL["fields_struct_counts"] = r"""
            CAST(len(list_distinct(regexp_extract_all(lt,
                  '(?:gpa|cgpa)[:\s]*([0-9]\.[0-9]+)', 1))) AS BIGINT) AS n_gpa
     FROM f ORDER BY doc_id
+"""
+
+
+# doc_profile_fields oracle: rebuild the same augmented lines, then replay
+# the kernels — address = the comma-part filter over the contact line
+# (no '@'/'+'/'contact', len>3, joined ', '); exp_years = distinct group-1
+# captures of all four (?i) experience patterns sorted+joined; has_date =
+# the year regex OR month tokens over the whole augmented text; n_chunks =
+# blank-line split keeping chunks > 20 chars (the primary path — a chunk
+# always survives here, so the greedy fallback never fires).
+ORACLE_SQL["doc_profile_fields"] = r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 2 = 0
+                            THEN chr(10) || chr(10) ELSE chr(10) END
+                    || l2 || chr(10) || l3 AS a,
+               l2
+        FROM (
+            SELECT doc_id, text,
+                   'contact details: ' || CAST(100 + doc_id % 900 AS VARCHAR)
+                       || ' main street, springfield '
+                       || CAST(doc_id AS VARCHAR) AS l2,
+                   CAST(1 + doc_id % 30 AS VARCHAR) || ' years experience '
+                       || CASE WHEN doc_id % 3 <> 0
+                               THEN 'since ' || CAST(1990 + doc_id % 35 AS VARCHAR)
+                               ELSE 'recently' END AS l3
+            FROM documents
+        )
+    )
+    SELECT doc_id,
+           array_to_string(list_filter(
+               list_transform(string_split(l2, ','), p -> trim(p)),
+               p -> NOT contains(p, '@') AND NOT contains(p, '+')
+                    AND NOT contains(lower(p), 'contact')
+                    AND length(p) > 3), ', ') AS address,
+           array_to_string(list_sort(list_distinct(list_concat(
+               regexp_extract_all(a, '(?i)(\d+)[\s\-\+]*year[s]?[\s]*(?:of\s)?(?:experience|exp)', 1),
+               list_concat(
+                 regexp_extract_all(a, '(?i)(\d+)[\s\-\+]*yr[s]?[\s]*(?:of\s)?(?:experience|exp)', 1),
+                 list_concat(
+                   regexp_extract_all(a, '(?i)experience[:\s]*(\d+)[\s]*year[s]?', 1),
+                   regexp_extract_all(a, '(?i)(\d+)[\s]*year[s]?[\s]*experience', 1)))))),
+               ',') AS exp_years,
+           (regexp_matches(lower(a), '\b(19|20)\d{2}\b')
+            OR regexp_matches(lower(a),
+               'jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec'))
+               AS has_date,
+           CAST(len(list_filter(regexp_split_to_array(a, '\n\s*\n'),
+               c -> length(trim(c)) > 20)) AS BIGINT) AS n_chunks
+    FROM aug ORDER BY doc_id
 """
