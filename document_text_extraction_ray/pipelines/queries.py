@@ -1652,6 +1652,37 @@ def q_doc_profile_fields(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_sections_segmented(sf_dir: str):
+    """M12 section segmenter end-to-end with an oracle: docs gain SUMMARY
+    (3 of 4 ids) and TECHNICAL SKILLS headers with bodies; the segmenter's
+    header predicate + canonical naming + body grouping is replayed in SQL
+    (gaps-and-islands over the line stream)."""
+    from ..functions.fields import segment_sections
+
+    def segment(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        names, bodies, counts = [], [], []
+        for i, x in zip(ids, texts):
+            aug = (f"{x or ''}"
+                   + (f"\nSUMMARY\nbody line for doc {i}" if i % 4 != 0 else "")
+                   + f"\nTECHNICAL SKILLS\nskill item {i % 7}")
+            secs = segment_sections(aug)
+            names.append(",".join(n for n, _ in secs))
+            bodies.append("|".join(b for _, b in secs))
+            counts.append(len(secs))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "section_names": pa.array(names, pa.string()),
+            "bodies": pa.array(bodies, pa.large_string()),
+            "n_sections": pa.array(counts, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        segment, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -1710,6 +1741,7 @@ QUERIES = {
     "moving_avg": q_moving_avg,
     "fields_struct_counts": q_fields_struct_counts,
     "doc_profile_fields": q_doc_profile_fields,
+    "sections_segmented": q_sections_segmented,
     # rows-only (no SQL oracle):
     "minhash_dedup": q_minhash_dedup,
     "ngram_verified_dups": q_ngram_verified_dups,
@@ -2683,3 +2715,68 @@ ORACLE_SQL["doc_profile_fields"] = r"""
                c -> length(trim(c)) > 20)) AS BIGINT) AS n_chunks
     FROM aug ORDER BY doc_id
 """
+
+
+def _sql_sections_segmented() -> str:
+    """sections_segmented oracle, generated from SECTION_CANON: the header
+    predicate (len<50 + canon-keyword substring, OR all-caps <=3 words) and
+    first-canon-wins naming replay the python kernel; sections group via
+    gaps-and-islands (running header count), bodies join non-header lines
+    and empty-after-trim sections drop — exactly segment_sections."""
+    from ..functions.fields import SECTION_CANON
+
+    all_kws = [k for names in SECTION_CANON.values() for k in names]
+    kw_cond = " OR ".join(f"contains(low, '{k}')" for k in all_kws)
+    name_case = "CASE " + " ".join(
+        "WHEN " + " OR ".join(f"contains(low, '{k}')" for k in names)
+        + f" THEN '{canon}'"
+        for canon, names in SECTION_CANON.items()
+    ) + " ELSE 'other' END"
+    ws = "' ' || chr(10) || chr(9) || chr(13)"
+    return rf"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 4 <> 0
+                            THEN chr(10) || 'SUMMARY' || chr(10)
+                                 || 'body line for doc '
+                                 || CAST(doc_id AS VARCHAR)
+                            ELSE '' END
+                    || chr(10) || 'TECHNICAL SKILLS' || chr(10)
+                    || 'skill item ' || CAST(doc_id % 7 AS VARCHAR) AS a
+        FROM documents
+    ), l AS (
+        SELECT doc_id, t.i, lines[t.i] AS line
+        FROM (SELECT doc_id, string_split(a, chr(10)) AS lines FROM aug),
+             UNNEST(range(1, len(lines) + 1)) AS t(i)
+    ), f AS (
+        SELECT doc_id, i, line,
+               (length(s) > 0 AND length(s) < 50
+                AND (({kw_cond})
+                     OR (upper(s) = s AND lower(s) <> s
+                         AND len(regexp_extract_all(s, '\S+')) <= 3)))
+                   AS is_h,
+               {name_case} AS norm
+        FROM (SELECT doc_id, i, line, trim(line) AS s,
+                     lower(trim(line)) AS low FROM l)
+    ), g AS (
+        SELECT doc_id, i, line, is_h, norm,
+               SUM(CASE WHEN is_h THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM f
+    ), sec AS (
+        SELECT doc_id, grp,
+               COALESCE(MAX(CASE WHEN is_h THEN norm END), 'preamble') AS name,
+               trim(COALESCE(string_agg(CASE WHEN NOT is_h THEN line END,
+                                        chr(10) ORDER BY i), ''),
+                    {ws}) AS body
+        FROM g GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           string_agg(name, ',' ORDER BY grp) AS section_names,
+           string_agg(body, '|' ORDER BY grp) AS bodies,
+           COUNT(*) AS n_sections
+    FROM sec WHERE body <> '' GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["sections_segmented"] = _sql_sections_segmented()
