@@ -1761,6 +1761,13 @@ QUERIES = {
 
 _NORM_TEXT = _NORM.format(col="text")
 
+# Engine-parity envelope for the kernel-replaying oracles below: Python re
+# classes (\d \w \s) are Unicode while DuckDB's RE2 is ASCII, python
+# str.strip/isupper cover all whitespace/case-categories while SQL trim is
+# charset-explicit — so the replays are exact for ASCII text with
+# space/\n/\t/\r whitespace (what the fixtures and the CC-style corpus
+# contract guarantee).  Non-ASCII corpora need the kernels' semantics
+# ported (or the oracle dropped to rows-only) before trusting a mismatch.
 ORACLE_SQL = {
     "extract_main_text": f"""
         SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
@@ -2488,7 +2495,7 @@ ORACLE_SQL["simhash_pairs"] = r"""
 ORACLE_SQL["redact_pii"] = r"""
     WITH aug AS (
         SELECT doc_id,
-               text || ' contact: user' || CAST(doc_id AS VARCHAR)
+               COALESCE(text, '') || ' contact: user' || CAST(doc_id AS VARCHAR)
                     || '@example.com or call +1-202-555-'
                     || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
         FROM documents
@@ -2566,7 +2573,7 @@ ORACLE_SQL["structured_fold"] = rf"""
            || ']}}, "education": [], '
            || '"experience": [], "name": "", "references": [], '
            || '"skills": [' || {_sql_json_str_list('sk')}
-           || '], "summary": "' || text || '"}}' AS structured
+           || '], "summary": "' || COALESCE(text, '') || '"}}' AS structured
     FROM deg ORDER BY doc_id
 """
 
@@ -2576,7 +2583,7 @@ ORACLE_SQL["structured_fold"] = rf"""
 # identity per doc.  Multi-line header/list rendering is covered by unit
 # tests (test_structured_models::test_export_markdown).
 ORACLE_SQL["doc_markdown"] = """
-    SELECT doc_id, text AS markdown FROM documents ORDER BY doc_id
+    SELECT doc_id, COALESCE(text, '') AS markdown FROM documents ORDER BY doc_id
 """
 
 
@@ -2632,7 +2639,7 @@ ORACLE_SQL.update({
 ORACLE_SQL["fields_struct_counts"] = r"""
     WITH aug AS (
         SELECT doc_id,
-               text || ' reach me +1-415-555-'
+               COALESCE(text, '') || ' reach me +1-415-555-'
                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                     || ' linkedin.com/in/user' || CAST(doc_id AS VARCHAR)
                     || ' github.com/user' || CAST(doc_id AS VARCHAR)
@@ -2668,8 +2675,9 @@ ORACLE_SQL["fields_struct_counts"] = r"""
 
 
 # doc_profile_fields oracle: rebuild the same augmented lines, then replay
-# the kernels — address = the comma-part filter over the contact line
-# (no '@'/'+'/'contact', len>3, joined ', '); exp_years = distinct group-1
+# the kernels — address = first of the first TEN lines containing a marker
+# ('contact details:' / 'address:'), then the comma-part filter (no
+# '@'/'+'/'contact', len>3, joined ', '); exp_years = distinct group-1
 # captures of all four (?i) experience patterns sorted+joined; has_date =
 # the year regex OR month tokens over the whole augmented text; n_chunks =
 # blank-line split keeping chunks > 20 chars (the primary path — a chunk
@@ -2677,10 +2685,9 @@ ORACLE_SQL["fields_struct_counts"] = r"""
 ORACLE_SQL["doc_profile_fields"] = r"""
     WITH aug AS (
         SELECT doc_id,
-               text || CASE WHEN doc_id % 2 = 0
+               COALESCE(text, '') || CASE WHEN doc_id % 2 = 0
                             THEN chr(10) || chr(10) ELSE chr(10) END
-                    || l2 || chr(10) || l3 AS a,
-               l2
+                    || l2 || chr(10) || l3 AS a
         FROM (
             SELECT doc_id, text,
                    'contact details: ' || CAST(100 + doc_id % 900 AS VARCHAR)
@@ -2692,13 +2699,21 @@ ORACLE_SQL["doc_profile_fields"] = r"""
                                ELSE 'recently' END AS l3
             FROM documents
         )
+    ), al AS (
+        SELECT doc_id, a,
+               list_filter(list_slice(string_split(a, chr(10)), 1, 10),
+                   l -> contains(lower(l), 'contact details:')
+                        OR contains(lower(l), 'address:'))[1] AS mline
+        FROM aug
     )
     SELECT doc_id,
-           array_to_string(list_filter(
-               list_transform(string_split(l2, ','), p -> trim(p)),
-               p -> NOT contains(p, '@') AND NOT contains(p, '+')
-                    AND NOT contains(lower(p), 'contact')
-                    AND length(p) > 3), ', ') AS address,
+           CASE WHEN mline IS NULL THEN '' ELSE
+               array_to_string(list_filter(
+                   list_transform(string_split(mline, ','), p -> trim(p)),
+                   p -> NOT contains(p, '@') AND NOT contains(p, '+')
+                        AND NOT contains(lower(p), 'contact')
+                        AND length(p) > 3), ', ')
+           END AS address,
            array_to_string(list_sort(list_distinct(list_concat(
                regexp_extract_all(a, '(?i)(\d+)[\s\-\+]*year[s]?[\s]*(?:of\s)?(?:experience|exp)', 1),
                list_concat(
@@ -2713,7 +2728,7 @@ ORACLE_SQL["doc_profile_fields"] = r"""
                AS has_date,
            CAST(len(list_filter(regexp_split_to_array(a, '\n\s*\n'),
                c -> length(trim(c)) > 20)) AS BIGINT) AS n_chunks
-    FROM aug ORDER BY doc_id
+    FROM al ORDER BY doc_id
 """
 
 
@@ -2736,7 +2751,7 @@ def _sql_sections_segmented() -> str:
     return rf"""
     WITH aug AS (
         SELECT doc_id,
-               text || CASE WHEN doc_id % 4 <> 0
+               COALESCE(text, '') || CASE WHEN doc_id % 4 <> 0
                             THEN chr(10) || 'SUMMARY' || chr(10)
                                  || 'body line for doc '
                                  || CAST(doc_id AS VARCHAR)

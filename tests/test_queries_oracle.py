@@ -71,3 +71,47 @@ def test_query_matches_oracle(name, con):
             assert np.allclose(av.astype(float), bv.astype(float), atol=1e-9), c
         else:
             assert (av.astype(str) == bv.astype(str)).all(), c
+
+
+def test_augmentation_oracles_null_text_parity():
+    """A NULL text row must behave like '' on both sides (the kernels guard
+    with `x or ''`; the oracles COALESCE) — checked for the three
+    augmentation-based oracles on a synthetic table."""
+    import duckdb
+
+    from document_text_extraction_ray.functions.fields import (
+        chunk_paragraphs,
+        extract_address,
+        extract_all_fields,
+        extract_experience_years,
+        is_date_like,
+    )
+    from document_text_extraction_ray.pipelines.queries import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.execute("""CREATE VIEW documents AS SELECT * FROM (VALUES
+        (1, 'plain words only'), (2, CAST(NULL AS VARCHAR))) t(doc_id, text)""")
+
+    # fields_struct_counts: python kernel replay
+    sql = {r[0]: r[1:] for r in con.execute(
+        ORACLE_SQL["fields_struct_counts"]).fetchall()}
+    for i, x in [(1, "plain words only"), (2, None)]:
+        aug = (f"{x or ''} reach me +1-415-555-{i % 10000:04d} "
+               f"linkedin.com/in/user{i} github.com/user{i} "
+               f"gpa: 3.{i % 9 + 1} bachelor of science")
+        f = extract_all_fields(aug)
+        assert sql[i] == (len(f["phones"]), len(f["linkedin"]),
+                          len(f["github"]), len(f["degrees"]), len(f["gpa"]))
+
+    # doc_profile_fields
+    sql = {r[0]: r[1:] for r in con.execute(
+        ORACLE_SQL["doc_profile_fields"]).fetchall()}
+    for i, x in [(1, "plain words only"), (2, None)]:
+        sep = "\n\n" if i % 2 == 0 else "\n"
+        when = f"since {1990 + i % 35}" if i % 3 != 0 else "recently"
+        aug = (f"{x or ''}{sep}contact details: {100 + i % 900} main "
+               f"street, springfield {i}\n{1 + i % 30} years experience {when}")
+        expect = (extract_address(aug),
+                  ",".join(extract_experience_years(aug)),
+                  is_date_like(aug), len(chunk_paragraphs(aug)))
+        assert sql[i] == expect, (i, sql[i], expect)
