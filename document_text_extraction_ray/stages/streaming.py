@@ -13,6 +13,12 @@ The batch equivalent (`stages/windows.sessionize`) produces identical output
 (tested); the streaming form exists for incremental/continuous semantics:
 actors can be queried mid-stream for OPEN sessions, which no batch groupby
 can express.
+
+Two forms: ``streaming_sessionize_partitioned`` (production shape — one
+pump task per key-hash bucket of a partitioned parquet layout, no data
+through the driver) and ``streaming_sessionize`` (single-stream demo — the
+driver routes batches; keeps the strict global-arrival-order semantics a
+single ingest point implies).
 """
 
 from __future__ import annotations
@@ -56,6 +62,54 @@ class SessionActor:
         self.open.clear()
         self.closed = []
         return out
+
+
+def streaming_sessionize_partitioned(bucket_paths, ts_col: str, key_col: str,
+                                     gap_s: int = 1800,
+                                     batch_size: int = 4096) -> pd.DataFrame:
+    """Incremental sessionization with NO driver data path — the
+    production-shaped form of ``streaming_sessionize``.
+
+    ``bucket_paths`` is a key-hash-partitioned parquet layout (one path per
+    bucket — exactly what the engine's bucketed checkpoint sink writes):
+    every key's events live wholly in one bucket, so each bucket gets its
+    own remote PUMP task that reads its shard, time-orders it, and feeds
+    its own ``SessionActor`` in ordered slices.  All data moves
+    pump->actor inside the cluster; the driver only collects the final
+    (small) session table.  Mid-stream ``open_sessions`` queries still
+    work per actor.  Output equals ``windows.sessionize`` (tested)."""
+    actors = [SessionActor.remote(gap_s) for _ in bucket_paths]
+
+    @ray.remote
+    def pump(path, actor) -> int:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=[key_col, ts_col])
+        secs = (
+            t.column(ts_col).to_pandas().to_numpy()
+            .astype("datetime64[s]").astype("int64")
+        )
+        keys = t.column(key_col).to_pandas().to_numpy()
+        order = np.argsort(secs, kind="stable")
+        keys, secs = keys[order], secs[order]
+        sent = []
+        for lo in range(0, len(secs), batch_size):
+            sent.append(actor.ingest.remote(
+                keys[lo: lo + batch_size].tolist(),
+                secs[lo: lo + batch_size].tolist(),
+            ))
+        ray.get(sent)
+        return len(secs)
+
+    ray.get([pump.remote(p, a) for p, a in zip(bucket_paths, actors)])
+    rows = []
+    for chunk in ray.get([a.finalize.remote() for a in actors]):
+        rows.extend(chunk)
+    for a in actors:
+        ray.kill(a)
+    df = pd.DataFrame(rows, columns=[key_col, "session_start_s",
+                                     "session_end_s", "n_events"])
+    return df.sort_values([key_col, "session_start_s"]).reset_index(drop=True)
 
 
 def streaming_sessionize(ds, ts_col: str, key_col: str, gap_s: int = 1800,

@@ -329,3 +329,50 @@ def test_moving_avg_matches_pandas_reference():
         lambda s: s.rolling(4, min_periods=1).mean())
     merged = out.merge(df[["k", "o", "expect"]], on=["k", "o"])
     assert np.allclose(merged["moving_avg"], merged["expect"])
+
+
+def test_streaming_sessionize_partitioned_equals_batch(tmp_path):
+    """The production-shaped form (one pump per key-hash bucket shard, no
+    driver data path) matches the batch sessionize output."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_text_extraction_ray.stages.streaming import (
+        streaming_sessionize_partitioned,
+    )
+
+    rng = np.random.RandomState(9)
+    base = np.datetime64("2025-03-01T00:00:00", "us")
+    rows = []
+    for i in range(600):
+        rows.append(
+            {"ts": base + np.timedelta64(int(rng.randint(0, 60_000)), "s"),
+             "user_id": int(rng.randint(0, 15)), "value": 1.0}
+        )
+    df = pd.DataFrame(rows)
+    # key-hash-partitioned layout (what the bucketed sink writes)
+    n_buckets = 4
+    paths = []
+    for b in range(n_buckets):
+        part = df[(df["user_id"].to_numpy().astype(np.uint64)
+                   * np.uint64(2654435761)) % np.uint64(n_buckets) == b]
+        p = tmp_path / f"bucket={b}.parquet"
+        pq.write_table(pa.Table.from_pandas(part[["user_id", "ts"]],
+                                            preserve_index=False), p)
+        paths.append(str(p))
+
+    stream = streaming_sessionize_partitioned(paths, "ts", "user_id",
+                                              gap_s=900, batch_size=64)
+    ds = ray.data.from_pandas(df)
+    batch = (
+        sessionize(ds, "ts", "user_id", gap_s=900)
+        .to_pandas()[["user_id", "session_start_s", "session_end_s", "n_events"]]
+        .sort_values(["user_id", "session_start_s"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        stream.astype({"user_id": "int64"}).reset_index(drop=True),
+        batch.astype({"user_id": "int64"}),
+    )
