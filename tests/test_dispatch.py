@@ -72,6 +72,18 @@ def test_dispatch_single_pass_equals_filter_union_plan():
     """The one-scan in-task router must produce exactly the rows of the
     explicit filter+union plan (order-insensitive)."""
     corpus, _ = _mixed_corpus(n_html=15, n_pdf=7)
+    # add a real-PDF row (decoder absent -> in-band error on both plans)
+    import pyarrow as _pa
+
+    from document_text_extraction_ray.pipelines.dispatch import PDF_TYPE
+
+    extra = ray.data.from_arrow(_pa.Table.from_pylist(
+        [{"url": "https://x/real.pdf", "content_type": PDF_TYPE,
+          "payload": b"%PDF-1.4 fake"}],
+        schema=_pa.schema([("url", _pa.string()),
+                           ("content_type", _pa.string()),
+                           ("payload", _pa.large_binary())])))
+    corpus = corpus.union(extra)
     a = (
         extract_dispatch(corpus, concurrency=2, single_pass=True)
         .to_pandas().sort_values("url").reset_index(drop=True)
