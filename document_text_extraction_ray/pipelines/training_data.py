@@ -64,8 +64,23 @@ def prepare_training_data(
     min_score: float = 0.25,
     langs=("en",),
     near_dedup: bool = True,
+    max_dup_frac_e4: int | None = None,
+    bench_grams=None,
+    decontaminate_n: int = 3,
+    redact: bool = False,
 ):
     """Compose the full pipeline; returns (Dataset, report dict).
+
+    Optional corpus-curation gates (all row-local, so they run BEFORE the
+    dedup shuffles per the cost ladder):
+      * ``max_dup_frac_e4`` — drop docs whose duplicate-2-gram fraction
+        (stages/curation.repetition_stats) reaches the threshold
+        (Gopher-style repetition filter);
+      * ``bench_grams`` — a benchmark word-n-gram set (see
+        curation.benchmark_ngram_set); docs sharing any gram are dropped
+        (decontamination; the set is broadcast, the corpus never shuffles);
+      * ``redact`` — mask emails/phones in extracted_text in place
+        (curation.redact_pii) before anything downstream sees the text.
 
     The report carries per-stage row counts (each count triggers execution of
     the shared lazy prefix; at production scale log counts from the sink's
@@ -75,6 +90,50 @@ def prepare_training_data(
     extracted = extracted.filter(expr="status == 'ok'")
     gated = quality_gate(extracted, min_chars=min_chars, min_score=min_score)
     gated = lang_gate(gated, allowed=langs)
+
+    if redact:
+        from ..stages.curation import redact_pii
+
+        redacted = redact_pii(gated, text_column="extracted_text",
+                              out_column="extracted_text_redacted")
+
+        def swap(batch: pa.Table) -> pa.Table:
+            idx = batch.column_names.index("extracted_text")
+            batch = batch.set_column(
+                idx, "extracted_text", batch.column("extracted_text_redacted")
+            )
+            return batch.drop_columns(
+                ["extracted_text_redacted", "n_emails", "n_phones"]
+            )
+
+        gated = redacted.map_batches(swap, batch_format="pyarrow")
+
+    if max_dup_frac_e4 is not None:
+        from ..stages.curation import repetition_stats
+
+        rep = repetition_stats(gated, text_column="extracted_text", n=2)
+
+        def rep_gate(batch: pa.Table) -> pa.Table:
+            keep = pc.less(batch.column("dup_ngram_frac_e4"),
+                           max_dup_frac_e4)
+            return batch.filter(keep).drop_columns(
+                ["n_ngrams", "n_distinct_ngrams", "dup_ngram_frac_e4"]
+            )
+
+        gated = rep.map_batches(rep_gate, batch_format="pyarrow")
+
+    if bench_grams:
+        from ..stages.curation import ngram_contamination
+
+        cont = ngram_contamination(gated, bench_grams,
+                                   text_column="extracted_text",
+                                   n=decontaminate_n)
+
+        def clean_only(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch.column("n_shared_grams"), 0)
+            return batch.filter(keep).drop_columns(["n_shared_grams"])
+
+        gated = cont.map_batches(clean_only, batch_format="pyarrow")
 
     deduped = exact_dedup_survivors(gated)
     if near_dedup:

@@ -59,3 +59,42 @@ def test_prepare_training_data_on_synth_corpus():
     assert 0 < len(df) <= 120
     assert (df["quality_score"] >= 0).all()
     assert set(df["pred_lang"]) <= {"en", "und"}
+
+
+def test_prepare_training_data_curation_gates():
+    """Repetition filter, decontamination, and PII redaction compose into
+    the pipeline as row-local gates."""
+    from document_text_extraction_ray.stages.curation import word_ngrams
+
+    repeat = ("spam spam spam spam spam spam spam spam spam spam spam spam "
+              "spam spam spam spam spam spam spam spam spam spam spam spam")
+    leaky = GOOD  # shares 3-grams with the 'benchmark'
+    clean = ("a completely different story about seven ships that sailed the "
+             "northern sea for many long months carrying salt and iron to the "
+             "far harbors and the people who waited there for them to return")
+    pii = (clean.replace("story", "story by bob@example.com at 415-555-1234"))
+    rows = [
+        _page("https://b/1", repeat),
+        _page("https://b/2", leaky),
+        _page("https://b/3", pii),
+    ]
+    schema = pa.schema(
+        [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+         ("html", pa.large_binary()), ("text", pa.large_string()),
+         ("lang", pa.string())]
+    )
+    corpus = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+    bench = set(word_ngrams(GOOD, 3))
+
+    out, _ = prepare_training_data(
+        corpus, min_chars=40, min_score=0.0, langs=("en", "und"),
+        near_dedup=False, max_dup_frac_e4=5000, bench_grams=bench,
+        redact=True,
+    )
+    df = out.to_pandas()
+    # repeat (dup-2-gram frac ~95%) and leaky (shares benchmark grams) drop;
+    # the PII doc survives with its email/phone masked.
+    assert sorted(df["url"]) == ["https://b/3"]
+    text = df.iloc[0]["extracted_text"]
+    assert "<EMAIL>" in text and "bob@example.com" not in text
+    assert "<PHONE>" in text and "415-555-1234" not in text
