@@ -1581,24 +1581,27 @@ def q_moving_avg(sf_dir: str):
 def q_fields_struct_counts(sf_dir: str):
     """Field-extractor family end-to-end with an oracle: the corpus gains a
     deterministic per-doc contact/education line (SQL-reconstructible) and
-    phones / linkedin / github / degrees / gpa are counted through the full
-    extract_all_fields suite (M2/M3/M9)."""
-    from ..functions.fields import extract_all_fields
+    phones / linkedin / github / degrees / gpa / institutions are counted
+    through the full extract_education + extract_all_fields suite
+    (M2/M3/M9)."""
+    from ..functions.fields import extract_all_fields, extract_education
 
     def augment_and_count(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
         texts = t.column("text").to_pylist()
-        np_, nl, ng, nd, na = [], [], [], [], []
+        np_, nl, ng, nd, na, ni = [], [], [], [], [], []
         for i, x in zip(ids, texts):
             aug = (f"{x or ''} reach me +1-415-555-{i % 10000:04d} "
                    f"linkedin.com/in/user{i} github.com/user{i} "
-                   f"gpa: 3.{i % 9 + 1} bachelor of science")
+                   f"gpa: 3.{i % 9 + 1} bachelor of science, "
+                   f"University of Springfield")
             f = extract_all_fields(aug)
             np_.append(len(f["phones"]))
             nl.append(len(f["linkedin"]))
             ng.append(len(f["github"]))
             nd.append(len(f["degrees"]))
             na.append(len(f["gpa"]))
+            ni.append(len(extract_education(aug)["institutions"]))
         return pa.table({
             "doc_id": t.column("doc_id"),
             "n_phones": pa.array(np_, pa.int64()),
@@ -1606,6 +1609,7 @@ def q_fields_struct_counts(sf_dir: str):
             "n_github": pa.array(ng, pa.int64()),
             "n_degrees": pa.array(nd, pa.int64()),
             "n_gpa": pa.array(na, pa.int64()),
+            "n_institutions": pa.array(ni, pa.int64()),
         })
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -2644,7 +2648,7 @@ ORACLE_SQL["fields_struct_counts"] = r"""
                     || ' linkedin.com/in/user' || CAST(doc_id AS VARCHAR)
                     || ' github.com/user' || CAST(doc_id AS VARCHAR)
                     || ' gpa: 3.' || CAST(doc_id % 9 + 1 AS VARCHAR)
-                    || ' bachelor of science' AS t
+                    || ' bachelor of science, University of Springfield' AS t
         FROM documents
     ), f AS (
         SELECT doc_id, t, lower(t) AS lt FROM aug
@@ -2669,7 +2673,10 @@ ORACLE_SQL["fields_struct_counts"] = r"""
                    '\b(undergraduate|graduate|postgraduate)\b', 1))))
                  AS BIGINT) AS n_degrees,
            CAST(len(list_distinct(regexp_extract_all(lt,
-                 '(?:gpa|cgpa)[:\s]*([0-9]\.[0-9]+)', 1))) AS BIGINT) AS n_gpa
+                 '(?:gpa|cgpa)[:\s]*([0-9]\.[0-9]+)', 1))) AS BIGINT) AS n_gpa,
+           CAST(len(list_distinct(regexp_extract_all(t,
+                 '\b(?:University|Institute|College) of [A-Z][A-Za-z ]+')))
+                AS BIGINT) AS n_institutions
     FROM f ORDER BY doc_id
 """
 
