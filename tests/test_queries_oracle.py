@@ -95,13 +95,17 @@ def test_augmentation_oracles_null_text_parity():
     # fields_struct_counts: python kernel replay
     sql = {r[0]: r[1:] for r in con.execute(
         ORACLE_SQL["fields_struct_counts"]).fetchall()}
+    from document_text_extraction_ray.functions.fields import extract_education
+
     for i, x in [(1, "plain words only"), (2, None)]:
         aug = (f"{x or ''} reach me +1-415-555-{i % 10000:04d} "
                f"linkedin.com/in/user{i} github.com/user{i} "
-               f"gpa: 3.{i % 9 + 1} bachelor of science")
+               f"gpa: 3.{i % 9 + 1} bachelor of science, "
+               f"University of Springfield")
         f = extract_all_fields(aug)
         assert sql[i] == (len(f["phones"]), len(f["linkedin"]),
-                          len(f["github"]), len(f["degrees"]), len(f["gpa"]))
+                          len(f["github"]), len(f["degrees"]), len(f["gpa"]),
+                          len(extract_education(aug)["institutions"]))
 
     # doc_profile_fields
     sql = {r[0]: r[1:] for r in con.execute(
