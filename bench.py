@@ -130,10 +130,10 @@ def main_bench():
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             scaling = json.load(f)
-        # Staleness flag: the embedded result carries the commit it was
-        # measured at; a mismatch means "from an earlier code state".
+        # Staleness flag: compare the ENGINE PACKAGE tree hash, not the
+        # commit — doc/test commits don't invalidate a measurement.
         scaling["stale"] = (
-            scaling.get("measured_at_commit", "unknown") != _git_head()
+            scaling.get("measured_pkg_tree", "unknown") != _pkg_tree()
         )
         out["scaling"] = scaling
     print(json.dumps(out))
@@ -183,6 +183,7 @@ def main_scaling():
         "sf": SF_DIR,
     }
     result["measured_at_commit"] = _git_head()
+    result["measured_pkg_tree"] = _pkg_tree()
     # Persist next to the repo so plain `bench.py` runs embed it per round.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "SCALING.json"), "w") as f:
@@ -197,6 +198,19 @@ def _git_head() -> str:
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+def _pkg_tree() -> str:
+    """Tree hash of the engine package at HEAD — the staleness key for
+    embedded scaling results (docs/tests don't re-stale a measurement)."""
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD:document_text_extraction_ray"],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()[:12]
     except Exception:
         return "unknown"
 
