@@ -7,11 +7,14 @@ calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator family
                       (SURVEY.md §2 + the training-data operators)
 - ``oracle_sql()``  — DuckDB-equivalent SQL per query where expressible
-                      (41 of 57, incl. SQL reconstructions of the
-                      language-ID and quality-feature kernels); rows-only
-                      queries (minhash/simhash/LSH-ANN/structured folds/
-                      sketches/synthetic-corpus extraction) are
-                      intentionally absent.
+                      (62 of 72, incl. SQL reconstructions of the
+                      language-ID/quality/token/fingerprint kernels); the
+                      QUERIES registry lists every oracle-backed query
+                      FIRST (rows-only last) so a leading-window
+                      correctness check covers them; rows-only queries
+                      (probabilistic LSH/HLL, wrapping-uint64 MinHash,
+                      binary multimodal payloads, synthetic-corpus
+                      extraction) are intentionally absent.
 """
 
 from __future__ import annotations

@@ -143,7 +143,14 @@ def run_sharded_extraction_job(
     pin one extract task while the cluster idles; a smaller target block
     (e.g. 8) makes the read emit fine-grained blocks so giant rows spread
     across tasks (measured 30.6 s -> 20.6 s on a 20x5.6 MB-row skew
-    corpus).  Leaves the global DataContext as it found it.
+    corpus).  Leaves the global DataContext as it found it — but the
+    override mutates the PROCESS-GLOBAL DataContext for the guarded
+    region's duration, so it assumes ONE extraction job per driver
+    process: a second concurrent ``run_sharded_extraction_job`` (or any
+    other Ray Data work on the same driver) would race on the override,
+    and the finally-restore can clobber the other caller's setting.  Run
+    concurrent jobs from separate driver processes, or leave
+    ``target_block_mb=None``.
     """
     import glob as _glob
     import shutil

@@ -99,8 +99,14 @@ def bucketed_map_groups(ds, key_cols, fold_fn, empty_result=None,
     collisions are harmless because the in-bucket pandas groupby still
     separates real keys.  Null-key rows form their own group (dropna=False
     — matching Ray's groupby, which also keeps a null-key group).
-    ``empty_result`` (an empty DataFrame with the fold's output columns) is
-    returned for buckets where every group folds to nothing."""
+    ``empty_result`` is returned for buckets where every group folds to
+    nothing: either an empty DataFrame with the fold's output columns AND
+    DTYPES (a dtype-less ``pd.DataFrame({"c": []})`` defaults every column
+    to float64, emitting blocks whose schema disagrees with non-empty
+    buckets — Ray logs a schema-mismatch warning and downstream relies on
+    lenient pandas coercion), or a callable ``(bucket_frame) -> DataFrame``
+    so output dtypes can be derived from the input's (e.g. id columns that
+    inherit the input id dtype)."""
     import pyarrow as pa
 
     from .join import _bucket_array
@@ -126,6 +132,8 @@ def bucketed_map_groups(ds, key_cols, fold_fn, empty_result=None,
         ]
         outs = [o for o in outs if len(o)]
         if not outs:
+            if callable(empty_result):
+                return empty_result(g)
             return empty_result if empty_result is not None else fold_fn(g.iloc[0:0])
         return pd.concat(outs, ignore_index=True)
 

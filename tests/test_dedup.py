@@ -181,3 +181,67 @@ def test_minhash_candidates_all_empty_corpus():
     # the empty result still carries the pairs schema (to_pandas on an
     # empty Dataset drops columns — a Ray quirk — so check schema())
     assert set(out.schema().names) >= {"id_a", "id_b"}
+
+
+def test_minhash_candidates_distributed_matches_driver():
+    """scale='distributed' (semi-join band filter + groupby pair dedup) ==
+    scale='driver' (broadcast keys + driver drop_duplicates)."""
+    d = SD.minhash_candidates(_docs(), "text", "doc_id",
+                              est_threshold=0.5).to_pandas()
+    x = SD.minhash_candidates(_docs(), "text", "doc_id", est_threshold=0.5,
+                              scale="distributed").to_pandas()
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"],
+                                df["est_jaccard"].round(9)))
+    assert key(d) == key(x)
+    assert len(d) > 0
+
+
+def test_minhash_dedup_scale_distributed_matches_driver():
+    """Full scale plan (dataset-native tails + anti-join survivors, labels
+    returned AS A DATASET) == driver plan, for int AND string ids."""
+    ds = _docs()
+    kept_d, lab_d = SD.minhash_dedup(ds, "text", "doc_id")
+    kept_x, lab_x = SD.minhash_dedup(ds, "text", "doc_id",
+                                     scale="distributed")
+    assert sorted(kept_d.to_pandas()["doc_id"]) == sorted(
+        kept_x.to_pandas()["doc_id"])
+    got = {r["node"]: r["label"] for r in lab_x.take_all()}
+    assert got == lab_d
+
+    texts = {1: BASE, 2: BASE, 3: NEAR, 4: OTHER, 5: ""}
+    sds = ray.data.from_items(
+        [{"doc_id": f"u{i}", "text": t} for i, t in texts.items()]
+    )
+    kept_s, lab_s = SD.minhash_dedup(sds, "text", "doc_id",
+                                     scale="distributed")
+    assert sorted(kept_s.to_pandas()["doc_id"]) == ["u1", "u4", "u5"]
+    # label table carries the string id type end-to-end
+    got_s = {r["node"]: r["label"] for r in lab_s.take_all()}
+    assert got_s == {"u2": "u1", "u3": "u1", "u1": "u1"}
+
+
+def test_minhash_dedup_distributed_no_dups():
+    """No duplicate clusters: the scale plan returns the corpus unchanged
+    and an EMPTY label dataset (no anti-join needed)."""
+    ds = ray.data.from_items(
+        [{"doc_id": 3, "text": NEAR}, {"doc_id": 4, "text": OTHER}]
+    )
+    kept, labels = SD.minhash_dedup(ds, "text", "doc_id",
+                                    scale="distributed")
+    assert sorted(kept.to_pandas()["doc_id"]) == [3, 4]
+    assert labels.count() == 0
+
+
+def test_minhash_candidates_distributed_string_empty_typed():
+    """Zero duplicate band keys on a STRING-id corpus: the empty pairs
+    dataset must carry the string id type, not int64 (ADVICE r2)."""
+    ds = ray.data.from_items(
+        [{"doc_id": "a", "text": NEAR}, {"doc_id": "b", "text": OTHER}]
+    )
+    for scale in ("driver", "distributed"):
+        out = SD.minhash_candidates(ds, "text", "doc_id", scale=scale)
+        assert out.count() == 0
+        sch = out.schema().base_schema
+        import pyarrow as pa
+        assert pa.types.is_string(sch.field("id_a").type) or \
+            pa.types.is_large_string(sch.field("id_a").type), (scale, sch)

@@ -376,3 +376,39 @@ def test_streaming_sessionize_partitioned_equals_batch(tmp_path):
         stream.astype({"user_id": "int64"}).reset_index(drop=True),
         batch.astype({"user_id": "int64"}),
     )
+
+
+def test_anti_join_nested_columns_and_nulls():
+    """anti_join keeps left rows whose key is absent from the right — with
+    NESTED left columns (pyarrow joins reject those) and null keys kept."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import anti_join
+
+    left = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4, None], pa.int64()),
+        "payload": pa.array([{"a": 1}, {"a": 2}, {"a": 3}, {"a": 4}, {"a": 5}],
+                            pa.struct([("a", pa.int64())])),
+        "tags": pa.array([["x"], [], ["y", "z"], ["w"], []],
+                         pa.list_(pa.string())),
+    }))
+    removed = rd.from_arrow(pa.table({"id": pa.array([2, 4, 9], pa.int64())}))
+    out = anti_join(left, removed, on="id").to_pandas()
+    kept = sorted(x for x in out["id"] if x == x and x is not None)
+    assert kept == [1, 3]
+    assert out["id"].isna().sum() == 1  # null key kept
+    assert {"payload", "tags"} <= set(out.columns)
+
+
+def test_anti_join_empty_right():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import anti_join
+
+    left = rd.from_arrow(pa.table({"id": pa.array([1, 2], pa.int64()),
+                                   "v": pa.array(["a", "b"])}))
+    removed = rd.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
+    out = anti_join(left, removed, on="id").to_pandas()
+    assert sorted(out["id"]) == [1, 2]
