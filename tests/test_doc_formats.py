@@ -1,0 +1,117 @@
+"""Pure-kernel tests for the real document formats: stdlib DOCX reader and
+the minipdf subset parser + their deterministic synthesizers (no Ray)."""
+
+import zlib
+
+from document_text_extraction_ray.functions.docx_extract import (
+    extract_docx_text,
+    paragraph_texts,
+)
+from document_text_extraction_ray.functions.pdf_extract import (
+    minipdf_extract_text,
+)
+from document_text_extraction_ray.sources.synth_docx import build_docx
+from document_text_extraction_ray.sources.synth_pdf_real import build_pdf
+
+
+def test_docx_roundtrip_reference_fold():
+    """python-docx parity: every paragraph + newline, empties kept."""
+    text = "Jane Doe\n\njane@x.example\nSkills, more"
+    assert extract_docx_text(build_docx(text)) == text + "\n"
+    assert paragraph_texts(build_docx(text)) == text.split("\n")
+
+
+def test_docx_deterministic_and_xml_escaping():
+    t = 'a & b < c > d "quoted" (parens)'
+    p1, p2 = build_docx(t), build_docx(t)
+    assert p1 == p2
+    assert extract_docx_text(p1) == t + "\n"
+
+
+def test_docx_tab_and_break_runs():
+    """Hand-built document.xml: <w:tab/> -> \\t, <w:br/> -> \\n inside a
+    run, multiple runs concatenated — python-docx rendering."""
+    import io
+    import zipfile
+
+    from document_text_extraction_ray.sources import synth_docx as S
+
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{S._W}"><w:body>'
+        "<w:p><w:r><w:t>a</w:t><w:tab/><w:t>b</w:t></w:r>"
+        "<w:r><w:br/><w:t>c</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", S._CONTENT_TYPES)
+        z.writestr("_rels/.rels", S._RELS)
+        z.writestr("word/document.xml", xml)
+    assert extract_docx_text(buf.getvalue()) == "a\tb\nc\n"
+
+
+def test_pdf_roundtrip_compressed_and_raw():
+    pages = ["line one\nline (two) with \\ escape", "second page"]
+    for compress in (True, False):
+        payload = build_pdf(pages, compress=compress)
+        assert minipdf_extract_text(payload) == "\n".join(pages)
+    assert build_pdf(pages) == build_pdf(pages)  # deterministic bytes
+
+
+def test_pdf_kids_order_defines_page_order():
+    payload = build_pdf(["B page", "A page", "C page"])
+    assert minipdf_extract_text(payload) == "B page\nA page\nC page"
+
+
+def test_pdf_tj_array_hex_and_octal():
+    """Hand-built single-page PDF exercising TJ arrays (kern numbers
+    ignored), hex strings, and octal escapes."""
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"[(Hel) -20 (lo)] TJ "
+        b"(\\110\\151) Tj "        # octal 'Hi'
+        b"<776f726c64> Tj "        # hex 'world'
+        b"ET"
+    )
+    stream = zlib.compress(content)
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(stream)).encode() +
+        b" /Filter /FlateDecode >>\nstream\n" + stream + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n"
+    )
+    assert minipdf_extract_text(body) == "Hello\nHi\nworld"
+
+
+def test_pdf_nested_pages_tree_and_contents_array():
+    """Nested /Pages nodes flatten in Kids order; /Contents arrays concat."""
+    c1 = b"BT (alpha) Tj ET"
+    c2 = b"BT (beta) Tj ET"
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >>\nendobj\n"
+        b"5 0 obj\n<< /Type /Pages /Kids [6 0 R] /Count 1 >>\nendobj\n"
+        b"6 0 obj\n<< /Type /Page /Parent 5 0 R /Contents [7 0 R 8 0 R] >>\nendobj\n"
+        b"7 0 obj\n<< /Length " + str(len(c1)).encode() +
+        b" >>\nstream\n" + c1 + b"\nendstream\nendobj\n"
+        b"8 0 obj\n<< /Length " + str(len(c2)).encode() +
+        b" >>\nstream\n" + c2 + b"\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>\nendobj\n"
+    )
+    # nested page first (alpha+beta), then the top-level page (alpha again)
+    assert minipdf_extract_text(body) == "alpha\nbeta\nalpha"
+
+
+def test_pdf_subset_errors_are_loud():
+    import pytest
+
+    with pytest.raises(ValueError):
+        minipdf_extract_text(b"%PDF-1.4 nothing here")
+    with pytest.raises(ValueError):
+        # objects but no catalog
+        minipdf_extract_text(b"1 0 obj\n<< /Type /Page >>\nendobj\n")

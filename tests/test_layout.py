@@ -222,3 +222,50 @@ def test_a5_postprocess_fallback_and_order():
     merged = merge_nearby_regions([(0, 0, 10, 20), (0, 25, 10, 40),
                                    (0, 100, 10, 120)], max_gap_px=10)
     assert merged == [(0, 0, 10, 40), (0, 100, 10, 120)]
+
+
+def test_ocr_stub_glyph_roundtrip():
+    """Rasterize -> recognize is a true bit-level round trip, and corrupt
+    bitmaps fail loudly (become in-band error rows in the stage)."""
+    import numpy as np
+    import pytest
+
+    from document_text_extraction_ray.functions.ocr_stub import (
+        StubOcrEngine,
+        render_glyph_bitmap,
+    )
+
+    eng = StubOcrEngine()
+    text = "John Doe 42, Python & SQL"
+    bits = render_glyph_bitmap(text)
+    assert bits.shape == (7, len(text))
+    assert eng.recognize_glyph_bitmap(bits) == text
+    # single-pixel corruption misreads exactly like real OCR noise
+    bad = bits.copy(); bad[0, 0] ^= 1
+    assert eng.recognize_glyph_bitmap(bad) != text
+    with pytest.raises(ValueError):
+        eng.recognize_glyph_bitmap(np.zeros((3, 5)))
+
+
+def test_layout_do_ocr_extracts_scanned_pages():
+    """Scanned docs (bitmap glyphs, no text layer) extract their golden
+    reading order ONLY with do_ocr=True — the parse_cv_docling.py:216-221
+    do_ocr lifecycle, end-to-end through the actor-pool stage."""
+    from document_text_extraction_ray.sources.synth_pdf import (
+        synth_scanned_pdf_doc,
+    )
+
+    rows = [synth_scanned_pdf_doc(i) for i in range(12)]
+    ds = ray.data.from_items(
+        [{k: r[k] for k in ("url", "payload")} for r in rows]
+    )
+    with_ocr = layout_extract(ds, core="vector", concurrency=2,
+                              do_ocr=True).to_pandas()
+    expected = {r["url"]: r["expected_reading_order"] for r in rows}
+    assert set(with_ocr["status"]) == {"ok"}
+    for _, row in with_ocr.iterrows():
+        assert row["extracted_text"] == expected[row["url"]]
+
+    without = layout_extract(ds, core="vector", concurrency=2).to_pandas()
+    assert set(without["status"]) == {"ok"}
+    assert (without["extracted_text"] == "").all()  # no text layer, no OCR

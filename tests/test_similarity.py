@@ -99,3 +99,29 @@ def test_brute_force_topk_boundary_ties_keep_smallest_ids():
     out = SIM.brute_force_topk(ds, np.asarray([onehot(0)]), query_ids=[99],
                                k=10).to_pandas()
     assert out.sort_values("rank")["neighbor_id"].tolist() == list(range(10))
+
+
+def test_exact_dup_pairs_triangle_matches_broadcast():
+    """Triangle self-join (no driver materialization, no whole-matrix
+    broadcast) == broadcast all-pairs, including with multiple logical
+    partitions (rows_per_part forces P>1) and multiple blocks."""
+    ds, vecs = _embeddings(n=120, d=8, seed=7)
+    ds = ds.repartition(6)
+    bc = SIM.exact_dup_pairs(ds, threshold=0.5,
+                             strategy="broadcast").to_pandas()
+    tr = SIM.exact_dup_pairs(ds, threshold=0.5, strategy="triangle",
+                             rows_per_part=32).to_pandas()
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"]))
+    assert key(tr) == key(bc)
+    assert len(bc) > 0
+    assert (tr["id_a"] < tr["id_b"]).all()
+
+
+def test_exact_dup_pairs_triangle_single_partition():
+    ds, _ = _embeddings(n=20, d=8, seed=9)
+    bc = SIM.exact_dup_pairs(ds, threshold=0.4,
+                             strategy="broadcast").to_pandas()
+    tr = SIM.exact_dup_pairs(ds, threshold=0.4,
+                             rows_per_part=4096).to_pandas()
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"]))
+    assert key(tr) == key(bc)
