@@ -7,13 +7,14 @@ calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator family
                       (SURVEY.md §2 + the training-data operators)
 - ``oracle_sql()``  — DuckDB-equivalent SQL per query where expressible
-                      (64 of 74, incl. SQL reconstructions of the
+                      (67 of 75, incl. SQL reconstructions of the
                       language-ID/quality/token/fingerprint kernels); the
                       QUERIES registry lists every oracle-backed query
                       FIRST (rows-only last) so a leading-window
                       correctness check covers them; rows-only queries
-                      (probabilistic LSH/HLL, wrapping-uint64 MinHash,
-                      binary multimodal payloads, synthetic-corpus
+                      (wrapping-uint64 MinHash, raw approximate-ANN
+                      neighbor lists — recall-gated via ann_recall —
+                      binary audio/video payloads, synthetic-corpus
                       extraction) are intentionally absent.
 """
 

@@ -34,9 +34,13 @@ except ImportError:
 
 
 def encode_fake_image(width: int, height: int, seed: int = 0) -> bytes:
-    """Deterministic fake image container: magic + dims + seeded pixel bytes."""
-    rng = np.random.RandomState(seed)
-    payload = rng.randint(0, 256, size=width * height, dtype=np.int64).astype(np.uint8)
+    """Deterministic fake image container: magic + dims + pixel bytes from a
+    CLOSED-FORM generator, ``px[j] = (seed*2654435761 + j*2246822519) % 256``
+    — chosen over a seeded Mersenne stream so an external oracle (plain SQL
+    over ``range(w*h)``) can reconstruct the pixels and therefore verify the
+    decode + feature kernels end-to-end, not just the container header."""
+    j = np.arange(width * height, dtype=np.int64)
+    payload = ((seed * 2654435761 + j * 2246822519) % 256).astype(np.uint8)
     return FAKE_IMG_MAGIC + struct.pack("<II", width, height) + payload.tobytes()
 
 
@@ -60,6 +64,9 @@ IMAGE_FEATURES_TYPE = pa.struct(
         ("height", pa.int32()),
         ("mean_intensity", pa.float64()),
         ("std_intensity", pa.float64()),
+        # Integer pixel sum: the float mean can't be hash-compared against an
+        # external SQL oracle (summation-order rounding), the exact sum can.
+        ("sum_intensity", pa.int64()),
         ("checksum", pa.int64()),
     ]
 )
@@ -95,6 +102,7 @@ class ImageFeatureStage:
                         "height": int(img.shape[0]),
                         "mean_intensity": float(img.mean()),
                         "std_intensity": float(img.std()),
+                        "sum_intensity": int(img.sum(dtype=np.int64)),
                         "checksum": int(zlib.crc32(img.tobytes())),
                     }
                 )
@@ -102,7 +110,7 @@ class ImageFeatureStage:
             except Exception as exc:
                 feats.append(
                     {"width": 0, "height": 0, "mean_intensity": 0.0,
-                     "std_intensity": 0.0, "checksum": 0}
+                     "std_intensity": 0.0, "sum_intensity": 0, "checksum": 0}
                 )
                 statuses.append(f"error: {type(exc).__name__}")
         batch = batch.append_column(

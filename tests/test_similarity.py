@@ -50,6 +50,27 @@ def test_lsh_bucket_topk_finds_self():
         assert mine[mine["rank"] == 1]["neighbor_id"].iloc[0] == qid
 
 
+def test_lsh_multiprobe_widens_recall():
+    """Multiprobe: radius-r candidates are a superset of the exact bucket,
+    and recall@k vs brute force is non-decreasing in the radius (strictly
+    better in aggregate on gaussian vectors, where true neighbors sit a few
+    Hamming bits away)."""
+    ds, vecs = _embeddings(n=200, d=16, seed=3)
+    q, qids = vecs[:4], [0, 1, 2, 3]
+    exact = SIM.brute_force_topk(ds, q, query_ids=qids, k=10).to_pandas()
+    recalls = []
+    for r in (0, 2, 3):
+        lsh = SIM.lsh_bucket_topk(ds, q, qids, k=10, probe_radius=r).to_pandas()
+        hits = 0
+        for qid in qids:
+            truth = set(exact.loc[exact["query_id"] == qid, "neighbor_id"])
+            got = set(lsh.loc[lsh["query_id"] == qid, "neighbor_id"])
+            hits += len(truth & got)
+        recalls.append(hits / (10 * len(qids)))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] > recalls[0]
+
+
 def test_embedding_dup_pairs():
     rng = np.random.RandomState(0)
     base = rng.randn(8)
