@@ -112,31 +112,45 @@ def main_bench():
     headline = run_headline()
     queries = run_queries()
     ray.shutdown()
+    # KEY ORDER AND SIZE MATTER: the round driver captures only the LAST
+    # ~2000 characters of stdout and json-parses the final line (r2's line
+    # overflowed at 72 queries -> "parsed": null).  So (a) the line is
+    # compact (no-space separators, 2-decimal query secs, summarized
+    # scaling), and (b) the big queries dict comes FIRST so that even if a
+    # future registry overflows again, the tail window still ends with the
+    # human-readable headline/scaling summary.
     out = {
-        "metric": "headline extraction pipeline wall time "
-                  f"({BENCH_N} synthetic CC-style pages, checkpointed sink)",
-        "value": headline["sec"],
-        "unit": "sec",
-        "queries": queries,
+        "queries": {k: round(v, 2) for k, v in queries.items()},
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "headline": headline,
+        "metric": f"headline extract wall ({BENCH_N} CC pages)",
+        "value": headline["sec"],
+        "unit": "sec",
     }
-    # Diffable scaling evidence: embed the last `bench.py --scaling` result
-    # (written to SCALING.json next to this file) so BENCH_r*.json carries
-    # the two-parallelism throughputs + efficiency per round.
+    # Diffable scaling evidence: summarize the last `bench.py --scaling`
+    # result (SCALING.json, full detail) so BENCH_r*.json carries the
+    # two-parallelism throughputs + efficiency per round.
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "SCALING.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            scaling = json.load(f)
-        # Staleness flag: compare the ENGINE PACKAGE tree hash, not the
-        # commit — doc/test commits don't invalidate a measurement.
-        scaling["stale"] = (
-            scaling.get("measured_pkg_tree", "unknown") != _pkg_tree()
-        )
-        out["scaling"] = scaling
-    print(json.dumps(out))
+            s = json.load(f)
+        lo, hi = s.get("cpus_small", 4), s.get("cpus_large", 16)
+        out["scaling"] = {
+            "efficiency": s.get("value"),
+            "cpus": f"{lo}v{hi}",
+            f"sec_{lo}": s.get(f"sec_{lo}"),
+            f"sec_{hi}": s.get(f"sec_{hi}"),
+            # Staleness keyed on the ENGINE PACKAGE tree hash, not the
+            # commit — doc/test commits don't invalidate a measurement.
+            "stale": s.get("measured_pkg_tree", "unknown") != _pkg_tree(),
+        }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # keep inside the driver's tail-capture window
+        out["queries"] = {k: round(v, 1) for k, v in out["queries"].items()}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 def run_at(ncpu: int, repeats: int | None = None) -> dict:

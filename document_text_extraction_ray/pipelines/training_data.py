@@ -168,6 +168,14 @@ def prepare_training_data(
 
     deduped = exact_dedup_survivors(gated)
     if near_dedup:
+        # Diamond dependency: minhash_dedup consumes its input TWICE (once
+        # into the sketch table, once into the survivor anti-join).  Left
+        # lazy, the whole extract -> gates -> exact-dedup prefix would
+        # re-execute for each consumer (measured: doubles the wall).
+        # Materialize the exact-dedup output once — object-store resident
+        # and spillable; the 100-TB production form of the same decision is
+        # checkpointing this boundary to Parquet and reading it twice.
+        deduped = deduped.materialize()
         # The 100-TB plan end-to-end: candidate tails, labeling, AND
         # survivor filtering all dataset-native (labels is a Dataset; the
         # removed-id set is never driver-collected or broadcast).

@@ -108,12 +108,20 @@ def cluster_pairs_distributed(pairs_ds, max_iters: int = 32,
     Returns a Dataset of (node, label) with label = min id of the component —
     identical to ``_cluster_pairs``'s assignment (equivalence-tested).
 
-    Each round is two thin joins + one groupby-min over the label table
-    (|nodes| rows, 2 thin columns), materialized per round to truncate
-    lineage.  Convergence: labels are per-node non-increasing, so for
-    NUMERIC ids a stall of sum(label) is an exact converged test (one cheap
-    aggregate); for other id types a diff-count join detects the round in
-    which no label changed."""
+    Physical plan (minimizing pipeline EXECUTIONS — each Ray Data execution
+    carries ~0.5-1 s fixed cost, which dominated the r2 version at bench
+    scale):
+      * round 1 is FUSED and join-free: labels start as the identity, so
+        one propagation round is exactly ``label(v) = min(v, min
+        neighbor(v))`` — a single groupby-min over the (symmetrized) edge
+        table.  Near-dup graphs are mostly 2-cliques/stars, which this
+        round already converges.
+      * rounds >= 2 are two thin joins (propagate + pointer-jump) + one
+        groupby-min, with the PREVIOUS label carried through the union as
+        an extra column (identity rows carry old=label, message rows
+        old=null; Min ignores nulls) — so the converged test is a cheap
+        filter-count on the just-materialized label table instead of a
+        separate old-vs-new join execution."""
     import ray.data as _rd
     from ray.data.aggregate import Min, Sum
 
@@ -147,28 +155,26 @@ def cluster_pairs_distributed(pairs_ds, max_iters: int = 32,
     # crash the arrow joins (and map stages never see empty blocks, so they
     # cannot repair them).  The label table is thin — the extra exchange is
     # negligible.
+
+    # Round 1, fused: with identity starting labels, propagation is just
+    # min-over-neighbors — one groupby over the symmetrized edges (every
+    # node appears as dst), no joins, ONE execution.
+    def min_with_self(t: pa.Table) -> pa.Table:
+        node, nbr = t.column("dst"), t.column("min_src")
+        lab = pc.if_else(pc.less(nbr, node), nbr, node)
+        return pa.table({"node": node, "label": lab})
+
     labels = (
         coalesce_aggregate_blocks(
-            edges.select_columns(["src"]).groupby("src").count()
+            edges.groupby("dst").aggregate(Min("src", alias_name="min_src"))
         )
-        .map_batches(
-            lambda t: pa.table({"node": t.column("src"), "label": t.column("src")}),
-            batch_format="pyarrow",
-        )
+        .map_batches(min_with_self, batch_format="pyarrow")
         .materialize()
     )
-    # Sum-stall is a cheap NECESSARY convergence signal for integer labels
-    # (labels are per-node non-increasing), but not sufficient on its own
-    # (int64 sums can wrap for huge graphs of near-2^63 ids); a stall is
-    # therefore CONFIRMED by the exact changed-label join before breaking.
-    # Float / string ids skip the shortcut and always use the exact check.
-    int_labels = pa.types.is_integer(
-        labels.schema().base_schema.field("label").type
-    )
-    prev_sum = (
-        labels.aggregate(Sum("label", alias_name="s"))["s"] if int_labels
-        else None
-    )
+
+    def strip_old(t: pa.Table) -> pa.Table:
+        return t.select(["node", "label"])
+
     for _ in range(max_iters):
         # Propagate: each edge carries its src's label to dst.
         msgs = native_join(
@@ -198,41 +204,37 @@ def cluster_pairs_distributed(pairs_ds, max_iters: int = 32,
         ).map_batches(
             lambda t: t.select(["node", "label"]), batch_format="pyarrow"
         )
+        # Identity rows carry the previous label in `old`; message rows get
+        # null.  Min ignores nulls, and `old` is single-valued per node, so
+        # the fold yields (node, new label, previous label) in ONE exchange
+        # — the converged test is then a filter-count, not another join.
+        ident = labels.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "label": t.column("label"),
+                                "old": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        with_null_old = lambda t: t.append_column(  # noqa: E731
+            "old", pa.nulls(t.num_rows, t.column("label").type))
         new_labels = coalesce_aggregate_blocks(
-            labels.union(msgs, jumped)
+            ident.union(
+                msgs.map_batches(with_null_old, batch_format="pyarrow"),
+                jumped.map_batches(with_null_old, batch_format="pyarrow"),
+            )
             .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            .aggregate(Min("label", alias_name="label"),
+                       Min("old", alias_name="old"))
         ).materialize()
-        def no_label_changed() -> bool:
-            return native_join(
-                new_labels.map_batches(
-                    lambda t: pa.table({"node": t.column("node"), "new": t.column("label")}),
-                    batch_format="pyarrow",
-                ),
-                labels.map_batches(
-                    lambda t: pa.table({"node": t.column("node"), "old": t.column("label")}),
-                    batch_format="pyarrow",
-                ),
-                on="node",
-                n_partitions=n_partitions,
-            ).map_batches(
-                lambda t: pa.table(
-                    {"c": pa.array(
-                        [t.filter(pc.invert(pc.equal(t.column("new"), t.column("old")))).num_rows],
-                        pa.int64(),
-                    )}
-                ),
-                batch_format="pyarrow",
-            ).aggregate(Sum("c", alias_name="c"))["c"] == 0
-
-        if int_labels:
-            cur = new_labels.aggregate(Sum("label", alias_name="s"))["s"]
-            converged = cur == prev_sum and no_label_changed()
-            prev_sum = cur
-        else:
-            converged = no_label_changed()
-        labels = new_labels
-        if converged:
+        changed = new_labels.map_batches(
+            lambda t: pa.table({"c": pa.array(
+                [t.filter(pc.invert(pc.equal(t.column("label"),
+                                             t.column("old")))).num_rows],
+                pa.int64(),
+            )}),
+            batch_format="pyarrow",
+        ).aggregate(Sum("c", alias_name="c"))["c"]
+        labels = new_labels.map_batches(strip_old, batch_format="pyarrow")
+        if changed == 0:
             break
     else:
         # Silent partial merges are worse than a loud warning: pointer
@@ -377,8 +379,13 @@ def minhash_candidates(
         # The multi-member band keys stay a Dataset: ONE distributed
         # semi-join attaches them to the sketch rows.  Bounded everywhere —
         # no driver collection of the (unbounded) duplicated-key set.
+        # Materialized first: the count() emptiness probe and the join
+        # otherwise EXECUTE the whole count-aggregate pipeline twice
+        # (~1.5 s fixed at bench scale); the key table itself is tiny
+        # (duplicated band keys only).
         from .join import native_join
 
+        multi = multi.materialize()
         if multi.count() == 0:  # tiny aggregate, not a collect
             return ray.data.from_arrow(empty_pairs)
         multi_keys = multi.map_batches(
