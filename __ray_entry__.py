@@ -7,15 +7,15 @@ calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator family
                       (SURVEY.md §2 + the training-data operators)
 - ``oracle_sql()``  — DuckDB-equivalent SQL per query where expressible
-                      (67 of 75, incl. SQL reconstructions of the
+                      (68 of 75, incl. SQL reconstructions of the
                       language-ID/quality/token/fingerprint kernels); the
                       QUERIES registry lists every oracle-backed query
                       FIRST (rows-only last) so a leading-window
                       correctness check covers them; rows-only queries
                       (wrapping-uint64 MinHash, raw approximate-ANN
                       neighbor lists — recall-gated via ann_recall —
-                      binary audio/video payloads, synthetic-corpus
-                      extraction) are intentionally absent.
+                      synthetic-corpus extraction, structured block
+                      graph) are intentionally absent.
 """
 
 from __future__ import annotations

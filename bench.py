@@ -217,14 +217,31 @@ def _git_head() -> str:
 
 
 def _pkg_tree() -> str:
-    """Tree hash of the engine package at HEAD — the staleness key for
-    embedded scaling results (docs/tests don't re-stale a measurement)."""
+    """Staleness key for embedded scaling results: a combined hash of the
+    modules the HEADLINE pipeline actually executes (read -> html extract
+    -> fields -> checkpointed sink).  Keying on the whole package tree
+    re-staled the measurement whenever an unrelated operator (dedup, ANN,
+    multimodal...) changed; docs/tests never re-stale it either way."""
+    paths = [
+        "document_text_extraction_ray/pipelines/extract_pipeline.py",
+        "document_text_extraction_ray/sources/corpus.py",
+        "document_text_extraction_ray/sources/synth.py",
+        "document_text_extraction_ray/functions/html_extract.py",
+        "document_text_extraction_ray/functions/fields.py",
+        "document_text_extraction_ray/state",
+        "document_text_extraction_ray/util.py",
+    ]
     try:
-        return subprocess.run(
-            ["git", "rev-parse", "HEAD:document_text_extraction_ray"],
-            capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout.strip()[:12]
+        import hashlib
+
+        h = hashlib.sha256()
+        for p in paths:
+            h.update(subprocess.run(
+                ["git", "rev-parse", f"HEAD:{p}"],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip().encode())
+        return h.hexdigest()[:12]
     except Exception:
         return "unknown"
 

@@ -1402,8 +1402,12 @@ def q_token_budget_bins(sf_dir: str):
 
 
 def q_multimodal_av(sf_dir: str):
-    """Audio + video plumbing over deterministic fake payloads (actor pools,
-    small batches, in-band decode errors; rows-only — codecs are stubs)."""
+    """Audio + video pipelines over deterministic fake payloads (actor
+    pools, small batches, in-band decode errors), ORACLE-CHECKED: payloads
+    are closed-form (LCG samples/pixels), so SQL reconstructs not just the
+    header metrics but the decoded content — the exact integer
+    sum-of-squared audio samples and the pixel sum over the SAMPLED video
+    frames (metric_c), verifying decode + the frame-sampling stride."""
     from ..stages.multimodal import (
         audio_features,
         encode_fake_audio,
@@ -1441,6 +1445,7 @@ def q_multimodal_av(sf_dir: str):
             "kind": pa.array(["audio"] * b.num_rows),
             "metric_a": pc.cast(pc.struct_field(f, "n_samples"), pa.int64()),
             "metric_b": pc.cast(pc.struct_field(f, "sample_rate"), pa.int64()),
+            "metric_c": pc.struct_field(f, "sum_sq"),
             "decode_status": b.column("decode_status"),
         })
 
@@ -1451,6 +1456,7 @@ def q_multimodal_av(sf_dir: str):
             "kind": pa.array(["video"] * b.num_rows),
             "metric_a": pc.cast(pc.struct_field(f, "n_frames"), pa.int64()),
             "metric_b": pc.cast(pc.struct_field(f, "sampled_frames"), pa.int64()),
+            "metric_c": pc.struct_field(f, "sampled_pixel_sum"),
             "decode_status": b.column("decode_status"),
         })
 
@@ -1833,6 +1839,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "approx_distinct_users": q_approx_distinct_users,
     "ann_recall": q_ann_recall,
+    "multimodal_av": q_multimodal_av,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -1894,7 +1901,6 @@ QUERIES = {
     "training_data": q_training_data,
     "synth_extract": q_synth_extract,
     "structured_graph": q_structured_graph,
-    "multimodal_av": q_multimodal_av,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -2985,4 +2991,35 @@ ORACLE_SQL["ann_recall"] = """
     SELECT CAST(vec_id AS BIGINT) AS query_id,
            TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
     FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+"""
+
+# Audio/video: closed-form payloads make the decoded content SQL-exact —
+# metric_c replays the sum of squared int16 samples (audio) and the pixel
+# sum over every-5th sampled frame (video, verifying the sampling stride).
+ORACLE_SQL["multimodal_av"] = """
+    WITH ids AS (SELECT vec_id AS id FROM embeddings WHERE vec_id < 200),
+    a AS (
+      SELECT id AS media_id, 'audio' AS kind,
+             CAST(8000 + (id % 50) * 160 AS BIGINT) AS metric_a,
+             CAST(16000 AS BIGINT) AS metric_b,
+             CAST(SUM(((id*2654435761 + j.range*2246822519) % 4001 - 2000)
+                      * ((id*2654435761 + j.range*2246822519) % 4001 - 2000))
+                  AS BIGINT) AS metric_c,
+             'ok' AS decode_status
+      FROM ids JOIN range(15840) j ON j.range < 8000 + (id % 50) * 160
+      GROUP BY id
+    ),
+    v AS (
+      SELECT id AS media_id, 'video' AS kind,
+             CAST(12 + id % 24 AS BIGINT) AS metric_a,
+             CAST((12 + id % 24 + 4) // 5 AS BIGINT) AS metric_b,
+             CAST(SUM((id*2654435761 + j.range*2246822519) % 256)
+                  AS BIGINT) AS metric_c,
+             'ok' AS decode_status
+      FROM ids JOIN range(24955) j
+        ON j.range < (12 + id % 24) * (16 + id % 16) * (12 + id % 12)
+       AND (j.range // ((16 + id % 16) * (12 + id % 12))) % 5 = 0
+      GROUP BY id
+    )
+    SELECT * FROM a UNION ALL SELECT * FROM v ORDER BY kind, media_id
 """

@@ -45,8 +45,11 @@ def encode_fake_image(width: int, height: int, seed: int = 0) -> bytes:
 
 
 def encode_fake_audio(n_samples: int, sample_rate: int, seed: int = 0) -> bytes:
-    rng = np.random.RandomState(seed)
-    payload = (rng.randn(n_samples) * 1000).astype(np.int16)
+    """Closed-form samples (same rationale as ``encode_fake_image``):
+    ``s[j] = (seed*2654435761 + j*2246822519) % 4001 - 2000`` — int16-range
+    pseudo-noise a SQL oracle can reconstruct sample-exactly."""
+    j = np.arange(n_samples, dtype=np.int64)
+    payload = ((seed * 2654435761 + j * 2246822519) % 4001 - 2000).astype(np.int16)
     return FAKE_AUD_MAGIC + struct.pack("<II", n_samples, sample_rate) + payload.tobytes()
 
 
@@ -126,6 +129,9 @@ AUDIO_FEATURES_TYPE = pa.struct(
         ("sample_rate", pa.int32()),
         ("duration_s", pa.float64()),
         ("rms", pa.float64()),
+        # Exact integer sum of squared samples: hash-comparable against a
+        # SQL oracle where the float rms is not (rounding order).
+        ("sum_sq", pa.int64()),
     ]
 )
 
@@ -155,12 +161,13 @@ class AudioFeatureStage:
                         "sample_rate": int(sr),
                         "duration_s": float(n / sr) if sr else 0.0,
                         "rms": float(np.sqrt((samples ** 2).mean())) if samples.size else 0.0,
+                        "sum_sq": int((samples.astype(np.int64) ** 2).sum()),
                     }
                 )
                 statuses.append("ok")
             except Exception as exc:
                 feats.append({"n_samples": 0, "sample_rate": 0,
-                              "duration_s": 0.0, "rms": 0.0})
+                              "duration_s": 0.0, "rms": 0.0, "sum_sq": 0})
                 statuses.append(f"error: {type(exc).__name__}")
         batch = batch.append_column(
             pa.field("audio_features", AUDIO_FEATURES_TYPE),
@@ -209,16 +216,20 @@ VIDEO_FEATURES_TYPE = pa.struct(
         ("height", pa.int32()),
         ("sampled_frames", pa.int32()),
         ("frame_checksums", pa.list_(pa.int64())),
+        # Exact integer pixel sum over the SAMPLED frames — SQL-oracle
+        # comparable (a list of crc32s is not).
+        ("sampled_pixel_sum", pa.int64()),
     ]
 )
 
 
 def encode_fake_video(n_frames: int, width: int, height: int, fps: int = 24,
                       seed: int = 0) -> bytes:
-    """Deterministic fake video container: magic + dims + raw frame planes."""
-    rng = np.random.RandomState(seed)
-    frames = rng.randint(0, 256, size=n_frames * width * height,
-                         dtype=np.int64).astype(np.uint8)
+    """Closed-form frame planes (same rationale as ``encode_fake_image``):
+    pixel j of the flattened plane is
+    ``(seed*2654435761 + j*2246822519) % 256``."""
+    j = np.arange(n_frames * width * height, dtype=np.int64)
+    frames = ((seed * 2654435761 + j * 2246822519) % 256).astype(np.uint8)
     return (FAKE_VID_MAGIC + struct.pack("<IIII", n_frames, fps, width, height)
             + frames.tobytes())
 
@@ -252,12 +263,14 @@ class VideoFrameSampleStage:
                         "frame_checksums": [
                             int(zlib.crc32(f.tobytes())) for f in sampled
                         ],
+                        "sampled_pixel_sum": int(sampled.sum(dtype=np.int64)),
                     }
                 )
                 statuses.append("ok")
             except Exception as exc:
                 feats.append({"n_frames": 0, "fps": 0, "width": 0, "height": 0,
-                              "sampled_frames": 0, "frame_checksums": []})
+                              "sampled_frames": 0, "frame_checksums": [],
+                              "sampled_pixel_sum": 0})
                 statuses.append(f"error: {type(exc).__name__}")
         batch = batch.append_column(
             pa.field("video_features", VIDEO_FEATURES_TYPE),
