@@ -1759,6 +1759,34 @@ def q_sections_segmented(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_line_dedup(sf_dir: str):
+    """Corpus-wide LINE-level dedup (CCNet / RefinedWeb style): drop every
+    repeated line except its first occurrence (smallest doc_id, line idx)
+    and reassemble documents from surviving lines.  The flat documents
+    texts are deterministically wrapped into 8-word lines first (mirrored
+    in SQL with list slicing), so lines genuinely collide across the
+    word-soup corpus.  Three bucketed exchanges, no broadcast, no driver
+    collection — and the whole plan is hash-oracle-checked."""
+    from ..stages.curation import line_dedup
+
+    def wrap(t: pa.Table) -> pa.Table:
+        out = []
+        for txt in t.column("text").to_pylist():
+            toks = (txt or "").split(" ")
+            out.append("\n".join(
+                " ".join(toks[i:i + 8]) for i in range(0, len(toks), 8)
+            ))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pa.array(out, pa.large_string()),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        wrap, batch_format="pyarrow"
+    )
+    return line_dedup(docs, "text", "doc_id").sort("doc_id")
+
+
 def q_docx_extract(sf_dir: str):
     """S3 DOCX route end-to-end with an oracle: each document is packed
     into a REAL WordprocessingML zip (one paragraph per text line,
@@ -1840,6 +1868,7 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "ann_recall": q_ann_recall,
     "multimodal_av": q_multimodal_av,
+    "line_dedup": q_line_dedup,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -3022,4 +3051,35 @@ ORACLE_SQL["multimodal_av"] = """
       GROUP BY id
     )
     SELECT * FROM a UNION ALL SELECT * FROM v ORDER BY kind, media_id
+"""
+
+# Corpus-wide line dedup: SQL replays the 8-word wrapping (list slicing),
+# the first-occurrence rule (ROW_NUMBER over (doc_id, idx)), and the
+# in-order reassembly (string_agg ORDER BY idx; NULLs = dropped lines).
+ORACLE_SQL["line_dedup"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id,
+               unnest(list_transform(range(CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+                      i -> array_to_string(tk[i*8+1 : i*8+8], ' '))) AS line,
+               generate_subscripts(
+                   list_transform(range(CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+                      i -> array_to_string(tk[i*8+1 : i*8+8], ' ')), 1) AS idx
+        FROM toks
+    ),
+    marked AS (
+        SELECT doc_id, line, idx,
+               ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+        FROM lines
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                               ORDER BY idx), '') AS dedup_text,
+           COUNT(*) AS n_lines_total,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines_kept
+    FROM marked GROUP BY doc_id ORDER BY doc_id
 """

@@ -147,3 +147,107 @@ def repetition_stats(ds, text_column: str = "text", n: int = 2):
         return t.append_column("dup_ngram_frac_e4", pa.array(frac, pa.int64()))
 
     return ds.map_batches(feats, batch_format="pyarrow")
+
+
+def line_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
+               n_buckets: int = 32):
+    """Corpus-wide LINE-level deduplication (the CCNet / RefinedWeb line
+    dedup): every line that occurs anywhere else in the corpus is dropped
+    except its FIRST occurrence — first = smallest (doc id, line index) —
+    and documents are reassembled from their surviving lines in order.
+
+    Boilerplate that survives main-content extraction (cookie banners, nav
+    footers, share buttons) repeats across millions of pages; dropping
+    repeated lines corpus-wide is a standard step between extraction and
+    document-level dedup in public web-text pipelines.
+
+    Physical plan — three bucketed exchanges, no broadcast, no driver
+    collection, skew-bounded:
+      1. explode docs into (doc, idx, line) rows (embarrassingly parallel);
+      2. first-occurrence per line: bucketed fold keyed on the RAW line
+         (the exchange must carry the line anyway; keying on the string
+         avoids any hash-collision semantic), emitting (line, keep_doc,
+         keep_idx) — output is one row per DISTINCT line;
+      3. join survivors back on the line and regroup by doc: each doc's
+         fold sees all its lines with a keep flag, so the reassembled text,
+         kept-count and total-count come from one pass.
+    A hot line (the empty string, "Accept cookies") folds to ONE survivor
+    row at its own reducer — nothing else waits on it.
+
+    Returns (id_column, dedup_text, n_lines_total, n_lines_kept) with one
+    row per input document (documents whose every line lost are kept with
+    empty text)."""
+    from .aggregate import bucketed_map_groups
+    from .join import native_join
+
+    id_type = ds.schema().base_schema.field(id_column).type
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, idxs, lines = [], [], []
+        for doc_id, txt in zip(t.column(id_column).to_pylist(),
+                               t.column(text_column).to_pylist()):
+            for i, line in enumerate((txt or "").split("\n")):
+                ids.append(doc_id)
+                idxs.append(i + 1)   # 1-based, matching SQL subscripts
+                lines.append(line)
+        return pa.table({
+            id_column: pa.array(ids, id_type),
+            "idx": pa.array(idxs, pa.int64()),
+            # plain string, not large_string: the survivor side comes back
+            # through a pandas fold as string, and the arrow hash join
+            # rejects mismatched key widths.  Single lines never approach
+            # the 2 GB chunk bound at sane block sizes.
+            "line": pa.array(lines, pa.string()),
+        })
+
+    exploded = ds.select_columns([id_column, text_column]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def first_occurrence(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.sort_values([id_column, "idx"], kind="mergesort").iloc[0]
+        return pd.DataFrame([{"line": g["line"].iloc[0],
+                              "keep_doc": first[id_column],
+                              "keep_idx": int(first["idx"])}])
+
+    def empty_survivors(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "line": pd.Series(dtype=object),
+            "keep_doc": g[id_column].iloc[0:0],
+            "keep_idx": pd.Series(dtype="int64"),
+        })
+
+    survivors = bucketed_map_groups(
+        exploded, "line", first_occurrence,
+        empty_result=empty_survivors, n_buckets=n_buckets,
+    )
+
+    # right_from_aggregate: the survivors exchange can emit zero-column
+    # empty blocks for empty shuffle partitions (tiny corpora / many
+    # buckets), which the arrow join rejects — coalesce them away first.
+    marked = native_join(exploded, survivors, on="line",
+                         n_partitions=n_buckets, right_from_aggregate=True)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("idx", kind="mergesort")
+        keep = (g[id_column].values == g["keep_doc"].values) \
+            & (g["idx"].values == g["keep_idx"].values)
+        return pd.DataFrame([{
+            id_column: g[id_column].iloc[0],
+            "dedup_text": "\n".join(g["line"].values[keep]),
+            "n_lines_total": len(g),
+            "n_lines_kept": int(keep.sum()),
+        }])
+
+    def empty_docs(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_column: g[id_column].iloc[0:0],
+            "dedup_text": pd.Series(dtype=object),
+            "n_lines_total": pd.Series(dtype="int64"),
+            "n_lines_kept": pd.Series(dtype="int64"),
+        })
+
+    return bucketed_map_groups(
+        marked, id_column, reassemble,
+        empty_result=empty_docs, n_buckets=n_buckets,
+    )

@@ -85,3 +85,31 @@ def test_redact_pii_masks_emails_and_phones():
     assert out.iloc[0]["n_emails"] == 1 and out.iloc[0]["n_phones"] == 2
     assert out.iloc[1]["redacted_text"] == "no pii here"
     assert out.iloc[2]["n_phones"] == 1 and "12345678901" not in out.iloc[2]["redacted_text"]
+
+
+def test_line_dedup_first_occurrence_and_reassembly():
+    """CCNet-style corpus-wide line dedup: a line repeated anywhere keeps
+    only its (min doc_id, min idx) occurrence; docs reassemble from
+    surviving lines in order; a doc whose every line lost stays in the
+    output with empty text."""
+    from document_text_extraction_ray.stages.curation import line_dedup
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "alpha\nshared footer\nbeta"},
+        {"doc_id": 2, "text": "shared footer\ngamma\nshared footer"},
+        {"doc_id": 3, "text": "shared footer"},
+        {"doc_id": 4, "text": "alpha\nalpha"},
+    ])
+    out = (line_dedup(docs, "text", "doc_id", n_buckets=4)
+           .to_pandas().sort_values("doc_id").set_index("doc_id"))
+    assert out.loc[1, "dedup_text"] == "alpha\nshared footer\nbeta"
+    assert out.loc[1, "n_lines_kept"] == 3
+    # doc 2: both copies of the footer lose to doc 1's
+    assert out.loc[2, "dedup_text"] == "gamma"
+    assert (out.loc[2, "n_lines_total"], out.loc[2, "n_lines_kept"]) == (3, 1)
+    # doc 3: only line lost -> kept as an empty doc
+    assert out.loc[3, "dedup_text"] == ""
+    assert out.loc[3, "n_lines_kept"] == 0
+    # doc 4: intra-doc repeat also dedups (first idx wins)
+    assert out.loc[4, "dedup_text"] == ""  # both "alpha" lose to doc 1
+    assert out.loc[4, "n_lines_total"] == 2
