@@ -86,6 +86,49 @@ def pre_aggregated_sum(ds, key: str, value: str, n_buckets: int = 32):
     return bucketed_combine(partials, key, combine, n_buckets)
 
 
+def _add_tuple_bucket(t, key_cols, n_buckets: int, col: str = "__gbucket"):
+    """Append hash(key tuple) % n_buckets — every key's rows land in one
+    bucket, so any per-key fold inside a bucket is exact."""
+    import pyarrow as pa
+
+    from .join import _bucket_array
+
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for c in key_cols:
+        h = (h * np.uint64(1099511628211)
+             + _bucket_array(t.column(c), n_buckets).astype(np.uint64))
+    b = (h % np.uint64(n_buckets)).astype(np.int32)
+    return t.append_column(col, pa.array(b, pa.int32()))
+
+
+def bucketed_fold(ds, key_cols, bucket_fn, n_buckets: int = 32):
+    """Bucket-hash exchange + whole-bucket VECTORIZED fold: like
+    ``bucketed_map_groups`` but ``bucket_fn`` receives the ENTIRE bucket
+    frame at once and must do its own (vectorized) per-key grouping.
+
+    Use this instead of a per-group ``fold_fn`` when key cardinality is
+    huge: a per-group fold constructs one tiny DataFrame per key (millions
+    of Python objects through the exchange's reducer); a whole-bucket
+    ``sort_values`` / ``drop_duplicates`` / ``groupby().agg`` fold is one
+    vectorized pass.  Exactness argument is the same as
+    ``bucketed_map_groups``: hashing the keys guarantees key-complete
+    buckets.  ``bucket_fn`` must return typed output for empty input (it
+    derives dtypes from the input frame, so vectorized folds do naturally)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    return (
+        ds.map_batches(
+            lambda t: _add_tuple_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__gbucket")
+        .map_groups(
+            lambda g: bucket_fn(g.drop(columns=["__gbucket"])),
+            batch_format="pandas",
+        )
+    )
+
+
 def bucketed_map_groups(ds, key_cols, fold_fn, empty_result=None,
                         n_buckets: int = 32):
     """``groupby(key_cols).map_groups(fold_fn)`` without the key-sort
@@ -107,22 +150,7 @@ def bucketed_map_groups(ds, key_cols, fold_fn, empty_result=None,
     lenient pandas coercion), or a callable ``(bucket_frame) -> DataFrame``
     so output dtypes can be derived from the input's (e.g. id columns that
     inherit the input id dtype)."""
-    import pyarrow as pa
-
-    from .join import _bucket_array
-
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        # Per-column bucketing delegates to join._bucket_array (one shared
-        # hash path incl. null isolation); the per-column bucket ids are
-        # folded into one tuple bucket.
-        h = np.zeros(t.num_rows, dtype=np.uint64)
-        for c in key_cols:
-            h = (h * np.uint64(1099511628211)
-                 + _bucket_array(t.column(c), n_buckets).astype(np.uint64))
-        b = (h % np.uint64(n_buckets)).astype(np.int32)
-        return t.append_column("__gbucket", pa.array(b, pa.int32()))
 
     def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["__gbucket"])
@@ -138,7 +166,10 @@ def bucketed_map_groups(ds, key_cols, fold_fn, empty_result=None,
         return pd.concat(outs, ignore_index=True)
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        ds.map_batches(
+            lambda t: _add_tuple_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
         .groupby("__gbucket")
         .map_groups(fold_bucket, batch_format="pandas")
     )
