@@ -1,0 +1,132 @@
+"""URL canonicalization — the key-normalization step in front of URL-level
+dedup (a CC-style crawl carries the same page under scheme-case, ``www.``,
+default-port, trailing-slash, tracking-param and fragment variants; crawl
+curation pipelines dedup on the canonical form before any content dedup).
+
+Pure vectorized pyarrow kernels (no per-row Python): one ``extract_regex``
+parse + lower/replace/if_else recombination.  Every rule is deliberately
+regex-expressible so the whole kernel has an exact DuckDB replay (the
+``url_dedup`` query oracle mirrors it step for step).
+
+Rules (applied only to URLs matching ``URL_RE``; non-URLs pass through
+unchanged so the canonical column is total):
+  * scheme and host lowercased; a leading ``www.`` stripped from the host;
+  * default ports dropped (``http:80``, ``https:443``), others kept;
+  * duplicate slashes in the path collapsed, trailing slashes stripped
+    (the root path stays ``/``; an empty path becomes ``/``);
+  * tracking params (``utm_*``, ``gclid*``, ``fbclid*``) removed from the
+    query, empty query dropped, other params kept in order;
+  * the fragment always dropped.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Named groups for arrow's extract_regex; DuckDB addresses the same groups
+# by number (1=scheme 2=host 3=port 4=path 5=query).
+URL_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#:]*)"
+    r"(?::(?P<port>[0-9]+))?(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+
+TRACKING_RE = r"(^|&)(utm_|gclid|fbclid)[^&]*"
+
+
+def canonicalize_url_array(urls) -> pa.Array:
+    """Canonicalize a string array of URLs (see module rules).  Rows that
+    don't parse as ``scheme://host...`` come back unchanged."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    urls = urls.cast(pa.string())
+    parts = pc.extract_regex(urls, URL_RE)
+    matched = parts.is_valid()
+
+    def grp(name):
+        return pc.fill_null(pc.struct_field(parts, name).cast(pa.string()), "")
+
+    scheme = pc.utf8_lower(grp("scheme"))
+    host = pc.replace_substring_regex(
+        pc.utf8_lower(grp("host")), r"^www\.", ""
+    )
+    port = grp("port")
+    default_port = pc.or_(
+        pc.and_(pc.equal(scheme, "http"), pc.equal(port, "80")),
+        pc.and_(pc.equal(scheme, "https"), pc.equal(port, "443")),
+    )
+    port_part = pc.if_else(
+        pc.or_(pc.equal(port, ""), default_port),
+        "",
+        pc.binary_join_element_wise(":", port, ""),
+    )
+
+    path = grp("path")
+    path = pc.if_else(pc.equal(path, ""), "/", path)
+    path = pc.replace_substring_regex(path, r"/{2,}", "/")
+    path = pc.replace_substring_regex(path, r"(.+?)/+$", r"\1")
+
+    q = grp("query")
+    q = pc.replace_substring_regex(q, TRACKING_RE, "")
+    q = pc.replace_substring_regex(q, r"&{2,}", "&")
+    q = pc.replace_substring_regex(q, r"^&+|&+$", "")
+    q_part = pc.if_else(
+        pc.equal(q, ""), "", pc.binary_join_element_wise("?", q, "")
+    )
+
+    canon = pc.binary_join_element_wise(
+        scheme, "://", host, port_part, path, q_part, ""
+    )
+    return pc.if_else(matched, canon, urls)
+
+
+def canonicalize_urls(ds, url_column: str = "url",
+                      out_column: str = "canon_url"):
+    """Dataset stage: append the canonical form of ``url_column``."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            out_column, canonicalize_url_array(t.column(url_column))
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+# The DuckDB replay of the kernel, parameterized on the url expression —
+# kept NEXT TO the kernel so rule changes update both sides together.
+def canonical_sql(url_expr: str) -> str:
+    """SQL expression computing the canonical form of ``url_expr`` —
+    step-for-step the same rules as ``canonicalize_url_array``."""
+    pat = URL_RE.replace("?P<scheme>", "").replace("?P<host>", "") \
+                .replace("?P<port>", "").replace("?P<path>", "") \
+                .replace("?P<query>", "")
+    # DuckDB string literals: escape backslashes once (regexp args are
+    # plain strings, no extra escaping needed beyond quoting).
+    return f"""
+        CASE WHEN NOT regexp_matches({url_expr}, '{pat}') THEN {url_expr}
+        ELSE
+          lower(regexp_extract({url_expr}, '{pat}', 1)) || '://'
+          || regexp_replace(lower(regexp_extract({url_expr}, '{pat}', 2)),
+                            '^www\\.', '')
+          || CASE WHEN regexp_extract({url_expr}, '{pat}', 3) = '' THEN ''
+                  WHEN lower(regexp_extract({url_expr}, '{pat}', 1)) = 'http'
+                       AND regexp_extract({url_expr}, '{pat}', 3) = '80' THEN ''
+                  WHEN lower(regexp_extract({url_expr}, '{pat}', 1)) = 'https'
+                       AND regexp_extract({url_expr}, '{pat}', 3) = '443' THEN ''
+                  ELSE ':' || regexp_extract({url_expr}, '{pat}', 3) END
+          || regexp_replace(
+               regexp_replace(
+                 CASE WHEN regexp_extract({url_expr}, '{pat}', 4) = ''
+                      THEN '/' ELSE regexp_extract({url_expr}, '{pat}', 4) END,
+                 '/{{2,}}', '/', 'g'),
+               '(.+?)/+$', '\\1')
+          || CASE WHEN regexp_replace(regexp_replace(regexp_replace(
+                     regexp_extract({url_expr}, '{pat}', 5),
+                     '(^|&)(utm_|gclid|fbclid)[^&]*', '', 'g'),
+                     '&{{2,}}', '&', 'g'), '^&+|&+$', '', 'g') = '' THEN ''
+                  ELSE '?' || regexp_replace(regexp_replace(regexp_replace(
+                     regexp_extract({url_expr}, '{pat}', 5),
+                     '(^|&)(utm_|gclid|fbclid)[^&]*', '', 'g'),
+                     '&{{2,}}', '&', 'g'), '^&+|&+$', '', 'g') END
+        END
+    """

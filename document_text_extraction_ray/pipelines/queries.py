@@ -1787,6 +1787,96 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(docs, "text", "doc_id").sort("doc_id")
 
 
+def q_url_dedup(sf_dir: str):
+    """URL-level dedup on the canonical URL.  Each document synthesizes a
+    deterministic URL (mirrored in SQL): four variants per page id —
+    scheme/host case, www., default port, duplicate/trailing slashes,
+    tracking params, fragments — that must all collapse to ONE canonical
+    form; every 31st doc gets a non-URL that must pass through unchanged.
+    The canonicalization kernel is pure vectorized pyarrow regex
+    (functions/urlnorm.py); the dedup is a per-batch Arrow partial + one
+    bucketed combine.  Hash-oracle-checked end to end."""
+    from ..stages.curation import url_dedup
+
+    def synth(df):
+        d = df["doc_id"]
+        base = (d // 4).astype(str)
+        site = ((d // 4) % 50).astype(str)
+        v0 = "https://site" + site + ".com/page/" + base + "?a=1"
+        v1 = ("HTTPS://WWW.Site" + site + ".COM:443/page/" + base
+              + "/?a=1&utm_source=feed")
+        v2 = ("https://site" + site + ".com:443/page//" + base
+              + "?utm_a=1&a=1#frag")
+        v3 = "https://www.site" + site + ".com/page/" + base + "/?a=1#x"
+        df = df.copy()
+        df["url"] = np.select(
+            [d % 31 == 0, d % 4 == 0, d % 4 == 1, d % 4 == 2],
+            ["not a url " + d.astype(str), v0, v1, v2], default=v3,
+        )
+        return df
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(synth, batch_format="pandas")
+    return url_dedup(docs, "url", "doc_id").sort("canon_url")
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode + whitespace normalization kernel, oracle-checked: each
+    document is deterministically dirtied (decomposed accent, tab, doubled
+    spaces, a control byte, a 3-newline run, ragged edges — mirrored in
+    SQL with chr()/replace), then the full rule chain runs on both sides.
+    Zero shuffles — a pure streaming map."""
+    from ..stages.curation import normalize_text
+
+    def dirty(t: pa.Table) -> pa.Table:
+        doubled = pc.replace_substring(
+            pc.fill_null(t.column("text").cast(pa.string()), ""), " ", "  "
+        )
+        messy = pc.binary_join_element_wise(
+            "e\u0301\t ", doubled, "\x0b\n\n\n end ", ""
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": messy})
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        dirty, batch_format="pyarrow"
+    )
+    return normalize_text(docs).select_columns(
+        ["doc_id", "norm_text", "n_chars_norm"]
+    ).sort("doc_id")
+
+
+def q_snapshot_dedup(sf_dir: str):
+    """Incremental crawl dedup: the corpus is split into an OLD snapshot
+    (doc_id % 3 == 0) and a NEW slice; the new slice keeps only rows whose
+    40-char content prefix the old snapshot doesn't contain (distributed
+    anti-join, old side ships keys only), then first-occurrence-dedups
+    within itself.  The prefix key genuinely collides across the word-soup
+    corpus, so both steps do real work."""
+    from ..stages.dedup import dedup_against_snapshot
+
+    def with_key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "key40": pc.utf8_slice_codeunits(
+                pc.fill_null(t.column("text").cast(pa.string()), ""), 0, 40
+            ),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        with_key, batch_format="pyarrow"
+    )
+    def part(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            m = (ids % 3 == 0) if keep_old else (ids % 3 != 0)
+            return t.filter(pa.array(m))
+
+        return f
+
+    old = docs.map_batches(part(True), batch_format="pyarrow")
+    new = docs.map_batches(part(False), batch_format="pyarrow")
+    return dedup_against_snapshot(new, old, "key40", "doc_id").sort("doc_id")
+
+
 def q_docx_extract(sf_dir: str):
     """S3 DOCX route end-to-end with an oracle: each document is packed
     into a REAL WordprocessingML zip (one paragraph per text line,
@@ -1869,6 +1959,9 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "multimodal_av": q_multimodal_av,
     "line_dedup": q_line_dedup,
+    "url_dedup": q_url_dedup,
+    "normalize_text": q_normalize_text,
+    "snapshot_dedup": q_snapshot_dedup,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -3082,4 +3175,75 @@ ORACLE_SQL["line_dedup"] = """
            CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_lines_kept
     FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+# URL-level dedup: the synthesis CASE is replayed verbatim, and the
+# canonicalization rules come from the SAME module as the Ray kernel
+# (functions/urlnorm.canonical_sql) so both sides change together.
+from ..functions.urlnorm import canonical_sql as _canon_sql  # noqa: E402
+
+ORACLE_SQL["url_dedup"] = f"""
+    WITH u AS (
+        SELECT doc_id,
+            CASE WHEN doc_id % 31 = 0 THEN 'not a url ' || doc_id
+                 WHEN doc_id % 4 = 0 THEN
+                    'https://site' || (doc_id // 4) % 50 || '.com/page/'
+                    || doc_id // 4 || '?a=1'
+                 WHEN doc_id % 4 = 1 THEN
+                    'HTTPS://WWW.Site' || (doc_id // 4) % 50
+                    || '.COM:443/page/' || doc_id // 4
+                    || '/?a=1&utm_source=feed'
+                 WHEN doc_id % 4 = 2 THEN
+                    'https://site' || (doc_id // 4) % 50
+                    || '.com:443/page//' || doc_id // 4
+                    || '?utm_a=1&a=1#frag'
+                 ELSE
+                    'https://www.site' || (doc_id // 4) % 50 || '.com/page/'
+                    || doc_id // 4 || '/?a=1#x'
+            END AS url
+        FROM documents
+    ),
+    c AS (SELECT doc_id, {_canon_sql('url')} AS canon_url FROM u)
+    SELECT canon_url, MIN(doc_id) AS keep_doc, COUNT(*) AS n_dups
+    FROM c GROUP BY canon_url ORDER BY canon_url
+"""
+
+# Text normalization: dirty the corpus identically on both sides, then the
+# rule chain comes from the SAME module as the Ray kernel.
+from ..stages.curation import normalize_sql as _norm_sql  # noqa: E402
+
+ORACLE_SQL["normalize_text"] = f"""
+    WITH m AS (
+        SELECT doc_id,
+               'e' || chr(769) || chr(9) || ' '
+               || replace(COALESCE(text, ''), ' ', '  ')
+               || chr(11) || chr(10) || chr(10) || chr(10) || ' end '
+               AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           {_norm_sql('text')} AS norm_text,
+           CAST(length({_norm_sql('text')}) AS BIGINT) AS n_chars_norm
+    FROM m ORDER BY doc_id
+"""
+
+# Incremental snapshot dedup: NOT EXISTS replays the anti-join and
+# ROW_NUMBER the within-slice first-occurrence rule.
+ORACLE_SQL["snapshot_dedup"] = """
+    WITH k AS (
+        SELECT doc_id, substr(COALESCE(text, ''), 1, 40) AS key40
+        FROM documents
+    ),
+    old AS (SELECT key40 FROM k WHERE doc_id % 3 = 0),
+    new AS (SELECT * FROM k WHERE doc_id % 3 <> 0),
+    fresh AS (
+        SELECT n.* FROM new n
+        WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.key40 = n.key40)
+    ),
+    first AS (
+        SELECT doc_id, key40,
+               ROW_NUMBER() OVER (PARTITION BY key40 ORDER BY doc_id) AS rn
+        FROM fresh
+    )
+    SELECT doc_id, key40 FROM first WHERE rn = 1 ORDER BY doc_id
 """

@@ -149,6 +149,69 @@ def repetition_stats(ds, text_column: str = "text", n: int = 2):
     return ds.map_batches(feats, batch_format="pyarrow")
 
 
+def normalize_text(ds, text_column: str = "text",
+                   out_column: str = "norm_text"):
+    """Unicode + whitespace normalization — the canonical first transform
+    after extraction in a web-text pipeline (decomposed accents, stray
+    control bytes and ragged whitespace otherwise defeat every downstream
+    exact/line/n-gram dedup key).  Pure vectorized Arrow kernels; each rule
+    is regex-expressible so the chain has an exact DuckDB replay
+    (``normalize_text`` query oracle).
+
+    Rules, in order:
+      1. Unicode NFC (e + COMBINING ACUTE -> é);
+      2. control characters stripped except tab/newline
+         (``[\\x00-\\x08\\x0b-\\x1f\\x7f]``);
+      3. runs of spaces/tabs collapsed to one space;
+      4. spaces trimmed around newlines;
+      5. runs of 3+ newlines collapsed to a blank line;
+      6. leading/trailing whitespace trimmed."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import unicodedata
+
+        import numpy as np
+        import pyarrow.compute as pc
+
+        s = pc.fill_null(t.column(text_column).cast(pa.string()), "")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        # NFC: this pyarrow's utf8_normalize does NOT canonically compose
+        # (e + U+0301 stays two codepoints — verified), so rows that need
+        # it go through unicodedata.  The vectorized byte-vs-codepoint
+        # length check skips the Python path entirely for pure-ASCII rows
+        # — the overwhelming majority of web text batches.
+        nonascii = pc.not_equal(pc.binary_length(s), pc.utf8_length(s))
+        if pc.any(nonascii).as_py():
+            vals = np.asarray(s.to_pylist(), dtype=object)
+            for i in np.nonzero(nonascii.to_numpy(zero_copy_only=False))[0]:
+                vals[i] = unicodedata.normalize("NFC", vals[i])
+            s = pa.array(vals, pa.string())
+        s = pc.replace_substring_regex(s, r"[\x00-\x08\x0b-\x1f\x7f]", "")
+        s = pc.replace_substring_regex(s, r"[ \t]+", " ")
+        s = pc.replace_substring_regex(s, r" *\n *", "\n")
+        s = pc.replace_substring_regex(s, r"\n{3,}", "\n\n")
+        s = pc.replace_substring_regex(s, r"^\s+|\s+$", "")
+        t = t.append_column(out_column, s)
+        return t.append_column("n_chars_norm",
+                               pc.utf8_length(s).cast(pa.int64()))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+# SQL replay of normalize_text's rule chain, kept next to the kernel.
+def normalize_sql(text_expr: str) -> str:
+    return f"""
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(nfc_normalize({text_expr}),
+                '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+            '[ \\t]+', ' ', 'g'),
+            ' *\\n *', chr(10), 'g'),
+            '\\n{{3,}}', chr(10) || chr(10), 'g'),
+            '^\\s+|\\s+$', '', 'g')
+    """
+
+
 def url_dedup(ds, url_column: str = "url", id_column: str = "doc_id",
               n_buckets: int = 32):
     """URL-level dedup on the canonical URL (the first dedup a CC-style

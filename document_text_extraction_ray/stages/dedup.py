@@ -95,6 +95,35 @@ def exact_dedup(ds, text_column: str, id_column: str, strategy: str = "shuffle",
     return ds.map_batches(_semi, batch_format="pyarrow")
 
 
+def dedup_against_snapshot(new_ds, old_ds, key_column: str, id_column: str,
+                           n_buckets: int = 32):
+    """Incremental (snapshot-over-snapshot) dedup — the recurring-crawl
+    scenario: a NEW slice arrives and must keep only content the EXISTING
+    corpus has never seen, then first-occurrence-dedup within itself.
+
+    Physical plan, both steps bounded and driver-free:
+      1. distributed anti-join of the new slice against the old corpus's
+         key column (``join.anti_join``: the old side ships only its keys,
+         one bucketed exchange, no broadcast — at 100 TB the "old corpus"
+         key set is itself corpus-sized and must never be collected);
+      2. within-slice keep-min-id per key via one whole-bucket vectorized
+         fold (``aggregate.bucketed_fold``).
+
+    ``key_column`` is whatever equality key the caller prepared (a content
+    hash, a canonical URL, a normalized-prefix fingerprint)."""
+    from .aggregate import bucketed_fold
+    from .join import anti_join
+
+    fresh = anti_join(new_ds, old_ds.select_columns([key_column]),
+                      on=key_column, n_buckets=n_buckets)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_column, kind="mergesort") \
+                .drop_duplicates(key_column, keep="first")
+
+    return bucketed_fold(fresh, key_column, keep_first, n_buckets=n_buckets)
+
+
 # ------------------------------------------------------------- MinHash + LSH
 
 def cluster_pairs_distributed(pairs_ds, max_iters: int = 32,

@@ -113,3 +113,41 @@ def test_line_dedup_first_occurrence_and_reassembly():
     # doc 4: intra-doc repeat also dedups (first idx wins)
     assert out.loc[4, "dedup_text"] == ""  # both "alpha" lose to doc 1
     assert out.loc[4, "n_lines_total"] == 2
+
+
+def test_normalize_text_rule_chain():
+    """NFC composition, control strip, space/tab collapse, newline-edge
+    trim, blank-line collapse, outer trim — in that order."""
+    from document_text_extraction_ray.stages.curation import normalize_text
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "é\t  a\x00b \x0b \n \n\n\n  c  "},
+        {"doc_id": 2, "text": None},
+        {"doc_id": 3, "text": "plain ascii"},
+    ])
+    out = (normalize_text(docs).to_pandas()
+           .sort_values("doc_id").set_index("doc_id"))
+    assert out.loc[1, "norm_text"] == "é ab\n\nc"
+    assert out.loc[1, "n_chars_norm"] == 7
+    assert out.loc[2, "norm_text"] == ""
+    assert out.loc[3, "norm_text"] == "plain ascii"
+
+
+def test_dedup_against_snapshot():
+    """New-slice rows whose key the old corpus holds are dropped; the rest
+    first-occurrence-dedup within the slice."""
+    from document_text_extraction_ray.stages.dedup import (
+        dedup_against_snapshot,
+    )
+
+    old = rd.from_items([{"doc_id": 0, "k": "a"}, {"doc_id": 3, "k": "b"}])
+    new = rd.from_items([
+        {"doc_id": 10, "k": "a"},   # seen in old -> dropped
+        {"doc_id": 11, "k": "c"},   # fresh, first -> kept
+        {"doc_id": 12, "k": "c"},   # fresh, repeat -> dropped
+        {"doc_id": 13, "k": "d"},   # fresh -> kept
+    ])
+    out = dedup_against_snapshot(new, old, "k", "doc_id", n_buckets=4) \
+        .to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [11, 13]
+    assert list(out["k"]) == ["c", "d"]
