@@ -1877,6 +1877,33 @@ def q_snapshot_dedup(sf_dir: str):
     return dedup_against_snapshot(new, old, "key40", "doc_id").sort("doc_id")
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher-style quality rules over a deterministically varied corpus:
+    every 5th doc gains bullet lines, every 7th ellipsis-ended lines, and
+    every 17th becomes a bullets-only stub (fails the word-count and
+    bullet-fraction rules) — so each rule actually fires both ways.  One
+    vectorized Arrow pass, zero shuffles; integer fixed-point features
+    make the SQL replay hash-exact."""
+    from ..stages.curation import gopher_rules
+
+    def dirty(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        base = pc.fill_null(t.column("text").cast(pa.string()), "")
+        pre = pa.array(np.where(ids % 5 == 0,
+                                "- item one\n- item two\n", ""), pa.string())
+        suf = pa.array(np.where(ids % 7 == 0,
+                                "\nwait for it...\nmore...", ""), pa.string())
+        txt = pc.binary_join_element_wise(pre, base, suf, "")
+        txt = pc.if_else(pa.array(ids % 17 == 0), "- a\n- b\n- c", txt)
+        return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        dirty, batch_format="pyarrow"
+    )
+    out = gopher_rules(docs).drop_columns(["text"])
+    return out.sort("doc_id")
+
+
 def q_docx_extract(sf_dir: str):
     """S3 DOCX route end-to-end with an oracle: each document is packed
     into a REAL WordprocessingML zip (one paragraph per text line,
@@ -1962,6 +1989,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "normalize_text": q_normalize_text,
     "snapshot_dedup": q_snapshot_dedup,
+    "gopher_rules": q_gopher_rules,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -3246,4 +3274,69 @@ ORACLE_SQL["snapshot_dedup"] = """
         FROM fresh
     )
     SELECT doc_id, key40 FROM first WHERE rn = 1 ORDER BY doc_id
+"""
+
+# Gopher quality rules: the SQL replays the deterministic dirtying and
+# every count via regexp_extract_all / replace-length tricks; integer
+# fixed-point (floor) divisions match the kernel bit for bit.
+ORACLE_SQL["gopher_rules"] = """
+    WITH d AS (
+        SELECT doc_id,
+            CASE WHEN doc_id % 17 = 0
+                 THEN '- a' || chr(10) || '- b' || chr(10) || '- c'
+                 ELSE (CASE WHEN doc_id % 5 = 0
+                            THEN '- item one' || chr(10)
+                                 || '- item two' || chr(10) ELSE '' END)
+                      || COALESCE(text, '')
+                      || (CASE WHEN doc_id % 7 = 0
+                               THEN chr(10) || 'wait for it...'
+                                    || chr(10) || 'more...' ELSE '' END)
+            END AS txt
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+            len(regexp_extract_all(txt, '\\S+')) AS n_words,
+            len(regexp_extract_all(txt, '\\s')) AS n_ws,
+            length(txt) AS n_chars,
+            (length(txt) - length(replace(txt, '#', '')))
+              + (length(txt) - length(replace(txt, '...', ''))) // 3 AS n_sym,
+            length(txt) - length(replace(txt, chr(10), '')) + 1 AS n_lines,
+            len(regexp_extract_all(txt, '(?m)^[-*•] ')) AS n_bullet,
+            len(regexp_extract_all(txt, '(?m)\\.\\.\\.$')) AS n_ell_end,
+            len(regexp_extract_all(txt, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+            len(regexp_extract_all(txt,
+                '(?i)\\b(the|and|of|to|a|in|is|that|it|for)\\b')) AS n_stop
+        FROM d
+    ),
+    f AS (
+        SELECT doc_id, n_words, n_stop,
+            100 * (n_chars - n_ws) // greatest(n_words, 1) AS mean_wlen_e2,
+            10000 * n_sym // greatest(n_words, 1) AS symbol_e4,
+            10000 * n_bullet // n_lines AS bullet_e4,
+            10000 * n_ell_end // n_lines AS ellipsis_e4,
+            10000 * n_alpha // greatest(n_words, 1) AS alpha_e4
+        FROM c
+    )
+    SELECT doc_id,
+        CAST(n_words AS BIGINT) AS n_words,
+        CAST(mean_wlen_e2 AS BIGINT) AS mean_wlen_e2,
+        CAST(symbol_e4 AS BIGINT) AS symbol_e4,
+        CAST(bullet_e4 AS BIGINT) AS bullet_e4,
+        CAST(ellipsis_e4 AS BIGINT) AS ellipsis_e4,
+        CAST(alpha_e4 AS BIGINT) AS alpha_e4,
+        CAST(n_stop AS BIGINT) AS n_stop,
+        (n_words >= 50 AND n_words <= 100000) AS r_words,
+        (mean_wlen_e2 >= 300 AND mean_wlen_e2 <= 1000) AS r_wlen,
+        (symbol_e4 < 1000) AS r_symbol,
+        (bullet_e4 < 9000) AS r_bullet,
+        (ellipsis_e4 < 3000) AS r_ellipsis,
+        (alpha_e4 > 8000) AS r_alpha,
+        (n_stop >= 2) AS r_stop,
+        ((n_words >= 50 AND n_words <= 100000)
+         AND (mean_wlen_e2 >= 300 AND mean_wlen_e2 <= 1000)
+         AND (symbol_e4 < 1000) AND (bullet_e4 < 9000)
+         AND (ellipsis_e4 < 3000) AND (alpha_e4 > 8000)
+         AND (n_stop >= 2)) AS pass_gopher
+    FROM f ORDER BY doc_id
 """

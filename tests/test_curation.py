@@ -151,3 +151,22 @@ def test_dedup_against_snapshot():
         .to_pandas().sort_values("doc_id")
     assert list(out["doc_id"]) == [11, 13]
     assert list(out["k"]) == ["c", "d"]
+
+
+def test_gopher_rules_flags():
+    from document_text_extraction_ray.stages.curation import gopher_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and it is that "
+            "good for a walk in the park today with friends ") * 5
+    docs = rd.from_items([
+        {"doc_id": 1, "text": good},               # passes everything
+        {"doc_id": 2, "text": "- a\n- b\n- c"},    # bullets-only stub
+        {"doc_id": 3, "text": "#### " * 60},       # symbol soup, no letters
+    ])
+    out = (gopher_rules(docs).to_pandas()
+           .sort_values("doc_id").set_index("doc_id"))
+    assert bool(out.loc[1, "pass_gopher"])
+    assert not out.loc[2, "r_words"] and not out.loc[2, "r_bullet"]
+    assert out.loc[2, "bullet_e4"] == 10000
+    assert not out.loc[3, "r_symbol"] and not out.loc[3, "r_alpha"]
+    assert not out.loc[3, "r_stop"]
