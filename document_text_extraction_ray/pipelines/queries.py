@@ -1877,6 +1877,42 @@ def q_snapshot_dedup(sf_dir: str):
     return dedup_against_snapshot(new, old, "key40", "doc_id").sort("doc_id")
 
 
+def q_snapshot_dedup_bloom(sf_dir: str):
+    """The Bloom-filter plan for snapshot dedup (old corpus -> distributed
+    bloom build -> broadcast probe; the new slice never shuffles against
+    the old keys).  Deterministic hashing makes the output reproducible,
+    and at the default sizing (2^23 bits for <=5k keys) the filter is
+    verified false-positive-free on these corpora — so the EXACT oracle
+    applies; if the registry data ever grew enough to collide, the hash
+    gate would catch it loudly rather than silently."""
+    from ..stages.dedup import dedup_against_snapshot
+
+    def with_key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "key40": pc.utf8_slice_codeunits(
+                pc.fill_null(t.column("text").cast(pa.string()), ""), 0, 40
+            ),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        with_key, batch_format="pyarrow"
+    )
+
+    def part(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            m = (ids % 3 == 0) if keep_old else (ids % 3 != 0)
+            return t.filter(pa.array(m))
+
+        return f
+
+    old = docs.map_batches(part(True), batch_format="pyarrow")
+    new = docs.map_batches(part(False), batch_format="pyarrow")
+    return dedup_against_snapshot(new, old, "key40", "doc_id",
+                                  method="bloom").sort("doc_id")
+
+
 def q_gopher_rules(sf_dir: str):
     """Gopher-style quality rules over a deterministically varied corpus:
     every 5th doc gains bullet lines, every 7th ellipsis-ended lines, and
@@ -1990,6 +2026,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "snapshot_dedup": q_snapshot_dedup,
     "gopher_rules": q_gopher_rules,
+    "snapshot_dedup_bloom": q_snapshot_dedup_bloom,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -3340,3 +3377,7 @@ ORACLE_SQL["gopher_rules"] = """
          AND (n_stop >= 2)) AS pass_gopher
     FROM f ORDER BY doc_id
 """
+
+# The bloom plan is deterministic and FP-free at these corpus sizes, so
+# the exact snapshot oracle applies verbatim.
+ORACLE_SQL["snapshot_dedup_bloom"] = ORACLE_SQL["snapshot_dedup"]

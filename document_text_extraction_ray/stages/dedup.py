@@ -95,8 +95,79 @@ def exact_dedup(ds, text_column: str, id_column: str, strategy: str = "shuffle",
     return ds.map_batches(_semi, batch_format="pyarrow")
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants)."""
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _hash64_column(col) -> np.ndarray:
+    """Deterministic vectorized uint64 hash of an Arrow column: integer
+    keys hash arithmetically (no Python), other types through pandas'
+    cython siphash (fixed default key — stable across processes)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        v = col.fill_null(0).to_numpy(zero_copy_only=False) \
+               .astype(np.int64).view(np.uint64)
+        return _splitmix64(v)
+    return pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object))
+
+
+def build_bloom(old_ds, key_column: str, m_bits: int = 1 << 23, k: int = 4,
+                n_merge: int = 16) -> bytes:
+    """Distributed Bloom filter over a corpus's key column: one partial
+    bloom per batch (pure numpy bit scatter), an OR-fold exchange down to
+    ``n_merge`` rows, and a final driver OR over ``n_merge`` blooms — the
+    driver never sees keys, only ``n_merge × m_bits/8`` bytes.
+
+    Size ``m_bits`` ~ 10 bits per expected distinct key for ~1% false
+    positives at k=4.  At 100 TB the bloom for a full crawl's URL set is
+    tens of GB — past what one worker should hold; use the anti-join
+    method there, or shard blooms by key range."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "bloom": pa.array([], pa.binary())})
+        h1 = _hash64_column(t.column(key_column))
+        h2 = _splitmix64(h1) | np.uint64(1)
+        bloom = np.zeros(m_bits // 8, dtype=np.uint8)
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                pos = ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)) \
+                    .astype(np.int64)
+                np.bitwise_or.at(bloom, pos >> 3,
+                                 (np.uint8(1) << (pos & 7).astype(np.uint8)))
+        part = int(h1[0] % np.uint64(n_merge))
+        return pa.table({"part": pa.array([part], pa.int32()),
+                         "bloom": pa.array([bloom.tobytes()], pa.binary())})
+
+    partials = old_ds.select_columns([key_column]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def or_fold(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m_bits // 8, dtype=np.uint8)
+        for blob in g["bloom"]:
+            acc |= np.frombuffer(bytes(blob), dtype=np.uint8)
+        return pd.DataFrame({"part": [g["part"].iloc[0]],
+                             "bloom": [acc.tobytes()]})
+
+    merged = partials.groupby("part").map_groups(or_fold,
+                                                 batch_format="pandas")
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in merged.take_all():  # <= n_merge rows, bounded
+        acc |= np.frombuffer(bytes(row["bloom"]), dtype=np.uint8)
+    return acc.tobytes()
+
+
 def dedup_against_snapshot(new_ds, old_ds, key_column: str, id_column: str,
-                           n_buckets: int = 32):
+                           n_buckets: int = 32, method: str = "anti_join",
+                           m_bits: int = 1 << 23, k: int = 4):
     """Incremental (snapshot-over-snapshot) dedup — the recurring-crawl
     scenario: a NEW slice arrives and must keep only content the EXISTING
     corpus has never seen, then first-occurrence-dedup within itself.
@@ -110,12 +181,41 @@ def dedup_against_snapshot(new_ds, old_ds, key_column: str, id_column: str,
          fold (``aggregate.bucketed_fold``).
 
     ``key_column`` is whatever equality key the caller prepared (a content
-    hash, a canonical URL, a normalized-prefix fingerprint)."""
+    hash, a canonical URL, a normalized-prefix fingerprint).
+
+    ``method="bloom"`` replaces the anti-join with a Bloom filter built
+    over the old corpus (``build_bloom``) and broadcast once: the NEW
+    slice is never shuffled against the old keys — the standard
+    production plan when the old key set is huge but its bloom fits a
+    worker (~10 bits/key).  Semantics are CONSERVATIVE: no false
+    negatives (every previously-seen key is dropped), but ~1% of
+    genuinely-new rows are dropped as false positives at the default
+    sizing — acceptable for crawl dedup, not for exact queries (the
+    default stays ``anti_join``)."""
     from .aggregate import bucketed_fold
     from .join import anti_join
 
-    fresh = anti_join(new_ds, old_ds.select_columns([key_column]),
-                      on=key_column, n_buckets=n_buckets)
+    if method == "bloom":
+        bloom_ref = ray.put(build_bloom(old_ds, key_column,
+                                        m_bits=m_bits, k=k))
+
+        def probe(t: pa.Table) -> pa.Table:
+            bloom = np.frombuffer(ray.get(bloom_ref), dtype=np.uint8)
+            h1 = _hash64_column(t.column(key_column))
+            h2 = _splitmix64(h1) | np.uint64(1)
+            member = np.ones(t.num_rows, dtype=bool)
+            with np.errstate(over="ignore"):
+                for i in range(k):
+                    pos = ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)) \
+                        .astype(np.int64)
+                    member &= (bloom[pos >> 3]
+                               >> (pos & 7).astype(np.uint8)) & 1 == 1
+            return t.filter(pa.array(~member))
+
+        fresh = new_ds.map_batches(probe, batch_format="pyarrow")
+    else:
+        fresh = anti_join(new_ds, old_ds.select_columns([key_column]),
+                          on=key_column, n_buckets=n_buckets)
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(id_column, kind="mergesort") \

@@ -170,3 +170,26 @@ def test_gopher_rules_flags():
     assert out.loc[2, "bullet_e4"] == 10000
     assert not out.loc[3, "r_symbol"] and not out.loc[3, "r_alpha"]
     assert not out.loc[3, "r_stop"]
+
+
+def test_dedup_against_snapshot_bloom():
+    """Bloom method: zero false negatives by construction (every old key
+    dropped); at generous sizing the test corpus has no false positives,
+    so the result equals the exact anti-join plan."""
+    from document_text_extraction_ray.stages.dedup import (
+        dedup_against_snapshot,
+    )
+
+    old = rd.from_items([{"doc_id": i, "k": f"old-{i}"} for i in range(50)])
+    new = rd.from_items(
+        [{"doc_id": 100 + i, "k": f"old-{i}"} for i in range(25)]   # seen
+        + [{"doc_id": 200 + i, "k": f"new-{i}"} for i in range(25)]  # fresh
+        + [{"doc_id": 300, "k": "new-0"}]                    # in-slice dup
+    )
+    out = dedup_against_snapshot(new, old, "k", "doc_id", n_buckets=4,
+                                 method="bloom", m_bits=1 << 16) \
+        .to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [200 + i for i in range(25)]
+    exact = dedup_against_snapshot(new, old, "k", "doc_id", n_buckets=4) \
+        .to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == list(exact["doc_id"])
