@@ -191,7 +191,10 @@ def dedup_against_snapshot(new_ds, old_ds, key_column: str, id_column: str,
     negatives (every previously-seen key is dropped), but ~1% of
     genuinely-new rows are dropped as false positives at the default
     sizing — acceptable for crawl dedup, not for exact queries (the
-    default stays ``anti_join``)."""
+    default stays ``anti_join``).  One further divergence: ``anti_join``
+    keeps null-keyed new rows (SQL semantics — null equals nothing),
+    while the bloom hashes null like any value, so a null key in the old
+    corpus drops null-keyed new rows.  Pre-filter nulls if they matter."""
     from .aggregate import bucketed_fold
     from .join import anti_join
 

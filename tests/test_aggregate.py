@@ -255,3 +255,35 @@ def test_grouped_quantiles_null_key_no_crash():
     out = grouped_quantiles(ds, "g", "v").to_pandas()
     assert len(out) == 2
     assert out[out["g"].isna()]["p50"].iloc[0] == 5
+
+
+def test_bucketed_fold_equals_bucketed_map_groups():
+    """The whole-bucket vectorized fold and the per-group fold are the
+    same operator at different granularity — same keys, same results."""
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import (
+        bucketed_fold,
+        bucketed_map_groups,
+    )
+
+    rows = [{"k": f"key{i % 7}", "v": i} for i in range(100)]
+    ds = rd.from_items(rows)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"k": g["k"].iloc[0], "s": int(g["v"].sum()),
+                              "n": len(g)}])
+
+    def whole_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", sort=False).agg(
+            s=("v", "sum"), n=("v", "size")).reset_index()
+        out["s"] = out["s"].astype(int)
+        return out
+
+    a = bucketed_map_groups(rd.from_items(rows), "k", per_group,
+                            n_buckets=4).to_pandas()
+    b = bucketed_fold(ds, "k", whole_bucket, n_buckets=4).to_pandas()
+    a = a.sort_values("k").reset_index(drop=True)
+    b = b.sort_values("k").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
