@@ -1913,6 +1913,33 @@ def q_snapshot_dedup_bloom(sf_dir: str):
                                   method="bloom").sort("doc_id")
 
 
+_BOILER = ("subscribe to our newsletter for updates and offers today "
+           "thanks for reading")
+
+
+def q_substring_dedup(sf_dir: str):
+    """Exact substring dedup (Lee et al. 2021 style) over the corpus with
+    a shared 13-token boilerplate sentence appended to every 3rd doc: the
+    first doc keeps it, every later copy has its covered tokens removed.
+    Window keys are the fingerprint kernel's Rabin-Karp rolling hashes, so
+    the SQL oracle replays keys, first-occurrence rule, covered-token
+    expansion, and reassembly exactly."""
+    from ..stages.dedup import exact_substring_dedup
+
+    def dirty(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        base = pc.fill_null(t.column("text").cast(pa.string()), "")
+        suf = pa.array(np.where(ids % 3 == 0, " " + _BOILER, ""),
+                       pa.string())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pc.binary_join_element_wise(base, suf, "")})
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        dirty, batch_format="pyarrow"
+    )
+    return exact_substring_dedup(docs, "text", "doc_id", k=8).sort("doc_id")
+
+
 def q_gopher_rules(sf_dir: str):
     """Gopher-style quality rules over a deterministically varied corpus:
     every 5th doc gains bullet lines, every 7th ellipsis-ended lines, and
@@ -2027,6 +2054,7 @@ QUERIES = {
     "snapshot_dedup": q_snapshot_dedup,
     "gopher_rules": q_gopher_rules,
     "snapshot_dedup_bloom": q_snapshot_dedup_bloom,
+    "substring_dedup": q_substring_dedup,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -3381,3 +3409,59 @@ ORACLE_SQL["gopher_rules"] = """
 # The bloom plan is deterministic and FP-free at these corpus sizes, so
 # the exact snapshot oracle applies verbatim.
 ORACLE_SQL["snapshot_dedup_bloom"] = ORACLE_SQL["snapshot_dedup"]
+
+# Exact substring dedup: rolling-hash window keys replayed with the same
+# md5_number_lower + list_reduce idiom as doc_fingerprints; ROW_NUMBER is
+# the first-occurrence rule; covered = removed starts x k offsets.
+ORACLE_SQL["substring_dedup"] = r"""
+    WITH d AS (
+        SELECT doc_id,
+               COALESCE(text, '')
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' subscribe to our newsletter for updates and offers today thanks for reading'
+                       ELSE '' END AS txt
+        FROM documents
+    ),
+    t AS (SELECT doc_id, regexp_extract_all(txt, '\S+') AS tk FROM d),
+    h AS (
+        SELECT doc_id, tk,
+               list_transform(tk, x -> CAST(md5_number_lower(x) AS HUGEINT)) AS hs
+        FROM t
+    ),
+    w0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(hs) - 6), i -> {
+                   's': i,
+                   'wk': CAST(list_reduce(list_slice(hs, i, i + 7),
+                        (a, x) -> (a * 1000003 + x) % 2305843009213693951)
+                        AS BIGINT)})) AS u
+        FROM h WHERE len(hs) >= 8
+    ),
+    w AS (SELECT doc_id, u.s AS s, u.wk AS wk FROM w0),
+    marked AS (
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY wk ORDER BY doc_id, s) AS rn
+        FROM w
+    ),
+    removed AS (SELECT doc_id, s FROM marked WHERE rn > 1),
+    offs AS (SELECT unnest(range(0, 8)) AS o),
+    covered AS (
+        SELECT DISTINCT doc_id, s + o AS idx FROM removed CROSS JOIN offs
+    ),
+    tok AS (
+        SELECT doc_id, unnest(tk) AS token, generate_subscripts(tk, 1) AS idx
+        FROM t
+    ),
+    j AS (
+        SELECT tok.doc_id, tok.idx, tok.token, (c.idx IS NULL) AS keep
+        FROM tok LEFT JOIN covered c
+          ON c.doc_id = tok.doc_id AND c.idx = tok.idx
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN keep THEN token END, ' '
+                               ORDER BY idx), '') AS dedup_text,
+           COUNT(*) AS n_tokens_total,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tokens_kept
+    FROM j GROUP BY doc_id ORDER BY doc_id
+"""

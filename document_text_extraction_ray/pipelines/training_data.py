@@ -99,6 +99,8 @@ def prepare_training_data(
     bench_grams=None,
     decontaminate_n: int = 3,
     redact: bool = False,
+    line_dedup: bool = False,
+    substring_dedup_k: int | None = None,
 ):
     """Compose the full pipeline; returns (Dataset, report dict).
 
@@ -111,7 +113,13 @@ def prepare_training_data(
         curation.benchmark_ngram_set); docs sharing any gram are dropped
         (decontamination; the set is broadcast, the corpus never shuffles);
       * ``redact`` — mask emails/phones in extracted_text in place
-        (curation.redact_pii) before anything downstream sees the text.
+        (curation.redact_pii) before anything downstream sees the text;
+      * ``line_dedup`` / ``substring_dedup_k`` — corpus-wide sub-document
+        dedup (curation.line_dedup / dedup.exact_substring_dedup with
+        window k) rewriting extracted_text BEFORE the content-hash dedup:
+        killing shared boilerplate first makes near-identical docs
+        byte-identical, so exact dedup catches what would otherwise need
+        MinHash.  Mutually exclusive; line_dedup wins if both set.
 
     The report carries per-stage row counts (each count triggers execution of
     the shared lazy prefix; at production scale log counts from the sink's
@@ -165,6 +173,42 @@ def prepare_training_data(
             return batch.filter(keep).drop_columns(["n_shared_grams"])
 
         gated = cont.map_batches(clean_only, batch_format="pyarrow")
+
+    # Sub-document dedup runs BEFORE the content-hash dedup (the CCNet
+    # ordering): killing shared boilerplate lines / copy-pasted spans
+    # first makes near-identical documents byte-identical, so the cheap
+    # exact dedup catches what would otherwise need MinHash.
+    if line_dedup or substring_dedup_k:
+        if line_dedup:
+            from ..stages.curation import line_dedup as _line_dedup
+
+            cleaned = _line_dedup(gated.select_columns(
+                ["url", "extracted_text"]), "extracted_text", "url")
+        else:
+            from ..stages.dedup import exact_substring_dedup
+
+            cleaned = exact_substring_dedup(
+                gated.select_columns(["url", "extracted_text"]),
+                "extracted_text", "url", k=substring_dedup_k)
+        # join the rewritten text back onto the full rows with the
+        # arrow-native attach (join.attach_column) — the full rows carry
+        # nested field structs, which the arrow hash join rejects and a
+        # pandas-merge join corrupts on the arrow round-trip (the same
+        # constraint that picks exact_dedup's shuffle strategy below)
+        from ..stages.join import attach_column
+
+        slim = cleaned.map_batches(
+            lambda t: t.select(["url", "dedup_text"]),
+            batch_format="pyarrow")
+
+        def adopt(t: pa.Table) -> pa.Table:
+            t = t.drop_columns(["extracted_text"])
+            return t.set_column(t.column_names.index("dedup_text"),
+                                "extracted_text", t.column("dedup_text"))
+
+        gated = attach_column(gated, slim, on="url",
+                              value_col="dedup_text") \
+            .map_batches(adopt, batch_format="pyarrow")
 
     deduped = exact_dedup_survivors(gated)
     if near_dedup:

@@ -227,6 +227,139 @@ def dedup_against_snapshot(new_ds, old_ds, key_column: str, id_column: str,
     return bucketed_fold(fresh, key_column, keep_first, n_buckets=n_buckets)
 
 
+def exact_substring_dedup(ds, text_column: str, id_column: str, k: int = 8,
+                          n_buckets: int = 32):
+    """Exact substring deduplication (the Lee et al. 2021 "deduplicating
+    training data" operator, at token-window granularity): every k-token
+    window that occurs ANYWHERE else in the corpus keeps only its first
+    occurrence (smallest doc id, smallest start); all other occurrences
+    have their covered tokens removed, and documents reassemble from the
+    surviving tokens in order.  This kills copy-pasted spans (licenses,
+    boilerplate paragraphs, syndicated text) that document- and line-level
+    dedup both miss.
+
+    Keys are Rabin-Karp rolling hashes over md5 token hashes
+    (``functions/textstats.rolling_hashes`` — the fingerprint kernel, so
+    the SQL oracle replays them exactly); a 61-bit hash collision would
+    remove a non-duplicate span — negligible here, and production systems
+    verify candidates or widen the key.
+
+    Physical plan — two bucketed exchanges plus a thin union, no driver
+    collection:
+      1. explode token rows (doc, idx, token) and window rows
+         (wkey, doc, start); docs shorter than k tokens emit no windows;
+      2. exchange on hash(wkey): whole-bucket vectorized fold marks every
+         non-first occurrence — output is ONLY the removed (doc, start)
+         rows, expanded to their covered token indexes (× k, thin);
+      3. exchange on hash(doc): token rows union covered rows; each doc
+         drops covered tokens and reassembles in one vectorized pass.
+
+    Returns (id_column, dedup_text, n_tokens_total, n_tokens_kept), one
+    row per document that has at least one token."""
+    from ..functions.textstats import rolling_hashes
+    from .aggregate import bucketed_fold
+
+    id_type = ds.schema().base_schema.field(id_column).type
+    thin = ds.select_columns([id_column, text_column])
+
+    def explode_tokens(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        txt = pc.fill_null(t.column(text_column).cast(pa.string()), "")
+        # split on whitespace runs, dropping empties — regexp \S+ semantics
+        toks_list = pc.split_pattern_regex(txt, r"\s+")
+        # split_pattern_regex leaves "" entries for leading/trailing ws;
+        # flatten then filter them out (SQL's regexp_extract_all never
+        # produces empties).
+        flat = pc.list_flatten(toks_list)
+        parent = pc.list_parent_indices(toks_list)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        parent = parent.filter(nonempty)
+        # re-derive 1-based idx within each doc after the empty filter
+        pn = parent.to_numpy(zero_copy_only=False)
+        if len(pn):
+            starts_new = np.flatnonzero(np.r_[True, pn[1:] != pn[:-1]])
+            idx = np.arange(len(pn), dtype=np.int64) \
+                - np.repeat(starts_new, np.diff(np.r_[starts_new, len(pn)])) + 1
+        else:
+            idx = np.array([], dtype=np.int64)
+        return pa.table({
+            id_column: pc.take(t.column(id_column), parent),
+            "idx": pa.array(idx, pa.int64()),
+            "token": flat.cast(pa.string()),
+        })
+
+    tokens = thin.map_batches(explode_tokens, batch_format="pyarrow")
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        ids, starts, keys = [], [], []
+        for doc_id, txt in zip(t.column(id_column).to_pylist(),
+                               t.column(text_column).to_pylist()):
+            toks = (txt or "").split()
+            if len(toks) < k:
+                continue
+            for s, h in enumerate(rolling_hashes(toks, k), start=1):
+                ids.append(doc_id)
+                starts.append(s)
+                keys.append(h)
+        return pa.table({
+            "wkey": pa.array(keys, pa.int64()),
+            id_column: pa.array(ids, id_type),
+            "start": pa.array(starts, pa.int64()),
+        })
+
+    windows = thin.map_batches(explode_windows, batch_format="pyarrow")
+
+    def mark_removed(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_column, "start"], kind="mergesort")
+        dup = g.duplicated("wkey", keep="first")
+        return g.loc[dup, [id_column, "start"]]
+
+    removed = bucketed_fold(windows, "wkey", mark_removed,
+                            n_buckets=n_buckets)
+
+    def expand_covered(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = t.num_rows
+        doc = pc.take(t.column(id_column),
+                      pa.array(np.repeat(np.arange(n), k), pa.int64()))
+        start = np.repeat(t.column("start").to_numpy(), k)
+        off = np.tile(np.arange(k, dtype=np.int64), n)
+        return pa.table({
+            id_column: doc,
+            "idx": pa.array(start + off, pa.int64()),
+            "token": pa.nulls(n * k, pa.string()),
+            "covered": pa.array(np.ones(n * k, bool)),
+        })
+
+    covered = removed.map_batches(expand_covered, batch_format="pyarrow")
+    token_rows = tokens.map_batches(
+        lambda t: t.append_column("covered",
+                                  pa.array(np.zeros(t.num_rows, bool))),
+        batch_format="pyarrow",
+    )
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        toks = g.loc[~g["covered"]].sort_values([id_column, "idx"],
+                                                kind="mergesort")
+        cov = g.loc[g["covered"], [id_column, "idx"]].drop_duplicates()
+        m = toks.merge(cov.assign(__c=1), on=[id_column, "idx"], how="left")
+        keep = m["__c"].isna().to_numpy()
+        agg = m.assign(__k=keep).groupby(id_column, sort=False).agg(
+            n_tokens_total=("idx", "size"), n_tokens_kept=("__k", "sum"))
+        texts = m.loc[keep].groupby(id_column, sort=False)["token"] \
+                 .agg(" ".join)
+        out = agg.join(texts.rename("dedup_text")).reset_index()
+        out["dedup_text"] = out["dedup_text"].fillna("")
+        out["n_tokens_total"] = out["n_tokens_total"].astype("int64")
+        out["n_tokens_kept"] = out["n_tokens_kept"].astype("int64")
+        return out[[id_column, "dedup_text", "n_tokens_total",
+                    "n_tokens_kept"]]
+
+    return bucketed_fold(token_rows.union(covered), id_column, reassemble,
+                         n_buckets=n_buckets)
+
+
 # ------------------------------------------------------------- MinHash + LSH
 
 def cluster_pairs_distributed(pairs_ds, max_iters: int = 32,

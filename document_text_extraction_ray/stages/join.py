@@ -352,6 +352,73 @@ def anti_join(left, right, on: str, n_buckets: int = 32, left_schema=None):
     )
 
 
+def attach_column(big, slim, on: str, value_col: str, n_buckets: int = 32,
+                  big_schema=None):
+    """Inner-join-attach ONE column from a thin (key, value) table onto a
+    wide dataset that may carry NESTED columns (structs, span lists):
+    arrow-native throughout — pandas merges corrupt nested columns on the
+    arrow round-trip, and the arrow hash join rejects them outright.
+
+    Physical plan (the ``anti_join`` shape): both sides bucket on
+    hash(key) and union; each bucket resolves the value with one
+    vectorized ``index_in`` + ``take``.  Big rows whose key misses are
+    dropped (inner semantics).  ONE bounded full-row shuffle of the big
+    side; the slim side ships (key, value) only."""
+    big_schema = big_schema or _arrow_schema(big)
+    names = list(big_schema.names)
+    types = {f.name: f.type for f in big_schema}
+    slim_schema = _arrow_schema(slim)
+    vtype = dict(zip(slim_schema.names, slim_schema.types))[value_col]
+    out_names = names + [value_col]
+
+    def pad_big(batch: pa.Table) -> pa.Table:
+        out = batch.select(names)
+        out = out.append_column(value_col, pa.nulls(batch.num_rows, vtype))
+        out = out.append_column(
+            "__jbucket",
+            pa.array(_bucket_array(out.column(on), n_buckets), pa.int32()))
+        return out.append_column(
+            "__jside", pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()))
+
+    def pad_slim(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            name: (batch.column(on) if name == on
+                   else pa.nulls(n, type=types[name]))
+            for name in names
+        }
+        cols[value_col] = batch.column(value_col).cast(vtype)
+        out = pa.table(cols)
+        out = out.append_column(
+            "__jbucket",
+            pa.array(_bucket_array(out.column(on), n_buckets), pa.int32()))
+        return out.append_column(
+            "__jside", pa.array(np.ones(n, np.int8), pa.int8()))
+
+    tagged = big.map_batches(pad_big, batch_format="pyarrow").union(
+        slim.select_columns([on, value_col]).map_batches(
+            pad_slim, batch_format="pyarrow")
+    )
+
+    def resolve_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__jside")
+        lhs = g.filter(pc.equal(side, 0)).drop_columns(
+            ["__jbucket", "__jside"])
+        rhs = g.filter(pc.equal(side, 1))
+        idx = pc.index_in(lhs.column(on),
+                          value_set=rhs.column(on).combine_chunks())
+        hit = pc.is_valid(idx)
+        lhs = lhs.filter(hit)
+        vals = pc.take(rhs.column(value_col).combine_chunks(),
+                       idx.filter(hit))
+        return lhs.set_column(lhs.column_names.index(value_col),
+                              value_col, vals)
+
+    return tagged.groupby("__jbucket").map_groups(
+        resolve_bucket, batch_format="pyarrow"
+    ).map_batches(lambda t: t.select(out_names), batch_format="pyarrow")
+
+
 def coalesce_aggregate_blocks(ds, n_blocks: int = 8):
     """Purge the zero-column EMPTY blocks Ray's hash aggregate emits for
     empty shuffle partitions.

@@ -193,3 +193,25 @@ def test_dedup_against_snapshot_bloom():
     exact = dedup_against_snapshot(new, old, "k", "doc_id", n_buckets=4) \
         .to_pandas().sort_values("doc_id")
     assert list(out["doc_id"]) == list(exact["doc_id"])
+
+
+def test_exact_substring_dedup_spans():
+    """A duplicated 8-token window keeps its first (min doc, min start)
+    occurrence; later copies lose exactly the covered tokens; docs shorter
+    than k are untouched."""
+    from document_text_extraction_ray.stages.dedup import (
+        exact_substring_dedup,
+    )
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "a b c d e f g h unique one two three"},
+        {"doc_id": 2, "text": "x y a b c d e f g h z w"},
+        {"doc_id": 3, "text": "short doc"},
+    ])
+    out = (exact_substring_dedup(docs, "text", "doc_id", k=8, n_buckets=4)
+           .to_pandas().sort_values("doc_id").set_index("doc_id"))
+    assert out.loc[1, "dedup_text"] == "a b c d e f g h unique one two three"
+    assert out.loc[2, "dedup_text"] == "x y z w"
+    assert (out.loc[2, "n_tokens_total"],
+            out.loc[2, "n_tokens_kept"]) == (12, 4)
+    assert out.loc[3, "dedup_text"] == "short doc"

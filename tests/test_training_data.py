@@ -98,3 +98,52 @@ def test_prepare_training_data_curation_gates():
     text = df.iloc[0]["extracted_text"]
     assert "<EMAIL>" in text and "bob@example.com" not in text
     assert "<PHONE>" in text and "415-555-1234" not in text
+
+
+def test_prepare_training_data_line_dedup_gate():
+    """line_dedup=True rewrites extracted_text before the content-hash
+    dedup: two docs sharing a boilerplate line diverge only in their
+    unique lines afterwards; the shared line survives once (min url)."""
+    rows = [
+        _page("https://a/1", GOOD),
+        _page("https://a/2", GOOD.replace("quiet", "sleepy")),
+    ]
+    schema = pa.schema(
+        [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+         ("html", pa.large_binary()), ("text", pa.large_string()),
+         ("lang", pa.string())]
+    )
+    corpus = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+    out, _ = prepare_training_data(corpus, min_chars=40, min_score=0.0,
+                                   near_dedup=False, line_dedup=True)
+    df = out.to_pandas().set_index("url").sort_index()
+    assert len(df) == 2
+    # single-line docs: the whole text is one "line"; they differ, so both
+    # survive line dedup intact and exact dedup keeps both
+    assert df.loc["https://a/1", "extracted_text"].startswith("the quick")
+
+
+def test_prepare_training_data_substring_dedup_gate():
+    """substring_dedup_k strips the copy-pasted span from the later doc,
+    then exact dedup keeps both (they are no longer identical texts)."""
+    rows = [
+        _page("https://a/1", GOOD),
+        _page("https://a/2", "totally different opening words here " + GOOD),
+    ]
+    schema = pa.schema(
+        [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+         ("html", pa.large_binary()), ("text", pa.large_string()),
+         ("lang", pa.string())]
+    )
+    corpus = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+    out, _ = prepare_training_data(corpus, min_chars=10, min_score=0.0,
+                                   near_dedup=False, substring_dedup_k=8)
+    df = out.to_pandas().set_index("url").sort_index()
+    assert len(df) == 2
+    # /1 is the first occurrence of every shared window -> intact
+    assert df.loc["https://a/1", "extracted_text"].split()[:4] == \
+        ["the", "quick", "brown", "fox"]
+    # /2 lost the whole copied GOOD span, keeping only its unique opening
+    assert df.loc["https://a/2", "extracted_text"].split()[:4] == \
+        ["totally", "different", "opening", "words"]
+    assert "lazy" not in df.loc["https://a/2", "extracted_text"]
