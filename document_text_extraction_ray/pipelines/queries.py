@@ -1940,6 +1940,33 @@ def q_substring_dedup(sf_dir: str):
     return exact_substring_dedup(docs, "text", "doc_id", k=8).sort("doc_id")
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup over embeddings with planted exact
+    duplicates: every 10th vector re-appears under ``vec_id + 1_000_000``.
+    At eps=0.95 on these fixtures ONLY the planted copies cross the
+    threshold (measured max organic cosine 0.60 at sf0.1, 0.51 below), and
+    an exact duplicate always lands in its original's cluster (identical
+    vector -> identical argmax), so the survivor set is exactly the
+    original corpus — hash-checkable in SQL independent of the
+    (non-SQL-expressible) k-means structure.  The oracle therefore gates
+    both failure modes: a false removal (organic vector dropped) and a
+    missed removal (planted copy survives)."""
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        dup = t.filter(
+            pc.equal(pc.subtract(t.column("vec_id"),
+                                 pc.multiply(pc.divide(t.column("vec_id"), 10),
+                                             10)), 0))
+        return dup.set_column(dup.column_names.index("vec_id"), "vec_id",
+                              pc.add(dup.column("vec_id"), 1_000_000))
+
+    corpus = emb.union(emb.map_batches(plant, batch_format="pyarrow"))
+    surv = SIM.semdedup(corpus, eps=0.95, n_centroids=8)
+    return surv.select_columns(["vec_id"]).sort("vec_id")
+
+
 def q_gopher_rules(sf_dir: str):
     """Gopher-style quality rules over a deterministically varied corpus:
     every 5th doc gains bullet lines, every 7th ellipsis-ended lines, and
@@ -2055,6 +2082,7 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,
     "snapshot_dedup_bloom": q_snapshot_dedup_bloom,
     "substring_dedup": q_substring_dedup,
+    "semdedup": q_semdedup,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -3464,4 +3492,12 @@ ORACLE_SQL["substring_dedup"] = r"""
            CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
                AS n_tokens_kept
     FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+# SemDeDup with planted duplicates: identical vectors share a cluster, so at
+# eps=0.95 (organic max cosine 0.60) the survivors are exactly the original
+# corpus — the oracle gates false removals AND missed planted copies without
+# needing to express k-means in SQL.
+ORACLE_SQL["semdedup"] = """
+    SELECT vec_id FROM embeddings ORDER BY vec_id
 """

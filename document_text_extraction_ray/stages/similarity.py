@@ -361,6 +361,78 @@ def embedding_dup_pairs(
     return coded.groupby("bucket_key").map_groups(pairs_of_group, batch_format="pandas")
 
 
+def semdedup(
+    ds,
+    eps: float = 0.95,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    n_centroids: int = 16,
+    train_sample: int = 2048,
+    block: int = 4096,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a seeded k-means coarse
+    quantizer, then inside each cluster remove every vector whose cosine to
+    a SMALLER-id cluster member is >= ``eps`` — the keep-first rule every
+    other dedup operator in this engine uses (the paper keeps one
+    representative per semantic neighborhood; id order makes that
+    deterministic and retry-stable here).
+
+    Physical plan:
+      * Train: mini k-means on a bounded driver-side sample
+        (``_kmeans_lite`` — the IVF pattern); centroids broadcast ONCE via
+        ``ray.put``.
+      * Assign: one matmul per batch inside ``map_batches`` (argmax cosine).
+      * Prune: ``groupby(cluster).map_groups``; within-cluster similarity
+        is computed in row blocks of ``block`` so task memory is
+        O(block x cluster_size), never cluster_size^2 at once.
+
+    Scale contract (same as the paper's implementation): a cluster must fit
+    one task — at 100 TB you raise ``n_centroids`` (SemDeDup uses ~100k
+    clusters at LAION scale) so expected cluster size stays bounded; skew
+    shows up as one slow reducer, not an OOM, because of the blocking.
+
+    Returns the SURVIVING (id_column, cluster) rows."""
+    import pandas as pd
+
+    sample_rows = ds.select_columns([embedding_column]).limit(train_sample).take_all()
+    sample = np.asarray([r[embedding_column] for r in sample_rows], dtype=np.float64)
+    centroids = _normalize(_kmeans_lite(sample, n_centroids))
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cref)
+        xn = _normalize(_batch_matrix(batch, embedding_column))
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                embedding_column: batch.column(embedding_column),
+                "cluster": pa.array((xn @ cn.T).argmax(axis=1).astype(np.int32)),
+            }
+        )
+
+    coded = ds.select_columns([id_column, embedding_column]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+    def prune_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_column, kind="mergesort")
+        n = len(g)
+        if n > 1:
+            x = _normalize(np.asarray(g[embedding_column].tolist(), dtype=np.float64))
+            removed = np.zeros(n, dtype=bool)
+            cols = np.arange(n)
+            for s in range(1, n, block):
+                e = min(s + block, n)
+                sims = x[s:e] @ x[:e].T  # rows s..e vs every j < e
+                earlier = cols[None, :e] < np.arange(s, e)[:, None]
+                removed[s:e] = ((sims >= eps) & earlier).any(axis=1)
+            g = g.loc[~removed]
+        return g[[id_column, "cluster"]]
+
+    return coded.groupby("cluster").map_groups(prune_group, batch_format="pandas")
+
+
 def _kmeans_lite(sample: np.ndarray, n_centroids: int, iters: int = 5,
                  seed: int = 13) -> np.ndarray:
     """Seeded mini k-means on a driver-side sample (deterministic)."""

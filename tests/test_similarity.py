@@ -146,3 +146,26 @@ def test_exact_dup_pairs_triangle_single_partition():
                              rows_per_part=4096).to_pandas()
     key = lambda df: sorted(zip(df["id_a"], df["id_b"]))
     assert key(tr) == key(bc)
+
+
+def test_semdedup_keep_first_within_cluster():
+    """Planted near-identical vectors collapse to the smallest id; vectors
+    below eps survive; blocking (block < cluster size) changes nothing."""
+    rng = np.random.RandomState(21)
+    base = rng.randn(40, 8)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    # ids 100/101 duplicate vec 5 exactly; id 102 is a tiny perturbation of
+    # vec 7 (cosine ~0.9999); all must be removed at eps=0.99
+    rows.append({"vec_id": 100, "embedding": base[5].tolist()})
+    rows.append({"vec_id": 101, "embedding": base[5].tolist()})
+    near = base[7] + 1e-3 * rng.randn(8)
+    rows.append({"vec_id": 102, "embedding": near.tolist()})
+    ds = ray.data.from_items(rows).repartition(4)
+    out = SIM.semdedup(ds, eps=0.99, n_centroids=4, block=8).to_pandas()
+    surv = set(out["vec_id"])
+    assert surv == set(range(40))          # originals kept, copies removed
+    assert len(out) == len(surv)
+
+    # blocked vs unblocked plans agree
+    out2 = SIM.semdedup(ds, eps=0.99, n_centroids=4, block=4096).to_pandas()
+    assert set(out2["vec_id"]) == surv
