@@ -2050,6 +2050,52 @@ def q_pdf_extract(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_range_join(sf_dir: str):
+    """Range (interval-containment) join — the banded replication join
+    (``stages/join.py: range_join``): every 97th event anchors a 6-hour
+    maintenance window and each event joins to every window containing its
+    timestamp.  Band width = window length, so an interval replicates to at
+    most 2 bands; one exchange per side, per-band vectorized searchsorted
+    matching, output exactly once per true pair.  SQL: BETWEEN join."""
+    from ..stages.join import range_join
+
+    SIX_H_US = 21_600_000_000
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts"])
+
+    def to_pts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+        })
+
+    def to_windows(t: pa.Table) -> pa.Table:
+        t = to_pts(t)
+        anchors = t.filter(pc.equal(
+            pc.subtract(t.column("event_id"),
+                        pc.multiply(pc.divide(t.column("event_id"), 97), 97)),
+            0))
+        lo = anchors.column("ts_us")
+        return pa.table({
+            "w_id": anchors.column("event_id"),
+            "lo": lo,
+            "hi": pc.add(lo, SIX_H_US),
+        })
+
+    pts = ev.map_batches(to_pts, batch_format="pyarrow")
+    wins = ev.map_batches(to_windows, batch_format="pyarrow")
+    out = range_join(
+        pts, wins, point_on="ts_us", lo_col="lo", hi_col="hi",
+        bucket_width=SIX_H_US, n_buckets=16,
+        point_schema=pa.schema([("event_id", pa.int64()),
+                                ("ts_us", pa.int64())]),
+        interval_schema=pa.schema([("w_id", pa.int64()), ("lo", pa.int64()),
+                                   ("hi", pa.int64())]),
+    )
+    return out.select_columns(["w_id", "event_id", "lo"]) \
+              .sort(["w_id", "event_id"])
+
+
 # Registry order is driver-visible evidence: the correctness harness checks a
 # WINDOW of leading entries, so every oracle-backed query comes first, and
 # within those, the ones added after round 2 (no CORRECTNESS_r02 row yet) lead
@@ -2083,6 +2129,7 @@ QUERIES = {
     "snapshot_dedup_bloom": q_snapshot_dedup_bloom,
     "substring_dedup": q_substring_dedup,
     "semdedup": q_semdedup,
+    "range_join_events": q_range_join,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -3500,4 +3547,18 @@ ORACLE_SQL["substring_dedup"] = r"""
 # needing to express k-means in SQL.
 ORACLE_SQL["semdedup"] = """
     SELECT vec_id FROM embeddings ORDER BY vec_id
+"""
+
+ORACLE_SQL["range_join_events"] = """
+    WITH pts AS (
+        SELECT event_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    wins AS (
+        SELECT event_id AS w_id, epoch_us(ts) AS lo,
+               epoch_us(ts) + 21600000000 AS hi
+        FROM events WHERE event_id % 97 = 0
+    )
+    SELECT w.w_id, p.event_id, w.lo
+    FROM pts p JOIN wins w ON p.ts_us BETWEEN w.lo AND w.hi
+    ORDER BY w.w_id, p.event_id
 """

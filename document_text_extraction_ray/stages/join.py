@@ -269,6 +269,174 @@ def asof_join(
     return tagged.groupby("__jbucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def range_join(
+    points,
+    intervals,
+    point_on: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    n_buckets: int = 32,
+    suffix: str = "_r",
+    point_schema=None,
+    interval_schema=None,
+):
+    """Range (interval-containment) join: every point row pairs with every
+    interval row satisfying ``lo_col <= point_on <= hi_col`` (inclusive both
+    ends — SQL ``BETWEEN``).  Inner semantics: points with no containing
+    interval are dropped.  All three join columns must be integer-valued
+    (cast timestamps to epoch int64 upstream).
+
+    Physical plan — the classic banded replication join:
+      1. each point gets a coarse band ``cb = floor(point / bucket_width)``;
+      2. each interval is REPLICATED to every band it overlaps
+         (``floor(lo/W) .. floor(hi/W)``) — replication factor is
+         ``len/W + 1``, so pick ``bucket_width`` on the order of the typical
+         interval length (giant intervals replicate proportionally; they are
+         the hot keys of this operator and should be routed separately);
+      3. both sides exchange once on ``hash(cb) % n_buckets``; inside a
+         task the match is per-band vectorized: points sorted once, each
+         interval expands to its ``searchsorted(lo) .. searchsorted(hi)``
+         slice via the arange/repeat trick — no per-pair Python, no
+         cartesian blowup beyond the true output size.
+    A (point, interval) pair is emitted EXACTLY once: only the interval
+    replica whose band equals the point's band can produce it, and a point
+    inside ``[lo, hi]`` always lands in one of the interval's bands.
+
+    Ray Data has no native range join; this composition is (a) of the
+    custom-operator ladder.  Partitioning assumption: output size is the
+    true match count — a band whose intervals all contain all its points
+    is quadratic in that band alone (bounded by ``bucket_width``)."""
+    point_schema = point_schema or _arrow_schema(points)
+    interval_schema = interval_schema or _arrow_schema(intervals)
+    p_cols = list(point_schema.names)
+    renamed_i = {
+        n: (n + suffix if n in p_cols else n) for n in interval_schema.names
+    }
+    i_cols = [renamed_i[n] for n in interval_schema.names]
+    all_fields = {f.name: f.type for f in point_schema}
+    for f in interval_schema:
+        all_fields[renamed_i[f.name]] = f.type
+    union_names = list(all_fields)
+    lo_out, hi_out = renamed_i[lo_col], renamed_i[hi_col]
+    out_cols = p_cols + i_cols
+
+    def pad_points(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(point_on)))
+        p = batch.column(point_on).to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = np.floor_divide(p, bucket_width)
+        cols = {}
+        for name in union_names:
+            if name in batch.column_names:
+                cols[name] = batch.column(name)
+            else:
+                cols[name] = pa.nulls(batch.num_rows, type=all_fields[name])
+        out = pa.table(cols)
+        out = out.append_column("__cband", pa.array(cb, pa.int64()))
+        out = out.append_column(
+            "__jbucket",
+            pa.array(_bucket_array(pa.chunked_array([pa.array(cb)]), n_buckets),
+                     pa.int32()))
+        return out.append_column(
+            "__jside", pa.array(np.zeros(out.num_rows, np.int8), pa.int8()))
+
+    def pad_intervals(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(
+            [renamed_i[c] for c in batch.column_names])
+        ok = pc.and_(pc.is_valid(batch.column(lo_out)),
+                     pc.is_valid(batch.column(hi_out)))
+        batch = batch.filter(ok)
+        lo = batch.column(lo_out).to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = batch.column(hi_out).to_numpy(zero_copy_only=False).astype(np.int64)
+        cb_lo = np.floor_divide(lo, bucket_width)
+        cb_hi = np.floor_divide(np.maximum(hi, lo), bucket_width)
+        counts = cb_hi - cb_lo + 1
+        total = int(counts.sum())
+        # Replica r of interval i targets band cb_lo[i] + r (arange trick).
+        starts = np.cumsum(counts) - counts
+        bands = (np.arange(total, dtype=np.int64)
+                 - np.repeat(starts, counts)
+                 + np.repeat(cb_lo, counts))
+        src = np.repeat(np.arange(len(lo), dtype=np.int64), counts)
+        rep = batch.take(pa.array(src))
+        cols = {}
+        for name in union_names:
+            if name in rep.column_names:
+                cols[name] = rep.column(name)
+            else:
+                cols[name] = pa.nulls(total, type=all_fields[name])
+        out = pa.table(cols)
+        out = out.append_column("__cband", pa.array(bands, pa.int64()))
+        out = out.append_column(
+            "__jbucket",
+            pa.array(_bucket_array(pa.chunked_array([pa.array(bands)]),
+                                   n_buckets), pa.int32()))
+        return out.append_column(
+            "__jside", pa.array(np.ones(total, np.int8), pa.int8()))
+
+    tagged = points.map_batches(pad_points, batch_format="pyarrow").union(
+        intervals.map_batches(pad_intervals, batch_format="pyarrow")
+    )
+
+    int_back_p = {
+        f.name: f.type.to_pandas_dtype() for f in point_schema
+        if pa.types.is_integer(f.type)
+    }
+    int_back_i = {
+        renamed_i[f.name]: f.type.to_pandas_dtype() for f in interval_schema
+        if pa.types.is_integer(f.type)
+    }
+
+    def typed_empty() -> pd.DataFrame:
+        # Typed empty: an untyped pd.DataFrame(columns=...) defaults every
+        # column to object/float64 and poisons the output schema (ADVICE r2).
+        cols = {}
+        for name in out_cols:
+            try:
+                cols[name] = pd.Series(dtype=all_fields[name].to_pandas_dtype())
+            except (NotImplementedError, TypeError):
+                cols[name] = pd.Series(dtype=object)
+        return pd.DataFrame(cols)
+
+    def match_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g[g["__jside"] == 0]
+        ivs = g[g["__jside"] == 1]
+        if pts.empty or ivs.empty:
+            return typed_empty()
+        pts = pts.astype(int_back_p).sort_values(
+            ["__cband", point_on], kind="mergesort")
+        ivs = ivs.astype(int_back_i)
+        out_parts = []
+        p_by_band = dict(tuple(pts.groupby("__cband", sort=False)))
+        for band, iv in ivs.groupby("__cband", sort=False):
+            pb = p_by_band.get(band)
+            if pb is None:
+                continue
+            pv = pb[point_on].to_numpy()
+            lo = iv[lo_out].to_numpy()
+            hi = iv[hi_out].to_numpy()
+            a = np.searchsorted(pv, lo, side="left")
+            b = np.searchsorted(pv, hi, side="right")
+            counts = np.maximum(b - a, 0)  # inverted intervals match nothing
+            a = np.minimum(a, len(pv))
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            starts = np.cumsum(counts) - counts
+            p_idx = (np.arange(total, dtype=np.int64)
+                     - np.repeat(starts, counts) + np.repeat(a, counts))
+            i_idx = np.repeat(np.arange(len(iv), dtype=np.int64), counts)
+            part = pb.iloc[p_idx][p_cols].reset_index(drop=True)
+            part[i_cols] = iv.iloc[i_idx][i_cols].reset_index(drop=True)
+            out_parts.append(part)
+        if not out_parts:
+            return typed_empty()
+        return pd.concat(out_parts, ignore_index=True)[out_cols]
+
+    return tagged.groupby("__jbucket").map_groups(
+        match_bucket, batch_format="pandas")
+
+
 def semi_join(left, right, on: str, n_partitions: int = 16):
     """Distributed semi-join: keep left rows whose key appears in ``right``.
 

@@ -1,3 +1,7 @@
+"""Join operator tests (attach_column, range_join)."""
+
+import numpy as np
+import pandas as pd
 
 
 def test_attach_column_preserves_nested_columns():
@@ -24,3 +28,75 @@ def test_attach_column_preserves_nested_columns():
     assert list(out["n"]) == [10, 30]
     spans_u3 = list(out[out["url"] == "u3"]["spans"])[0]
     assert [dict(s) for s in spans_u3] == [{"s": 0, "e": 2}, {"s": 9, "e": 12}]
+
+
+def _range_ref(pts: pd.DataFrame, ivs: pd.DataFrame) -> pd.DataFrame:
+    """Reference: cartesian filter (tiny fixtures only)."""
+    x = pts.merge(ivs, how="cross")
+    x = x[(x["lo"] <= x["p"]) & (x["p"] <= x["hi"])]
+    return x.sort_values(["pid", "iid"]).reset_index(drop=True)
+
+
+def test_range_join_matches_cartesian_reference():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import range_join
+
+    rng = np.random.RandomState(7)
+    pts = pd.DataFrame({
+        "pid": np.arange(300, dtype=np.int64),
+        "p": rng.randint(0, 1000, 300).astype(np.int64),
+    })
+    lo = rng.randint(0, 950, 40).astype(np.int64)
+    ivs = pd.DataFrame({
+        "iid": np.arange(40, dtype=np.int64),
+        "lo": lo,
+        # Mix of short intervals and band-spanning long ones.
+        "hi": lo + rng.choice([3, 7, 120, 400], 40).astype(np.int64),
+    })
+    out = range_join(
+        rd.from_pandas(pts), rd.from_pandas(ivs),
+        point_on="p", lo_col="lo", hi_col="hi",
+        bucket_width=50, n_buckets=8,
+    ).to_pandas().sort_values(["pid", "iid"]).reset_index(drop=True)
+    ref = _range_ref(pts, ivs)
+    assert len(out) == len(ref)              # exactly once per true pair
+    pd.testing.assert_frame_equal(
+        out[["pid", "p", "iid", "lo", "hi"]], ref[["pid", "p", "iid", "lo", "hi"]]
+    )
+
+
+def test_range_join_edge_cases():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import range_join
+
+    pts = pd.DataFrame({"pid": [1, 2, 3], "p": np.array([5, 100, -7], np.int64)})
+    ivs = pd.DataFrame({
+        "iid": np.array([10, 11, 12], np.int64),
+        "lo": np.array([5, 50, 200], np.int64),    # iid=10 inclusive both ends
+        "hi": np.array([5, 40, 100], np.int64),    # iid=11 inverted: matches nothing
+    })
+    out = range_join(
+        rd.from_pandas(pts), rd.from_pandas(ivs),
+        point_on="p", lo_col="lo", hi_col="hi",
+        bucket_width=16, n_buckets=4,
+    ).to_pandas()
+    # Only pid=1 in [5,5]; pid=2/3 uncovered -> dropped (inner).
+    assert out[["pid", "iid"]].values.tolist() == [[1, 10]]
+
+
+def test_range_join_suffixes_overlapping_columns():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import range_join
+
+    pts = pd.DataFrame({"pid": [1], "p": np.array([10], np.int64),
+                        "tag": ["point"]})
+    ivs = pd.DataFrame({"lo": np.array([0], np.int64),
+                        "hi": np.array([20], np.int64), "tag": ["interval"]})
+    out = range_join(
+        rd.from_pandas(pts), rd.from_pandas(ivs),
+        point_on="p", lo_col="lo", hi_col="hi", bucket_width=8, n_buckets=2,
+    ).to_pandas()
+    assert list(out["tag"]) == ["point"] and list(out["tag_r"]) == ["interval"]
