@@ -1787,6 +1787,33 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(docs, "text", "doc_id").sort("doc_id")
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """RefinedWeb-style PARAGRAPH dedup: same two-exchange plan as
+    ``line_dedup`` with ``separator="\\n\\n"`` — the corpus is wrapped into
+    24-word paragraphs (mirrored in SQL with list slicing) so paragraphs
+    genuinely collide, every repeated paragraph keeps only its first
+    (min doc, min idx) occurrence, and documents reassemble from surviving
+    paragraphs joined by blank lines."""
+    from ..stages.curation import line_dedup
+
+    def wrap(t: pa.Table) -> pa.Table:
+        out = []
+        for txt in t.column("text").to_pylist():
+            toks = (txt or "").split(" ")
+            out.append("\n\n".join(
+                " ".join(toks[i:i + 24]) for i in range(0, len(toks), 24)
+            ))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pa.array(out, pa.large_string()),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        wrap, batch_format="pyarrow"
+    )
+    return line_dedup(docs, "text", "doc_id", separator="\n\n").sort("doc_id")
+
+
 def q_url_dedup(sf_dir: str):
     """URL-level dedup on the canonical URL.  Each document synthesizes a
     deterministic URL (mirrored in SQL): four variants per page id —
@@ -2050,6 +2077,43 @@ def q_pdf_extract(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_c4_filters(sf_dir: str):
+    """C4 cleaning rules over a deterministically dirtied corpus: texts are
+    wrapped into 8-word lines, every line with in-doc index % 3 != 0 gains
+    terminal punctuation (so the terminal-punct rule fires both ways), and
+    doc-keyed injections plant a javascript line (every 5th), lorem ipsum
+    (13th), a curly-brace code line (11th) and a blocklist word (19th).
+    One vectorized pass, zero shuffles; every rule regex-replayed in SQL."""
+    from ..stages.curation import c4_filters
+
+    def dirty(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        out = []
+        for did, txt in zip(ids, t.column("text").to_pylist()):
+            toks = (txt or "").split(" ")
+            lines = [
+                " ".join(toks[i:i + 8]) + ("." if (i // 8) % 3 != 0 else "")
+                for i in range(0, len(toks), 8)
+            ]
+            page = "\n".join(lines)
+            if did % 5 == 0:
+                page += "\nplease enable javascript to continue reading."
+            if did % 13 == 0:
+                page += "\nlorem ipsum dolor sit amet consectetur."
+            if did % 11 == 0:
+                page += "\nvar f = function() { return 1; }"
+            if did % 19 == 0:
+                page += "\nwatch free xxx videos online now."
+            out.append(page)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(out, pa.large_string())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        dirty, batch_format="pyarrow"
+    )
+    return c4_filters(docs).drop_columns(["text"]).sort("doc_id")
+
+
 def q_range_join(sf_dir: str):
     """Range (interval-containment) join — the banded replication join
     (``stages/join.py: range_join``): every 97th event anchors a 6-hour
@@ -2130,6 +2194,8 @@ QUERIES = {
     "substring_dedup": q_substring_dedup,
     "semdedup": q_semdedup,
     "range_join_events": q_range_join,
+    "c4_filters": q_c4_filters,
+    "paragraph_dedup": q_paragraph_dedup,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -3561,4 +3627,90 @@ ORACLE_SQL["range_join_events"] = """
     SELECT w.w_id, p.event_id, w.lo
     FROM pts p JOIN wins w ON p.ts_us BETWEEN w.lo AND w.hi
     ORDER BY w.w_id, p.event_id
+"""
+
+ORACLE_SQL["c4_filters"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk
+        FROM documents
+    ),
+    pages AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(range(CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+                       i -> array_to_string(tk[i*8+1 : i*8+8], ' ')
+                            || CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END),
+                   chr(10))
+               || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+                    'please enable javascript to continue reading.' ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                    'lorem ipsum dolor sit amet consectetur.' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                    'var f = function() { return 1; }' ELSE '' END
+               || CASE WHEN doc_id % 19 = 0 THEN chr(10) ||
+                    'watch free xxx videos online now.' ELSE '' END AS text
+        FROM toks
+    ),
+    lines AS (
+        SELECT doc_id,
+               regexp_replace(unnest(string_split(text, chr(10))),
+                              '^\\s+|\\s+$', '', 'g') AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS idx
+        FROM pages
+    ),
+    kept AS (
+        SELECT doc_id, line, idx FROM lines
+        WHERE regexp_matches(line, '[.!?"]$')
+          AND len(regexp_extract_all(line, '\\S+')) >= 5
+          AND NOT regexp_matches(lower(line), 'javascript')
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    flags AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+               regexp_matches(lower(text), 'lorem ipsum') AS has_lorem,
+               contains(text, '{') AS has_brace,
+               regexp_matches(lower(text), '\\b(porn|xxx)\\b') AS has_badword
+        FROM pages
+    )
+    SELECT f.doc_id, COALESCE(a.clean_text, '') AS clean_text, f.n_lines,
+           COALESCE(a.n_kept, 0) AS n_lines_kept,
+           f.has_lorem, f.has_brace, f.has_badword,
+           (NOT f.has_lorem AND NOT f.has_brace AND NOT f.has_badword
+            AND COALESCE(a.n_kept, 0) >= 3) AS pass_c4
+    FROM flags f LEFT JOIN agg a USING (doc_id)
+    ORDER BY f.doc_id
+"""
+
+ORACLE_SQL["paragraph_dedup"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk
+        FROM documents
+    ),
+    paras AS (
+        SELECT doc_id,
+               unnest(list_transform(range(CAST(ceil(len(tk) / 24.0) AS BIGINT)),
+                      i -> array_to_string(tk[i*24+1 : i*24+24], ' '))) AS line,
+               generate_subscripts(
+                   list_transform(range(CAST(ceil(len(tk) / 24.0) AS BIGINT)),
+                      i -> array_to_string(tk[i*24+1 : i*24+24], ' ')), 1) AS idx
+        FROM toks
+    ),
+    marked AS (
+        SELECT doc_id, line, idx,
+               ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+        FROM paras
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN line END,
+                               chr(10) || chr(10) ORDER BY idx), '')
+               AS dedup_text,
+           COUNT(*) AS n_lines_total,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines_kept
+    FROM marked GROUP BY doc_id ORDER BY doc_id
 """

@@ -288,6 +288,75 @@ def gopher_rules(ds, text_column: str = "text"):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def c4_filters(ds, text_column: str = "text",
+               badword_re: str = r"(?i)\b(porn|xxx)\b"):
+    """C4-style cleaning rules (Raffel et al. 2020, the public rule set
+    behind the C4 corpus) — line-level keep rules plus page-level drop
+    flags, one batch-local vectorized pass, zero shuffles:
+
+    Line kept iff (after whitespace trim):
+      * ends in terminal punctuation (``. ! ? "``);
+      * has >= 5 words;
+      * does not mention "javascript" (case-insensitive).
+    Page flags (on the ORIGINAL text):
+      * ``has_lorem``   — "lorem ipsum" (case-insensitive);
+      * ``has_brace``   — a curly bracket (code, not prose);
+      * ``has_badword`` — the word-boundary blocklist regex
+        (``badword_re``; default a 2-token stand-in for the public
+        LDNOOBW list — pass the real list's regex in production).
+    ``pass_c4`` = no page flag and >= 3 surviving lines (the paper's
+    >= 3-sentence rule; a kept line ends in terminal punctuation, so kept
+    lines ARE sentence-ish units).
+
+    Emits (clean_text = kept trimmed lines joined by newline, n_lines,
+    n_lines_kept, has_lorem, has_brace, has_badword, pass_c4).  Every rule
+    is regex-expressible, so the ``c4_filters`` query has an exact DuckDB
+    replay."""
+    import pyarrow.compute as pc
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        s = pc.fill_null(t.column(text_column).cast(pa.string()), "")
+        lines_list = pc.split_pattern(s, "\n")
+        n_docs = t.num_rows
+        n_lines = pc.list_value_length(lines_list).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(lines_list)
+        parent = pc.list_parent_indices(lines_list).to_numpy()
+        trimmed = pc.replace_substring_regex(flat, r"^\s+|\s+$", "")
+        nwords = pc.count_substring_regex(trimmed, r"\S+") \
+                   .to_numpy(zero_copy_only=False)
+        term = pc.match_substring_regex(trimmed, r'[.!?"]$') \
+                 .to_numpy(zero_copy_only=False)
+        js = pc.match_substring_regex(trimmed, r"(?i)javascript") \
+               .to_numpy(zero_copy_only=False)
+        keep = term & (nwords >= 5) & ~js
+
+        kept_parent = parent[keep]
+        n_kept = np.bincount(kept_parent, minlength=n_docs).astype(np.int64)
+        joined = pd.Series(
+            np.asarray(trimmed.to_pylist(), dtype=object)[keep]
+        ).groupby(kept_parent, sort=True).agg("\n".join)
+        clean = np.full(n_docs, "", dtype=object)
+        clean[joined.index.to_numpy()] = joined.to_numpy()
+
+        lorem = pc.match_substring_regex(s, r"(?i)lorem ipsum") \
+                  .to_numpy(zero_copy_only=False)
+        brace = pc.match_substring(s, "{").to_numpy(zero_copy_only=False)
+        bad = pc.match_substring_regex(s, badword_re) \
+                .to_numpy(zero_copy_only=False)
+        passes = ~lorem & ~brace & ~bad & (n_kept >= 3)
+
+        t = t.append_column("clean_text", pa.array(clean, pa.large_string()))
+        t = t.append_column("n_lines", pa.array(n_lines, pa.int64()))
+        t = t.append_column("n_lines_kept", pa.array(n_kept, pa.int64()))
+        for name, arr in [("has_lorem", lorem), ("has_brace", brace),
+                          ("has_badword", bad), ("pass_c4", passes)]:
+            t = t.append_column(name, pa.array(arr, pa.bool_()))
+        return t
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def url_dedup(ds, url_column: str = "url", id_column: str = "doc_id",
               n_buckets: int = 32):
     """URL-level dedup on the canonical URL (the first dedup a CC-style
@@ -333,7 +402,7 @@ def url_dedup(ds, url_column: str = "url", id_column: str = "doc_id",
 
 
 def line_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
-               n_buckets: int = 32):
+               n_buckets: int = 32, separator: str = "\n"):
     """Corpus-wide LINE-level deduplication (the CCNet / RefinedWeb line
     dedup): every line that occurs anywhere else in the corpus is dropped
     except its FIRST occurrence — first = smallest (doc id, line index) —
@@ -369,7 +438,11 @@ def line_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
     passes via ``bucketed_fold`` — a per-group fold here would construct
     one tiny frame per DISTINCT LINE (measured 13.4 s -> the vectorized
     plan's 4 s at sf0.1/32cpu; the line exchange dominates either way at
-    scale, the fold must not)."""
+    scale, the fold must not).
+
+    ``separator`` picks the dedup unit: the default newline gives line
+    dedup; ``"\\n\\n"`` gives RefinedWeb-style PARAGRAPH dedup (same
+    exchanges, paragraph-sized keys)."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -378,7 +451,7 @@ def line_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
     def explode(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         txt = pc.fill_null(t.column(text_column), "")
-        lines_list = pc.split_pattern(txt, "\n")
+        lines_list = pc.split_pattern(txt, separator)
         lens = pc.list_value_length(lines_list).to_numpy().astype(np.int64)
         total = int(lens.sum())
         # 1-based index within each doc, matching SQL generate_subscripts.
@@ -414,7 +487,7 @@ def line_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
         agg = g.groupby(id_column, sort=False).agg(
             n_lines_total=("idx", "size"), n_lines_kept=("__keep", "sum"))
         texts = g.loc[keep].groupby(id_column, sort=False)["line"] \
-                 .agg("\n".join)
+                 .agg(separator.join)
         out = agg.join(texts.rename("dedup_text")).reset_index()
         out["dedup_text"] = out["dedup_text"].fillna("")
         out["n_lines_total"] = out["n_lines_total"].astype("int64")

@@ -215,3 +215,34 @@ def test_exact_substring_dedup_spans():
     assert (out.loc[2, "n_tokens_total"],
             out.loc[2, "n_tokens_kept"]) == (12, 4)
     assert out.loc[3, "dedup_text"] == "short doc"
+
+
+def test_c4_filters_rules():
+    """Each C4 rule fires independently: terminal punct, >=5 words,
+    javascript line, lorem/brace/badword page flags, >=3-sentence gate."""
+    from document_text_extraction_ray.stages.curation import c4_filters
+
+    good = ("this is a perfectly fine sentence one.\n"
+            "this is a perfectly fine sentence two.\n"
+            "this is a perfectly fine sentence three.")
+    docs = rd.from_items([
+        {"doc_id": 1, "text": good},
+        # no terminal punct + short line + javascript line: all dropped
+        {"doc_id": 2, "text": "no punctuation here at all\nshort one.\n"
+                              "please enable javascript to see content."},
+        {"doc_id": 3, "text": good + "\nlorem ipsum dolor sit amet."},
+        {"doc_id": 4, "text": good + "\nvar x = { a: 1 }"},
+        {"doc_id": 5, "text": good + "\nfree xxx content right here now."},
+        {"doc_id": 6, "text": "one good sentence is not enough here."},
+    ])
+    out = (c4_filters(docs).to_pandas()
+           .sort_values("doc_id").set_index("doc_id"))
+    assert bool(out.loc[1, "pass_c4"]) and out.loc[1, "clean_text"] == good
+    assert out.loc[2, "n_lines_kept"] == 0 and not bool(out.loc[2, "pass_c4"])
+    assert bool(out.loc[3, "has_lorem"]) and not bool(out.loc[3, "pass_c4"])
+    assert bool(out.loc[4, "has_brace"]) and not bool(out.loc[4, "pass_c4"])
+    assert bool(out.loc[5, "has_badword"]) and not bool(out.loc[5, "pass_c4"])
+    # lorem line itself survives the LINE rules (ends in '.', 5 words)
+    assert out.loc[3, "n_lines_kept"] == 4
+    # one sentence < 3: fails the gate with no page flag
+    assert out.loc[6, "n_lines_kept"] == 1 and not bool(out.loc[6, "pass_c4"])
