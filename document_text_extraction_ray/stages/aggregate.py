@@ -333,3 +333,59 @@ def running_total(ds, key_col: str, order_cols, value_col: str):
         return g
 
     return bucketed_map_groups(ds, key_col, fold)
+
+
+def pivot_counts(ds, key: str, cat_col: str, categories,
+                 value_col: str = None, n_buckets: int = 32):
+    """PIVOT: one output row per key, one ``n_<cat>`` count column per
+    category (and, with ``value_col``, a ``sum_<cat>_e2`` integer-cents
+    sum).  The category list is EXPLICIT — a distributed pivot cannot
+    discover columns and keep a stable schema at the same time; unknown
+    categories are ignored (they'd otherwise skew-poison the schema).
+
+    Physical plan: per-batch vectorized partial (one groupby per batch
+    emits the full pivoted row set for its keys), then one bucketed
+    combine summing per key — only pivoted partials cross the wire, never
+    input rows.  Equivalent SQL: conditional aggregation
+    (SUM(CASE WHEN cat = c THEN 1 END) ...)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    categories = list(categories)
+    cnt_cols = [f"n_{c}" for c in categories]
+    sum_cols = [f"sum_{c}_e2" for c in categories] if value_col else []
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        keys = t.column(key)
+        cats = t.column(cat_col)
+        df = {"k": keys.to_numpy(zero_copy_only=False)}
+        uk, inv = np.unique(df["k"], return_inverse=True)
+        out = {key: pa.array(uk)}
+        cat_np = np.asarray(cats.to_pylist(), dtype=object)
+        if value_col:
+            raw = pc.cast(t.column(value_col), pa.float64()) \
+                    .to_numpy(zero_copy_only=False)
+            cents = np.where(raw >= 0, np.floor(raw * 100 + 0.5),
+                             np.ceil(raw * 100 - 0.5)).astype(np.int64)
+        for c in categories:
+            m = cat_np == c
+            out[f"n_{c}"] = pa.array(
+                np.bincount(inv[m], minlength=len(uk)).astype(np.int64))
+            if value_col:
+                out[f"sum_{c}_e2"] = pa.array(
+                    np.bincount(inv[m], weights=cents[m],
+                                minlength=len(uk)).astype(np.int64))
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(key).aggregate(
+            [(c, "sum") for c in cnt_cols + sum_cols])
+        cols = {key: g.column(key)}
+        for c in cnt_cols + sum_cols:
+            cols[c] = g.column(f"{c}_sum")
+        return pa.table(cols)
+
+    return bucketed_combine(partials, key, combine, n_buckets)

@@ -7,6 +7,7 @@ sorted by ``ts`` inside each group; groups themselves are unordered.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -213,5 +214,45 @@ def sessionize(ds, ts_col: str, key_col: str, gap_s: int = 1800):
         return pd.DataFrame(rows)
 
     from .aggregate import bucketed_map_groups
+
+    return bucketed_map_groups(ds, key_col, fold)
+
+
+def rank_features(ds, key_col: str, order_cols, n_tiles: int = 4):
+    """Per-key rank window functions in one fold: ROW_NUMBER (``rn``),
+    PERCENT_RANK and CUME_DIST as e6 fixed-point integers (floor division,
+    so the SQL replay is bit-exact — computed from rn/n, NOT float window
+    functions), and NTILE(``n_tiles``) with DuckDB/ANSI tile sizing (the
+    first n % k tiles get the extra row).
+
+    One bucketed shuffle on the key, per-key vectorized numpy fold.
+    ``order_cols`` must be a total order within a key (include a unique id
+    as tie-break) or ranks are nondeterministic."""
+    import pandas as pd
+
+    from .aggregate import bucketed_map_groups
+
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_cols), kind="mergesort").copy()
+        n = len(g)
+        rn = np.arange(1, n + 1, dtype=np.int64)
+        g["rn"] = rn
+        g["pct_rank_e6"] = (rn - 1) * 1_000_000 // max(n - 1, 1)
+        g["cume_dist_e6"] = rn * 1_000_000 // n
+        base, rem = divmod(n, n_tiles)
+        boundary = rem * (base + 1)
+        if base == 0:
+            tile = rn  # fewer rows than tiles: one row per tile
+        else:
+            tile = np.where(
+                rn <= boundary,
+                (rn - 1) // (base + 1) + 1,
+                rem + (rn - 1 - boundary) // base + 1,
+            ).astype(np.int64)
+        g["tile"] = tile
+        return g
 
     return bucketed_map_groups(ds, key_col, fold)

@@ -287,3 +287,57 @@ def test_bucketed_fold_equals_bucketed_map_groups():
     a = a.sort_values("k").reset_index(drop=True)
     b = b.sort_values("k").reset_index(drop=True)[a.columns]
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_rank_features_matches_window_semantics():
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.windows import rank_features
+
+    rows = [{"k": i % 3, "id": i, "v": (i * 7) % 11} for i in range(25)]
+    out = (rank_features(rd.from_items(rows), "k", ["v", "id"], n_tiles=4)
+           .to_pandas().sort_values(["k", "rn"]).reset_index(drop=True))
+    for k, g in out.groupby("k"):
+        n = len(g)
+        rn = g["rn"].to_numpy()
+        assert (rn == np.arange(1, n + 1)).all()
+        # ordered by (v, id)
+        ordered = g[["v", "id"]].values.tolist()
+        assert ordered == sorted(ordered)
+        assert (g["pct_rank_e6"].to_numpy()
+                == (rn - 1) * 1_000_000 // max(n - 1, 1)).all()
+        assert (g["cume_dist_e6"].to_numpy() == rn * 1_000_000 // n).all()
+        # ANSI NTILE: first n%4 tiles one row bigger, sizes differ by <=1
+        sizes = g.groupby("tile").size()
+        assert sizes.max() - sizes.min() <= 1
+        assert g["tile"].is_monotonic_increasing
+
+
+def test_pivot_counts_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import pivot_counts
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 6, 200),
+        "cat": rng.choice(["a", "b", "c"], 200),
+        "val": rng.uniform(-5, 50, 200).round(2),
+    })
+    out = (pivot_counts(rd.from_pandas(df), "k", "cat", ["a", "b"],
+                        value_col="val", n_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for cat in ["a", "b"]:
+        sub = df[df["cat"] == cat]
+        exp_n = sub.groupby("k").size().reindex(out["k"], fill_value=0)
+        assert (out[f"n_{cat}"].to_numpy() == exp_n.to_numpy()).all()
+        cents = np.where(sub["val"] >= 0, np.floor(sub["val"] * 100 + 0.5),
+                         np.ceil(sub["val"] * 100 - 0.5)).astype(np.int64)
+        exp_s = (pd.Series(cents, index=sub.index).groupby(sub["k"]).sum()
+                 .reindex(out["k"], fill_value=0))
+        assert (out[f"sum_{cat}_e2"].to_numpy() == exp_s.to_numpy()).all()
+    # category 'c' ignored: no n_c column
+    assert "n_c" not in out.columns
