@@ -2160,6 +2160,421 @@ def q_range_join(sf_dir: str):
               .sort(["w_id", "event_id"])
 
 
+def q5_local_revenue(sf_dir: str):
+    """TPC-H Q5 shape (6-table join): revenue by nation for ASIA where the
+    customer and supplier share the nation.  Dimensions (region, nation,
+    customer, supplier) broadcast as lookup maps; the one distributed
+    exchange is the lineitem-orders fact-fact hash join.  Date filter
+    pushed to the orders scan."""
+    import ray as _ray
+
+    from ..stages.aggregate import pre_aggregated_sum
+    from ..stages.join import native_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia_key = region.filter(
+        pc.equal(region.column("r_name"), "ASIA")
+    ).column("r_regionkey")[0].as_py()
+    asia = nation.filter(pc.equal(nation.column("n_regionkey"), asia_key))
+    asia_set = set(asia.column("n_nationkey").to_pylist())
+    names = dict(zip(asia.column("n_nationkey").to_pylist(),
+                     asia.column("n_name").to_pylist()))
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    cust_ref = _ray.put(cust.combine_chunks())
+    supp_ref = _ray.put(supp.combine_chunks())
+
+    import datetime as _dt
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= _dt.datetime(1996, 1, 1))
+                & (pc.field("o_orderdate") < _dt.datetime(1997, 1, 1))),
+    )
+
+    def tag_cust_nation(t: pa.Table) -> pa.Table:
+        c = _ray.get(cust_ref)
+        idx = pc.index_in(t.column("o_custkey"), value_set=c.column("c_custkey"))
+        nat = pc.take(c.column("c_nationkey"), idx)
+        out = pa.table({"o_orderkey": t.column("o_orderkey"), "c_nat": nat})
+        return out.filter(pc.is_in(
+            out.column("c_nat"),
+            value_set=pa.array(sorted(asia_set), pa.int64())))
+
+    o_side = orders.map_batches(tag_cust_nation, batch_format="pyarrow")
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def tag_supp_nation(t: pa.Table) -> pa.Table:
+        s = _ray.get(supp_ref)
+        idx = pc.index_in(t.column("l_suppkey"), value_set=s.column("s_suppkey"))
+        nat = pc.take(s.column("s_nationkey"), idx)
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        out = pa.table({"o_orderkey": t.column("l_orderkey"),
+                        "s_nat": nat, "rev": rev})
+        return out.filter(pc.is_in(
+            out.column("s_nat"),
+            value_set=pa.array(sorted(asia_set), pa.int64())))
+
+    l_side = li.map_batches(tag_supp_nation, batch_format="pyarrow")
+    joined = native_join(l_side, o_side, on="o_orderkey", n_partitions=16)
+
+    nat_keys = pa.array(sorted(names), pa.int64())
+    nat_names = pa.array([names[k] for k in sorted(names)], pa.string())
+
+    def local_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("s_nat"), t.column("c_nat")))
+        nm = pc.take(nat_names,
+                     pc.index_in(t.column("s_nat"), value_set=nat_keys))
+        return pa.table({"n_name": nm, "rev": t.column("rev")})
+
+    per_nation = pre_aggregated_sum(
+        joined.map_batches(local_only, batch_format="pyarrow"),
+        "n_name", "rev", n_buckets=8,
+    ).map_batches(
+        lambda t: t if t.num_columns == 0
+        else _scale_int(pa.table({"n_name": t.column("n_name"),
+                                  "revenue": t.column("sum_rev")}),
+                        {"revenue": 100}),
+        batch_format="pyarrow",
+    )
+    return per_nation.sort(["revenue", "n_name"], descending=[True, False])
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: shipping volume between two nations by year, both
+    directions.  Supplier/customer nation maps broadcast; ship-date filter
+    at the lineitem scan; ONE distributed fact-fact join on orderkey; the
+    (supp_nation, cust_nation, year) groupby is 4 keys — Ray's native
+    groupby is fine at that cardinality."""
+    import datetime as _dt
+
+    import ray as _ray
+
+    from ..stages.join import partitioned_hash_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+    pair = {k for k, v in nmap.items() if v in ("NATION_1", "NATION_2")}
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    cust_ref = _ray.put(cust.combine_chunks())
+    supp_ref = _ray.put(supp.combine_chunks())
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= _dt.datetime(1996, 1, 1))
+                & (pc.field("l_shipdate") < _dt.datetime(1998, 1, 1))),
+    )
+
+    def l_tag(t: pa.Table) -> pa.Table:
+        s = _ray.get(supp_ref)
+        idx = pc.index_in(t.column("l_suppkey"), value_set=s.column("s_suppkey"))
+        nat = pc.take(s.column("s_nationkey"), idx)
+        vol = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        year = pc.year(t.column("l_shipdate")).cast(pa.int64())
+        out = pa.table({"o_orderkey": t.column("l_orderkey"), "s_nat": nat,
+                        "volume": vol, "l_year": year})
+        return out.filter(pc.is_in(out.column("s_nat"),
+                                   value_set=pa.array(sorted(pair), pa.int64())))
+
+    def o_tag(t: pa.Table) -> pa.Table:
+        c = _ray.get(cust_ref)
+        idx = pc.index_in(t.column("o_custkey"), value_set=c.column("c_custkey"))
+        nat = pc.take(c.column("c_nationkey"), idx)
+        out = pa.table({"o_orderkey": t.column("o_orderkey"), "c_nat": nat})
+        return out.filter(pc.is_in(out.column("c_nat"),
+                                   value_set=pa.array(sorted(pair), pa.int64())))
+
+    l_side = li.map_batches(l_tag, batch_format="pyarrow")
+    o_side = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"]) \
+               .map_batches(o_tag, batch_format="pyarrow")
+    # The two-nation filter keeps ~2/N^2 of rows: sparse enough that Ray's
+    # native hash-join can hand a shuffle partition ZERO left blocks and
+    # crash on the schemaless empty ("No match for key field") — the
+    # explicit bucketed plan tags/pads both sides itself, so use it here.
+    joined = partitioned_hash_join(
+        l_side, o_side, on="o_orderkey", n_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("s_nat", pa.int64()),
+                               ("volume", pa.float64()),
+                               ("l_year", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("c_nat", pa.int64())]),
+    )
+
+    nk = pa.array(sorted(nmap), pa.int64())
+    nv = pa.array([nmap[k] for k in sorted(nmap)], pa.string())
+
+    def directions(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("s_nat"), t.column("c_nat")))
+        sn = pc.take(nv, pc.index_in(t.column("s_nat"), value_set=nk))
+        cn = pc.take(nv, pc.index_in(t.column("c_nat"), value_set=nk))
+        return pa.table({"supp_nation": sn, "cust_nation": cn,
+                         "l_year": t.column("l_year"),
+                         "volume": t.column("volume")})
+
+    agg = joined.map_batches(directions, batch_format="pyarrow") \
+                .groupby(["supp_nation", "cust_nation", "l_year"]) \
+                .aggregate(Sum("volume", alias_name="revenue"))
+    return _scale_int_ds(agg, {"revenue": 100}) \
+        .sort(["supp_nation", "cust_nation", "l_year"])
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (view + global max): revenue per supplier over one
+    quarter, keep the max-revenue supplier(s).  Bucketed pre-aggregation
+    on l_suppkey (bounded by the supplier dimension), integer-cents
+    comparison for a ULP-immune max, supplier name attached by broadcast."""
+    import datetime as _dt
+
+    from ..stages.aggregate import pre_aggregated_sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= _dt.datetime(1996, 1, 1))
+                & (pc.field("l_shipdate") < _dt.datetime(1996, 4, 1))),
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": t.column("l_suppkey"),
+            "r": pc.multiply(t.column("l_extendedprice"),
+                             pc.subtract(pa.scalar(1.0),
+                                         t.column("l_discount"))),
+        })
+
+    per_supp = pre_aggregated_sum(
+        li.map_batches(rev, batch_format="pyarrow"), "l_suppkey", "r",
+        n_buckets=8,
+    ).map_batches(
+        lambda t: t if t.num_columns == 0
+        else _scale_int(pa.table({"s_suppkey": t.column("l_suppkey"),
+                                  "total_revenue": t.column("sum_r")}),
+                        {"total_revenue": 100}),
+        batch_format="pyarrow",
+    )
+    # Bounded by the supplier dimension: materialize once, consume twice
+    # (global max, then the equality filter) without rescanning lineitem.
+    per_supp = per_supp.materialize()
+    best = per_supp.aggregate(Max("total_revenue", alias_name="m"))["m"]
+    top = per_supp.filter(
+        expr=f"total_revenue == {int(best)}"
+    ).to_pandas()
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    names = dict(zip(supp.column("s_suppkey").to_pylist(),
+                     supp.column("s_name").to_pylist()))
+    top["s_name"] = [names[k] for k in top["s_suppkey"]]
+    top = top.sort_values("s_suppkey")
+    return pa.Table.from_pandas(
+        top[["s_suppkey", "s_name", "total_revenue"]], preserve_index=False)
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (correlated per-key average): revenue of lineitems
+    whose quantity is below 20% of their part's average quantity, for one
+    brand.  The per-part (sum_qty, n) table is bounded by the part
+    DIMENSION, so it collects and broadcasts; the comparison is the
+    integer-exact cross-multiplied form ``5*qty*n < sum_qty`` (quantities
+    are integral doubles — exact in int64), immune to float-avg ULP."""
+    import ray as _ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    brand_keys = part.filter(
+        pc.equal(part.column("p_brand"), "Brand#23")
+    ).column("p_partkey").combine_chunks()
+    keys_ref = _ray.put(brand_keys)
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def brand_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("l_partkey"),
+                                 value_set=_ray.get(keys_ref)))
+
+    brand_li = li.map_batches(brand_only, batch_format="pyarrow")
+
+    # Per-part totals: bounded by |part|; two-column partial + tiny combine.
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_partkey").aggregate(
+            [("l_quantity", "sum"), ([], "count_all")])
+        return pa.table({
+            "l_partkey": g.column("l_partkey"),
+            "sq": pc.cast(g.column("l_quantity_sum"), pa.int64()),
+            "n": g.column("count_all"),
+        })
+
+    stats = brand_li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("sq", alias_name="sum_qty"),
+                                        Sum("n", alias_name="n_items"))
+    smap = {
+        r["l_partkey"]: (int(r["sum_qty"]), int(r["n_items"]))
+        for r in stats.iter_rows()
+    }
+    smap_ref = _ray.put(smap)
+
+    def small(t: pa.Table) -> pa.Table:
+        m = _ray.get(smap_ref)
+        pk = t.column("l_partkey").to_pylist()
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False) \
+               .astype(np.int64)
+        sums = np.array([m[k][0] for k in pk], np.int64)
+        ns = np.array([m[k][1] for k in pk], np.int64)
+        keep = 5 * qty * ns < sums
+        kept = t.filter(pa.array(keep))
+        cents = np.asarray(
+            pc.cast(kept.column("l_extendedprice"), pa.float64())) * 100
+        cents = np.where(cents >= 0, np.floor(cents + 0.5),
+                         np.ceil(cents - 0.5)).astype(np.int64)
+        return pa.table({
+            "sum_cents": pa.array([int(cents.sum())], pa.int64()),
+            "n": pa.array([kept.num_rows], pa.int64()),
+        })
+
+    agg = brand_li.map_batches(small, batch_format="pyarrow").aggregate(
+        Sum("sum_cents", alias_name="revenue_e2"),
+        Sum("n", alias_name="n_items"))
+    return pa.table({
+        "revenue_e2": pa.array([int(agg["revenue_e2"] or 0)], pa.int64()),
+        "n_items": pa.array([int(agg["n_items"] or 0)], pa.int64()),
+    })
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape (disjunction of conjunctive brand/size/quantity
+    bands): part attributes broadcast once and attached per batch by
+    vectorized ``index_in``+``take``; the whole OR-of-ANDs predicate is
+    one boolean kernel pass; single global reduce — zero shuffles."""
+    import ray as _ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    part_ref = _ray.put(part.combine_chunks())
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def pred(t: pa.Table) -> pa.Table:
+        p = _ray.get(part_ref)
+        idx = pc.index_in(t.column("l_partkey"),
+                          value_set=p.column("p_partkey"))
+        brand = pc.take(p.column("p_brand"), idx)
+        size = pc.take(p.column("p_size"), idx)
+        qty = t.column("l_quantity")
+
+        def band(b, smax, qlo, qhi):
+            return (
+                pc.and_(pc.and_(pc.equal(brand, b),
+                                pc.and_(pc.greater_equal(size, 1),
+                                        pc.less_equal(size, smax))),
+                        pc.and_(pc.greater_equal(qty, float(qlo)),
+                                pc.less_equal(qty, float(qhi))))
+            )
+
+        keep = pc.or_(pc.or_(band("Brand#12", 5, 1, 11),
+                             band("Brand#23", 10, 10, 20)),
+                      band("Brand#34", 15, 20, 30))
+        kept = t.filter(pc.fill_null(keep, False))
+        rev = pc.multiply(kept.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      kept.column("l_discount")))
+        return pa.table({
+            "r": pa.array([pc.sum(rev).as_py() or 0.0], pa.float64()),
+            "n": pa.array([kept.num_rows], pa.int64()),
+        })
+
+    agg = li.map_batches(pred, batch_format="pyarrow").aggregate(
+        Sum("r", alias_name="revenue"), Sum("n", alias_name="n_items"))
+    t = pa.table({
+        "revenue": pa.array([float(agg["revenue"] or 0.0)], pa.float64()),
+        "n_items": pa.array([int(agg["n_items"] or 0)], pa.int64()),
+    })
+    return _scale_int(t, {"revenue": 100})
+
+
+def q22_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape: customers with above-average positive balance and
+    NO RECENT orders (none since 2000-01-01 — the paper's "no orders in N
+    years" clause; date pushed to the orders scan), counted per market
+    segment.  The global average is the integer-exact cross-multiplied
+    threshold (cents*n > sum_cents); the no-orders side is the distributed
+    anti-join (orders ships DISTINCT custkeys only)."""
+    from ..stages.join import anti_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        raw = np.asarray(pc.cast(t.column("c_acctbal"), pa.float64())) * 100
+        e2 = np.where(raw >= 0, np.floor(raw + 0.5),
+                      np.ceil(raw - 0.5)).astype(np.int64)
+        return t.append_column("bal_e2", pa.array(e2, pa.int64()))
+
+    cust = cust.map_batches(cents, batch_format="pyarrow")
+    pos = cust.filter(expr="bal_e2 > 0")
+    g = pos.aggregate(Sum("bal_e2", alias_name="s"),
+                      Count(alias_name="n"))
+    s, n = int(g["s"]), int(g["n"])
+
+    def above_avg(t: pa.Table) -> pa.Table:
+        # Cross-multiplied integer threshold (bal*n > sum): ULP-immune.
+        return t.filter(pc.greater(
+            pc.multiply(t.column("bal_e2"), pa.scalar(n, pa.int64())),
+            pa.scalar(s, pa.int64())))
+
+    rich = cust.map_batches(above_avg, batch_format="pyarrow")
+    import datetime as _dt
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= _dt.datetime(2000, 1, 1)),
+    ).select_columns(["o_custkey"])
+    # Thin the right side to distinct keys before the anti-join exchange.
+    from ..stages.aggregate import pre_aggregated_count
+
+    okeys = pre_aggregated_count(orders, "o_custkey", alias="__n") \
+        .map_batches(
+            lambda t: t if t.num_columns == 0
+            else t.select(["o_custkey"]).rename_columns(["c_custkey"]),
+            batch_format="pyarrow")
+    no_orders = anti_join(
+        rich, okeys, on="c_custkey", n_buckets=8,
+        left_schema=pa.schema([
+            ("c_custkey", pa.int64()), ("c_mktsegment", pa.string()),
+            ("c_acctbal", pa.float64()), ("bal_e2", pa.int64()),
+        ]))
+    agg = no_orders.groupby("c_mktsegment").aggregate(
+        Count(alias_name="numcust"), Sum("bal_e2", alias_name="totacctbal_e2"))
+    return agg.sort("c_mktsegment")
+
+
 def q_rank_features(sf_dir: str):
     """Rank window-function family in ONE per-key fold: ROW_NUMBER,
     PERCENT_RANK / CUME_DIST as e6 fixed-point integers (floor division —
@@ -2229,6 +2644,12 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "rank_features": q_rank_features,
     "pivot_events": q_pivot_events,
+    "q5_local_revenue": q5_local_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_sales_opportunity": q22_sales_opportunity,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -3774,4 +4195,104 @@ ORACLE_SQL["pivot_events"] = """
            CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT) AS sum_signup_e2,
            CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT) AS sum_view_e2
     FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE_SQL["q5_local_revenue"] = """
+    SELECT n_name,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+ORACLE_SQL["q7_volume_shipping"] = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey
+      AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+ORACLE_SQL["q15_top_supplier"] = """
+    WITH revenue AS (
+        SELECT l_suppkey AS s_suppkey,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                    AS BIGINT) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s_name, total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+"""
+
+ORACLE_SQL["q17_small_qty_revenue"] = """
+    WITH brand AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+    ),
+    stats AS (
+        SELECT l_partkey, CAST(SUM(l_quantity) AS BIGINT) AS sq,
+               COUNT(*) AS n
+        FROM brand GROUP BY 1
+    )
+    SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS revenue_e2,
+           COUNT(*) AS n_items
+    FROM brand b JOIN stats s USING (l_partkey)
+    WHERE 5 * CAST(b.l_quantity AS BIGINT) * s.n < s.sq
+"""
+
+ORACLE_SQL["q19_disjunctive_revenue"] = """
+    SELECT CAST(COALESCE(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100),
+                         0) AS BIGINT) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLE_SQL["q22_sales_opportunity"] = """
+    WITH c AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_e2
+        FROM customer
+    ),
+    t AS (
+        SELECT CAST(SUM(bal_e2) AS BIGINT) AS s, COUNT(*) AS n
+        FROM c WHERE bal_e2 > 0
+    )
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(bal_e2) AS BIGINT) AS totacctbal_e2
+    FROM c, t
+    WHERE bal_e2 * t.n > t.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
 """
