@@ -2606,6 +2606,89 @@ def q_pivot_events(sf_dir: str):
     return out.sort("user_id")
 
 
+def q_hist_quantiles(sf_dir: str):
+    """Mergeable histogram-sketch quantiles vs the exact per-group fold,
+    oracle-checked as a bound (the HLL pattern): per source, the sketch's
+    p50/p90 must sit within one bin width of PERCENTILE_DISC.  Only sparse
+    (key, bin, n) rows cross the sketch's exchange — the scale path when a
+    group's values don't fit one task."""
+    from ..stages.aggregate import grouped_quantiles, histogram_quantiles
+
+    docs = _docs(sf_dir, ["source", "n_chars"])
+    stats = docs.aggregate(Min("n_chars", alias_name="lo"),
+                           Max("n_chars", alias_name="hi"))
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    w = (hi - lo) / 2048
+    approx = histogram_quantiles(docs, "source", "n_chars", ps=(0.5, 0.9),
+                                 n_bins=2048, lo=lo, hi=hi).to_pandas()
+    exact = grouped_quantiles(docs, "source", "n_chars",
+                              ps=(0.5, 0.9)).to_pandas()
+    df = approx.merge(exact, on="source", suffixes=("", "_x")) \
+               .sort_values("source")
+    return pa.table({
+        "source": pa.array(df["source"], pa.string()),
+        "n_rows": pa.array(df["n_rows"], pa.int64()),
+        "q50_ok": pa.array(
+            (df["hq50"] - df["p50"]).abs() <= w + 1e-9, pa.bool_()),
+        "q90_ok": pa.array(
+            (df["hq90"] - df["p90"]).abs() <= w + 1e-9, pa.bool_()),
+    })
+
+
+def q_event_sequences(sf_dir: str):
+    """Per-user ORDERED event-type sequence (string_agg ... ORDER BY) —
+    the array_agg/collect family: one bucketed exchange on user_id, one
+    whole-bucket vectorized fold (sort + groupby-join, not per-key
+    frames)."""
+    from ..stages.aggregate import grouped_concat
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+    return grouped_concat(ev, "user_id", "event_type",
+                          ["ts", "event_id"]).sort("user_id")
+
+
+def q_salted_join(sf_dir: str):
+    """Hot-key salted join under real skew: user_ids divisible by 3 are
+    remapped to ONE user (who then owns a third of the fact side), the
+    dimension side is the distinct-user label table, and the join runs
+    with the hot key spread over 8 salted partitions (dimension rows for
+    the hot key replicate 8x; all other keys pay nothing).  Result is
+    provably identical to the unsalted join — the oracle is the plain SQL
+    join."""
+    from ..stages.aggregate import pre_aggregated_count
+    from ..stages.join import salted_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id"])
+
+    def remap(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id")
+        hot = pc.if_else(
+            pc.equal(pc.subtract(uid, pc.multiply(pc.divide(uid, 3), 3)), 0),
+            pa.scalar(0, pa.int64()), uid)
+        return pa.table({"event_id": t.column("event_id"), "hot_uid": hot})
+
+    facts = ev.map_batches(remap, batch_format="pyarrow")
+    dim = pre_aggregated_count(facts, "hot_uid", alias="__n").map_batches(
+        lambda t: t if t.num_columns == 0 else pa.table({
+            "hot_uid": t.column("hot_uid"),
+            "label": pc.binary_join_element_wise(
+                "user_", pc.cast(t.column("hot_uid"), pa.string()), ""),
+        }),
+        batch_format="pyarrow",
+    )
+    out = salted_join(
+        facts, dim, on="hot_uid", hot_keys=[0], n_salt=8, n_buckets=16,
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("hot_uid", pa.int64())]),
+        right_schema=pa.schema([("hot_uid", pa.int64()),
+                                ("label", pa.string())]),
+    )
+    return out.select_columns(["event_id", "hot_uid", "label"]) \
+              .sort("event_id")
+
+
 # Registry order is driver-visible evidence: the correctness harness checks a
 # WINDOW of leading entries, so every oracle-backed query comes first, and
 # within those, the ones added after round 2 (no CORRECTNESS_r02 row yet) lead
@@ -2650,6 +2733,9 @@ QUERIES = {
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_sales_opportunity": q22_sales_opportunity,
+    "salted_join": q_salted_join,
+    "event_sequences": q_event_sequences,
+    "hist_quantiles": q_hist_quantiles,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -4295,4 +4381,32 @@ ORACLE_SQL["q22_sales_opportunity"] = """
                         AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
+"""
+
+ORACLE_SQL["salted_join"] = """
+    WITH e AS (
+        SELECT event_id,
+               CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS hot_uid
+        FROM events
+    ),
+    d AS (
+        SELECT DISTINCT hot_uid,
+               'user_' || CAST(hot_uid AS VARCHAR) AS label
+        FROM e
+    )
+    SELECT e.event_id, e.hot_uid, d.label
+    FROM e JOIN d USING (hot_uid)
+    ORDER BY e.event_id
+"""
+
+ORACLE_SQL["event_sequences"] = """
+    SELECT user_id,
+           string_agg(event_type, '|' ORDER BY ts, event_id) AS seq,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE_SQL["hist_quantiles"] = """
+    SELECT source, COUNT(*) AS n_rows, TRUE AS q50_ok, TRUE AS q90_ok
+    FROM documents GROUP BY source ORDER BY source
 """

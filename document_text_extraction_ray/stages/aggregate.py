@@ -389,3 +389,90 @@ def pivot_counts(ds, key: str, cat_col: str, categories,
         return pa.table(cols)
 
     return bucketed_combine(partials, key, combine, n_buckets)
+
+
+def grouped_concat(ds, key: str, value: str, order_cols, sep: str = "|",
+                   out_column: str = "seq", n_buckets: int = 32):
+    """Per-key ORDERED concatenation (SQL ``string_agg(value, sep ORDER BY
+    ...)`` / the string form of ``array_agg``): one bucketed exchange on
+    the key, then a whole-bucket vectorized fold (one sort + one groupby
+    per BUCKET, not per key).  ``order_cols`` must totally order rows
+    within a key or the sequence is nondeterministic.
+
+    Use for per-entity event sequences (session replay, user journeys,
+    token streams).  A hot key concatenates at its own reducer; the output
+    row is as big as the key's history — cap upstream if keys are
+    unbounded."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + list(order_cols), kind="mergesort")
+        agg = g.groupby(key, sort=False).agg(
+            **{out_column: (value, sep.join), "n": (value, "size")})
+        agg["n"] = agg["n"].astype("int64")
+        return agg.reset_index()
+
+    cols = [key, value] + [c for c in order_cols if c not in (key, value)]
+    return bucketed_fold(ds.select_columns(cols), key, fold,
+                         n_buckets=n_buckets)
+
+
+def histogram_quantiles(ds, key: str, value: str, ps=(0.5, 0.9),
+                        n_bins: int = 2048, lo: float = None,
+                        hi: float = None, n_buckets: int = 32):
+    """MERGEABLE per-group quantile sketch (fixed-grid histogram): the
+    scale path for quantiles over groups too big for one task (see
+    ``grouped_quantiles`` for the exact bounded-group fold).
+
+    Per batch: one (key, bin) count table — only sparse histogram rows
+    cross the wire, never values.  Per key: fold bin counts, take the
+    first bin whose cumulative count reaches rank ceil(p*n), report the
+    bin's UPPER edge.  Guarantee: the PERCENTILE_DISC exact value lies in
+    that bin, so |approx - exact| <= bin width = (hi-lo)/n_bins — checked
+    by the ``hist_quantiles`` oracle.  ``lo``/``hi`` default to a cheap
+    global Min/Max pass (exact, deterministic); pass domain bounds to
+    skip it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if lo is None or hi is None:
+        from ray.data.aggregate import Max as _Max
+        from ray.data.aggregate import Min as _Min
+
+        g = ds.aggregate(_Min(value, alias_name="__lo"),
+                         _Max(value, alias_name="__hi"))
+        lo = float(g["__lo"]) if lo is None else float(lo)
+        hi = float(g["__hi"]) if hi is None else float(hi)
+    w = (hi - lo) / n_bins
+    if w <= 0:
+        w = 1.0  # degenerate constant column: everything in bin 0
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value), pa.float64()) \
+              .to_numpy(zero_copy_only=False)
+        b = np.clip(((v - lo) // w).astype(np.int64), 0, n_bins - 1)
+        tt = pa.table({key: t.column(key), "bin": pa.array(b, pa.int64())})
+        g = tt.group_by([key, "bin"]).aggregate([([], "count_all")])
+        return pa.table({key: g.column(key), "bin": g.column("bin"),
+                         "n": g.column("count_all")})
+
+    partials = ds.select_columns([key, value]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([key, "bin"], sort=False)["n"].sum().reset_index()
+        g = g.sort_values([key, "bin"], kind="mergesort")
+        rows = []
+        for k, sub in g.groupby(key, sort=False):
+            cum = sub["n"].cumsum().to_numpy()
+            ntot = int(cum[-1])
+            row = {key: k, "n_rows": ntot}
+            for p in ps:
+                r = max(int(np.ceil(p * ntot)), 1)
+                i = int(np.searchsorted(cum, r))
+                row[f"hq{int(p * 100)}"] = lo + (int(sub["bin"].iloc[i]) + 1) * w
+            rows.append(row)
+        out = pd.DataFrame(rows)
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return out
+
+    return bucketed_fold(partials, key, fold, n_buckets=n_buckets)

@@ -587,6 +587,88 @@ def attach_column(big, slim, on: str, value_col: str, n_buckets: int = 32,
     ).map_batches(lambda t: t.select(out_names), batch_format="pyarrow")
 
 
+def detect_hot_keys(ds, on: str, min_count: int):
+    """Driver-side hot-key detection: keys whose row count >= ``min_count``.
+    The per-key count table is produced distributed (bucketed combine);
+    only keys ABOVE the threshold reach the driver — for a sane threshold
+    (a multiple of the average per-task row count) that is a handful of
+    keys by construction, never the key universe."""
+    from .aggregate import pre_aggregated_count
+
+    counts = pre_aggregated_count(ds, on, alias="__n")
+    hot = counts.map_batches(
+        lambda t: t if t.num_columns == 0
+        else t.filter(pc.greater_equal(t.column("__n"), min_count)),
+        batch_format="pyarrow",
+    )
+    return [r[on] for r in hot.iter_rows()]
+
+
+def salted_join(left, right, on: str, hot_keys, n_salt: int = 8,
+                n_buckets: int = 32, how: str = "inner", suffix: str = "_r",
+                left_schema=None, right_schema=None):
+    """Skew-defusing hash join: rows of ``left`` carrying a HOT key are
+    spread across ``n_salt`` salted partitions, and the matching ``right``
+    rows are REPLICATED to all ``n_salt`` salts — so one dominant key
+    (a null-ish URL, a bot user, an empty-string hash) fans out over
+    ``n_salt`` reducers instead of pinning one task while the cluster
+    idles.  Non-hot keys pay nothing (salt 0, one copy).
+
+    Semantics are exactly ``partitioned_hash_join(left, right, on, how)``
+    — the salt only changes WHERE a pair is produced, never whether.
+    ``hot_keys`` is explicit (see ``detect_hot_keys``); replication cost
+    is ``n_salt x |right rows with hot keys|``, so hot keys should be few
+    and the right side's hot rows small (the dimension side of a skewed
+    fact-dim join).  The composite exchange key is ``str(key)#salt`` —
+    typed key columns survive untouched; only the exchange keys on a
+    string."""
+    left_schema = left_schema or _arrow_schema(left)
+    right_schema = right_schema or _arrow_schema(right)
+    hot_set = pa.array([str(k) for k in hot_keys], pa.string())
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column(on), pa.string())
+        is_hot = pc.is_in(keys, value_set=hot_set)
+        # Any spread works (the salt never changes the join result);
+        # row-position round-robin is deterministic per block.
+        salt = np.arange(t.num_rows, dtype=np.int64) % n_salt
+        salt = np.where(is_hot.to_numpy(zero_copy_only=False), salt, 0)
+        jkey = pc.binary_join_element_wise(
+            keys, pa.array(salt.astype("U"), pa.string()), "#")
+        return t.append_column("__jkey", jkey)
+
+    def salt_right(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column(on), pa.string())
+        is_hot = pc.is_in(keys, value_set=hot_set) \
+                   .to_numpy(zero_copy_only=False)
+        counts = np.where(is_hot, n_salt, 1).astype(np.int64)
+        total = int(counts.sum())
+        starts = np.cumsum(counts) - counts
+        salts = (np.arange(total, dtype=np.int64)
+                 - np.repeat(starts, counts))
+        src = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        rep = t.take(pa.array(src))
+        jkey = pc.binary_join_element_wise(
+            pc.cast(rep.column(on), pa.string()),
+            pa.array(salts.astype("U"), pa.string()), "#")
+        return rep.append_column("__jkey", jkey)
+
+    lschema = pa.schema(list(left_schema) + [pa.field("__jkey", pa.string())])
+    rschema = pa.schema(list(right_schema) + [pa.field("__jkey", pa.string())])
+    out = partitioned_hash_join(
+        left.map_batches(salt_left, batch_format="pyarrow"),
+        right.map_batches(salt_right, batch_format="pyarrow"),
+        on="__jkey", n_buckets=n_buckets, how=how, suffix=suffix,
+        left_schema=lschema, right_schema=rschema,
+    )
+    # Both sides carry the real key column, so the right copy comes back
+    # suffixed; drop it along with the salted exchange key.
+    drop = ["__jkey", on + suffix]
+    return out.map_batches(
+        lambda t: t.drop_columns([c for c in drop if c in t.column_names]),
+        batch_format="pyarrow")
+
+
 def coalesce_aggregate_blocks(ds, n_blocks: int = 8):
     """Purge the zero-column EMPTY blocks Ray's hash aggregate emits for
     empty shuffle partitions.

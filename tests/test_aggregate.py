@@ -341,3 +341,29 @@ def test_pivot_counts_matches_pandas():
         assert (out[f"sum_{cat}_e2"].to_numpy() == exp_s.to_numpy()).all()
     # category 'c' ignored: no n_c column
     assert "n_c" not in out.columns
+
+
+def test_histogram_quantiles_within_bin_width():
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import (
+        grouped_quantiles,
+        histogram_quantiles,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [{"k": int(i % 4), "v": float(x)}
+            for i, x in enumerate(rng.gamma(2.0, 10.0, 4000))]
+    ds = rd.from_items(rows)
+    approx = (histogram_quantiles(ds, "k", "v", ps=(0.5, 0.9), n_bins=512)
+              .to_pandas().set_index("k").sort_index())
+    exact = (grouped_quantiles(ds, "k", "v", ps=(0.5, 0.9))
+             .to_pandas().set_index("k").sort_index())
+    vmax = max(r["v"] for r in rows)
+    vmin = min(r["v"] for r in rows)
+    w = (vmax - vmin) / 512
+    for k in range(4):
+        assert abs(approx.loc[k, "hq50"] - exact.loc[k, "p50"]) <= w + 1e-9
+        assert abs(approx.loc[k, "hq90"] - exact.loc[k, "p90"]) <= w + 1e-9
+        assert approx.loc[k, "n_rows"] == exact.loc[k, "n_rows"] == 1000

@@ -100,3 +100,52 @@ def test_range_join_suffixes_overlapping_columns():
         point_on="p", lo_col="lo", hi_col="hi", bucket_width=8, n_buckets=2,
     ).to_pandas()
     assert list(out["tag"]) == ["point"] and list(out["tag_r"]) == ["interval"]
+
+
+def test_salted_join_equals_plain_join_under_skew():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import (
+        detect_hot_keys,
+        partitioned_hash_join,
+        salted_join,
+    )
+
+    # key 0 owns ~40% of the left side (the hot key).
+    left = rd.from_items([
+        {"k": 0 if i % 5 < 2 else i % 23, "lv": i} for i in range(500)
+    ])
+    right = rd.from_items([{"k": k, "name": f"n{k}"} for k in range(23)])
+    ls = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    rs = pa.schema([("k", pa.int64()), ("name", pa.string())])
+
+    hot = detect_hot_keys(left, "k", min_count=100)
+    assert hot == [0]
+
+    out = (salted_join(left, right, on="k", hot_keys=hot, n_salt=4,
+                       n_buckets=8, left_schema=ls, right_schema=rs)
+           .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+    ref = (partitioned_hash_join(left, right, on="k", n_buckets=8,
+                                 left_schema=ls, right_schema=rs)
+           .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+    assert len(out) == len(ref) == 500
+    pd.testing.assert_frame_equal(out[["k", "lv", "name"]],
+                                  ref[["k", "lv", "name"]])
+
+
+def test_salted_join_left_semantics():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import salted_join
+
+    left = rd.from_items([{"k": i % 4, "lv": i} for i in range(20)])
+    right = rd.from_items([{"k": k, "name": f"n{k}"} for k in range(3)])
+    ls = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    rs = pa.schema([("k", pa.int64()), ("name", pa.string())])
+    out = (salted_join(left, right, on="k", hot_keys=[0], n_salt=3,
+                       n_buckets=4, how="left", left_schema=ls,
+                       right_schema=rs).to_pandas())
+    assert len(out) == 20
+    assert out[out["k"] == 3]["name"].isna().all()
