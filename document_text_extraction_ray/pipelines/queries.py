@@ -2606,6 +2606,28 @@ def q_pivot_events(sf_dir: str):
     return out.sort("user_id")
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink round trip: documents -> dataset-native JSONL
+    shards under /tmp -> parallel read_json back.  Identity oracle proves
+    the source preserves values, types, and row count."""
+    from ..sources.textfiles import read_jsonl, write_jsonl
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    path = write_jsonl(docs, "/tmp/dte_jsonl_rt")
+    return read_jsonl(path, ["doc_id", "text", "lang"]).sort("doc_id")
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV source/sink round trip (arrow quoting: embedded commas/quotes
+    survive): documents -> CSV shards -> parallel read_csv.  Identity
+    oracle."""
+    from ..sources.textfiles import read_csv, write_csv
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    path = write_csv(docs, "/tmp/dte_csv_rt")
+    return read_csv(path, ["doc_id", "text", "lang"]).sort("doc_id")
+
+
 def q_hist_quantiles(sf_dir: str):
     """Mergeable histogram-sketch quantiles vs the exact per-group fold,
     oracle-checked as a bound (the HLL pattern): per source, the sketch's
@@ -2736,6 +2758,8 @@ QUERIES = {
     "salted_join": q_salted_join,
     "event_sequences": q_event_sequences,
     "hist_quantiles": q_hist_quantiles,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "csv_roundtrip": q_csv_roundtrip,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -4409,4 +4433,12 @@ ORACLE_SQL["event_sequences"] = """
 ORACLE_SQL["hist_quantiles"] = """
     SELECT source, COUNT(*) AS n_rows, TRUE AS q50_ok, TRUE AS q90_ok
     FROM documents GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["jsonl_roundtrip"] = """
+    SELECT doc_id, text, lang FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["csv_roundtrip"] = """
+    SELECT doc_id, text, lang FROM documents ORDER BY doc_id
 """
