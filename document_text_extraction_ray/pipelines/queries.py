@@ -2606,6 +2606,71 @@ def q_pivot_events(sf_dir: str):
     return out.sort("user_id")
 
 
+def q_range_window(sf_dir: str):
+    """Trailing TIME-RANGE window aggregate per user (SUM OVER ... RANGE
+    3600 PRECEDING): integer-cents values so the per-row running sums are
+    hash-exact; floor-truncated epoch seconds as the RANGE ordering key on
+    both sides.  One bucketed shuffle, per-key two-pointer numpy fold."""
+    from ..stages.windows import range_window_sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        raw = np.asarray(pc.cast(t.column("value"), pa.float64())) * 100
+        e2 = np.where(raw >= 0, np.floor(raw + 0.5),
+                      np.ceil(raw - 0.5)).astype(np.int64)
+        sec = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(1_000_000, pa.int64()))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "sec": sec,
+            "val_e2": pa.array(e2, pa.int64()),
+        })
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    out = range_window_sum(prepped, "user_id", "sec", "val_e2",
+                           range_s=3600, order_tiebreak=["event_id"],
+                           out_column="range_sum_e2")
+    return out.sort(["user_id", "sec", "event_id"])
+
+
+def q_unpivot_events(sf_dir: str):
+    """UNPIVOT the pivoted per-user event counts back to long
+    (user_id, metric, value) rows — pivot's inverse, batch-local, zero
+    extra shuffles on top of the pivot.  SQL replay: conditional
+    aggregation + UNION ALL."""
+    from ..stages.aggregate import pivot_counts, unpivot
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+    wide = pivot_counts(ev, "user_id", "event_type",
+                        ["click", "error", "purchase", "signup", "view"])
+    long = unpivot(wide, "user_id",
+                   ["n_click", "n_error", "n_purchase", "n_signup", "n_view"])
+    return long.sort(["user_id", "metric"])
+
+
+def q_deterministic_shuffle(sf_dir: str):
+    """Deterministic global shuffle for training-data ordering: documents
+    sorted by md5(doc_id) — reproducible across runs/retries/cluster
+    sizes, unlike ``random_shuffle``.  The engine emits the shuffle RANK
+    so the full permutation is oracle-checked (ROW_NUMBER over md5)."""
+    from ..stages.windows import global_row_number
+
+    def key(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ks = pa.array(
+            [hashlib.md5(str(d).encode()).hexdigest()
+             for d in t.column("doc_id").to_pylist()], pa.string())
+        return pa.table({"doc_id": t.column("doc_id"), "shuffle_key": ks})
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(key, batch_format="pyarrow")
+    return global_row_number(docs, ["shuffle_key"], out_column="shuffle_rank")
+
+
 def q_jsonl_roundtrip(sf_dir: str):
     """JSONL source/sink round trip: documents -> dataset-native JSONL
     shards under /tmp -> parallel read_json back.  Identity oracle proves
@@ -2760,6 +2825,9 @@ QUERIES = {
     "hist_quantiles": q_hist_quantiles,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "csv_roundtrip": q_csv_roundtrip,
+    "unpivot_events": q_unpivot_events,
+    "deterministic_shuffle": q_deterministic_shuffle,
+    "range_window": q_range_window,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -4441,4 +4509,41 @@ ORACLE_SQL["jsonl_roundtrip"] = """
 
 ORACLE_SQL["csv_roundtrip"] = """
     SELECT doc_id, text, lang FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["unpivot_events"] = """
+    WITH wide AS (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_click,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS n_error,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS n_signup,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, value FROM wide
+    UNPIVOT (value FOR metric IN (n_click, n_error, n_purchase, n_signup, n_view))
+    ORDER BY user_id, metric
+"""
+
+ORACLE_SQL["deterministic_shuffle"] = """
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+               AS shuffle_rank
+    FROM documents ORDER BY shuffle_rank
+"""
+
+ORACLE_SQL["range_window"] = """
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               CAST(ROUND(value * 100) AS BIGINT) AS val_e2
+        FROM events
+    )
+    SELECT event_id, user_id, sec, val_e2,
+           CAST(SUM(val_e2) OVER (PARTITION BY user_id ORDER BY sec
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS range_sum_e2
+    FROM e
+    ORDER BY user_id, sec, event_id
 """

@@ -476,3 +476,26 @@ def histogram_quantiles(ds, key: str, value: str, ps=(0.5, 0.9),
         return out
 
     return bucketed_fold(partials, key, fold, n_buckets=n_buckets)
+
+
+def unpivot(ds, key_cols, value_cols, cat_column: str = "metric",
+            value_column: str = "value"):
+    """UNPIVOT / melt: wide columns -> long (key..., metric, value) rows.
+    Pure batch-local Arrow (concat of per-column slices) — zero shuffles,
+    the exact inverse of ``pivot_counts``'s shape.  All ``value_cols``
+    must share one Arrow type (cast upstream)."""
+    import pyarrow as pa
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: t.column(k) for k in key_cols}
+            cols[cat_column] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_column] = t.column(c)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(key_cols + list(value_cols)).map_batches(
+        melt, batch_format="pyarrow")

@@ -256,3 +256,43 @@ def rank_features(ds, key_col: str, order_cols, n_tiles: int = 4):
         return g
 
     return bucketed_map_groups(ds, key_col, fold)
+
+
+def range_window_sum(ds, key_col: str, ts_col: str, value_col: str,
+                     range_s: int, order_tiebreak=None,
+                     out_column: str = "range_sum"):
+    """Trailing TIME-RANGE window aggregate (SQL ``SUM(value) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN range_s PRECEDING AND
+    CURRENT ROW)``): for each row, the sum of the key's values within the
+    trailing ``range_s`` seconds INCLUSIVE — the time-based sibling of the
+    ROWS windows (``moving_avg``).
+
+    One bucketed shuffle on the key; per-key two-pointer numpy pass
+    (cumsum + searchsorted on the sorted epoch array), so a key's cost is
+    O(n log n) in its own rows.  SQL RANGE semantics: rows SHARING the
+    current timestamp are all included, so the output is well-defined
+    under ties regardless of ``order_tiebreak`` (which only fixes row
+    order in the output)."""
+    import pandas as pd
+
+    from .aggregate import bucketed_map_groups
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        order = [ts_col] + (list(order_tiebreak) if order_tiebreak else [])
+        g = g.sort_values(order, kind="mergesort").copy()
+        raw = g[ts_col].to_numpy()
+        if np.issubdtype(raw.dtype, np.datetime64):
+            secs = raw.astype("datetime64[s]").astype("int64")
+        else:
+            secs = raw.astype("int64")  # already epoch seconds
+        vals = g[value_col].to_numpy()
+        # dtype-preserving prefix: int values stay int64 (hash-exact).
+        cum = np.concatenate([np.zeros(1, vals.dtype), np.cumsum(vals)])
+        # first index inside the window: ts > current - range_s - 1
+        lo = np.searchsorted(secs, secs - range_s, side="left")
+        # last index: all rows sharing the current ts (RANGE semantics)
+        hi = np.searchsorted(secs, secs, side="right")
+        g[out_column] = cum[hi] - cum[lo]
+        return g
+
+    return bucketed_map_groups(ds, key_col, fold)
