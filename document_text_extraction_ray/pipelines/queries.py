@@ -2606,6 +2606,30 @@ def q_pivot_events(sf_dir: str):
     return out.sort("user_id")
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy-hitters sketch over the corpus word stream.
+    At k=64 > this corpus's 31-word vocabulary nothing ever truncates, so
+    the sketch is provably EXACT here and the oracle is a hash-exact word
+    count; the truncation bound (est <= true, true - est <= 2n/(k+1),
+    heavy values always survive) is asserted on a zipf fixture in
+    tests/test_aggregate.py.  Partials are <= k rows per batch — the
+    token stream itself never shuffles."""
+    from ..stages.aggregate import heavy_hitters
+
+    def explode(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        tok = _re.compile(r"[a-z0-9]+")
+        words = []
+        for x in t.column("text").to_pylist():
+            words.extend(tok.findall((x or "").lower()))
+        return pa.table({"word": pa.array(words, pa.string())})
+
+    stream = _docs(sf_dir, ["text"]).map_batches(
+        explode, batch_format="pyarrow")
+    return heavy_hitters(stream, "word", k=64).sort("word")
+
+
 def q_range_window(sf_dir: str):
     """Trailing TIME-RANGE window aggregate per user (SUM OVER ... RANGE
     3600 PRECEDING): integer-cents values so the per-row running sums are
@@ -2828,6 +2852,7 @@ QUERIES = {
     "unpivot_events": q_unpivot_events,
     "deterministic_shuffle": q_deterministic_shuffle,
     "range_window": q_range_window,
+    "heavy_hitters": q_heavy_hitters,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -4546,4 +4571,14 @@ ORACLE_SQL["range_window"] = """
                AS range_sum_e2
     FROM e
     ORDER BY user_id, sec, event_id
+"""
+
+ORACLE_SQL["heavy_hitters"] = """
+    WITH w AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents
+    )
+    SELECT word, COUNT(*) AS est,
+           (SELECT COUNT(*) FROM w) AS n_total
+    FROM w GROUP BY word ORDER BY word
 """

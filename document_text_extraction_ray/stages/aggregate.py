@@ -499,3 +499,81 @@ def unpivot(ds, key_cols, value_cols, cat_column: str = "metric",
 
     return ds.select_columns(key_cols + list(value_cols)).map_batches(
         melt, batch_format="pyarrow")
+
+
+def _mg_truncate(vals: np.ndarray, cnts: np.ndarray, k: int):
+    """Misra-Gries truncation: subtract the (k+1)-th largest count from
+    every counter and keep the positive ones (<= k survive)."""
+    if len(vals) <= k:
+        return vals, cnts
+    thresh = np.partition(cnts, len(cnts) - (k + 1))[len(cnts) - (k + 1)]
+    keep = cnts > thresh
+    return vals[keep], cnts[keep] - thresh
+
+
+def heavy_hitters(ds, value_col: str, k: int = 256):
+    """Mergeable Misra-Gries heavy-hitters sketch over a value stream:
+    per-batch exact counts truncated to ``k`` counters, one tiny final
+    merge (sum + one more truncation).  Returns (value, est, n_total).
+
+    Guarantees (classic MG, two truncation levels — batch and final):
+      * est <= true count, and true - est <= 2 * n_total / (k + 1);
+      * every value with true count > 2 * n_total / (k + 1) survives.
+    Deterministic regardless of block/merge order: counter sums are
+    commutative and both truncations see order-independent totals.  When
+    ``k`` >= the stream's distinct-value count nothing ever truncates and
+    the sketch is EXACT — the registered query exploits that for a
+    hash-exact oracle; the truncation bound is asserted on a zipf fixture
+    in tests.  Partials are <= k rows per batch — the exchange never
+    carries the stream."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([value_col]).group_by(value_col).aggregate(
+            [([], "count_all")])
+        vals = np.asarray(g.column(value_col).to_pylist(), dtype=object)
+        cnts = g.column("count_all").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        n = int(cnts.sum())
+        vals, cnts = _mg_truncate(vals, cnts, k)
+        # n_part rides on one row (summed in the merge).  A fully-uniform
+        # batch can truncate to ZERO counters (every count equals the
+        # threshold) — carry n on a null-value row then; the merge's
+        # groupby drops null keys but sums n_part first.
+        if len(vals) == 0:
+            return pa.table({
+                value_col: pa.array([None], pa.string()),
+                "est": pa.array([0], pa.int64()),
+                "n_part": pa.array([n], pa.int64()),
+            })
+        n_col = np.zeros(len(vals), np.int64)
+        n_col[0] = n
+        return pa.table({
+            value_col: pa.array(list(vals), pa.string()),
+            "est": pa.array(cnts, pa.int64()),
+            "n_part": pa.array(n_col, pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n_total = int(g["n_part"].sum())
+        s = g.groupby(value_col, sort=False)["est"].sum().reset_index()
+        vals, cnts = _mg_truncate(
+            s[value_col].to_numpy(), s["est"].to_numpy().astype(np.int64), k)
+        out = pd.DataFrame({value_col: vals, "est": cnts})
+        out["n_total"] = np.int64(n_total)
+        return out
+
+    # The sketch is <= k rows per batch: one merge task sees everything.
+    return partials.map_batches(
+        lambda t: t.append_column("__g", pa_const(t.num_rows)),
+        batch_format="pyarrow",
+    ).groupby("__g").map_groups(
+        lambda g: merge(g.drop(columns=["__g"])), batch_format="pandas")
+
+
+def pa_const(n: int):
+    import pyarrow as pa
+
+    return pa.array(np.zeros(n, np.int8), pa.int8())

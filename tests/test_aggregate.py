@@ -367,3 +367,42 @@ def test_histogram_quantiles_within_bin_width():
         assert abs(approx.loc[k, "hq50"] - exact.loc[k, "p50"]) <= w + 1e-9
         assert abs(approx.loc[k, "hq90"] - exact.loc[k, "p90"]) <= w + 1e-9
         assert approx.loc[k, "n_rows"] == exact.loc[k, "n_rows"] == 1000
+
+
+def test_heavy_hitters_exact_when_k_exceeds_vocab():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import heavy_hitters
+
+    rows = [{"w": f"w{i % 7}"} for i in range(700)]
+    out = (heavy_hitters(rd.from_items(rows), "w", k=16)
+           .to_pandas().sort_values("w").reset_index(drop=True))
+    assert len(out) == 7
+    assert (out["est"] == 100).all()
+    assert (out["n_total"] == 700).all()
+
+
+def test_heavy_hitters_zipf_bound():
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import heavy_hitters
+
+    rng = np.random.RandomState(5)
+    words = [f"t{z}" for z in rng.zipf(1.5, 20000) if z < 5000]
+    n = len(words)
+    k = 64
+    out = (heavy_hitters(rd.from_items([{"w": w} for w in words]), "w", k=k)
+           .to_pandas().set_index("w"))
+    import collections
+
+    true = collections.Counter(words)
+    bound = 2 * n / (k + 1)
+    assert int(out["n_total"].iloc[0]) == n
+    for w, est in out["est"].items():
+        assert 0 < est <= true[w]
+        assert true[w] - est <= bound + 1e-9
+    # every value heavier than the bound must survive the sketch
+    for w, c in true.items():
+        if c > bound:
+            assert w in out.index
