@@ -2606,6 +2606,30 @@ def q_pivot_events(sf_dir: str):
     return out.sort("user_id")
 
 
+def q_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (3 iterations, damping 0.85) over a
+    deterministic doc-id graph: each doc links to (7d+3)%N and (d²+1)%N —
+    the second map is non-bijective, so in-degrees (and ranks) genuinely
+    vary.  Every iteration is a thin-share attach + bucketed sum + left
+    join; all arithmetic is floor-division integer, so the unrolled-CTE
+    SQL replay is hash-exact."""
+    from ..stages.graph import pagerank_int
+
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([d, d]), pa.int64()),
+            "dst": pa.array(np.concatenate(
+                [(7 * d + 3) % n, (d * d + 1) % n]), pa.int64()),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank_int(edges, n_iters=3, n_buckets=8).sort("node")
+
+
 def q_heavy_hitters(sf_dir: str):
     """Misra-Gries heavy-hitters sketch over the corpus word stream.
     At k=64 > this corpus's 31-word vocabulary nothing ever truncates, so
@@ -2853,6 +2877,7 @@ QUERIES = {
     "deterministic_shuffle": q_deterministic_shuffle,
     "range_window": q_range_window,
     "heavy_hitters": q_heavy_hitters,
+    "pagerank": q_pagerank,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -4581,4 +4606,46 @@ ORACLE_SQL["heavy_hitters"] = """
     SELECT word, COUNT(*) AS est,
            (SELECT COUNT(*) FROM w) AS n_total
     FROM w GROUP BY word ORDER BY word
+"""
+
+ORACLE_SQL["pagerank"] = """
+    WITH params AS (SELECT COUNT(*) AS n FROM documents),
+    nodes AS (SELECT doc_id AS node FROM documents),
+    edges AS (
+        SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst
+        FROM documents, params
+        UNION ALL
+        SELECT doc_id, (doc_id * doc_id + 1) % n FROM documents, params
+    ),
+    deg AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src),
+    c AS (SELECT
+              (1000000000000 - (85 * 1000000000000) // 100) // n AS tele,
+              1000000000000 // n AS r0
+          FROM params),
+    rk0 AS (SELECT node, (SELECT r0 FROM c) AS rank FROM nodes),
+    s1 AS (SELECT e.dst AS node, SUM(r.rank // d.outd) AS s
+           FROM edges e JOIN rk0 r ON r.node = e.src
+                        JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    rk1 AS (SELECT n.node,
+                   (SELECT tele FROM c) + (85 * COALESCE(s1.s, 0)) // 100
+                       AS rank
+            FROM nodes n LEFT JOIN s1 ON s1.node = n.node),
+    s2 AS (SELECT e.dst AS node, SUM(r.rank // d.outd) AS s
+           FROM edges e JOIN rk1 r ON r.node = e.src
+                        JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    rk2 AS (SELECT n.node,
+                   (SELECT tele FROM c) + (85 * COALESCE(s2.s, 0)) // 100
+                       AS rank
+            FROM nodes n LEFT JOIN s2 ON s2.node = n.node),
+    s3 AS (SELECT e.dst AS node, SUM(r.rank // d.outd) AS s
+           FROM edges e JOIN rk2 r ON r.node = e.src
+                        JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    rk3 AS (SELECT n.node,
+                   (SELECT tele FROM c) + (85 * COALESCE(s3.s, 0)) // 100
+                       AS rank
+            FROM nodes n LEFT JOIN s3 ON s3.node = n.node)
+    SELECT node, CAST(rank AS BIGINT) AS rank FROM rk3 ORDER BY node
 """

@@ -1,0 +1,124 @@
+"""Iterative graph computation on Ray Data: integer-exact PageRank.
+
+The dedup stack already has distributed connected components
+(``dedup.cluster_pairs_distributed`` — min-label propagation with pointer
+jumping); this module adds the other canonical iterative-join algorithm.
+Everything is FIXED-POINT integer arithmetic (micro-units + floor
+division) so a SQL replay reproduces every iteration bit for bit — float
+PageRank diverges across engines at the ULP level because per-node
+contribution sums are order-dependent.
+
+Physical plan — TWO all-to-alls per iteration (measured: the naive
+attach + sum + left-join plan costs three and ran 1.5x slower wall at
+tiny scale, where fixed exchange costs dominate):
+  1. attach each src's per-edge share (rank // out_deg, a THIN
+     (node, share) table) onto the edge list, co-partitioned on src;
+  2. union the (dst, share) contributions with a zero-share row per node
+     that also carries out_deg, then ONE bucketed fold sums shares and
+     recovers out_deg per node — every node is present (the zero row), so
+     no join-back is needed for teleport-only nodes.
+The share table is node-bounded and materialized per iteration (the same
+call a 100-TB run makes — re-executing lineage would re-run every prior
+iteration; at that scale the edge list should be a materialized/
+checkpointed table too, not a lazy transform, or it re-reads per
+iteration).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SCALE = 10**12  # fixed point: rank 1.0 == 10^12
+
+
+def pagerank_int(edges, n_iters: int = 3, damping_pct: int = 85,
+                 n_buckets: int = 16, src_col: str = "src",
+                 dst_col: str = "dst"):
+    """Integer fixed-point PageRank over an edge Dataset (multi-edges
+    count once per row).  Returns (node, rank) with rank in SCALE units;
+    total rank <= SCALE (floor-division loss is deterministic).
+
+    Every node must appear as a src (no dangling-mass redistribution —
+    synthesize self-loops upstream if the graph has sinks); nodes with no
+    in-edges receive teleport only."""
+    from .aggregate import bucketed_fold, pre_aggregated_count
+    from .join import attach_column, coalesce_aggregate_blocks
+
+    # Node table + out-degrees (node-bounded, reused every iteration).
+    deg = pre_aggregated_count(edges, src_col, alias="out_deg",
+                               n_buckets=n_buckets)
+    deg = coalesce_aggregate_blocks(deg, 4).materialize()
+    n_nodes = deg.count()
+    tele = (SCALE - damping_pct * SCALE // 100) // n_nodes
+    r0 = SCALE // n_nodes
+
+    def init_state(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        ranks = np.full(t.num_rows, r0, np.int64)
+        outd = t.column("out_deg").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        return pa.table({
+            "node": t.column(src_col),
+            "out_deg": pa.array(outd, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "share": pa.array(ranks // outd, pa.int64()),
+        })
+
+    state = deg.map_batches(init_state, batch_format="pyarrow").materialize()
+    edge_schema = pa.schema([(src_col, pa.int64()), (dst_col, pa.int64())])
+
+    for _ in range(n_iters):
+        # (rename via an arrow map: Dataset.rename_columns chokes on the
+        # pandas blocks the previous iteration's fold emitted)
+        slim = state.map_batches(
+            lambda t: pa.table({src_col: t.column("node"),
+                                "share": t.column("share")}),
+            batch_format="pyarrow",
+        )
+        contribs = attach_column(
+            edges, slim,
+            on=src_col, value_col="share", n_buckets=n_buckets,
+            big_schema=edge_schema,
+        ).map_batches(
+            lambda t: pa.table({
+                "node": t.column(dst_col),
+                "share": t.column("share"),
+                # null out_deg: recovered from the zero rows in the fold
+                "out_deg": pa.nulls(t.num_rows, pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        zeros = state.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "share": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "out_deg": t.column("out_deg"),
+            }),
+            batch_format="pyarrow",
+        )
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            a = g.groupby("node", sort=False).agg(
+                s=("share", "sum"), out_deg=("out_deg", "max")).reset_index()
+            s = a["s"].to_numpy().astype(np.int64)
+            outd = a["out_deg"].to_numpy().astype(np.int64)
+            rank = tele + (damping_pct * s) // 100
+            a["rank"] = rank
+            a["share"] = rank // outd
+            a["out_deg"] = outd
+            return a[["node", "out_deg", "rank", "share"]]
+
+        # Coalesce before materializing: the union+exchange multiplies
+        # block count every iteration (measured 4 -> 88 -> 256 -> 592
+        # blocks and 6.6 -> 17.6 -> 56.5 s/iter at 4 cpus without this —
+        # thousands of near-empty blocks swamp the scheduler).  The state
+        # table is node-bounded and thin, so the repartition is cheap.
+        state = bucketed_fold(contribs.union(zeros), "node", fold,
+                              n_buckets=n_buckets) \
+            .repartition(n_buckets).materialize()
+
+    return state.select_columns(["node", "rank"])
