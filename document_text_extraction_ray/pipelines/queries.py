@@ -2606,6 +2606,18 @@ def q_pivot_events(sf_dir: str):
     return out.sort("user_id")
 
 
+def q_weighted_sample(sf_dir: str):
+    """Length-weighted deterministic sample: each document kept with
+    probability n_chars / max(n_chars), decided by its md5 16-bit prefix
+    — integer cross-multiplied predicate, so SQL replays it exactly
+    (DuckDB hex-prefix to int via a generated lookup-free expression)."""
+    from ..stages.sampling import weighted_hash_sample
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    mx = int(docs.aggregate(Max("n_chars", alias_name="m"))["m"])
+    return weighted_hash_sample(docs, "doc_id", "n_chars", mx).sort("doc_id")
+
+
 def q_pagerank(sf_dir: str):
     """Integer fixed-point PageRank (3 iterations, damping 0.85) over a
     deterministic doc-id graph: each doc links to (7d+3)%N and (d²+1)%N —
@@ -2878,6 +2890,7 @@ QUERIES = {
     "range_window": q_range_window,
     "heavy_hitters": q_heavy_hitters,
     "pagerank": q_pagerank,
+    "weighted_sample": q_weighted_sample,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -4648,4 +4661,24 @@ ORACLE_SQL["pagerank"] = """
                        AS rank
             FROM nodes n LEFT JOIN s3 ON s3.node = n.node)
     SELECT node, CAST(rank AS BIGINT) AS rank FROM rk3 ORDER BY node
+"""
+
+ORACLE_SQL["weighted_sample"] = """
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS p
+        FROM documents
+    ),
+    v AS (
+        SELECT doc_id, n_chars,
+               ((strpos('0123456789abcdef', substring(p, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substring(p, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substring(p, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substring(p, 4, 1)) - 1)) AS h16
+        FROM h
+    ),
+    m AS (SELECT MAX(n_chars) AS mx FROM documents)
+    SELECT doc_id, n_chars FROM v, m
+    WHERE h16 * mx < 65536 * n_chars
+    ORDER BY doc_id
 """

@@ -108,3 +108,30 @@ def token_budget_bins(ds, key_column: str, order_column: str,
     from .aggregate import bucketed_map_groups
 
     return bucketed_map_groups(ds, key_column, fold)
+
+
+def weighted_hash_sample(ds, id_column: str, weight_column: str,
+                         max_weight: int):
+    """Deterministic WEIGHTED sampling: row kept with probability
+    weight/max_weight, decided by its md5 — retry/reshard-stable like
+    ``hash_sample``, but importance-weighted (e.g. sample long documents
+    proportionally to length for a pilot set).
+
+    Integer-exact predicate (no float thresholds to drift vs SQL):
+    ``int(md5[:4], 16) * max_weight < 65536 * weight`` — i.e. the 16-bit
+    md5 prefix falls below the weight's share of 65536.  Rows at full
+    weight are always kept.  Row-local, no shuffle."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        h = np.array([
+            int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:4], 16)
+            for v in batch.column(id_column).to_pylist()
+        ], np.int64)
+        w = batch.column(weight_column).to_numpy(zero_copy_only=False) \
+                 .astype(np.int64)
+        mask = h * max_weight < 65536 * w
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
