@@ -2841,6 +2841,104 @@ def q_salted_join(sf_dir: str):
 # within those, the ones added after round 2 (no CORRECTNESS_r02 row yet) lead
 # — queries demoted past the window carry green r02 rows already (VERDICT r2
 # "Next round" #1).  Rows-only (genuinely non-SQL) queries close the dict.
+# ----------------------------------------------------- corpus lexicon family
+
+def q_lm_coverage(sf_dir: str):
+    """CCNet-style corpus-LM quality scoring, integer-exact (see
+    stages/lexicon.py): per doc, total bigram occurrences + sum of corpus-
+    wide counts of those bigrams.  One join (model side is corpus-shaped,
+    not broadcast) + pre-aggregated per-doc sum."""
+    from ..stages.lexicon import lm_coverage_scores
+
+    return lm_coverage_scores(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 distinctive terms by (tf DESC, df ASC, term ASC) — the
+    TF-IDF ranking with the monotone log dropped so it stays hash-exact.
+    tf is batch-local, df is one bucketed combine, ranking is one
+    whole-bucket vectorized fold after a bucketed term join."""
+    from ..stages.lexicon import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3).sort(
+        ["doc_id", "rnk"])
+
+
+def q_inverted_index(sf_dir: str):
+    """Posting-list build: per term, df + first-20 containing doc_ids
+    (ordered, comma-joined).  Output rows are capped per term, so reducer
+    output stays bounded even for corpus-wide stopwords."""
+    from ..stages.lexicon import inverted_index
+
+    return inverted_index(_docs(sf_dir, ["doc_id", "text"]), cap=20).sort("term")
+
+
+def q_bpe_pair_counts(sf_dir: str):
+    """First BPE iteration: adjacent-symbol pair counts over the corpus
+    word-frequency table (chars + </w>), top-20 by (count DESC, pair ASC).
+    The corpus streams once into the vocab table; counting is one pass +
+    one bucketed combine."""
+    from ..stages.lexicon import bpe_pair_counts, word_counts
+
+    wc = word_counts(_docs(sf_dir, ["text"]))
+    top = (bpe_pair_counts(wc)
+           .sort(["cnt", "pair"], descending=[True, False]).limit(20))
+    df = top.to_pandas()
+    df["cnt"] = df["cnt"].astype("int64")
+    return pa.Table.from_pandas(df[["pair", "cnt"]], preserve_index=False)
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training, 5 merges (rows-only: the merge
+    recursion is not SQL-replayable; pytest checks it against a local
+    reference implementation).  Deterministic tie-break (count DESC, pair
+    ASC) makes the output stable across block orders."""
+    from ..stages.lexicon import bpe_learn
+
+    merges = bpe_learn(_docs(sf_dir, ["text"]), n_merges=5)
+    return pa.table({
+        "step": pa.array(range(1, len(merges) + 1), pa.int64()),
+        "left_sym": pa.array([a for a, _, _ in merges], pa.string()),
+        "right_sym": pa.array([b for _, b, _ in merges], pa.string()),
+        "cnt": pa.array([c for _, _, c in merges], pa.int64()),
+    })
+
+
+def q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority) revenue: distributed finest-level
+    pre-aggregation, coarser levels folded from the group-count-sized
+    result.  Rolled-up slots carry 'ALL' (COALESCE-mirrored in SQL) so the
+    hash compare never depends on NULL ordering."""
+    from ..stages.aggregate import rollup_sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    ).map_batches(
+        lambda t: _scale_int(
+            t.rename_columns(
+                ["o_orderstatus", "o_orderpriority", "cents"]),
+            {"cents": 100},
+        ),
+        batch_format="pyarrow",
+    )
+    out = rollup_sum(ds, ["o_orderstatus", "o_orderpriority"], "cents")
+    return out.sort_by([("o_orderstatus", "ascending"),
+                        ("o_orderpriority", "ascending")])
+
+
+def q_set_ops_users(sf_dir: str):
+    """Distributed INTERSECT/EXCEPT as flag aggregation: users who clicked
+    vs users who purchased -> 'both' | 'a_only' | 'b_only'.  One exchange
+    over one-row-per-key-per-batch partials; no join, no broadcast."""
+    from ..stages.aggregate import set_membership
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+    return set_membership(ev, "user_id", "event_type",
+                          "click", "purchase").sort("user_id")
+
+
 QUERIES = {
     # -- oracle-backed, not yet driver-checked (added late in round 2) --
     "structured_fold": q_structured_fold,
@@ -2891,6 +2989,12 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "pagerank": q_pagerank,
     "weighted_sample": q_weighted_sample,
+    "lm_coverage": q_lm_coverage,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "inverted_index": q_inverted_index,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "rollup_orders": q_rollup_orders,
+    "set_ops_users": q_set_ops_users,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -2952,6 +3056,7 @@ QUERIES = {
     "training_data": q_training_data,
     "synth_extract": q_synth_extract,
     "structured_graph": q_structured_graph,
+    "bpe_merges": q_bpe_merges,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -2964,6 +3069,97 @@ _NORM_TEXT = _NORM.format(col="text")
 # contract guarantee).  Non-ASCII corpora need the kernels' semantics
 # ported (or the oracle dropped to rows-only) before trusting a mismatch.
 ORACLE_SQL = {
+    "lm_coverage": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+          FROM documents
+        ), bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(l)),
+                                       i -> l[i] || ' ' || l[i + 1])) AS bigram
+          FROM toks
+        ), lm AS (
+          SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+        )
+        SELECT b.doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(lm.n) AS BIGINT) AS coverage
+        FROM bg b JOIN lm USING (bigram)
+        GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+    "tfidf_top_terms": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), ranked AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                     ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+          FROM tf JOIN df USING (term)
+        )
+        SELECT doc_id, term, tf, df, rnk FROM ranked
+        WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+    "inverted_index": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT DISTINCT doc_id, term FROM toks
+        ), ranked AS (
+          SELECT term, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rnk
+          FROM tf
+        )
+        SELECT term, COUNT(*) AS df,
+               STRING_AGG(CASE WHEN rnk <= 20 THEN CAST(doc_id AS VARCHAR) END,
+                          ',' ORDER BY doc_id) AS postings
+        FROM ranked GROUP BY term ORDER BY term
+    """,
+    "bpe_pair_counts": r"""
+        WITH words AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+          FROM documents
+        ), wc AS (
+          SELECT w, COUNT(*) AS n FROM words GROUP BY w
+        ), sym AS (
+          SELECT n, list_append(regexp_extract_all(w, '.'), '</w>') AS syms
+          FROM wc
+        ), pairs AS (
+          SELECT n, unnest(list_transform(range(1, len(syms)),
+                                          i -> syms[i] || ' ' || syms[i + 1])) AS pair
+          FROM sym
+        )
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM pairs GROUP BY pair
+        ORDER BY cnt DESC, pair ASC LIMIT 20
+    """,
+    "rollup_orders": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "set_ops_users": """
+        WITH f AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ha,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hb
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CASE WHEN ha = 1 AND hb = 1 THEN 'both'
+                    WHEN ha = 1 THEN 'a_only' ELSE 'b_only' END AS membership
+        FROM f WHERE ha = 1 OR hb = 1 ORDER BY user_id
+    """,
     "extract_main_text": f"""
         SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
                {_NORM_TEXT} AS extracted_text

@@ -577,3 +577,92 @@ def pa_const(n: int):
     import pyarrow as pa
 
     return pa.array(np.zeros(n, np.int8), pa.int8())
+
+
+def rollup_sum(ds, keys, value: str, all_label: str = "ALL"):
+    """``GROUP BY ROLLUP(keys...)`` over an integer value column: one
+    distributed pre-aggregated pass at the FINEST level (per-batch partial
+    keyed by the full key tuple, one exchange over group-count rows), then
+    the coarser levels fold locally from the finest result — the rollup
+    lattice is derived from the |groups|-sized table, never from the fact
+    rows.  Rolled-up key slots carry ``all_label`` (not NULL) so the output
+    hashes identically across engines.
+
+    Returns a pyarrow Table (keys..., sum_<value>, n) sorted by keys —
+    rollup outputs are group-count-sized, i.e. small by construction."""
+    import pyarrow as pa
+
+    keys = list(keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(keys + [value]).group_by(keys).aggregate(
+            [(value, "sum"), (value, "count")])
+        cols = {k: g.column(k) for k in keys}
+        cols["psum"] = g.column(f"{value}_sum")
+        cols["pn"] = g.column(f"{value}_count")
+        return pa.table(cols)
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .sum(["psum", "pn"])
+        .to_pandas()
+    )
+    finest = finest.rename(columns={"sum(psum)": f"sum_{value}", "sum(pn)": "n"})
+
+    levels = [finest]
+    cur = finest
+    for i in range(len(keys) - 1, -1, -1):
+        grp_keys = keys[:i]
+        if grp_keys:
+            up = cur.groupby(grp_keys, sort=False, as_index=False)[
+                [f"sum_{value}", "n"]].sum()
+        else:
+            up = cur[[f"sum_{value}", "n"]].sum().to_frame().T
+        for k in keys[i:]:
+            up[k] = all_label
+        levels.append(up[keys + [f"sum_{value}", "n"]])
+        cur = up
+    import pandas as pd
+
+    out = pd.concat(levels, ignore_index=True)[keys + [f"sum_{value}", "n"]]
+    out = out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    out[f"sum_{value}"] = out[f"sum_{value}"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def set_membership(ds, key: str, flag_col: str, a_value, b_value,
+                   n_buckets: int = 32):
+    """Distributed INTERSECT / EXCEPT without a join: classify every key by
+    which of two row predicates it satisfies ('both' = INTERSECT,
+    'a_only' / 'b_only' = the two EXCEPTs).  Per-batch partial = one
+    (key, has_a, has_b) bool-max row per key per batch; one bucketed
+    combine folds the flags — set ops become a flag aggregation, so each
+    side's rows shuffle once and nothing is broadcast."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        thin = pa.table({
+            key: t.column(key),
+            "ha": pc.cast(pc.equal(t.column(flag_col), a_value), pa.int8()),
+            "hb": pc.cast(pc.equal(t.column(flag_col), b_value), pa.int8()),
+        })
+        g = thin.group_by(key).aggregate([("ha", "max"), ("hb", "max")])
+        return pa.table({key: g.column(key), "ha": g.column("ha_max"),
+                         "hb": g.column("hb_max")})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(key).aggregate([("ha", "max"), ("hb", "max")])
+        ha = np.asarray(g.column("ha_max"), dtype=np.int8)
+        hb = np.asarray(g.column("hb_max"), dtype=np.int8)
+        member = np.where(ha & hb, "both", np.where(ha == 1, "a_only", "b_only"))
+        keep = pa.array((ha | hb) == 1)
+        return pa.table({key: g.column(key),
+                         "membership": pa.array(member, pa.string())}
+                        ).filter(keep)
+
+    partials = ds.select_columns([key, flag_col]).map_batches(
+        partial, batch_format="pyarrow")
+    return bucketed_combine(partials, key, combine, n_buckets)

@@ -1,0 +1,343 @@
+"""Corpus-level lexical statistics: n-gram LM scoring, TF-IDF term ranking,
+inverted-index build, and BPE merge learning.
+
+These are the "train a small model over the whole corpus, then apply it back
+to every document" operators a web-scale training-data pipeline runs between
+extraction and sampling (CCNet-style LM quality filtering, per-doc keyword
+profiling, tokenizer training).  The common physical shape:
+
+  1. explode documents into thin (key, count) rows inside ``map_batches``
+     (only distinct keys per batch cross the wire — the partial-aggregate
+     pattern);
+  2. ONE bucketed exchange builds the corpus-global table (the "model");
+  3. a distributed hash join applies the model back to the per-doc rows —
+     the corpus-sized side shuffles once, nothing is driver-collected.
+
+All scores are integer-exact (counts and sums of counts, never log-probs),
+so every operator here carries a hash-exact DuckDB oracle.  The reference
+has no corpus-global operators at all (each script is per-document —
+e.g. ``/root/reference/approach4_v1.py`` keyword matching at :100-130);
+these extend the engine for the 100-TB training-data use case.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .aggregate import bucketed_combine, bucketed_fold
+from .join import partitioned_hash_join
+
+# One tokenizer for the whole family, chosen to be exactly replayable in
+# DuckDB RE2: regexp_extract_all(lower(text), '[a-z0-9]+').
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def _tokens(text: str) -> list:
+    return TOKEN_RE.findall((text or "").lower())
+
+
+# --------------------------------------------------------------- bigram LM
+
+def doc_bigram_counts(docs, id_column: str = "doc_id",
+                      text_column: str = "text"):
+    """(doc_id, bigram, k) thin rows: per-document bigram occurrence counts,
+    computed batch-locally (a document is one row, so its counts never
+    span batches — no exchange needed for the per-doc side)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, bgs, ks = [], [], []
+        for doc_id, text in zip(t.column(id_column).to_pylist(),
+                                t.column(text_column).to_pylist()):
+            w = _tokens(text)
+            c = Counter(a + " " + b for a, b in zip(w, w[1:]))
+            ids.extend([doc_id] * len(c))
+            bgs.extend(c.keys())
+            ks.extend(c.values())
+        return pa.table({
+            id_column: pa.array(ids, t.schema.field(id_column).type),
+            "bigram": pa.array(bgs, pa.string()),
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    return docs.select_columns([id_column, text_column]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def bigram_lm_table(docs, text_column: str = "text", n_buckets: int = 32):
+    """The "language model": corpus-wide bigram occurrence counts
+    (bigram, n).  Per-batch Counter partial (distinct bigrams per batch
+    cross the wire, not occurrences), one bucketed combine."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column(text_column).to_pylist():
+            w = _tokens(text)
+            c.update(a + " " + b for a, b in zip(w, w[1:]))
+        ks = list(c.keys())
+        return pa.table({"bigram": pa.array(ks, pa.string()),
+                         "partial": pa.array([c[k] for k in ks], pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("bigram").aggregate([("partial", "sum")])
+        return pa.table({"bigram": g.column("bigram"),
+                         "n": g.column("partial_sum")})
+
+    partials = docs.select_columns([text_column]).map_batches(
+        partial, batch_format="pyarrow")
+    return bucketed_combine(partials, "bigram", combine, n_buckets)
+
+
+def lm_coverage_scores(docs, id_column: str = "doc_id",
+                       text_column: str = "text", n_buckets: int = 32,
+                       id_type: pa.DataType = None):
+    """CCNet-style corpus-LM quality scoring, integer-exact: per document,
+    ``n_bigrams`` = total bigram occurrences and ``coverage`` = sum over
+    occurrences of the corpus-wide count of that bigram (k * n summed over
+    the doc's distinct bigrams).  High coverage = the document is made of
+    corpus-typical word transitions; near-minimal coverage = gibberish /
+    boilerplate-free outlier — the same signal CCNet gets from wiki-LM
+    perplexity, without the cross-engine float-log hazard.
+
+    Physical plan: thin per-doc bigram rows join the LM table on ``bigram``
+    (one bucketed hash join — the model is corpus-sized at web scale, so it
+    is NOT broadcast), then a pre-aggregated per-doc sum.  Documents with
+    fewer than two tokens have no bigrams and drop out (mirrored in SQL)."""
+    doc_bg = doc_bigram_counts(docs, id_column, text_column)
+    lm = bigram_lm_table(docs, text_column, n_buckets)
+
+    # Pass the joined schemas explicitly: Dataset.schema() on a side behind
+    # map_batches executes its upstream lineage (see partitioned_hash_join).
+    id_type = id_type or pa.int64()
+    left_schema = pa.schema([(id_column, id_type),
+                             ("bigram", pa.string()), ("k", pa.int64())])
+    right_schema = pa.schema([("bigram", pa.string()), ("n", pa.int64())])
+    joined = partitioned_hash_join(
+        doc_bg, lm, on="bigram", n_buckets=n_buckets,
+        left_schema=left_schema, right_schema=right_schema,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("k"), dtype=np.int64)
+        n = np.asarray(t.column("n"), dtype=np.int64)
+        out = pa.table({id_column: t.column(id_column),
+                        "pk": pa.array(k, pa.int64()),
+                        "pcov": pa.array(k * n, pa.int64())})
+        g = out.group_by(id_column).aggregate([("pk", "sum"), ("pcov", "sum")])
+        return pa.table({id_column: g.column(id_column),
+                         "pk": g.column("pk_sum"),
+                         "pcov": g.column("pcov_sum")})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(id_column).aggregate([("pk", "sum"), ("pcov", "sum")])
+        return pa.table({id_column: g.column(id_column),
+                         "n_bigrams": g.column("pk_sum"),
+                         "coverage": g.column("pcov_sum")})
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    return bucketed_combine(partials, id_column, combine, n_buckets)
+
+
+# ------------------------------------------------------------------ TF-IDF
+
+def doc_term_freq(docs, id_column: str = "doc_id",
+                  text_column: str = "text"):
+    """(doc_id, term, tf) thin rows, batch-local (one doc = one row)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for doc_id, text in zip(t.column(id_column).to_pylist(),
+                                t.column(text_column).to_pylist()):
+            c = Counter(_tokens(text))
+            ids.extend([doc_id] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table({
+            id_column: pa.array(ids, t.schema.field(id_column).type),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+    return docs.select_columns([id_column, text_column]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def term_doc_freq(tf_ds, n_buckets: int = 32):
+    """(term, df) from the tf table: tf rows are unique per (doc, term), so
+    df is a row count per term — per-batch partial + bucketed combine."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("term", "count")])
+        return pa.table({"term": g.column("term"),
+                         "partial": g.column("term_count")})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("partial", "sum")])
+        return pa.table({"term": g.column("term"),
+                         "df": g.column("partial_sum")})
+
+    partials = tf_ds.select_columns(["term"]).map_batches(
+        partial, batch_format="pyarrow")
+    return bucketed_combine(partials, "term", combine, n_buckets)
+
+
+def tfidf_top_terms(docs, k: int = 3, id_column: str = "doc_id",
+                    text_column: str = "text", n_buckets: int = 32):
+    """Per-document top-k distinctive terms: rank by (tf DESC, df ASC,
+    term ASC) — highest-frequency-in-doc, rarest-in-corpus first.  This is
+    the TF-IDF ordering with the idf log dropped (log is monotone in 1/df,
+    so the RANKING is identical and stays integer-exact for the oracle).
+
+    Plan: tf rows (batch-local) ⋈ df table on term (one bucketed join —
+    the df table is vocabulary-sized, web vocabularies are corpus-shaped so
+    no broadcast), then a per-doc top-k as one whole-bucket vectorized fold.
+    Output: (doc_id, term, tf, df, rnk), rnk = 1..k."""
+    tf = doc_term_freq(docs, id_column, text_column)
+    df = term_doc_freq(tf, n_buckets)
+
+    id_type = pa.int64()
+    left_schema = pa.schema([(id_column, id_type),
+                             ("term", pa.string()), ("tf", pa.int64())])
+    right_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
+    joined = partitioned_hash_join(
+        tf, df, on="term", n_buckets=n_buckets,
+        left_schema=left_schema, right_schema=right_schema,
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_column, "tf", "df", "term"],
+                          ascending=[True, False, True, True],
+                          kind="mergesort")
+        g = g.groupby(id_column, sort=False).head(k).copy()
+        g["rnk"] = g.groupby(id_column, sort=False).cumcount() + 1
+        g["rnk"] = g["rnk"].astype("int64")
+        return g[[id_column, "term", "tf", "df", "rnk"]]
+
+    return bucketed_fold(joined, id_column, fold, n_buckets=n_buckets)
+
+
+# ---------------------------------------------------------- inverted index
+
+def inverted_index(docs, cap: int = 20, id_column: str = "doc_id",
+                   text_column: str = "text", n_buckets: int = 32):
+    """Posting-list build: per term, ``df`` (how many docs contain it) and
+    ``postings`` = the first ``cap`` containing doc_ids ascending,
+    comma-joined.  One bucketed exchange on term + whole-bucket vectorized
+    fold; a hot term (stopword) concatenates at its own reducer and its
+    output row is capped at ``cap`` ids, so reducer output is bounded even
+    when df is corpus-sized."""
+    tf = doc_term_freq(docs, id_column, text_column)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", id_column], kind="mergesort")
+        out = g.groupby("term", sort=False).agg(
+            df=(id_column, "size"),
+            postings=(id_column,
+                      lambda s: ",".join(str(x) for x in s.iloc[:cap])),
+        )
+        out["df"] = out["df"].astype("int64")
+        return out.reset_index()
+
+    return bucketed_fold(tf.select_columns(["term", id_column]), "term",
+                         fold, n_buckets=n_buckets)
+
+
+# ------------------------------------------------------------ BPE learning
+
+END_WORD = "</w>"
+
+
+def word_counts(docs, text_column: str = "text", n_buckets: int = 32):
+    """(word, n) corpus word-frequency table — the input BPE trains on.
+    Per-batch Counter partial + one bucketed combine; vocabulary-sized."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column(text_column).to_pylist():
+            c.update(_tokens(text))
+        ks = list(c.keys())
+        return pa.table({"w": pa.array(ks, pa.string()),
+                         "partial": pa.array([c[k] for k in ks], pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("w").aggregate([("partial", "sum")])
+        return pa.table({"w": g.column("w"), "n": g.column("partial_sum")})
+
+    partials = docs.select_columns([text_column]).map_batches(
+        partial, batch_format="pyarrow")
+    return bucketed_combine(partials, "w", combine, n_buckets)
+
+
+def _apply_merges(word: str, merges: list) -> list:
+    """Segment a word into current BPE symbols: chars + END_WORD, then each
+    learned merge applied in order (the standard greedy scheme)."""
+    syms = list(word) + [END_WORD]
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_pair_counts(wc, merges=None, n_buckets: int = 32):
+    """(pair, cnt): adjacent-symbol pair counts over the word-frequency
+    table under the current merge list, weighted by word frequency.  The
+    word table is vocabulary-sized (shuffled once when built); each
+    counting pass is embarrassingly parallel + one bucketed combine."""
+    merges = list(merges or [])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for w, n in zip(t.column("w").to_pylist(), t.column("n").to_pylist()):
+            syms = _apply_merges(w, merges)
+            for a, b in zip(syms, syms[1:]):
+                c[a + " " + b] += n
+        ks = list(c.keys())
+        return pa.table({"pair": pa.array(ks, pa.string()),
+                         "partial": pa.array([c[k] for k in ks], pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("pair").aggregate([("partial", "sum")])
+        return pa.table({"pair": g.column("pair"),
+                         "cnt": g.column("partial_sum")})
+
+    partials = wc.map_batches(partial, batch_format="pyarrow")
+    return bucketed_combine(partials, "pair", combine, n_buckets)
+
+
+def bpe_learn(docs, n_merges: int = 5, text_column: str = "text",
+              n_buckets: int = 32):
+    """Distributed BPE tokenizer training: learn ``n_merges`` merges over
+    the corpus.  Ties break deterministically (count DESC, pair ASC — the
+    lexicographic rule, so output is reproducible across block orders).
+
+    Plan: the corpus streams ONCE into a word-frequency table (one
+    exchange, materialized — it is vocabulary-sized, the classic BPE
+    training state); each merge iteration is one counting pass over that
+    table + a top-1 sort.limit(1) (driver receives exactly one row per
+    iteration).  The corpus itself is never re-read or re-shuffled.
+    Returns a list of (left_sym, right_sym, count)."""
+    wc = word_counts(docs, text_column, n_buckets).materialize()
+    merges, learned = [], []
+    for _ in range(n_merges):
+        top = (bpe_pair_counts(wc, merges, n_buckets)
+               .sort(["cnt", "pair"], descending=[True, False])
+               .limit(1).take(1))
+        if not top or int(top[0]["cnt"]) < 1:
+            break
+        a, b = top[0]["pair"].split(" ", 1)
+        merges.append((a, b))
+        learned.append((a, b, int(top[0]["cnt"])))
+    return learned

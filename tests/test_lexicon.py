@@ -1,0 +1,171 @@
+"""Corpus-lexicon operators: bigram LM scoring, TF-IDF top terms,
+inverted index, BPE learning, plus the rollup / set-membership aggregates.
+
+Every operator is checked against a plain-Python (pandas/Counter) local
+reference over the same rows — the distributed plans are physical rewrites,
+not approximations.
+"""
+
+import re
+from collections import Counter
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from document_text_extraction_ray.stages.aggregate import (
+    rollup_sum,
+    set_membership,
+)
+from document_text_extraction_ray.stages.lexicon import (
+    _apply_merges,
+    bigram_lm_table,
+    bpe_learn,
+    bpe_pair_counts,
+    inverted_index,
+    lm_coverage_scores,
+    tfidf_top_terms,
+    word_counts,
+)
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick red fox",
+    "lorem ipsum dolor sit amet the quick",
+    "",  # no tokens -> no bigrams, must drop out of lm scores
+    "single",  # one token -> no bigrams
+    "dog dog dog the dog",  # repeated terms
+    "Zebra 99 the QUICK brown",  # case folding + digits
+]
+
+
+def _docs():
+    return rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(TEXTS)]
+    ).repartition(3)
+
+
+def _toks(t):
+    return re.findall(r"[a-z0-9]+", (t or "").lower())
+
+
+def test_bigram_lm_table_matches_counter():
+    ref = Counter()
+    for t in TEXTS:
+        w = _toks(t)
+        ref.update(a + " " + b for a, b in zip(w, w[1:]))
+    got = bigram_lm_table(_docs()).to_pandas()
+    assert dict(zip(got["bigram"], got["n"])) == dict(ref)
+
+
+def test_lm_coverage_matches_reference():
+    lm = Counter()
+    per_doc = {}
+    for i, t in enumerate(TEXTS):
+        w = _toks(t)
+        c = Counter(a + " " + b for a, b in zip(w, w[1:]))
+        per_doc[i] = c
+        lm.update(c)
+    got = lm_coverage_scores(_docs()).to_pandas().sort_values("doc_id")
+    expect = {
+        i: (sum(c.values()), sum(k * lm[bg] for bg, k in c.items()))
+        for i, c in per_doc.items() if c
+    }
+    assert dict(zip(got["doc_id"],
+                    zip(got["n_bigrams"], got["coverage"]))) == expect
+    # docs 3 and 4 have <2 tokens: absent by contract
+    assert set(got["doc_id"]) == set(expect)
+
+
+def test_tfidf_top_terms_ranking():
+    tf = {i: Counter(_toks(t)) for i, t in enumerate(TEXTS)}
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    got = tfidf_top_terms(_docs(), k=2).to_pandas()
+    for i, c in tf.items():
+        if not c:
+            continue
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], df[kv[0]], kv[0]))
+        sub = got[got["doc_id"] == i].sort_values("rnk")
+        assert list(sub["term"]) == [t for t, _ in ranked[:2]]
+        assert list(sub["tf"]) == [n for _, n in ranked[:2]]
+        assert list(sub["df"]) == [df[t] for t, _ in ranked[:2]]
+
+
+def test_inverted_index_postings_and_cap():
+    got = inverted_index(_docs(), cap=2).to_pandas()
+    row = got[got["term"] == "the"].iloc[0]
+    # 'the' occurs in docs 0,1,2,5,6 -> df 5, postings capped at first 2
+    assert row["df"] == 5
+    assert row["postings"] == "0,1"
+    row = got[got["term"] == "zebra"].iloc[0]
+    assert row["df"] == 1 and row["postings"] == "6"
+
+
+def _ref_bpe(texts, n_merges):
+    wc = Counter()
+    for t in texts:
+        wc.update(_toks(t))
+    merges, out = [], []
+    for _ in range(n_merges):
+        c = Counter()
+        for w, n in wc.items():
+            s = _apply_merges(w, merges)
+            for a, b in zip(s, s[1:]):
+                c[a + " " + b] += n
+        if not c:
+            break
+        pair, cnt = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        a, b = pair.split(" ", 1)
+        merges.append((a, b))
+        out.append((a, b, cnt))
+    return out
+
+
+def test_bpe_learn_matches_local_reference():
+    assert bpe_learn(_docs(), n_merges=4) == _ref_bpe(TEXTS, 4)
+
+
+def test_bpe_pair_counts_first_iteration():
+    wc_ds = word_counts(_docs())
+    got = bpe_pair_counts(wc_ds).to_pandas()
+    ref = Counter()
+    wc = Counter()
+    for t in TEXTS:
+        wc.update(_toks(t))
+    for w, n in wc.items():
+        s = list(w) + ["</w>"]
+        for a, b in zip(s, s[1:]):
+            ref[a + " " + b] += n
+    assert dict(zip(got["pair"], got["cnt"])) == dict(ref)
+
+
+def test_rollup_sum_levels():
+    rows = [
+        {"a": "x", "b": "p", "v": 1},
+        {"a": "x", "b": "q", "v": 2},
+        {"a": "y", "b": "p", "v": 4},
+        {"a": "y", "b": "p", "v": 8},
+    ]
+    out = rollup_sum(rd.from_items(rows).repartition(2), ["a", "b"],
+                     "v").to_pandas()
+    got = {(r["a"], r["b"]): (r["sum_v"], r["n"]) for _, r in out.iterrows()}
+    assert got == {
+        ("x", "p"): (1, 1), ("x", "q"): (2, 1), ("y", "p"): (12, 2),
+        ("x", "ALL"): (3, 2), ("y", "ALL"): (12, 2),
+        ("ALL", "ALL"): (15, 4),
+    }
+
+
+def test_set_membership_classes():
+    rows = (
+        [{"u": 1, "e": "click"}, {"u": 1, "e": "purchase"}]
+        + [{"u": 2, "e": "click"}, {"u": 2, "e": "view"}]
+        + [{"u": 3, "e": "purchase"}]
+        + [{"u": 4, "e": "view"}]  # neither -> excluded
+    )
+    out = set_membership(rd.from_items(rows).repartition(3), "u", "e",
+                         "click", "purchase").to_pandas()
+    got = dict(zip(out["u"], out["membership"]))
+    assert got == {1: "both", 2: "a_only", 3: "b_only"}
