@@ -7,7 +7,7 @@ calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator family
                       (SURVEY.md §2 + the training-data operators)
 - ``oracle_sql()``  — DuckDB-equivalent SQL per query where expressible
-                      (98 of 105, incl. SQL reconstructions of the
+                      (104 of 112, incl. SQL reconstructions of the
                       language-ID/quality/token/fingerprint kernels); the
                       QUERIES registry lists every oracle-backed query
                       FIRST (rows-only last) so a leading-window
@@ -15,7 +15,8 @@ calls ``ray.init()`` / ``ray.shutdown()``.
                       (wrapping-uint64 MinHash, raw approximate-ANN
                       neighbor lists — recall-gated via ann_recall —
                       synthetic-corpus extraction, structured block
-                      graph) are intentionally absent.
+                      graph, iterative BPE merges — pinned to a local
+                      reference in tests) are intentionally absent.
 """
 
 from __future__ import annotations
