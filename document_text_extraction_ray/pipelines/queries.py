@@ -2939,6 +2939,58 @@ def q_set_ops_users(sf_dir: str):
                           "click", "purchase").sort("user_id")
 
 
+def q_full_outer_counts(sf_dir: str):
+    """FULL OUTER join surface: per-user click counts ⟗ purchase counts —
+    users exist on only one side, so both unmatched directions are
+    exercised.  Two pre-aggregated partial counts, one bucketed outer join
+    (exact per bucket: equal keys co-bucket), nulls COALESCEd to 0 so the
+    hash compare never depends on null encoding."""
+    from ..stages.aggregate import pre_aggregated_count
+    from ..stages.join import partitioned_hash_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def side(ev_type, alias):
+        filt = ev.map_batches(
+            lambda t, et=ev_type, al=alias: pa.table({
+                "user_id": t.filter(pc.equal(t.column("event_type"), et))
+                            .column("user_id")}),
+            batch_format="pyarrow",
+        )
+        counted = pre_aggregated_count(filt, "user_id", alias=alias)
+        # normalize aggregate output blocks (empty shuffle partitions emit
+        # schemaless blocks that would poison the join's union)
+        return counted.map_batches(lambda t: t, batch_format="pyarrow")
+
+    a = side("click", "n_click")
+    b = side("purchase", "n_purchase")
+    sch_a = pa.schema([("user_id", pa.int64()), ("n_click", pa.int64())])
+    sch_b = pa.schema([("user_id", pa.int64()), ("n_purchase", pa.int64())])
+    out = partitioned_hash_join(a, b, on="user_id", how="outer",
+                                left_schema=sch_a, right_schema=sch_b)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "n_click": pc.fill_null(pc.cast(t.column("n_click"), pa.int64()), 0),
+            "n_purchase": pc.fill_null(
+                pc.cast(t.column("n_purchase"), pa.int64()), 0),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+def q_group_sample(sf_dir: str):
+    """Deterministic 5-per-source uniform document sample (md5-rank
+    permutation — the retry-stable reservoir replacement); hash-exact
+    ROW_NUMBER-over-md5 SQL replay."""
+    from ..stages.sampling import sample_per_group
+
+    return sample_per_group(_docs(sf_dir, ["doc_id", "source"]),
+                            "source", "doc_id", n=5).sort(["source", "rnk"])
+
+
 QUERIES = {
     # -- oracle-backed, not yet driver-checked (added late in round 2) --
     "structured_fold": q_structured_fold,
@@ -2995,6 +3047,8 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "rollup_orders": q_rollup_orders,
     "set_ops_users": q_set_ops_users,
+    "full_outer_counts": q_full_outer_counts,
+    "group_sample": q_group_sample,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -3147,6 +3201,30 @@ ORACLE_SQL = {
         FROM orders
         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "full_outer_counts": """
+        WITH a AS (
+          SELECT user_id, COUNT(*) AS n_click FROM events
+          WHERE event_type = 'click' GROUP BY user_id
+        ), b AS (
+          SELECT user_id, COUNT(*) AS n_purchase FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id
+        )
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               COALESCE(n_click, 0) AS n_click,
+               COALESCE(n_purchase, 0) AS n_purchase
+        FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+        ORDER BY user_id
+    """,
+    "group_sample": """
+        WITH ranked AS (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+          FROM documents
+        )
+        SELECT source, doc_id, rnk FROM ranked
+        WHERE rnk <= 5 ORDER BY source, rnk
     """,
     "set_ops_users": """
         WITH f AS (

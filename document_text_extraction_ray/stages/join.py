@@ -100,7 +100,10 @@ def partitioned_hash_join(
 
     Deterministic bucket = Knuth multiplicative hash (ints) / crc32 (strings)
     mod B.  Each side is shuffled exactly once; a bucket's two sides meet in
-    a single map_groups task.  ``how`` supports 'inner' and 'left'.
+    a single map_groups task.  ``how`` supports 'inner', 'left' and 'outer'
+    (FULL OUTER — exact per bucket because equal keys land in the same
+    bucket on both sides, so a row unmatched in its bucket is unmatched
+    globally; null keys never equi-match, SQL semantics).
 
     Pass ``left_schema``/``right_schema`` (pyarrow) when a side sits behind
     map_batches: ``Dataset.schema()`` on such a side executes its upstream
@@ -161,9 +164,12 @@ def partitioned_hash_join(
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lhs = g[g["__jside"] == 0][left_cols]
         rhs = g[g["__jside"] == 1][[on] + right_out]
-        # Null keys never equi-match: drop them from the right always, and
-        # from the left for inner joins (kept unmatched for left joins —
-        # pandas NaN keys merge to no match, which is correct).
+        # Null keys never equi-match (SQL semantics; pandas would match
+        # NaN == NaN): drop them from the right for inner/left (kept
+        # unmatched on the right for outer), and from the left for inner
+        # joins (kept unmatched for left/outer — pandas NaN keys merge to
+        # no match once the other side has none, which is correct).
+        rhs_nullkey = rhs[rhs[on].isna()] if how == "outer" else None
         rhs = rhs[rhs[on].notna()]
         if how == "inner":
             lhs = lhs[lhs[on].notna()]
@@ -175,9 +181,23 @@ def partitioned_hash_join(
         rhs = rhs.astype(
             {k: v for k, v in right_dtypes.items() if k == on or k in right_out}
         )
-        if lhs.empty or (rhs.empty and how == "inner"):
+        if lhs.empty and (rhs.empty or how != "outer"):
             return pd.DataFrame(columns=left_cols + right_out)
-        return lhs.merge(rhs, on=on, how=how)
+        if rhs.empty and how == "inner":
+            return pd.DataFrame(columns=left_cols + right_out)
+        out = lhs.merge(rhs, on=on, how=how)
+        if how == "outer" and rhs_nullkey is not None and len(rhs_nullkey):
+            # Right rows with a null key survive a FULL OUTER join
+            # unmatched; re-append them with left columns null.
+            out = pd.concat([out, rhs_nullkey], ignore_index=True)
+        if how == "outer":
+            # Unmatched rows null-pad the other side; keep integer columns
+            # integer via pandas' nullable Int64 (Arrow: int64 with nulls)
+            # so block schemas stay identical across buckets.
+            for k in list(left_dtypes) + list(right_dtypes):
+                if k in out.columns and out[k].dtype == np.float64:
+                    out[k] = out[k].astype("Int64")
+        return out
 
     return tagged.groupby("__jbucket").map_groups(join_bucket, batch_format="pandas")
 

@@ -135,3 +135,45 @@ def weighted_hash_sample(ds, id_column: str, weight_column: str,
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_per_group(ds, key_column: str, id_column: str, n: int,
+                     n_buckets: int = 32):
+    """Deterministic n-per-group uniform sample: within each key, rows rank
+    by (md5(id) hex, id) and the first ``n`` survive — the reproducible
+    replacement for per-group reservoir sampling (reservoirs depend on
+    arrival order; an md5 rank is a fixed random permutation, stable under
+    retries / resharding / cluster size).
+
+    One bucketed exchange on the key + a whole-bucket vectorized fold.
+    Returns (key, id, rnk) with rnk = 1..n per key.  Use for per-domain
+    training-data caps where the cap must be an unbiased sample rather
+    than domain_cap's smallest-id prefix."""
+    import pandas as pd
+
+    from .aggregate import bucketed_fold
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        h = [md5_prefix_full(v) for v in t.column(id_column).to_pylist()]
+        return pa.table({
+            key_column: t.column(key_column),
+            id_column: t.column(id_column),
+            "__h": pa.array(h, pa.string()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_column, "__h", id_column], kind="mergesort")
+        g = g.groupby(key_column, sort=False).head(n).copy()
+        g["rnk"] = g.groupby(key_column, sort=False).cumcount() + 1
+        g["rnk"] = g["rnk"].astype("int64")
+        return g[[key_column, id_column, "rnk"]]
+
+    thin = ds.select_columns([key_column, id_column]).map_batches(
+        with_hash, batch_format="pyarrow")
+    return bucketed_fold(thin, key_column, fold, n_buckets=n_buckets)
+
+
+def md5_prefix_full(value) -> str:
+    """Full md5 hex of str(value) — the per-group sampling rank key
+    (DuckDB replay: md5(CAST(col AS VARCHAR)))."""
+    return hashlib.md5(str(value).encode("utf-8")).hexdigest()

@@ -149,3 +149,71 @@ def test_salted_join_left_semantics():
                        right_schema=rs).to_pandas())
     assert len(out) == 20
     assert out[out["k"] == 3]["name"].isna().all()
+
+
+def test_full_outer_join_matches_pandas():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import partitioned_hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 5], "a": [10, 20, 30, 50]})
+    right = pd.DataFrame({"k": [2, 3, 4], "b": ["x", "y", "z"]})
+    out = partitioned_hash_join(
+        rd.from_pandas(left).repartition(2),
+        rd.from_pandas(right).repartition(2),
+        on="k", how="outer", n_buckets=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    ref = left.merge(right, on="k", how="outer").sort_values("k") \
+              .reset_index(drop=True)
+    assert list(out["k"]) == list(ref["k"])
+    assert out["a"].fillna(-1).astype("int64").tolist() == \
+        ref["a"].fillna(-1).astype("int64").tolist()
+    assert out["b"].fillna("").tolist() == ref["b"].fillna("").tolist()
+    # Int columns stay integer (nullable) through null padding.
+    assert str(out["a"].dtype) in ("Int64", "int64")
+
+
+def test_full_outer_join_null_keys_never_match():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import partitioned_hash_join
+
+    left = pa.table({"k": pa.array([1, None], pa.int64()),
+                     "a": pa.array([10, 99], pa.int64())})
+    right = pa.table({"k": pa.array([None, 1], pa.int64()),
+                      "b": pa.array(["n", "one"], pa.string())})
+    out = partitioned_hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), on="k", how="outer",
+        n_buckets=4,
+    ).to_pandas()
+    # 1<->1 matches; each null-key row survives alone (SQL semantics).
+    assert len(out) == 3
+    matched = out[out["b"] == "one"]
+    assert list(matched["a"]) == [10]
+    assert out["a"].isna().sum() == 1  # right null-key row, left side null
+    assert out["b"].isna().sum() == 1  # left null-key row, right side null
+
+
+def test_sample_per_group_deterministic_uniform():
+    import hashlib
+
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.sampling import sample_per_group
+
+    rows = [{"g": f"g{i % 3}", "i": i} for i in range(60)]
+    out = sample_per_group(rd.from_items(rows).repartition(4), "g", "i",
+                           n=4).to_pandas()
+    again = sample_per_group(rd.from_items(rows).repartition(7), "g", "i",
+                             n=4).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["g", "i", "rnk"]].to_numpy()))
+    assert key(out) == key(again)  # partitioning-independent
+    for g in ("g0", "g1", "g2"):
+        members = [i for i in range(60) if f"g{i % 3}" == g]
+        ranked = sorted(members,
+                        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        sub = out[out["g"] == g].sort_values("rnk")
+        assert list(sub["i"]) == ranked[:4]
+        assert list(sub["rnk"]) == [1, 2, 3, 4]
