@@ -101,12 +101,22 @@ SECTION_CANON = {
 
 
 def extract_emails(text: str) -> list:
-    """M1 — approach4_v1.py:48-49."""
+    """M1 — approach4_v1.py:48-49.  The '@' guard is implied by the regex
+    (it cannot match without one), so '@'-free documents — most of a web
+    corpus — skip the scan entirely (profiled kernel win)."""
+    if "@" not in text:
+        return []
     return sorted(set(EMAIL_RE.findall(text)))
 
 
+_DIGIT_RE = re.compile(r"\d")
+
+
 def extract_phones(text: str) -> list:
-    """M2 — approach4_v1.py:51-65 (4 alternative patterns, len>=7 filter)."""
+    """M2 — approach4_v1.py:51-65 (4 alternative patterns, len>=7 filter).
+    Guard is regex-implied (every pattern needs a digit)."""
+    if _DIGIT_RE.search(text) is None:
+        return []
     phones = []
     for pat in PHONE_RES:
         phones.extend(pat.findall(text))
@@ -114,13 +124,20 @@ def extract_phones(text: str) -> list:
 
 
 def extract_linkedin(text: str, _low: str | None = None) -> list:
-    """M3 — approach4_v1.py:69-70 (match on lowercased text)."""
-    return sorted(set(LINKEDIN_RE.findall(_low if _low is not None else text.lower())))
+    """M3 — approach4_v1.py:69-70 (match on lowercased text).  Guard is
+    regex-implied ('linkedin' literal prefix)."""
+    low = _low if _low is not None else text.lower()
+    if "linkedin" not in low:
+        return []
+    return sorted(set(LINKEDIN_RE.findall(low)))
 
 
 def extract_github(text: str, _low: str | None = None) -> list:
-    """M3 — approach4_v1.py:72-73."""
-    return sorted(set(GITHUB_RE.findall(_low if _low is not None else text.lower())))
+    """M3 — approach4_v1.py:72-73.  Guard is regex-implied."""
+    low = _low if _low is not None else text.lower()
+    if "github" not in low:
+        return []
+    return sorted(set(GITHUB_RE.findall(low)))
 
 
 def extract_name(text: str) -> str:
@@ -186,10 +203,16 @@ def extract_education(text: str, _low: str | None = None) -> dict:
     degrees = set()
     for pat in DEGREE_RES:
         degrees.update(pat.findall(low))
+    # Guards below are regex-implied literals (INSTITUTION_RE needs one of
+    # the three capitalized words; GPA_RE needs 'gpa' — 'cgpa' contains it).
+    insts = (sorted(set(INSTITUTION_RE.findall(text)))
+             if ("University" in text or "Institute" in text
+                 or "College" in text) else [])
+    gpa = sorted(set(GPA_RE.findall(low))) if "gpa" in low else []
     return {
         "degrees": sorted(degrees),
-        "institutions": sorted(set(INSTITUTION_RE.findall(text))),
-        "gpa": sorted(set(GPA_RE.findall(low))),
+        "institutions": insts,
+        "gpa": gpa,
     }
 
 

@@ -24,26 +24,37 @@ from __future__ import annotations
 
 import html as _html
 import re as _re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # Tag-name parser (replaces a per-character isspace scan — profiled hot).
 _TAGNAME_RE = _re.compile(rb"[a-zA-Z][a-zA-Z0-9]*")
 # Decoded/lowered tag-name cache: few distinct tags per corpus, hit ~always.
 _TAG_CACHE: dict = {}
+# Whole-body cache for attribute-less tag bodies (`p`, `li`, `div`, …) —
+# the dominant case; one dict hit replaces regex match + group + slice.
+_BODY_CACHE: dict = {}
 
 
 def _tag_name(body: bytes):
     """(tag_str, attrs_bytes) for an opening/closing tag body."""
+    hit = _BODY_CACHE.get(body)
+    if hit is not None:
+        return hit, b""
     m = _TAGNAME_RE.match(body)
     if m is None:
         return "", body
     raw = m.group(0)
+    end = m.end()
     tag = _TAG_CACHE.get(raw)
     if tag is None:
         tag = raw.decode("ascii", "replace").lower()
         if len(_TAG_CACHE) < 4096:  # bound the cache against adversarial input
             _TAG_CACHE[raw] = tag
-    return tag, body[m.end():]
+    if end == len(body):
+        if len(_BODY_CACHE) < 4096:
+            _BODY_CACHE[body] = tag
+        return tag, b""
+    return tag, body[end:]
 
 
 # Tags whose open/close delimits a text block (flush boundary).
@@ -88,18 +99,25 @@ class ExtractConfig:
 DEFAULT_CONFIG = ExtractConfig()
 
 
-@dataclass
 class _Block:
-    """One candidate text block accumulated between block-tag boundaries."""
+    """One candidate text block accumulated between block-tag boundaries.
 
-    parts: list = field(default_factory=list)   # unescaped text pieces, raw whitespace
-    n_chars: int = 0                            # sum of stripped piece lengths
-    link_chars: int = 0                         # chars contributed inside <a>
-    gov_depth: int = -1                         # stack depth of governing block element
-    gov_tag: str = ""
-    gov_open_end: int = -1                      # byte offset just after governing open tag
-    first_text_start: int = -1
-    last_text_end: int = -1
+    Plain __slots__ class (not a dataclass): one is constructed per flush
+    — ~34/page — and the dataclass-generated __init__ showed up in the
+    kernel profile."""
+
+    __slots__ = ("parts", "n_chars", "link_chars", "gov_depth", "gov_tag",
+                 "gov_open_end", "first_text_start", "last_text_end")
+
+    def __init__(self):
+        self.parts = []        # unescaped text pieces, raw whitespace
+        self.n_chars = 0       # sum of stripped piece lengths
+        self.link_chars = 0    # chars contributed inside <a>
+        self.gov_depth = -1    # stack depth of governing block element
+        self.gov_tag = ""
+        self.gov_open_end = -1  # byte offset just after governing open tag
+        self.first_text_start = -1
+        self.last_text_end = -1
 
 
 def _parse_class_attr(tag_body: bytes) -> frozenset:
