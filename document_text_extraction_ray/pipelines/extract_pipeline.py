@@ -16,8 +16,11 @@ Two resumable jobs, two partitioning strategies:
     bucket joins / dedup); resume filters rows by committed bucket.
 
 No stage materializes the dataset; the streaming executor pipelines read,
-extraction and write with backpressure.  Payload-heavy stages run with a small
-``batch_size`` so one giant-HTML row cannot blow a worker heap
+extraction and write with backpressure — at the default batch_size=None the
+whole chain FUSES into one read->extract->write operator per block (see
+EXTRACT_BATCH_SIZE note).  Giant-HTML-payload corpora are defused at the
+READ with ``target_block_mb`` (and, for actor stages, a small explicit
+``batch_size``) so one giant row cannot blow a worker heap
 (SURVEY.md §7.5 item 2).
 """
 
@@ -31,10 +34,17 @@ from ..functions.html_extract import DEFAULT_CONFIG, ExtractConfig
 from ..stages.extract import EXTRACTOR_VERSION, HtmlExtractor
 from ..state import checkpoint as ckpt
 
-# Payload stage sizing: measured 13% faster at 256 rows/batch than 64 at
-# 32 CPUs (per-batch overhead amortized; ~0.4 MB/batch at the synthetic
-# corpus's ~1.5 KB/doc).  For multi-MB payload rows pass a smaller
-# batch_size so batch bytes x concurrency stays within worker heaps.
+# Payload stage sizing.  The stateless task path runs at batch_size=None
+# (= whole blocks): ANY explicit batch_size inserts a re-batching boundary
+# that BLOCKS Ray's read->map->write operator fusion — measured 18.0 s
+# unfused vs 16.2 s fused for the 400k-page headline at 16 CPUs, with the
+# fused plan a single `ReadParquet->MapBatches(extract_batch)->Write`
+# operator (no separate read ramp).  Block size is already bounded by
+# DataContext.target_max_block_size, and the giant-payload-row defusal
+# lever is `target_block_mb` (read-level splitting), which composes with
+# fusion.  The actor-pool path keeps an explicit batch size (256 measured
+# 13% faster than 64 at 32 CPUs; ~0.4 MB/batch at ~1.5 KB/doc) — actor
+# stages never fuse with the read anyway.
 EXTRACT_BATCH_SIZE = 256
 
 
@@ -45,7 +55,7 @@ def extract_dataset(
     n_buckets: int = 64,
     with_fields: bool = True,
     concurrency=None,
-    batch_size: int = EXTRACT_BATCH_SIZE,
+    batch_size: int | None = None,
     use_actors: bool = False,
 ) -> ray.data.Dataset:
     """Attach the extraction stage.
@@ -63,7 +73,7 @@ def extract_dataset(
         return corpus.map_batches(
             HtmlExtractor,
             batch_format="pyarrow",
-            batch_size=batch_size,
+            batch_size=batch_size or EXTRACT_BATCH_SIZE,
             concurrency=pool_size(concurrency),
             fn_constructor_kwargs=dict(
                 config=config, n_buckets=n_buckets, with_fields=with_fields
@@ -114,7 +124,7 @@ def run_sharded_extraction_job(
     with_fields: bool = True,
     concurrency=None,
     max_concurrent_partitions: int = 2,
-    blocks_per_cpu: int = 4,
+    blocks_per_cpu: int | None = None,
     skip_failed_partitions: bool = False,
     target_block_mb: int | None = None,
 ) -> dict:
@@ -185,15 +195,19 @@ def run_sharded_extraction_job(
         pid, chunk = pid_chunk
         staged = os.path.join(staging_root, run_id, f"part={pid}")
         os.makedirs(staged, exist_ok=True)
-        # Block-count tradeoff: Ray's default split heuristic makes ~8 blocks
-        # per input file -> hundreds of tiny output files (open/close + stat
-        # overhead); too few blocks -> skew stragglers (the 1% giant-page tail
-        # pins whole coarse tasks).  ~blocks_per_cpu tasks per core balances
-        # both; tune down for uniform rows, up for heavy skew.
+        # Block-count: the default (no override) lets Ray's split heuristic
+        # decide — 1 block per file on cpu-saturating partitions, which
+        # keeps the whole chain FUSED into one read->extract->write
+        # operator (an explicit override inserts SplitBlocks and unfuses;
+        # measured slower at both 16 and 32 cpus).  Pass ``blocks_per_cpu``
+        # only to force finer tasks on heavy-skew corpora (the 1% giant-
+        # page tail pinning coarse tasks); ``target_block_mb`` is the
+        # byte-level lever for the same problem.
+        read_kw = {}
+        if blocks_per_cpu:
+            read_kw["override_num_blocks"] = max(len(chunk), blocks_per_cpu * cpus)
         ds = extract_dataset(
-            ray.data.read_parquet(
-                chunk, override_num_blocks=max(len(chunk), blocks_per_cpu * cpus)
-            ),
+            ray.data.read_parquet(chunk, **read_kw),
             n_buckets=n_buckets, with_fields=with_fields, concurrency=concurrency,
         )
         ds.write_parquet(staged)
