@@ -186,3 +186,69 @@ def test_repetition_fraction_brute_force(text):
     assert 0 <= frac <= 10000
     if total:
         assert (frac == 0) == (total == uniq)
+
+
+def test_partitioned_hash_join_random_vs_pandas_all_hows():
+    """Randomized: the bucketed join == pandas merge for inner/left/outer
+    over int keys with nulls and duplicates on both sides (null keys never
+    equi-match — SQL semantics — so nullable keys are dropped from the
+    pandas reference's match set and re-appended per `how`)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import partitioned_hash_join
+
+    def _nullsort(t):
+        return tuple((x is None, 0 if x is None else x) for x in t)
+
+    rng = np.random.RandomState(23)
+    for trial in range(3):
+        nl, nr = rng.randint(3, 40), rng.randint(3, 40)
+        lk = [int(x) if x >= 0 else None
+              for x in rng.randint(-2, 8, size=nl)]
+        rk = [int(x) if x >= 0 else None
+              for x in rng.randint(-2, 8, size=nr)]
+        left = pd.DataFrame({"k": pd.array(lk, dtype="Int64"),
+                             "a": np.arange(nl, dtype="int64")})
+        right = pd.DataFrame({"k": pd.array(rk, dtype="Int64"),
+                              "b": np.arange(100, 100 + nr, dtype="int64")})
+
+        def ref(how):
+            l2 = left.copy()
+            r2 = right[right["k"].notna()]
+            matched = l2[l2["k"].notna()].merge(r2, on="k", how="inner")
+            out = [matched]
+            if how in ("left", "outer"):
+                lone_l = l2.merge(r2[["k"]].drop_duplicates(), on="k",
+                                  how="left", indicator=True)
+                lone_l = l2[(lone_l["_merge"] == "left_only").to_numpy()
+                            | l2["k"].isna().to_numpy()]
+                out.append(lone_l.assign(b=pd.array([None] * len(lone_l),
+                                                    dtype="Int64")))
+            if how == "outer":
+                unmatched_keys = set(r2["k"]) - set(l2["k"].dropna())
+                lone_r = right[right["k"].isin(unmatched_keys)
+                               | right["k"].isna()]
+                out.append(lone_r.assign(a=pd.array([None] * len(lone_r),
+                                                    dtype="Int64")))
+            df = pd.concat(out, ignore_index=True)
+            return sorted(
+                ((None if pd.isna(k) else int(k),
+                  None if pd.isna(a) else int(a),
+                  None if pd.isna(b) else int(b))
+                 for k, a, b in zip(df["k"], df["a"], df["b"])),
+                key=_nullsort)
+
+        lds = rd.from_pandas(left).repartition(3)
+        rds = rd.from_pandas(right).repartition(2)
+        for how in ("inner", "left", "outer"):
+            got = partitioned_hash_join(lds, rds, on="k", how=how,
+                                        n_buckets=4).to_pandas()
+            gl = sorted(
+                ((None if pd.isna(k) else int(k),
+                  None if pd.isna(a) else int(a),
+                  None if pd.isna(b) else int(b))
+                 for k, a, b in zip(got["k"], got["a"], got["b"])),
+                key=_nullsort)
+            assert gl == ref(how), (trial, how)
