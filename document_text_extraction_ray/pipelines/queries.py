@@ -2939,6 +2939,33 @@ def q_set_ops_users(sf_dir: str):
                           "click", "purchase").sort("user_id")
 
 
+def q_percentile_filter(sf_dir: str):
+    """Per-source percentile length trimming — the 'drop each domain's
+    outlier-length tail' curation step: keep docs whose n_chars lies in
+    [P10, P90] of THEIR source.  Composition shape: exact per-group
+    quantiles (one bucketed exchange over bounded groups) -> the
+    #sources-row quantile table broadcasts via ray.put -> one row-local
+    corpus filter (the corpus itself never shuffles)."""
+    import ray as _ray
+
+    from ..stages.aggregate import grouped_quantiles
+
+    docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    q = grouped_quantiles(docs, "source", "n_chars", ps=(0.1, 0.9)).to_pandas()
+    bounds_ref = _ray.put({r["source"]: (int(r["p10"]), int(r["p90"]))
+                           for _, r in q.iterrows()})
+
+    def keep(t: pa.Table) -> pa.Table:
+        bounds = _ray.get(bounds_ref)
+        src = t.column("source").to_pylist()
+        n = t.column("n_chars").to_numpy(zero_copy_only=False)
+        lo = np.array([bounds[s][0] for s in src], dtype=np.int64)
+        hi = np.array([bounds[s][1] for s in src], dtype=np.int64)
+        return t.filter(pa.array((n >= lo) & (n <= hi)))
+
+    return docs.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
 def q_full_outer_counts(sf_dir: str):
     """FULL OUTER join surface: per-user click counts ⟗ purchase counts —
     users exist on only one side, so both unmatched directions are
@@ -3049,6 +3076,7 @@ QUERIES = {
     "set_ops_users": q_set_ops_users,
     "full_outer_counts": q_full_outer_counts,
     "group_sample": q_group_sample,
+    "percentile_filter": q_percentile_filter,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -3201,6 +3229,18 @@ ORACLE_SQL = {
         FROM orders
         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "percentile_filter": """
+        WITH q AS (
+          SELECT source,
+                 percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars) AS lo,
+                 percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS hi
+          FROM documents GROUP BY source
+        )
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN q USING (source)
+        WHERE d.n_chars BETWEEN q.lo AND q.hi
+        ORDER BY d.doc_id
     """,
     "full_outer_counts": """
         WITH a AS (
