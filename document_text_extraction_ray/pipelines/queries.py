@@ -2939,6 +2939,36 @@ def q_set_ops_users(sf_dir: str):
                           "click", "purchase").sort("user_id")
 
 
+def q_funnel_stages(sf_dir: str):
+    """Funnel / subsequence analysis (MATCH_RECOGNIZE-lite): per user, how
+    far through view -> click -> purchase their ordered event history gets
+    (steps may have gaps — subsequence, not adjacency).  One bucketed
+    exchange builds the ordered per-user sequence (grouped_concat), then a
+    vectorized regex stage classifies — event-type tokens are not
+    substrings of each other, so 'a.*b.*c' over the joined string is
+    exactly the greedy subsequence test (mirrored by LIKE '%a%b%c%' in
+    SQL)."""
+    from ..stages.aggregate import grouped_concat
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts", "event_id"])
+    seqs = grouped_concat(ev, "user_id", "event_type",
+                          order_cols=("ts", "event_id"), sep="|")
+
+    def classify(t: pa.Table) -> pa.Table:
+        seq = t.column("seq")
+        r3 = pc.match_substring_regex(seq, "view.*click.*purchase")
+        r2 = pc.match_substring_regex(seq, "view.*click")
+        r1 = pc.match_substring(seq, "view")
+        reached = pc.add(
+            pc.add(pc.cast(r1, pa.int64()), pc.cast(r2, pa.int64())),
+            pc.cast(r3, pa.int64()),
+        )
+        return pa.table({"user_id": t.column("user_id"), "reached": reached})
+
+    return seqs.map_batches(classify, batch_format="pyarrow").sort("user_id")
+
+
 def q_percentile_filter(sf_dir: str):
     """Per-source percentile length trimming — the 'drop each domain's
     outlier-length tail' curation step: keep docs whose n_chars lies in
@@ -3077,6 +3107,7 @@ QUERIES = {
     "full_outer_counts": q_full_outer_counts,
     "group_sample": q_group_sample,
     "percentile_filter": q_percentile_filter,
+    "funnel_stages": q_funnel_stages,
     # -- oracle-backed, driver-checked green in CORRECTNESS_r02 --
     "extract_main_text": q_extract_main_text,
     "extract_titles": q_extract_titles,
@@ -3229,6 +3260,19 @@ ORACLE_SQL = {
         FROM orders
         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "funnel_stages": """
+        WITH seqs AS (
+          SELECT user_id,
+                 string_agg(event_type, '|' ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               (CASE WHEN seq LIKE '%view%' THEN 1 ELSE 0 END
+                + CASE WHEN seq LIKE '%view%click%' THEN 1 ELSE 0 END
+                + CASE WHEN seq LIKE '%view%click%purchase%' THEN 1 ELSE 0
+                  END) AS reached
+        FROM seqs ORDER BY user_id
     """,
     "percentile_filter": """
         WITH q AS (
