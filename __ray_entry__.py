@@ -7,7 +7,7 @@ calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator family
                       (SURVEY.md §2 + the training-data operators)
 - ``oracle_sql()``  — DuckDB-equivalent SQL per query where expressible
-                      (107 of 115, incl. SQL reconstructions of the
+                      (108 of 116, incl. SQL reconstructions of the
                       language-ID/quality/token/fingerprint kernels); the
                       QUERIES registry lists every oracle-backed query
                       FIRST (rows-only last) so a leading-window
