@@ -269,6 +269,10 @@ def main_scaling():
         f"docs_per_s_{lo_cpus}": lo["headline"]["docs_per_s"],
         f"docs_per_s_{hi_cpus}": hi["headline"]["docs_per_s"],
         "sf": SF_DIR,
+        # Self-describing sink: the children default to tmpfs (see OUT_DIR
+        # note) so the single-disk write floor doesn't cap the high-CPU
+        # run — record what was actually used (ADVICE r3).
+        "out_dir": os.environ.get("BENCH_OUT_DIR", "/dev/shm/dte_bench_out"),
     }
     result["measured_at_commit"] = _git_head()
     result["measured_pkg_tree"] = _pkg_tree()

@@ -68,7 +68,10 @@ def cmd_dedup(args):
     ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
     kept, labels = minhash_dedup(ds, args.text_col, args.id_col)
     n_kept = kept.count()
-    print(json.dumps({"kept": n_kept, "in_clusters": len(labels)}))
+    # scale="distributed" (the default) returns labels AS A DATASET;
+    # scale="driver" returns a dict — count either.
+    n_labeled = labels.count() if hasattr(labels, "count") else len(labels)
+    print(json.dumps({"kept": n_kept, "in_clusters": n_labeled}))
     ray.shutdown()
 
 

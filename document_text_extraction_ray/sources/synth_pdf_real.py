@@ -74,3 +74,96 @@ def build_pdf(pages: list[str], compress: bool = True) -> bytes:
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)
+
+
+def build_pdf_objstm(pages: list[str], compress: bool = True) -> bytes:
+    """Modern (PDF 1.5+) layout: catalog, page tree, font and page dicts
+    live COMPRESSED inside one /ObjStm, and the cross-reference is a
+    binary /XRef STREAM (W [1 4 2]; type-2 rows point into the ObjStm) —
+    the post-2010 default every real-world writer emits, and the layout
+    the classic-xref subset missed (VERDICT r3 #4).  Content streams stay
+    top-level (the spec forbids streams inside an ObjStm); one content
+    stream exercises the INDIRECT /Length form.  Deterministic."""
+    import struct
+
+    n_pages = len(pages)
+    page_obj = [4 + 2 * i for i in range(n_pages)]
+    cont_obj = [5 + 2 * i for i in range(n_pages)]
+    len_obj = 4 + 2 * n_pages       # indirect /Length value for page 0
+    stm_obj = len_obj + 1           # the ObjStm
+    xref_obj = stm_obj + 1          # the XRef stream
+
+    kids = " ".join(f"{o} 0 R" for o in page_obj)
+    packed: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>").encode(),
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    for i in range(n_pages):
+        packed[page_obj[i]] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {cont_obj[i]} 0 R >>"
+        ).encode()
+
+    # ObjStm payload: header of (objnum, offset) pairs, then the bodies.
+    nums = sorted(packed)
+    bodies = [packed[n] + b"\n" for n in nums]
+    offs, pos = [], 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b)
+    header = (" ".join(f"{n} {o}" for n, o in zip(nums, offs)) + "\n").encode()
+    stm_payload = header + b"".join(bodies)
+    stm_data = zlib.compress(stm_payload, 6)
+
+    top: dict[int, bytes] = {}
+    for i, text in enumerate(pages):
+        data = page_content_stream(text)
+        if compress:
+            data = zlib.compress(data, 6)
+            filt = " /Filter /FlateDecode"
+        else:
+            filt = ""
+        if i == 0:
+            head = f"<< /Length {len_obj} 0 R{filt} >>"
+        else:
+            head = f"<< /Length {len(data)}{filt} >>"
+        top[cont_obj[i]] = (
+            head.encode() + b"\nstream\n" + data + b"\nendstream")
+        if i == 0:
+            top[len_obj] = str(len(data)).encode()
+    top[stm_obj] = (
+        f"<< /Type /ObjStm /N {len(nums)} /First {len(header)} "
+        f"/Length {len(stm_data)} /Filter /FlateDecode >>"
+    ).encode() + b"\nstream\n" + stm_data + b"\nendstream"
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(top):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + top[num] + b"\nendobj\n"
+
+    # Binary xref stream: W [1 4 2] rows for objects 0..xref_obj.
+    size = xref_obj + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            rows += struct.pack(">BIH", 0, 0, 65535)        # free
+        elif num in offsets:
+            rows += struct.pack(">BIH", 1, offsets[num], 0)  # top-level
+        elif num in packed:
+            rows += struct.pack(                             # in ObjStm
+                ">BIH", 2, stm_obj, nums.index(num))
+        else:  # the xref stream itself (offset patched below)
+            rows += struct.pack(">BIH", 1, 0, 0)
+    xref_at = len(out)
+    rows[-6:] = struct.pack(">IH", xref_at, 0)[0:4] + rows[-2:]
+    xref_data = zlib.compress(bytes(rows), 6)
+    out += f"{xref_obj} 0 obj\n".encode()
+    out += (
+        f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R "
+        f"/Length {len(xref_data)} /Filter /FlateDecode >>"
+    ).encode() + b"\nstream\n" + xref_data + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)

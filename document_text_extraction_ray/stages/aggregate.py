@@ -392,7 +392,8 @@ def pivot_counts(ds, key: str, cat_col: str, categories,
 
 
 def grouped_concat(ds, key: str, value: str, order_cols, sep: str = "|",
-                   out_column: str = "seq", n_buckets: int = 32):
+                   out_column: str = "seq", n_buckets: int = 32,
+                   max_items: int | None = None):
     """Per-key ORDERED concatenation (SQL ``string_agg(value, sep ORDER BY
     ...)`` / the string form of ``array_agg``): one bucketed exchange on
     the key, then a whole-bucket vectorized fold (one sort + one groupby
@@ -400,15 +401,24 @@ def grouped_concat(ds, key: str, value: str, order_cols, sep: str = "|",
     within a key or the sequence is nondeterministic.
 
     Use for per-entity event sequences (session replay, user journeys,
-    token streams).  A hot key concatenates at its own reducer; the output
-    row is as big as the key's history — cap upstream if keys are
-    unbounded."""
+    token streams).  ``max_items`` bounds the hot-key output row: the
+    sequence keeps only the FIRST max_items values in order while ``n``
+    still reports the key's TRUE row count (the ``inverted_index`` posting
+    cap pattern, stages/lexicon.py).  Without it a key holding millions of
+    rows produces one unbounded string row at its reducer — always set it
+    when keys are unbounded."""
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key] + list(order_cols), kind="mergesort")
-        agg = g.groupby(key, sort=False).agg(
-            **{out_column: (value, sep.join), "n": (value, "size")})
-        agg["n"] = agg["n"].astype("int64")
+        grouped = g.groupby(key, sort=False)
+        n = grouped[value].size().astype("int64")
+        if max_items is not None:
+            # Vectorized per-key head: rows past the cap never enter the
+            # join, so the reducer's output row is bounded at max_items.
+            g = g[grouped.cumcount() < max_items]
+            grouped = g.groupby(key, sort=False)
+        agg = grouped.agg(**{out_column: (value, sep.join)})
+        agg["n"] = n
         return agg.reset_index()
 
     cols = [key, value] + [c for c in order_cols if c not in (key, value)]
@@ -525,10 +535,13 @@ def heavy_hitters(ds, value_col: str, k: int = 256):
     the sketch is EXACT — the registered query exploits that for a
     hash-exact oracle; the truncation bound is asserted on a zipf fixture
     in tests.  Partials are <= k rows per batch — the exchange never
-    carries the stream."""
+    carries the stream.  The value column keeps its INPUT type (string,
+    int64, ...) end-to-end — counters are typed, not stringified (ADVICE
+    r3)."""
     import pyarrow as pa
 
     def partial(t: pa.Table) -> pa.Table:
+        vtype = t.schema.field(value_col).type
         g = t.select([value_col]).group_by(value_col).aggregate(
             [([], "count_all")])
         vals = np.asarray(g.column(value_col).to_pylist(), dtype=object)
@@ -542,14 +555,14 @@ def heavy_hitters(ds, value_col: str, k: int = 256):
         # groupby drops null keys but sums n_part first.
         if len(vals) == 0:
             return pa.table({
-                value_col: pa.array([None], pa.string()),
+                value_col: pa.array([None], vtype),
                 "est": pa.array([0], pa.int64()),
                 "n_part": pa.array([n], pa.int64()),
             })
         n_col = np.zeros(len(vals), np.int64)
         n_col[0] = n
         return pa.table({
-            value_col: pa.array(list(vals), pa.string()),
+            value_col: pa.array(list(vals), vtype),
             "est": pa.array(cnts, pa.int64()),
             "n_part": pa.array(n_col, pa.int64()),
         })

@@ -552,7 +552,7 @@ def minhash_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     est_threshold: float = 0.5,
-    scale: str = "driver",
+    scale: str = "distributed",
 ):
     """shingle -> minhash -> band -> bucket groupby -> candidate pairs.
 
@@ -562,17 +562,19 @@ def minhash_candidates(
 
     ``scale`` picks the physical plan for the two candidate tails (same
     output, equivalence-tested):
-      * ``"driver"`` — the duplicated band keys are collected and broadcast
-        (vectorized searchsorted membership), and the pair set is deduped
-        with a driver pandas pass.  Fastest when near-dups are a small
-        fraction of the corpus (avoids two extra shuffle executions, ~1s
-        fixed each in Ray Data).
-      * ``"distributed"`` — the multi-member band keys stay a Dataset and
-        filter the sketch rows via one distributed semi-join; the pair set
-        is deduped by a (id_a, id_b) groupby.  Default-safe at unbounded
+      * ``"distributed"`` (DEFAULT — the scale-safe plan you get without
+        reading this docstring): the multi-member band keys stay a Dataset
+        and filter the sketch rows via one distributed semi-join; the pair
+        set is deduped by a (id_a, id_b) groupby.  Safe at unbounded
         duplicate volumes (CC-scale near-dedup removes a double-digit
-        corpus fraction, so the driver tails above would hold billions of
-        keys/pairs — VERDICT r2 weak #2)."""
+        corpus fraction, so the driver tails below would hold billions of
+        keys/pairs — VERDICT r2 weak #2).
+      * ``"driver"`` — opt-in fast path for BOUNDED corpora: the duplicated
+        band keys are collected and broadcast (vectorized searchsorted
+        membership), and the pair set is deduped with a driver pandas
+        pass.  Fastest when near-dups are a small fraction of the corpus
+        (avoids two extra shuffle executions, ~1s fixed each in Ray
+        Data)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         band_keys, ids, sigs = [], [], []
@@ -747,19 +749,19 @@ def minhash_dedup(
     shingle_k: int = 5,
     est_threshold: float = 0.5,
     labeling: str | None = None,
-    scale: str = "driver",
+    scale: str = "distributed",
 ):
     """Full near-dedup: returns ``(kept, labels)``.
 
     ``scale`` selects the whole physical plan end-to-end (equivalence-tested
     kept-set):
-      * ``"driver"`` (default for bounded corpora): union-find over the
-        collected pair set (pairs are near-duplicates only, orders of
+      * ``"driver"`` (opt-in fast path for bounded corpora): union-find over
+        the collected pair set (pairs are near-duplicates only, orders of
         magnitude smaller than the corpus), removed ids broadcast, ``labels``
         is a plain dict {id: cluster_min_id}.  Every driver structure is
         bounded by the DUPLICATE count — fine until near-dups are a large
         corpus fraction.
-      * ``"distributed"`` (the 100-TB plan): candidate tails dataset-native
+      * ``"distributed"`` (DEFAULT, the 100-TB plan): candidate tails dataset-native
         (``minhash_candidates(scale="distributed")``), min-label propagation
         via dataset joins (``cluster_pairs_distributed``), and survivor
         filtering via ONE distributed anti-join against the removed-id table
@@ -795,7 +797,8 @@ def minhash_dedup(
         return anti_join(ds, removed, on=id_column), labels_ds
 
     pairs_ds = minhash_candidates(
-        ds, text_column, id_column, num_perm, bands, shingle_k, est_threshold
+        ds, text_column, id_column, num_perm, bands, shingle_k, est_threshold,
+        scale="driver",
     )
     if labeling == "distributed":
         label_rows = cluster_pairs_distributed(pairs_ds).take_all()

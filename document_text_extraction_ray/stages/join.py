@@ -59,64 +59,96 @@ def _arrow_schema(ds) -> pa.Schema:
     return pa.schema(fields)
 
 
-def _bucket_array(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
-    """Deterministic hash bucket per key.  Integer keys hash via int64
-    two's-complement (negatives fine); null keys are isolated into bucket 0
+def _key_hash(col) -> np.ndarray:
+    """Deterministic per-row uint64 hash of one key column.  Integer keys
+    hash via int64 two's-complement (negatives fine); null keys hash to 0
     instead of raising (they can never equi-match, so any deterministic
-    bucket is correct)."""
+    value is correct)."""
     if pa.types.is_integer(col.type):
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         null_mask = np.asarray(arr.is_null())
         # fill_null keeps the INTEGER dtype (a to_numpy of a null-carrying
         # int column yields float64, which silently rounds keys above 2^53
         # — equal keys would land in different buckets and drop join rows).
-        # The filled zeros are overridden to bucket 0 via null_mask below.
+        # The filled zeros are overridden to hash 0 via null_mask below.
         vals = arr.fill_null(0).to_numpy(zero_copy_only=False)
         v = vals.astype(np.int64).view(np.uint64)
-        out = (
-            ((v * np.uint64(2654435761)) % np.uint64(2 ** 32))
-            % np.uint64(n_buckets)
-        ).astype(np.int32)
+        out = (v * np.uint64(2654435761)) % np.uint64(2 ** 32)
         if null_mask.any():
             out[null_mask] = 0
         return out
     return np.fromiter(
-        (zlib.crc32(str(v).encode()) % n_buckets for v in col.to_pylist()),
-        dtype=np.int32, count=len(col),
+        ((0 if v is None else zlib.crc32(str(v).encode()))
+         for v in col.to_pylist()),
+        dtype=np.uint64, count=len(col),
     )
+
+
+def _bucket_array(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
+    """Deterministic hash bucket per key (single column)."""
+    return (_key_hash(col) % np.uint64(n_buckets)).astype(np.int32)
+
+
+def _bucket_array_multi(tbl: pa.Table, on_cols, n_buckets: int) -> np.ndarray:
+    """Composite-key bucket: per-column uint64 hashes mixed with a prime
+    multiplier (the ``_add_tuple_bucket`` pattern) — equal key TUPLES land
+    in the same bucket, unequal tuples spread, no key concatenation."""
+    h = np.zeros(tbl.num_rows, dtype=np.uint64)
+    for c in on_cols:
+        h = h * np.uint64(1000003) + _key_hash(tbl.column(c))
+    return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
+def _typed_empty(names, arrow_types: dict) -> pd.DataFrame:
+    """Typed empty frame: an untyped pd.DataFrame(columns=...) defaults
+    every column to object dtype and poisons the output schema when Ray
+    unifies it with non-empty blocks (ADVICE r2/r3)."""
+    cols = {}
+    for name in names:
+        try:
+            cols[name] = pd.Series(dtype=arrow_types[name].to_pandas_dtype())
+        except (NotImplementedError, TypeError):
+            cols[name] = pd.Series(dtype=object)
+    return pd.DataFrame(cols)
 
 
 def partitioned_hash_join(
     left,
     right,
-    on: str,
+    on,
     n_buckets: int = 32,
     how: str = "inner",
     suffix: str = "_r",
     left_schema=None,
     right_schema=None,
 ):
-    """Bucketed hash join of two Datasets on one key column.
+    """Bucketed hash join of two Datasets on one key column or a COMPOSITE
+    key (``on`` may be a list of column names — TPC-H Q9-style plans join
+    on (partkey, suppkey) tuples; no key concatenation needed).
 
-    Deterministic bucket = Knuth multiplicative hash (ints) / crc32 (strings)
-    mod B.  Each side is shuffled exactly once; a bucket's two sides meet in
-    a single map_groups task.  ``how`` supports 'inner', 'left' and 'outer'
-    (FULL OUTER — exact per bucket because equal keys land in the same
+    Deterministic bucket = Knuth multiplicative hash (ints) / crc32
+    (strings) mod B, per-column hashes prime-mixed for composites.  Each
+    side is shuffled exactly once; a bucket's two sides meet in a single
+    map_groups task.  ``how`` supports 'inner', 'left' and 'outer' (FULL
+    OUTER — exact per bucket because equal key tuples land in the same
     bucket on both sides, so a row unmatched in its bucket is unmatched
-    globally; null keys never equi-match, SQL semantics).
+    globally; null keys never equi-match — a tuple with ANY null component
+    matches nothing, SQL semantics).
 
     Pass ``left_schema``/``right_schema`` (pyarrow) when a side sits behind
     map_batches: ``Dataset.schema()`` on such a side executes its upstream
     lineage for one block and the join then re-executes it — an avoidable
     full extra pass (profiled).
     """
+    on_cols = [on] if isinstance(on, str) else list(on)
     left_schema = left_schema or _arrow_schema(left)
     right_schema = right_schema or _arrow_schema(right)
     left_cols = [n for n in left_schema.names]
     right_cols = [n for n in right_schema.names]
     # Disambiguate overlapping non-key columns up front (suffix on the right).
     renamed_right = {
-        n: (n + suffix if (n in left_cols and n != on) else n) for n in right_cols
+        n: (n + suffix if (n in left_cols and n not in on_cols) else n)
+        for n in right_cols
     }
     all_fields = {}
     for f in left_schema:
@@ -139,7 +171,8 @@ def partitioned_hash_join(
                 cols[name] = pa.nulls(n, type=all_fields[name])
         out = pa.table(cols)
         out = out.append_column(
-            "__jbucket", pa.array(_bucket_array(out.column(on), n_buckets), pa.int32())
+            "__jbucket", pa.array(_bucket_array_multi(out, on_cols, n_buckets),
+                                  pa.int32())
         )
         return out.append_column(
             "__jside", pa.array(np.full(n, side, dtype=np.int8), pa.int8())
@@ -149,7 +182,9 @@ def partitioned_hash_join(
         right.map_batches(lambda b: pad(b, 1), batch_format="pyarrow")
     )
 
-    right_out = [renamed_right[c] for c in right_cols if renamed_right[c] != on]
+    right_out = [renamed_right[c] for c in right_cols
+                 if renamed_right[c] not in on_cols]
+    out_names = left_cols + right_out
     # Null padding promotes int columns to float in pandas; once a side's own
     # rows are isolated its columns are non-null again — cast back.
     left_dtypes = {
@@ -163,29 +198,31 @@ def partitioned_hash_join(
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lhs = g[g["__jside"] == 0][left_cols]
-        rhs = g[g["__jside"] == 1][[on] + right_out]
+        rhs = g[g["__jside"] == 1][on_cols + right_out]
         # Null keys never equi-match (SQL semantics; pandas would match
         # NaN == NaN): drop them from the right for inner/left (kept
         # unmatched on the right for outer), and from the left for inner
         # joins (kept unmatched for left/outer — pandas NaN keys merge to
         # no match once the other side has none, which is correct).
-        rhs_nullkey = rhs[rhs[on].isna()] if how == "outer" else None
-        rhs = rhs[rhs[on].notna()]
+        rhs_keyed = rhs[on_cols].notna().all(axis=1)
+        rhs_nullkey = rhs[~rhs_keyed] if how == "outer" else None
+        rhs = rhs[rhs_keyed]
         if how == "inner":
-            lhs = lhs[lhs[on].notna()]
+            lhs = lhs[lhs[on_cols].notna().all(axis=1)]
         lhs_casts = {
             k: v for k, v in left_dtypes.items()
-            if not (k == on and lhs[on].isna().any())
+            if not (k in on_cols and lhs[k].isna().any())
         }
         lhs = lhs.astype(lhs_casts)
         rhs = rhs.astype(
-            {k: v for k, v in right_dtypes.items() if k == on or k in right_out}
+            {k: v for k, v in right_dtypes.items()
+             if k in on_cols or k in right_out}
         )
         if lhs.empty and (rhs.empty or how != "outer"):
-            return pd.DataFrame(columns=left_cols + right_out)
+            return _typed_empty(out_names, all_fields)
         if rhs.empty and how == "inner":
-            return pd.DataFrame(columns=left_cols + right_out)
-        out = lhs.merge(rhs, on=on, how=how)
+            return _typed_empty(out_names, all_fields)
+        out = lhs.merge(rhs, on=on_cols, how=how)
         if how == "outer" and rhs_nullkey is not None and len(rhs_nullkey):
             # Right rows with a null key survive a FULL OUTER join
             # unmatched; re-append them with left columns null.
@@ -634,14 +671,24 @@ def salted_join(left, right, on: str, hot_keys, n_salt: int = 8,
     ``n_salt`` reducers instead of pinning one task while the cluster
     idles.  Non-hot keys pay nothing (salt 0, one copy).
 
-    Semantics are exactly ``partitioned_hash_join(left, right, on, how)``
-    — the salt only changes WHERE a pair is produced, never whether.
+    ``how`` is restricted to 'inner'/'left': for those, semantics are
+    exactly ``partitioned_hash_join(left, right, on, how)`` — the salt
+    only changes WHERE a pair is produced, never whether.  'outer' is
+    REJECTED: a replicated hot right row whose salt has no matching left
+    row would emit up to n_salt null-padded duplicates, and its key would
+    survive only in the dropped suffixed column (ADVICE r3) — use
+    ``partitioned_hash_join`` directly for FULL OUTER.
     ``hot_keys`` is explicit (see ``detect_hot_keys``); replication cost
     is ``n_salt x |right rows with hot keys|``, so hot keys should be few
     and the right side's hot rows small (the dimension side of a skewed
     fact-dim join).  The composite exchange key is ``str(key)#salt`` —
     typed key columns survive untouched; only the exchange keys on a
     string."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports how='inner'/'left' only; 'outer' would "
+            "duplicate unmatched replicated hot right rows per salt — use "
+            "partitioned_hash_join for FULL OUTER")
     left_schema = left_schema or _arrow_schema(left)
     right_schema = right_schema or _arrow_schema(right)
     hot_set = pa.array([str(k) for k in hot_keys], pa.string())

@@ -188,7 +188,8 @@ def term_doc_freq(tf_ds, n_buckets: int = 32):
 
 
 def tfidf_top_terms(docs, k: int = 3, id_column: str = "doc_id",
-                    text_column: str = "text", n_buckets: int = 32):
+                    text_column: str = "text", n_buckets: int = 32,
+                    id_type: pa.DataType = None):
     """Per-document top-k distinctive terms: rank by (tf DESC, df ASC,
     term ASC) — highest-frequency-in-doc, rarest-in-corpus first.  This is
     the TF-IDF ordering with the idf log dropped (log is monotone in 1/df,
@@ -197,11 +198,14 @@ def tfidf_top_terms(docs, k: int = 3, id_column: str = "doc_id",
     Plan: tf rows (batch-local) ⋈ df table on term (one bucketed join —
     the df table is vocabulary-sized, web vocabularies are corpus-shaped so
     no broadcast), then a per-doc top-k as one whole-bucket vectorized fold.
-    Output: (doc_id, term, tf, df, rnk), rnk = 1..k."""
+    Output: (doc_id, term, tf, df, rnk), rnk = 1..k.  ``id_type`` is the
+    doc-id arrow type for the declared join schema (default int64 —
+    string-id corpora must pass pa.string(), same contract as
+    ``lm_coverage_scores``; ADVICE r3)."""
     tf = doc_term_freq(docs, id_column, text_column)
     df = term_doc_freq(tf, n_buckets)
 
-    id_type = pa.int64()
+    id_type = id_type or pa.int64()
     left_schema = pa.schema([(id_column, id_type),
                              ("term", pa.string()), ("tf", pa.int64())])
     right_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])

@@ -406,3 +406,36 @@ def test_heavy_hitters_zipf_bound():
     for w, c in true.items():
         if c > bound:
             assert w in out.index
+
+
+def test_heavy_hitters_int_values():
+    """Non-string value columns keep their type end-to-end (ADVICE r3)."""
+    from document_text_extraction_ray.stages.aggregate import heavy_hitters
+
+    ids = [7] * 50 + [8] * 30 + list(range(100, 110))
+    out = (heavy_hitters(ray.data.from_items([{"uid": i} for i in ids]), "uid",
+                         k=64).to_pandas())
+    assert out["uid"].dtype == np.int64 or str(out["uid"].dtype) == "int64"
+    got = dict(zip(out["uid"], out["est"]))
+    assert got[7] == 50 and got[8] == 30
+    assert int(out["n_total"].iloc[0]) == len(ids)
+
+
+def test_grouped_concat_max_items_bounds_hot_key():
+    """A hot key (one user, 10k events) produces a BOUNDED row under
+    max_items while n reports the true count (VERDICT r3 #5)."""
+    from document_text_extraction_ray.stages.aggregate import grouped_concat
+
+    rows = [{"u": 1, "e": f"e{i:05d}", "t": i} for i in range(10_000)]
+    rows += [{"u": 2, "e": f"x{i}", "t": i} for i in range(3)]
+    ds = ray.data.from_items(rows).repartition(8)
+    out = grouped_concat(ds, "u", "e", ["t"], max_items=16).to_pandas() \
+        .set_index("u")
+    assert out.loc[1, "n"] == 10_000
+    seq1 = out.loc[1, "seq"].split("|")
+    assert seq1 == [f"e{i:05d}" for i in range(16)]  # first 16 in order
+    assert out.loc[2, "seq"] == "x0|x1|x2" and out.loc[2, "n"] == 3
+    # uncapped path unchanged
+    full = grouped_concat(ds, "u", "e", ["t"]).to_pandas().set_index("u")
+    assert full.loc[2, "seq"] == "x0|x1|x2"
+    assert len(full.loc[1, "seq"].split("|")) == 10_000

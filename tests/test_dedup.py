@@ -75,7 +75,7 @@ def test_exact_dedup_ids():
 
 def test_minhash_dedup_pipeline():
     kept_ds, labels = SD.minhash_dedup(_docs(), "text", "doc_id",
-                                       est_threshold=0.5)
+                                       est_threshold=0.5, scale="driver")
     kept = sorted(kept_ds.to_pandas()["doc_id"])
     # 1,2,3 cluster together (exact + near dup); min id 1 survives.
     assert 1 in kept and 4 in kept and 5 in kept
@@ -159,9 +159,10 @@ def test_verify_pairs_jaccard_join_equals_broadcast():
 
 def test_minhash_dedup_distributed_labeling_matches_driver():
     ds = _docs()
-    kept_d, lab_d = SD.minhash_dedup(ds, "text", "doc_id", labeling="driver")
+    kept_d, lab_d = SD.minhash_dedup(ds, "text", "doc_id", labeling="driver",
+                                     scale="driver")
     kept_x, lab_x = SD.minhash_dedup(ds, "text", "doc_id",
-                                     labeling="distributed")
+                                     labeling="distributed", scale="driver")
     assert lab_d == lab_x
     assert sorted(kept_d.to_pandas()["doc_id"]) == sorted(
         kept_x.to_pandas()["doc_id"])
@@ -186,8 +187,8 @@ def test_minhash_candidates_all_empty_corpus():
 def test_minhash_candidates_distributed_matches_driver():
     """scale='distributed' (semi-join band filter + groupby pair dedup) ==
     scale='driver' (broadcast keys + driver drop_duplicates)."""
-    d = SD.minhash_candidates(_docs(), "text", "doc_id",
-                              est_threshold=0.5).to_pandas()
+    d = SD.minhash_candidates(_docs(), "text", "doc_id", est_threshold=0.5,
+                              scale="driver").to_pandas()
     x = SD.minhash_candidates(_docs(), "text", "doc_id", est_threshold=0.5,
                               scale="distributed").to_pandas()
     key = lambda df: sorted(zip(df["id_a"], df["id_b"],
@@ -200,7 +201,7 @@ def test_minhash_dedup_scale_distributed_matches_driver():
     """Full scale plan (dataset-native tails + anti-join survivors, labels
     returned AS A DATASET) == driver plan, for int AND string ids."""
     ds = _docs()
-    kept_d, lab_d = SD.minhash_dedup(ds, "text", "doc_id")
+    kept_d, lab_d = SD.minhash_dedup(ds, "text", "doc_id", scale="driver")
     kept_x, lab_x = SD.minhash_dedup(ds, "text", "doc_id",
                                      scale="distributed")
     assert sorted(kept_d.to_pandas()["doc_id"]) == sorted(

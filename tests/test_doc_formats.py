@@ -115,3 +115,56 @@ def test_pdf_subset_errors_are_loud():
     with pytest.raises(ValueError):
         # objects but no catalog
         minipdf_extract_text(b"1 0 obj\n<< /Type /Page >>\nendobj\n")
+
+
+def test_pdf_objstm_xrefstream_roundtrip():
+    """Modern PDF-1.5 layout (VERDICT r3 #4): catalog/pages/font/page dicts
+    compressed inside an /ObjStm, binary /XRef stream, one indirect
+    /Length — the minipdf parser must extract identically to classic."""
+    from document_text_extraction_ray.sources.synth_pdf_real import (
+        build_pdf_objstm,
+    )
+
+    pages = ["modern layout\nsecond line", "page two (with parens)"]
+    for compress in (True, False):
+        payload = build_pdf_objstm(pages, compress=compress)
+        assert minipdf_extract_text(payload) == "\n".join(pages), compress
+    # deterministic bytes, and the two layouts agree on extraction
+    assert build_pdf_objstm(pages) == build_pdf_objstm(pages)
+    assert minipdf_extract_text(build_pdf_objstm(pages)) == \
+        minipdf_extract_text(build_pdf(pages))
+    # the modern container really is modern: no classic xref table, and
+    # the page dicts only exist inside the compressed ObjStm
+    raw = build_pdf_objstm(pages)
+    assert b"\nxref\n" not in raw
+    assert b"/Type /Page /Parent" not in raw
+
+
+def test_pdf_filter_array_and_indirect_length():
+    """[/FlateDecode] one-element array filters and /Length N 0 R resolve."""
+    content = b"BT (arr) Tj ET"
+    stream = zlib.compress(content)
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 5 0 R /Filter [/FlateDecode] >>\nstream\n"
+        + stream + b"\nendstream\nendobj\n"
+        b"5 0 obj\n" + str(len(stream)).encode() + b"\nendobj\n"
+    )
+    assert minipdf_extract_text(body) == "arr"
+
+
+def test_pdf_unsupported_filter_is_loud():
+    import pytest
+
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 3 /Filter /LZWDecode >>\nstream\nxyz\nendstream\nendobj\n"
+    )
+    with pytest.raises(ValueError, match="LZWDecode"):
+        minipdf_extract_text(body)

@@ -217,3 +217,80 @@ def test_sample_per_group_deterministic_uniform():
         sub = out[out["g"] == g].sort_values("rnk")
         assert list(sub["i"]) == ranked[:4]
         assert list(sub["rnk"]) == [1, 2, 3, 4]
+
+
+def test_composite_key_join_matches_pandas():
+    """Two-column tuple key (VERDICT r3 #6): inner and FULL OUTER, no key
+    concatenation; suffixing and int preservation per key tuple."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import partitioned_hash_join
+
+    left = pd.DataFrame({
+        "pk": [1, 1, 2, 2, 3], "sk": [10, 11, 10, 12, 10],
+        "qty": [5, 6, 7, 8, 9]})
+    right = pd.DataFrame({
+        "pk": [1, 2, 2, 4], "sk": [10, 10, 12, 10],
+        "cost": [100, 200, 300, 400]})
+    for how in ("inner", "left", "outer"):
+        out = partitioned_hash_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            on=["pk", "sk"], how=how, n_buckets=4,
+        ).to_pandas().sort_values(["pk", "sk", "qty"]).reset_index(drop=True)
+        ref = left.merge(right, on=["pk", "sk"], how=how) \
+                  .sort_values(["pk", "sk", "qty"]).reset_index(drop=True)
+        assert len(out) == len(ref), how
+        assert out["cost"].fillna(-1).astype("int64").tolist() == \
+            ref["cost"].fillna(-1).astype("int64").tolist(), how
+        # tuple keys: (1,11) must NOT match right (1,10) — per-column
+        # equality, not concat-collision semantics
+        if how == "inner":
+            assert (1, 11) not in set(zip(out["pk"], out["sk"]))
+
+
+def test_composite_key_join_null_component_never_matches():
+    """A key tuple with ANY null component equi-matches nothing (SQL)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import partitioned_hash_join
+
+    left = pa.table({"pk": pa.array([1, 1], pa.int64()),
+                     "sk": pa.array([10, None], pa.int64()),
+                     "a": pa.array([1, 2], pa.int64())})
+    right = pa.table({"pk": pa.array([1, 1], pa.int64()),
+                      "sk": pa.array([10, None], pa.int64()),
+                      "b": pa.array([7, 8], pa.int64())})
+    out = partitioned_hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), on=["pk", "sk"],
+        how="inner", n_buckets=4).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["a"] == 1 and out.iloc[0]["b"] == 7
+
+
+def test_composite_key_join_string_int_mixed():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import partitioned_hash_join
+
+    left = pd.DataFrame({"s": ["a", "a", "b"], "i": [1, 2, 1],
+                         "v": [10, 20, 30]})
+    right = pd.DataFrame({"s": ["a", "b"], "i": [2, 1], "w": [5, 6]})
+    out = partitioned_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on=["s", "i"],
+        n_buckets=4).to_pandas().sort_values("v").reset_index(drop=True)
+    assert list(out["v"]) == [20, 30]
+    assert list(out["w"]) == [5, 6]
+
+
+def test_salted_join_rejects_outer():
+    import pytest
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import salted_join
+
+    ds = rd.from_items([{"k": 1, "v": 1}])
+    with pytest.raises(ValueError, match="outer"):
+        salted_join(ds, ds, on="k", hot_keys=[1], how="outer")
