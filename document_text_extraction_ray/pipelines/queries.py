@@ -2859,6 +2859,69 @@ def q_salted_join(sf_dir: str):
               .sort("event_id")
 
 
+def q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE(status, priority) revenue — the full grouping lattice
+    (finest + each single key + grand total): one distributed finest-level
+    pre-aggregation, all 2^k levels folded from the group-count-sized
+    result.  'ALL' labels (GROUPING()-mirrored in SQL) keep the hash
+    NULL-encoding-independent."""
+    from ..stages.aggregate import cube_sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    ).map_batches(
+        lambda t: _scale_int(
+            t.rename_columns(
+                ["o_orderstatus", "o_orderpriority", "cents"]),
+            {"cents": 100},
+        ),
+        batch_format="pyarrow",
+    )
+    out = cube_sum(ds, ["o_orderstatus", "o_orderpriority"], "cents")
+    return out.sort_by([("o_orderstatus", "ascending"),
+                        ("o_orderpriority", "ascending")])
+
+
+def q_term_cooccurrence(sf_dir: str):
+    """Corpus-wide term co-occurrence counts (the PMI / word-association
+    statistic): per doc the first 20 DISTINCT terms alphabetically generate
+    unordered pairs, counted corpus-wide, count >= 2 survives.  Per-batch
+    Counter partial + ONE bucketed tuple combine — the pair vocabulary is
+    corpus-shaped and never broadcast.  Integer counts, hash-exact."""
+    from ..stages.lexicon import term_cooccurrence
+
+    return term_cooccurrence(_docs(sf_dir, ["doc_id", "text"]),
+                             top_m=20, min_count=2).sort(["a", "b"])
+
+
+def q_edit_distance_join(sf_dir: str):
+    """String-similarity self-join (fuzzy join): all document pairs whose
+    short derived key (source + 2-digit length bucket) is within Levenshtein
+    distance 1 — the edit-distance dedup family MinHash can't express
+    (shingles miss single-char edits on short keys).  Plan: deletion-
+    neighborhood blocking (SymSpell scheme, provably complete at d=1), ONE
+    bucketed exchange on the variant hash, per-group banded-DP verify
+    (hash collisions die here), pair-dedup groupby.  Oracle: DuckDB
+    levenshtein() over the replayed key, exact."""
+    from ..stages.dedup import edit_distance_join
+
+    docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def mk_key(t: pa.Table) -> pa.Table:
+        mod = (t.column("n_chars").to_numpy(zero_copy_only=False)
+               % 100).astype("int64")
+        s = pc.binary_join_element_wise(
+            t.column("source"),
+            pc.utf8_lpad(pc.cast(pa.array(mod), pa.string()), 2, "0"),
+            "_")
+        return pa.table({"doc_id": t.column("doc_id"), "s": s})
+
+    keyed = docs.map_batches(mk_key, batch_format="pyarrow")
+    return edit_distance_join(keyed, "s", "doc_id", max_dist=1) \
+        .sort(["id_a", "id_b"])
+
+
 def q_composite_key_join(sf_dir: str):
     """COMPOSITE-key (two-column) distributed hash join — the TPC-H Q9
     shape's (partkey, suppkey) tuple join, no key concatenation (VERDICT
@@ -3156,6 +3219,9 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     # -- (b) NEW in round 4 --
     "composite_key_join": q_composite_key_join,
+    "edit_distance_join": q_edit_distance_join,
+    "term_cooccurrence": q_term_cooccurrence,
+    "cube_orders": q_cube_orders,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -5011,6 +5077,47 @@ ORACLE_SQL["salted_join"] = """
     SELECT e.event_id, e.hot_uid, d.label
     FROM e JOIN d USING (hot_uid)
     ORDER BY e.event_id
+"""
+
+ORACLE_SQL["cube_orders"] = """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus, o_orderpriority
+"""
+
+ORACLE_SQL["term_cooccurrence"] = """
+    WITH toks AS (
+      SELECT list_sort(list_distinct(
+                 regexp_extract_all(lower(text), '[a-z0-9]+'))) AS ts
+      FROM documents
+    ), capped AS (
+      SELECT ts[1:20] AS ts FROM toks
+    ), idx AS (
+      SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM capped
+    ), p AS (
+      SELECT ts[i] AS a, unnest(ts[i + 1:]) AS b FROM idx
+    )
+    SELECT a, b, COUNT(*) AS n FROM p GROUP BY a, b
+    HAVING COUNT(*) >= 2 ORDER BY a, b
+"""
+
+ORACLE_SQL["edit_distance_join"] = """
+    WITH k AS (
+      SELECT doc_id,
+             source || '_' || lpad(CAST(n_chars % 100 AS VARCHAR), 2, '0')
+                 AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM k a JOIN k b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.s, b.s) <= 1
+    ORDER BY id_a, id_b
 """
 
 ORACLE_SQL["composite_key_join"] = """

@@ -679,3 +679,57 @@ def set_membership(ds, key: str, flag_col: str, a_value, b_value,
     partials = ds.select_columns([key, flag_col]).map_batches(
         partial, batch_format="pyarrow")
     return bucketed_combine(partials, key, combine, n_buckets)
+
+
+def cube_sum(ds, keys, value: str, all_label: str = "ALL"):
+    """``GROUP BY CUBE(keys...)`` over an integer value column: every
+    subset of the keys gets a grouping level.  Same physical shape as
+    ``rollup_sum`` — ONE distributed pre-aggregated pass at the finest
+    level, then all 2^k - 1 coarser levels fold locally from the
+    group-count-sized finest table (never from the fact rows; k is 2-3 in
+    practice).  Rolled-up slots carry ``all_label``, not NULL, so the
+    output hashes identically across engines."""
+    from itertools import combinations
+
+    import pyarrow as pa
+
+    keys = list(keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(keys + [value]).group_by(keys).aggregate(
+            [(value, "sum"), (value, "count")])
+        cols = {k: g.column(k) for k in keys}
+        cols["psum"] = g.column(f"{value}_sum")
+        cols["pn"] = g.column(f"{value}_count")
+        return pa.table(cols)
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .sum(["psum", "pn"])
+        .to_pandas()
+    )
+    finest = finest.rename(columns={"sum(psum)": f"sum_{value}",
+                                    "sum(pn)": "n"})
+
+    levels = [finest]
+    for r in range(len(keys) - 1, -1, -1):
+        for grp_keys in combinations(keys, r):
+            grp_keys = list(grp_keys)
+            if grp_keys == keys:
+                continue
+            if grp_keys:
+                up = finest.groupby(grp_keys, sort=False, as_index=False)[
+                    [f"sum_{value}", "n"]].sum()
+            else:
+                up = finest[[f"sum_{value}", "n"]].sum().to_frame().T
+            for k in keys:
+                if k not in grp_keys:
+                    up[k] = all_label
+            levels.append(up[keys + [f"sum_{value}", "n"]])
+
+    out = pd.concat(levels, ignore_index=True)[keys + [f"sum_{value}", "n"]]
+    out = out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    out[f"sum_{value}"] = out[f"sum_{value}"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -18,6 +18,8 @@ adding a `len(text)==0` guard upstream, which `minhash_dedup` applies).
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1006,3 +1008,142 @@ def verify_pairs_jaccard_join(pairs_ds, docs, id_column: str, text_column: str,
             "jaccard": pd.Series(dtype="float64"),
         }),
     )
+
+
+# ------------------------------------------- edit-distance similarity join
+
+def _levenshtein(a: str, b: str, cap: int) -> int:
+    """Levenshtein DP with row-min early exit above ``cap`` (returns cap+1
+    for anything farther).  Strings here are SHORT keys (titles,
+    normalized prefixes) — the full DP row is fine, and the row-min exit
+    bounds work at cap+1 rows for far pairs."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        cj = b[j - 1]
+        cur = [j] + [0] * la
+        for i in range(1, la + 1):
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1,
+                         prev[i - 1] + (a[i - 1] != cj))
+        if min(cur) > cap:
+            return cap + 1
+        prev = cur
+    return prev[la] if prev[la] <= cap else cap + 1
+
+
+def edit_distance_join(ds, text_column: str, id_column: str,
+                       max_dist: int = 1, n_buckets: int = 32):
+    """Self-join: all pairs (id_a, id_b, dist) with Levenshtein distance
+    <= ``max_dist`` between SHORT string keys — the string-similarity join
+    the MinHash family can't express (shingles miss single-char edits on
+    short strings).
+
+    Physical plan — deletion-neighborhood blocking (the SymSpell /
+    SymDelete scheme), provably complete for max_dist=1: every string
+    emits itself plus each single-character deletion, keyed by a 64-bit
+    hash; two strings within distance 1 ALWAYS share a variant (equal:
+    identity key; substitution: delete the differing position on both;
+    insert/delete: the longer one's deletion meets the shorter's
+    identity).  One bucketed exchange of the (variant_hash, id, string)
+    rows, per-group candidate pairs, exact banded-DP verification (hash
+    collisions are filtered here), then a (id_a, id_b) groupby dedups the
+    multi-variant hits.  max_dist >= 2 uses the same plan with the
+    k-deletion neighborhood (key count ~len^k — only for short keys).
+
+    Scale notes: keys per string = len+1 (dist 1); a HOT string value (one
+    key shared by millions of rows) bounds at its reducer quadratically —
+    pre-dedup identical strings upstream (exact_dedup) the way every
+    published fuzzy-join pipeline does."""
+    from .aggregate import bucketed_fold
+
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+
+    def _variants(s: str, d: int) -> set:
+        out = {s}
+        frontier = {s}
+        for _ in range(d):
+            nxt = set()
+            for v in frontier:
+                for i in range(len(v)):
+                    nxt.add(v[:i] + v[i + 1:])
+            out |= nxt
+            frontier = nxt
+        return out
+
+    id_type = None
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, keys, strs = [], [], []
+        for doc_id, s in zip(t.column(id_column).to_pylist(),
+                             t.column(text_column).to_pylist()):
+            s = s or ""
+            for v in _variants(s, max_dist):
+                ids.append(doc_id)
+                keys.append(int.from_bytes(
+                    hashlib.blake2b(v.encode(), digest_size=8).digest(),
+                    "big"))
+                strs.append(s)
+        return pa.table({
+            "vkey": pa.array(keys, pa.uint64()),
+            id_column: pa.array(ids, t.schema.field(id_column).type),
+            "s": pa.array(strs, pa.string()),
+        })
+
+    from .join import _arrow_schema
+
+    id_type = _arrow_schema(ds.select_columns([id_column])) \
+        .field(id_column).type
+    empty = pd.DataFrame({
+        "id_a": pd.Series(dtype=pa.int64().to_pandas_dtype()
+                          if pa.types.is_integer(id_type) else object),
+        "id_b": pd.Series(dtype=pa.int64().to_pandas_dtype()
+                          if pa.types.is_integer(id_type) else object),
+        "dist": pd.Series(dtype="int64"),
+    })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("vkey", sort=False)["vkey"].transform("size")
+        g = g[sizes.to_numpy() >= 2]
+        if g.empty:
+            return empty
+        a_out, b_out, d_out = [], [], []
+        for _, sub in g.groupby("vkey", sort=False):
+            sub = sub.drop_duplicates(subset=[id_column]) \
+                     .sort_values(id_column)
+            ids = sub[id_column].tolist()
+            strs = sub["s"].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = _levenshtein(strs[i], strs[j], max_dist)
+                    if d <= max_dist:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+                        d_out.append(d)
+        if not a_out:
+            return empty
+        out = pd.DataFrame({"id_a": a_out, "id_b": b_out, "dist": d_out})
+        return out.astype({"dist": "int64"})
+
+    raw = bucketed_fold(
+        ds.select_columns([id_column, text_column]).map_batches(
+            explode, batch_format="pyarrow"),
+        "vkey", fold, n_buckets=n_buckets)
+    empty_pairs = pa.table({
+        "id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+        "dist": pa.array([], pa.int64()),
+    })
+    raw = ray.data.from_arrow(empty_pairs).union(raw)
+    # A pair appears once per shared variant: dedup with one groupby (dist
+    # is pair-determined, Min is a no-op disambiguator).
+    from ray.data.aggregate import Min
+
+    pairs = raw.repartition(8).map_batches(lambda t: t,
+                                           batch_format="pyarrow")
+    grouped = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("dist", alias_name="dist"))
+    return ray.data.from_arrow(empty_pairs).union(grouped)

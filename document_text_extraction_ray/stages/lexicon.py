@@ -345,3 +345,50 @@ def bpe_learn(docs, n_merges: int = 5, text_column: str = "text",
         merges.append((a, b))
         learned.append((a, b, int(top[0]["cnt"])))
     return learned
+
+
+# ------------------------------------------------------- term co-occurrence
+
+def term_cooccurrence(docs, id_column: str = "doc_id",
+                      text_column: str = "text", top_m: int = 20,
+                      min_count: int = 2, n_buckets: int = 32):
+    """Corpus-wide term co-occurrence counts — the raw statistic under PMI
+    / word-association mining: for each document, the first ``top_m``
+    DISTINCT terms in ALPHABETICAL order (a deterministic, SQL-replayable
+    cap — C(top_m, 2) pairs per doc regardless of document size) generate
+    unordered pairs (a < b), counted corpus-wide; pairs with count >=
+    ``min_count`` survive.
+
+    Plan: per-batch Counter partial (pairs per doc are bounded by the cap,
+    so the partial is thin), ONE bucketed combine on the (a, b) tuple —
+    the pair vocabulary is corpus-shaped, never broadcast or collected.
+    Integer counts, hash-exact oracle."""
+    from itertools import combinations
+
+    from .aggregate import bucketed_fold
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = {}
+        for text in t.column(text_column).to_pylist():
+            terms = sorted(set(_tokens(text)))[:top_m]
+            for a, b in combinations(terms, 2):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64())})
+        ks = list(counts)
+        return pa.table({"a": pa.array([k[0] for k in ks], pa.string()),
+                         "b": pa.array([k[1] for k in ks], pa.string()),
+                         "pn": pa.array([counts[k] for k in ks], pa.int64())})
+
+    partials = docs.select_columns([text_column]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], sort=False)["pn"].sum().reset_index()
+        out = out.rename(columns={"pn": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out[out["n"] >= min_count]
+
+    return bucketed_fold(partials, ["a", "b"], combine, n_buckets=n_buckets)

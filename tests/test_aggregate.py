@@ -439,3 +439,26 @@ def test_grouped_concat_max_items_bounds_hot_key():
     full = grouped_concat(ds, "u", "e", ["t"]).to_pandas().set_index("u")
     assert full.loc[2, "seq"] == "x0|x1|x2"
     assert len(full.loc[1, "seq"].split("|")) == 10_000
+
+
+def test_cube_sum_matches_pandas_cube():
+    from itertools import combinations
+
+    from document_text_extraction_ray.stages.aggregate import cube_sum
+
+    rows = [{"a": f"a{i % 2}", "b": f"b{i % 3}", "v": i} for i in range(60)]
+    out = cube_sum(ray.data.from_items(rows), ["a", "b"], "v").to_pandas()
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    # 4 levels for 2 keys: (a,b), (a,), (b,), ()
+    assert len(out) == 6 + 2 + 3 + 1
+    grand = out[(out["a"] == "ALL") & (out["b"] == "ALL")]
+    assert int(grand["sum_v"].iloc[0]) == df["v"].sum()
+    assert int(grand["n"].iloc[0]) == 60
+    only_b = out[(out["a"] == "ALL") & (out["b"] != "ALL")] \
+        .set_index("b")["sum_v"]
+    ref_b = df.groupby("b")["v"].sum()
+    assert dict(only_b) == dict(ref_b)
+    fine = out[(out["a"] != "ALL") & (out["b"] != "ALL")]
+    ref_f = df.groupby(["a", "b"])["v"].sum()
+    assert {(r.a, r.b): r.sum_v for r in fine.itertuples()} == dict(ref_f)

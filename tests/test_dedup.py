@@ -246,3 +246,36 @@ def test_minhash_candidates_distributed_string_empty_typed():
         import pyarrow as pa
         assert pa.types.is_string(sch.field("id_a").type) or \
             pa.types.is_large_string(sch.field("id_a").type), (scale, sch)
+
+
+def test_edit_distance_join_matches_bruteforce():
+    """Deletion-neighborhood blocking is COMPLETE at d=1 and d=2: every
+    pair within the cap is found, every found pair verifies exactly."""
+    strs = ["hello", "hellp", "hell", "shell", "world", "word", "wordl",
+            "xyz", "", "h", "hello"]
+    rows = [{"doc_id": i, "s": s} for i, s in enumerate(strs)]
+    for md in (1, 2):
+        out = SD.edit_distance_join(
+            ray.data.from_items(rows).repartition(3), "s", "doc_id",
+            max_dist=md).to_pandas()
+        got = {(a, b): d for a, b, d in
+               zip(out["id_a"], out["id_b"], out["dist"])}
+        ref = {}
+        for i in range(len(strs)):
+            for j in range(i + 1, len(strs)):
+                d = SD._levenshtein(strs[i], strs[j], md)
+                if d <= md:
+                    ref[(i, j)] = d
+        assert got == ref, md
+    # no-pairs corpus keeps the typed schema
+    one = SD.edit_distance_join(
+        ray.data.from_items([{"doc_id": 1, "s": "abcdef"}]), "s", "doc_id")
+    assert one.count() == 0
+    assert set(one.schema().names) == {"id_a", "id_b", "dist"}
+
+
+def test_levenshtein_cap_semantics():
+    assert SD._levenshtein("", "", 1) == 0
+    assert SD._levenshtein("", "ab", 1) == 2  # cap+1 (far)
+    assert SD._levenshtein("abc", "abd", 1) == 1
+    assert SD._levenshtein("abc", "xyz", 2) == 3  # cap+1

@@ -169,3 +169,27 @@ def test_set_membership_classes():
                          "click", "purchase").to_pandas()
     got = dict(zip(out["u"], out["membership"]))
     assert got == {1: "both", 2: "a_only", 3: "b_only"}
+
+
+def test_term_cooccurrence_matches_reference():
+    from itertools import combinations
+
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.lexicon import (
+        _tokens,
+        term_cooccurrence,
+    )
+
+    texts = ["the cat sat on the mat", "the dog sat", "cat and dog",
+             "mat cat the", ""]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    out = term_cooccurrence(rd.from_items(rows).repartition(3),
+                            top_m=3, min_count=2).to_pandas()
+    got = {(a, b): n for a, b, n in zip(out["a"], out["b"], out["n"])}
+    ref = {}
+    for t in texts:
+        for a, b in combinations(sorted(set(_tokens(t)))[:3], 2):
+            ref[(a, b)] = ref.get((a, b), 0) + 1
+    ref = {k: v for k, v in ref.items() if v >= 2}
+    assert got == ref
