@@ -2897,7 +2897,7 @@ def q_term_cooccurrence(sf_dir: str):
 
 def q_edit_distance_join(sf_dir: str):
     """String-similarity self-join (fuzzy join): all document pairs whose
-    short derived key (source + 2-digit length bucket) is within Levenshtein
+    short derived key (source + 3-digit length bucket) is within Levenshtein
     distance 1 — the edit-distance dedup family MinHash can't express
     (shingles miss single-char edits on short keys).  Plan: deletion-
     neighborhood blocking (SymSpell scheme, provably complete at d=1), ONE
@@ -2910,10 +2910,10 @@ def q_edit_distance_join(sf_dir: str):
 
     def mk_key(t: pa.Table) -> pa.Table:
         mod = (t.column("n_chars").to_numpy(zero_copy_only=False)
-               % 100).astype("int64")
+               % 1000).astype("int64")
         s = pc.binary_join_element_wise(
             t.column("source"),
-            pc.utf8_lpad(pc.cast(pa.array(mod), pa.string()), 2, "0"),
+            pc.utf8_lpad(pc.cast(pa.array(mod), pa.string()), 3, "0"),
             "_")
         return pa.table({"doc_id": t.column("doc_id"), "s": s})
 
@@ -5109,7 +5109,7 @@ ORACLE_SQL["term_cooccurrence"] = """
 ORACLE_SQL["edit_distance_join"] = """
     WITH k AS (
       SELECT doc_id,
-             source || '_' || lpad(CAST(n_chars % 100 AS VARCHAR), 2, '0')
+             source || '_' || lpad(CAST(n_chars % 1000 AS VARCHAR), 3, '0')
                  AS s
       FROM documents
     )

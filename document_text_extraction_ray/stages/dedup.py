@@ -1106,24 +1106,47 @@ def edit_distance_join(ds, text_column: str, id_column: str,
         "dist": pd.Series(dtype="int64"),
     })
 
+    def _key_of(s: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         sizes = g.groupby("vkey", sort=False)["vkey"].transform("size")
         g = g[sizes.to_numpy() >= 2]
         if g.empty:
             return empty
         a_out, b_out, d_out = [], [], []
-        for _, sub in g.groupby("vkey", sort=False):
-            sub = sub.drop_duplicates(subset=[id_column]) \
-                     .sort_values(id_column)
-            ids = sub[id_column].tolist()
-            strs = sub["s"].tolist()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    d = _levenshtein(strs[i], strs[j], max_dist)
+        for vkey, sub in g.groupby("vkey", sort=False):
+            sub = sub.drop_duplicates(subset=[id_column])
+            # The DP runs once per DISTINCT string pair, never per id pair
+            # (hot string values repeat across many rows); id pairs expand
+            # from the verdict.  Distance-0 pairs (identical strings) emit
+            # ONLY in the string's own identity-variant group — identical
+            # strings share every variant, so emitting everywhere would
+            # redo the quadratic expansion len(s)+1 times.
+            by_s: dict = {}
+            for i, s in zip(sub[id_column].tolist(), sub["s"].tolist()):
+                by_s.setdefault(s, []).append(i)
+            strs = sorted(by_s)
+            for s in strs:
+                ids = by_s[s]
+                if len(ids) > 1 and _key_of(s) == vkey:
+                    ids = sorted(ids)
+                    for x in range(len(ids)):
+                        for y in range(x + 1, len(ids)):
+                            a_out.append(ids[x])
+                            b_out.append(ids[y])
+                            d_out.append(0)
+            for x in range(len(strs)):
+                for y in range(x + 1, len(strs)):
+                    d = _levenshtein(strs[x], strs[y], max_dist)
                     if d <= max_dist:
-                        a_out.append(ids[i])
-                        b_out.append(ids[j])
-                        d_out.append(d)
+                        for ia in by_s[strs[x]]:
+                            for ib in by_s[strs[y]]:
+                                lo, hi = (ia, ib) if ia <= ib else (ib, ia)
+                                a_out.append(lo)
+                                b_out.append(hi)
+                                d_out.append(d)
         if not a_out:
             return empty
         out = pd.DataFrame({"id_a": a_out, "id_b": b_out, "dist": d_out})

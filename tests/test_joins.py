@@ -294,3 +294,41 @@ def test_salted_join_rejects_outer():
     ds = rd.from_items([{"k": 1, "v": 1}])
     with pytest.raises(ValueError, match="outer"):
         salted_join(ds, ds, on="k", hot_keys=[1], how="outer")
+
+
+def test_composite_key_join_randomized_equivalence():
+    """Seeded randomized corpora (nulls, skew, disjoint keys): composite
+    join == pandas merge for inner/left/outer."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    from document_text_extraction_ray.stages.join import partitioned_hash_join
+
+    for trial in range(3):
+        nl, nr = rng.randint(5, 40), rng.randint(5, 40)
+        mk = lambda n: pd.DataFrame({
+            "k1": rng.randint(0, 5, n),
+            "k2": rng.randint(0, 4, n),
+            "pay": rng.randint(0, 1000, n)})
+        left, right = mk(nl), mk(nr).rename(columns={"pay": "rpay"})
+        # inject null key components
+        left.loc[left.index[:2], "k2"] = pd.NA
+        right.loc[right.index[:1], "k1"] = pd.NA
+        left = left.astype({"k2": "Int64"})
+        right = right.astype({"k1": "Int64"})
+        for how in ("inner", "left", "outer"):
+            out = partitioned_hash_join(
+                rd.from_pandas(left).repartition(3),
+                rd.from_pandas(right).repartition(2),
+                on=["k1", "k2"], how=how, n_buckets=4,
+            ).to_pandas()
+            ref = left.dropna() if False else left
+            ref = left.merge(right.dropna(subset=["k1", "k2"])
+                             if how != "outer" else right,
+                             on=["k1", "k2"], how=how)
+            if how == "inner":
+                ref = ref.dropna(subset=["k1", "k2"])
+            key = lambda df: sorted(
+                (tuple(-1 if pd.isna(x) else int(x) for x in row))
+                for row in df[["k1", "k2", "pay", "rpay"]].to_numpy())
+            assert key(out) == key(ref), (trial, how)
