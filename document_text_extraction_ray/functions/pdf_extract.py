@@ -20,9 +20,13 @@ classic AND modern cross-reference layouts):
   * content streams raw or /FlateDecode (zlib);
   * text from ``Tj``, ``'``, ``"`` and ``TJ`` show operators over literal
     ``( ... )`` strings with full escape handling (octal, \\n, \\t, nested
-    parens, line continuations); hex ``< ... >`` strings decoded as latin-1
-    bytes; font encodings/CMaps are NOT applied (text is taken as the
-    string bytes — exact for the standard-encoding ASCII case).
+    parens, line continuations) and hex ``< ... >`` strings;
+  * /ToUnicode CMaps ARE applied (round 4): the current font is tracked
+    through ``Tf``, and fonts carrying /ToUnicode decode their show
+    strings through the CMap (codespacerange-derived 1- or 2-byte codes;
+    bfchar pairs; bfrange scalar and array forms; UTF-16BE targets) — the
+    subset-font / Type0 layout every modern writer emits.  Fonts without
+    a CMap decode latin-1 (exact for the standard-encoding ASCII case).
 
 Each show operation emits one text run; runs are joined by "\\n" within a
 page and pages by "\\n" — matching the one-line-per-Tj layout of
@@ -187,6 +191,13 @@ def _tokenize_strings(content: bytes):
         elif c in (ord("["), ord("]")):
             yield (chr(c), b"")
             i += 1
+        elif c == ord("/"):
+            j = i + 1
+            while j < n and (chr(content[j]).isalnum()
+                             or content[j] in (ord("_"), ord("."), ord("-"))):
+                j += 1
+            yield ("name", content[i + 1:j])
+            i = j
         elif chr(c).isalpha() or c in (ord("'"), ord('"')):
             j = i
             while j < n and (chr(content[j]).isalpha()
@@ -198,26 +209,123 @@ def _tokenize_strings(content: bytes):
             i += 1
 
 
-def _page_text(content: bytes) -> str:
+def _decode_shown(raw: bytes, cmap: dict | None) -> str:
+    """Decode one show-operator string: through the font's ToUnicode CMap
+    when present (1- or 2-byte codes -> UTF-16BE targets), else latin-1
+    (exact for the standard-encoding ASCII case)."""
+    if not cmap:
+        return raw.decode("latin-1")
+    nb, table = cmap["nbytes"], cmap["map"]
+    out = []
+    for k in range(0, len(raw) - nb + 1, nb):
+        code = int.from_bytes(raw[k:k + nb], "big")
+        out.append(table.get(code, chr(code)))
+    return "".join(out)
+
+
+def _page_text(content: bytes, fonts: dict | None = None) -> str:
     runs: list[str] = []
     pending: list[bytes] = []
     in_array = False
     array_strs: list[bytes] = []
+    cmap = None
+    last_name = None
+    fonts = fonts or {}
     for kind, val in _tokenize_strings(content):
         if kind == "[":
             in_array, array_strs = True, []
         elif kind == "]":
             in_array = False
             pending.append(b"".join(array_strs))
+        elif kind == "name":
+            last_name = val.decode("latin-1")
         elif kind == "str":
             (array_strs if in_array else pending).append(val)
         elif kind == "op":
-            if val in (b"Tj", b"'", b'"', b"TJ") and pending:
-                runs.append(pending[-1].decode("latin-1"))
+            if val == b"Tf" and last_name is not None:
+                # font selection: the CMap of the named font applies to
+                # every show operator until the next Tf
+                cmap = fonts.get(last_name)
+            elif val in (b"Tj", b"'", b'"', b"TJ") and pending:
+                runs.append(_decode_shown(pending[-1], cmap))
                 pending = []
             elif val in (b"BT", b"ET"):
                 pending = []
     return "\n".join(runs)
+
+
+_HEX_TOK = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _parse_tounicode(data: bytes) -> dict:
+    """Parse a /ToUnicode CMap stream (the subset every real writer emits):
+    ``begincodespacerange`` fixes the code width (1 or 2 bytes);
+    ``beginbfchar`` pairs and ``beginbfrange`` triples (scalar-start or
+    array-destination forms) map codes to UTF-16BE strings."""
+    nbytes = 2
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+    if m:
+        toks = _HEX_TOK.findall(m.group(1))
+        if toks:
+            nbytes = max(1, len(toks[0]) // 2)
+    table: dict[int, str] = {}
+
+    def _uni(hx: bytes) -> str:
+        return bytes.fromhex(hx.decode()).decode("utf-16-be")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = _HEX_TOK.findall(m.group(1))
+        for k in range(0, len(toks) - 1, 2):
+            table[int(toks[k], 16)] = _uni(toks[k + 1])
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        body = m.group(1)
+        # Two forms: <lo> <hi> <dstStart>  |  <lo> <hi> [<d1> <d2> ...]
+        for rm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(<[0-9A-Fa-f]+>|\[(?:\s*<[0-9A-Fa-f]+>\s*)+\])", body,
+        ):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            dst = rm.group(3)
+            if dst.startswith(b"["):
+                dsts = _HEX_TOK.findall(dst)
+                for off, d in enumerate(dsts):
+                    if lo + off <= hi:
+                        table[lo + off] = _uni(d)
+            else:
+                start = _HEX_TOK.match(dst).group(1)
+                base = bytes.fromhex(start.decode())
+                base_cp = int.from_bytes(base, "big")
+                for code in range(lo, hi + 1):
+                    # scalar form increments the LAST code unit
+                    table[code] = (
+                        base[:-2] + (base_cp + code - lo).to_bytes(2, "big")
+                    ).decode("utf-16-be") if len(base) >= 2 else \
+                        chr(base_cp + code - lo)
+    return {"nbytes": nbytes, "map": table}
+
+
+def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict:
+    """Resolve the page's /Resources /Font dict into {name: CMap-or-None}.
+    Only fonts carrying /ToUnicode get a CMap; others decode latin-1.
+    Page-level resources only (the common writer layout); an indirect
+    /Resources reference is followed."""
+    res = page_body
+    rref = _ref(page_body, "Resources")
+    if rref is not None and rref in objs:
+        res = objs[rref]
+    fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
+    if not fm:
+        return {}
+    fonts: dict[str, dict | None] = {}
+    for name, num in re.findall(rb"/(\w+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
+        body = objs.get(int(num))
+        cmap = None
+        if body is not None:
+            tu = _ref(body, "ToUnicode")
+            if tu is not None and tu in objs:
+                cmap = _parse_tounicode(_stream_data(objs[tu], objs))
+        fonts[name.decode("latin-1")] = cmap
+    return fonts
 
 
 def _collect_pages(objs: dict[int, bytes], node: int,
@@ -256,5 +364,6 @@ def minipdf_extract_text(payload: bytes) -> str:
             if cid not in objs:
                 raise ValueError(f"dangling /Contents ref {cid}")
             parts.append(_stream_data(objs[cid], objs))
-        texts.append(_page_text(b"\n".join(parts)))
+        texts.append(_page_text(b"\n".join(parts),
+                                _page_fonts(objs, objs[pid])))
     return "\n".join(texts)

@@ -167,3 +167,85 @@ def build_pdf_objstm(pages: list[str], compress: bool = True) -> bytes:
     ).encode() + b"\nstream\n" + xref_data + b"\nendstream\nendobj\n"
     out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)
+
+
+def build_pdf_cid(pages: list[str], compress: bool = True) -> bytes:
+    """Subset-font (Type0/CID-style) layout: show strings are HEX 2-byte
+    character codes through a NON-identity mapping (code = codepoint +
+    0x0100), recoverable only by applying the font's /ToUnicode CMap —
+    the layout every modern writer with font subsetting emits, and the
+    case a latin-1-only extractor garbles.  The CMap uses one bfrange for
+    the printable-ASCII block plus bfchar pairs for anything else.
+    Deterministic."""
+    n_pages = len(pages)
+    page_obj = [5 + 2 * i for i in range(n_pages)]
+    cont_obj = [6 + 2 * i for i in range(n_pages)]
+    objects: dict[int, bytes] = {}
+    kids = " ".join(f"{o} 0 R" for o in page_obj)
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                  ).encode()
+
+    OFF = 0x0100
+    extra = sorted({ch for p in pages for ch in p
+                    if not (0x20 <= ord(ch) <= 0x7E) and ch != "\n"})
+    cmap_lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin begincmap",
+        "1 begincodespacerange <0000> <FFFF> endcodespacerange",
+        # printable ASCII as one bfrange (scalar-start form)
+        f"1 beginbfrange <{0x20 + OFF:04X}> <{0x7E + OFF:04X}> <0020> "
+        "endbfrange",
+    ]
+    if extra:
+        cmap_lines.append(f"{len(extra)} beginbfchar")
+        for ch in extra:
+            cmap_lines.append(
+                f"<{ord(ch) + OFF:04X}> <{ord(ch):04X}>")
+        cmap_lines.append("endbfchar")
+    cmap_lines += ["endcmap end end"]
+    cmap_data = "\n".join(cmap_lines).encode()
+    objects[3] = (
+        f"<< /Length {len(cmap_data)} >>".encode()
+        + b"\nstream\n" + cmap_data + b"\nendstream")
+    objects[4] = (b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID "
+                  b"/Encoding /Identity-H /ToUnicode 3 0 R >>")
+
+    for i, text in enumerate(pages):
+        objects[page_obj[i]] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 4 0 R >> >> "
+            f"/Contents {cont_obj[i]} 0 R >>"
+        ).encode()
+        ops = ["BT", "/F1 12 Tf", "72 720 Td", "14 TL"]
+        for k, line in enumerate(text.split("\n")):
+            if k:
+                ops.append("0 -14 Td")
+            hx = "".join(f"{ord(ch) + OFF:04X}" for ch in line)
+            ops.append(f"<{hx}> Tj")
+        ops.append("ET")
+        data = "\n".join(ops).encode("latin-1")
+        if compress:
+            data = zlib.compress(data, 6)
+            head = f"<< /Length {len(data)} /Filter /FlateDecode >>"
+        else:
+            head = f"<< /Length {len(data)} >>"
+        objects[cont_obj[i]] = (
+            head.encode() + b"\nstream\n" + data + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    n_objs = max(objects) + 1
+    out += f"xref\n0 {n_objs}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n_objs):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
