@@ -2367,6 +2367,105 @@ def q7_volume_shipping(sf_dir: str):
         .sort(["supp_nation", "cust_nation", "l_year"])
 
 
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share): for PROMO-type parts sold
+    to ASIA-region customers in 1996-1997, per order year the revenue
+    from NATION_2 suppliers and the total — share = nation/total emitted
+    as TWO integer-cents columns (a float division would be
+    hash-fragile; the oracle replays both sums).  Dimensions (part-type
+    keys, region-customer set, supplier nations) broadcast via ray.put;
+    ONE distributed fact-fact join (lineitem x orders) on orderkey."""
+    import ray as _ray
+
+    from ..stages.join import partitioned_hash_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia_rk = region.filter(
+        pc.equal(region.column("r_name"), "ASIA")
+    ).column("r_regionkey").to_pylist()[0]
+    asia_nations = nation.filter(
+        pc.equal(nation.column("n_regionkey"), asia_rk)
+    ).column("n_nationkey")
+    target_nk = nation.filter(
+        pc.equal(nation.column("n_name"), "NATION_2")
+    ).column("n_nationkey").to_pylist()[0]
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    promo_keys = part.filter(pc.equal(part.column("p_type"), "PROMO")) \
+                     .column("p_partkey").combine_chunks()
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    asia_cust = cust.filter(
+        pc.is_in(cust.column("c_nationkey"), value_set=asia_nations)
+    ).column("c_custkey").combine_chunks()
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    pk_ref, ac_ref, s_ref = (_ray.put(promo_keys), _ray.put(asia_cust),
+                             _ray.put(supp.combine_chunks()))
+
+    import datetime as _dt
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def l_tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("l_partkey"),
+                              value_set=_ray.get(pk_ref)))
+        s = _ray.get(s_ref)
+        nat = pc.take(s.column("s_nationkey"),
+                      pc.index_in(t.column("l_suppkey"),
+                                  value_set=s.column("s_suppkey")))
+        vol = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "volume": vol,
+                         "is_target": pc.cast(pc.equal(nat, target_nk),
+                                              pa.int64())})
+
+    o_side = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= _dt.datetime(1996, 1, 1))
+                & (pc.field("o_orderdate") < _dt.datetime(1998, 1, 1))),
+    ).map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t.filter(pc.is_in(
+                t.column("o_custkey"), value_set=_ray.get(ac_ref)
+            )).column("o_orderkey"),
+            "o_year": pc.year(t.filter(pc.is_in(
+                t.column("o_custkey"), value_set=_ray.get(ac_ref)
+            )).column("o_orderdate")).cast(pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+    joined = partitioned_hash_join(
+        li.map_batches(l_tag, batch_format="pyarrow"), o_side,
+        on="o_orderkey", n_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("volume", pa.float64()),
+                               ("is_target", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_year", pa.int64())]),
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        tgt = pc.multiply(t.column("volume"),
+                          pc.cast(t.column("is_target"), pa.float64()))
+        return pa.table({"o_year": t.column("o_year"),
+                         "nation_vol": tgt, "total_vol": t.column("volume")})
+
+    agg = joined.map_batches(split, batch_format="pyarrow") \
+                .groupby("o_year") \
+                .aggregate(Sum("nation_vol", alias_name="nation_vol"),
+                           Sum("total_vol", alias_name="total_vol"))
+    return _scale_int_ds(agg, {"nation_vol": 100, "total_vol": 100}) \
+        .sort("o_year")
+
+
 def q15_top_supplier(sf_dir: str):
     """TPC-H Q15 shape (view + global max): revenue per supplier over one
     quarter, keep the max-revenue supplier(s).  Bucketed pre-aggregation
@@ -3059,6 +3158,20 @@ def q_bpe_merges(sf_dir: str):
     })
 
 
+def q_bpe_encode(sf_dir: str):
+    """Tokenize the corpus with the TRAINED BPE (train 5 merges, broadcast
+    the merge list via ray.put, encode embarrassingly parallel with a
+    per-batch distinct-word cache).  Rows-only (the merge recursion is
+    not SQL-replayable); pytest pins the encoding against a local
+    reference, and n_tokens is internally consistent:
+    n_chars + n_words - n_merge_applications."""
+    from ..stages.lexicon import bpe_encode, bpe_learn
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges = bpe_learn(docs, n_merges=5)
+    return bpe_encode(docs, merges).sort("doc_id")
+
+
 def q_rollup_orders(sf_dir: str):
     """GROUP BY ROLLUP(status, priority) revenue: distributed finest-level
     pre-aggregation, coarser levels folded from the group-count-sized
@@ -3230,6 +3343,8 @@ QUERIES = {
     "edit_distance_join": q_edit_distance_join,
     "term_cooccurrence": q_term_cooccurrence,
     "cube_orders": q_cube_orders,
+    "q8_market_share": q8_market_share,
+    "bpe_encode": q_bpe_encode,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -4984,6 +5099,25 @@ ORACLE_SQL["q5_local_revenue"] = """
       AND o_orderdate < TIMESTAMP '1997-01-01'
     GROUP BY n_name
     ORDER BY revenue DESC, n_name
+"""
+
+ORACLE_SQL["q8_market_share"] = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CASE WHEN n2.n_name = 'NATION_2'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END) * 100) AS BIGINT) AS nation_vol,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+               AS BIGINT) AS total_vol
+    FROM part, lineitem, supplier, orders, customer, nation n1, region,
+         nation n2
+    WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+      AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+      AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      AND s_suppkey = l_suppkey AND s_nationkey = n2.n_nationkey
+      AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY 1
 """
 
 ORACLE_SQL["q7_volume_shipping"] = """

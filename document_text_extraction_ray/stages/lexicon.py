@@ -28,6 +28,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from .aggregate import bucketed_combine, bucketed_fold
 from .join import partitioned_hash_join
@@ -392,3 +393,51 @@ def term_cooccurrence(docs, id_column: str = "doc_id",
         return out[out["n"] >= min_count]
 
     return bucketed_fold(partials, ["a", "b"], combine, n_buckets=n_buckets)
+
+
+def bpe_encode(docs, merges, id_column: str = "doc_id",
+               text_column: str = "text", preview_k: int = 8):
+    """Apply a TRAINED BPE merge list to the corpus (the tokenize step
+    that follows ``bpe_learn``): per document, the word count, encoded
+    token count, and a preview of the first ``preview_k`` tokens.
+
+    The merge list is the one side of this family that SHOULD broadcast —
+    a tokenizer model is KBs while the corpus is TBs — so it ships once
+    via ``ray.put`` and the corpus never shuffles (this stage is
+    embarrassingly parallel).  Within a batch, encodings are cached per
+    DISTINCT word (Zipf: a few thousand distinct words cover almost all
+    occurrences), so the merge scan runs per distinct word, not per
+    token."""
+    merges = [(a, b) for a, b, *_ in merges]
+    merges_ref = ray.put(merges)
+
+    def encode(t: pa.Table) -> pa.Table:
+        mg = ray.get(merges_ref)
+        cache: dict = {}
+        ids, n_words, n_tokens, previews = [], [], [], []
+        for doc_id, text in zip(t.column(id_column).to_pylist(),
+                                t.column(text_column).to_pylist()):
+            words = _tokens(text)
+            total = 0
+            head: list = []
+            for w in words:
+                syms = cache.get(w)
+                if syms is None:
+                    syms = _apply_merges(w, mg)
+                    cache[w] = syms
+                total += len(syms)
+                if len(head) < preview_k:
+                    head.extend(syms[:preview_k - len(head)])
+            ids.append(doc_id)
+            n_words.append(len(words))
+            n_tokens.append(total)
+            previews.append(" ".join(head))
+        return pa.table({
+            id_column: pa.array(ids, t.schema.field(id_column).type),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "preview": pa.array(previews, pa.string()),
+        })
+
+    return docs.select_columns([id_column, text_column]).map_batches(
+        encode, batch_format="pyarrow")

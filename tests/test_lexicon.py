@@ -193,3 +193,20 @@ def test_term_cooccurrence_matches_reference():
             ref[(a, b)] = ref.get((a, b), 0) + 1
     ref = {k: v for k, v in ref.items() if v >= 2}
     assert got == ref
+
+
+def test_bpe_encode_matches_local_reference():
+    """Distributed encode == reference re-tokenization with the same
+    learned merges (token counts, word counts, preview order)."""
+    from document_text_extraction_ray.stages.lexicon import bpe_encode
+
+    merges = bpe_learn(_docs(), n_merges=4)
+    out = bpe_encode(_docs(), merges, preview_k=5).to_pandas() \
+        .set_index("doc_id").sort_index()
+    mg = [(a, b) for a, b, _ in merges]
+    for i, t in enumerate(TEXTS):
+        words = _toks(t)
+        syms = [s for w in words for s in _apply_merges(w, mg)]
+        assert out.loc[i, "n_words"] == len(words)
+        assert out.loc[i, "n_tokens"] == len(syms)
+        assert out.loc[i, "preview"] == " ".join(syms[:5])
