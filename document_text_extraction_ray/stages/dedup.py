@@ -778,6 +778,7 @@ def minhash_dedup(
     est_threshold: float = 0.5,
     labeling: str | None = None,
     scale: str = "distributed",
+    broadcast_threshold: int = 2_000_000,
 ):
     """Full near-dedup: returns ``(kept, labels)``.
 
@@ -816,7 +817,8 @@ def minhash_dedup(
         labels_ds = cluster_pairs_distributed(
             coalesce_aggregate_blocks(pairs_ds)
         )
-        if labels_ds.count() == 0:  # no duplicate clusters: nothing to filter
+        n_labeled = labels_ds.count()
+        if n_labeled == 0:  # no duplicate clusters: nothing to filter
             return ds, labels_ds
         removed = labels_ds.map_batches(
             lambda t: pa.table(
@@ -826,6 +828,28 @@ def minhash_dedup(
             ),
             batch_format="pyarrow",
         )
+        # Size-adaptive survivor filtering: the removed-id set is bounded
+        # by the labeled-node count, which we just computed.  Under the
+        # threshold (default 2M ids ~ 16 MB int64 — a trivial worker-heap
+        # object) a ray.put broadcast + row-local is_in filter replaces
+        # the full-row anti-join EXCHANGE of the corpus — strictly
+        # cheaper, and the collection is BOUNDED by the explicit
+        # threshold, so the zero-unbounded-driver-state guarantee holds.
+        # Above it (CC-scale near-dedup removes a double-digit corpus
+        # fraction) the distributed anti-join is the plan.  Equivalence
+        # is tested for both branches.
+        if n_labeled <= broadcast_threshold:
+            rem_df = removed.to_pandas()  # bounded by the threshold
+            if rem_df.empty:
+                return ds, labels_ds
+            rem_ref = ray.put(pa.array(rem_df[id_column]))
+
+            def _anti_bc(batch: pa.Table) -> pa.Table:
+                rem = ray.get(rem_ref)
+                return batch.filter(pc.invert(
+                    pc.is_in(batch.column(id_column), value_set=rem)))
+
+            return ds.map_batches(_anti_bc, batch_format="pyarrow"), labels_ds
         return anti_join(ds, removed, on=id_column), labels_ds
 
     pairs_ds = minhash_candidates(

@@ -279,3 +279,20 @@ def test_levenshtein_cap_semantics():
     assert SD._levenshtein("", "ab", 1) == 2  # cap+1 (far)
     assert SD._levenshtein("abc", "abd", 1) == 1
     assert SD._levenshtein("abc", "xyz", 2) == 3  # cap+1
+
+
+def test_minhash_dedup_broadcast_vs_antijoin_survivors():
+    """Size-adaptive survivor filtering: the bounded broadcast branch
+    (n_labeled <= threshold) and the distributed anti-join branch
+    (threshold=0 forces it) keep the SAME set, labels identical."""
+    ds = _docs()
+    kept_b, lab_b = SD.minhash_dedup(ds, "text", "doc_id",
+                                     scale="distributed",
+                                     broadcast_threshold=1_000_000)
+    kept_a, lab_a = SD.minhash_dedup(ds, "text", "doc_id",
+                                     scale="distributed",
+                                     broadcast_threshold=0)
+    assert sorted(kept_b.to_pandas()["doc_id"]) == \
+        sorted(kept_a.to_pandas()["doc_id"]) == [1, 4, 5]
+    key = lambda l: sorted((r["node"], r["label"]) for r in l.take_all())
+    assert key(lab_b) == key(lab_a)
