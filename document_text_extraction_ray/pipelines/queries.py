@@ -1390,6 +1390,31 @@ def q_split_counts(sf_dir: str):
     return agg.sort("split")
 
 
+def q_pack_sequences(sf_dir: str):
+    """Full sequence PACKING (the step after bin assignment): per-source
+    token-budget bins (exclusive prefix sum / 5000), then each (source,
+    bin) concatenates its member texts in doc_id order into ONE packed
+    training sequence with a blank-line document boundary.  Two bucketed
+    exchanges; composite-key grouped_concat.  Oracle: SUM() OVER bin
+    replay + ordered string_agg, hash-exact."""
+    from ..stages.sampling import pack_sequences
+
+    def tokens(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column("text"), r"\S+")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "text": t.column("text"),
+            "n_tokens": pc.cast(pc.coalesce(n, 0), pa.int64()),
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        tokens, batch_format="pyarrow")
+    out = pack_sequences(ds, "source", "doc_id", "n_tokens", "text",
+                         budget=5000)
+    return out.sort(["source", "bin_id"])
+
+
 def q_token_budget_bins(sf_dir: str):
     """Sequence packing: per-source token-budget bin per doc (exclusive
     prefix sum over doc_id order / 5000) — the shard-building step of a
@@ -3345,6 +3370,7 @@ QUERIES = {
     "cube_orders": q_cube_orders,
     "q8_market_share": q8_market_share,
     "bpe_encode": q_bpe_encode,
+    "pack_sequences": q_pack_sequences,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -5219,6 +5245,24 @@ ORACLE_SQL["salted_join"] = """
     SELECT e.event_id, e.hot_uid, d.label
     FROM e JOIN d USING (hot_uid)
     ORDER BY e.event_id
+"""
+
+ORACLE_SQL["pack_sequences"] = r"""
+    WITH t AS (
+        SELECT doc_id, source, text,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, text,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS prior
+        FROM t
+    )
+    SELECT source, CAST(FLOOR(prior / 5000) AS BIGINT) AS bin_id,
+           string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed,
+           COUNT(*) AS n
+    FROM c GROUP BY source, bin_id ORDER BY source, bin_id
 """
 
 ORACLE_SQL["cube_orders"] = """

@@ -391,14 +391,15 @@ def pivot_counts(ds, key: str, cat_col: str, categories,
     return bucketed_combine(partials, key, combine, n_buckets)
 
 
-def grouped_concat(ds, key: str, value: str, order_cols, sep: str = "|",
+def grouped_concat(ds, key, value: str, order_cols, sep: str = "|",
                    out_column: str = "seq", n_buckets: int = 32,
                    max_items: int | None = None):
     """Per-key ORDERED concatenation (SQL ``string_agg(value, sep ORDER BY
     ...)`` / the string form of ``array_agg``): one bucketed exchange on
-    the key, then a whole-bucket vectorized fold (one sort + one groupby
-    per BUCKET, not per key).  ``order_cols`` must totally order rows
-    within a key or the sequence is nondeterministic.
+    the key (a single column or a COMPOSITE key list), then a whole-bucket
+    vectorized fold (one sort + one groupby per BUCKET, not per key).
+    ``order_cols`` must totally order rows within a key or the sequence is
+    nondeterministic.
 
     Use for per-entity event sequences (session replay, user journeys,
     token streams).  ``max_items`` bounds the hot-key output row: the
@@ -407,22 +408,24 @@ def grouped_concat(ds, key: str, value: str, order_cols, sep: str = "|",
     cap pattern, stages/lexicon.py).  Without it a key holding millions of
     rows produces one unbounded string row at its reducer — always set it
     when keys are unbounded."""
+    keys = [key] if isinstance(key, str) else list(key)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key] + list(order_cols), kind="mergesort")
-        grouped = g.groupby(key, sort=False)
+        g = g.sort_values(keys + list(order_cols), kind="mergesort")
+        grouped = g.groupby(keys, sort=False)
         n = grouped[value].size().astype("int64")
         if max_items is not None:
             # Vectorized per-key head: rows past the cap never enter the
             # join, so the reducer's output row is bounded at max_items.
             g = g[grouped.cumcount() < max_items]
-            grouped = g.groupby(key, sort=False)
+            grouped = g.groupby(keys, sort=False)
         agg = grouped.agg(**{out_column: (value, sep.join)})
         agg["n"] = n
         return agg.reset_index()
 
-    cols = [key, value] + [c for c in order_cols if c not in (key, value)]
-    return bucketed_fold(ds.select_columns(cols), key, fold,
+    cols = keys + [value] + [c for c in order_cols
+                             if c not in keys and c != value]
+    return bucketed_fold(ds.select_columns(cols), keys, fold,
                          n_buckets=n_buckets)
 
 

@@ -177,3 +177,24 @@ def md5_prefix_full(value) -> str:
     """Full md5 hex of str(value) — the per-group sampling rank key
     (DuckDB replay: md5(CAST(col AS VARCHAR)))."""
     return hashlib.md5(str(value).encode("utf-8")).hexdigest()
+
+
+def pack_sequences(ds, key_column: str, order_column: str,
+                   tokens_column: str, text_column: str, budget: int = 5000,
+                   sep: str = "\n\n", max_docs_per_pack: int | None = None,
+                   n_buckets: int = 32):
+    """SEQUENCE PACKING — the step after bin assignment: documents are
+    chunked by cumulative token budget (``token_budget_bins``), then each
+    (key, bin) becomes ONE packed training sequence: the member texts
+    concatenated in order with ``sep`` as the document boundary, plus the
+    member count.  Two bucketed exchanges total (bin assignment on the
+    key, concat on the composite (key, bin)); ``max_docs_per_pack``
+    bounds a pathological bin (a run of zero-token docs never advances
+    the prefix sum) the way grouped_concat caps hot keys."""
+    from .aggregate import grouped_concat
+
+    binned = token_budget_bins(ds, key_column, order_column, tokens_column,
+                               budget=budget)
+    return grouped_concat(binned, [key_column, "bin_id"], text_column,
+                          [order_column], sep=sep, out_column="packed",
+                          n_buckets=n_buckets, max_items=max_docs_per_pack)

@@ -97,3 +97,31 @@ def test_grouped_quantiles_percentile_disc_semantics():
     assert list(out.loc["a", ["p25", "p50", "p75"]]) == [10, 20, 30]
     assert list(out.loc["b", ["p25", "p50", "p75"]]) == [1, 5, 9]
     assert list(out["n_rows"]) == [4, 3]
+
+
+def test_pack_sequences_budget_and_order():
+    """Packed sequences respect the prefix-sum bin rule and in-order
+    concatenation; max_docs_per_pack bounds a zero-token run."""
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.sampling import pack_sequences
+
+    rows = [{"k": "a", "i": i, "nt": 40, "txt": f"d{i}"} for i in range(10)]
+    rows += [{"k": "b", "i": i, "nt": 0, "txt": f"z{i}"} for i in range(6)]
+    ds = rd.from_items(rows).repartition(3)
+    out = pack_sequences(ds, "k", "i", "nt", "txt", budget=100, sep="|") \
+        .to_pandas().set_index(["k", "bin_id"]).sort_index()
+    # a: priors 0,40,80,120,160,200,240,280,320,360
+    #    -> bins 0,0,0,1,1,2,2,2,3,3
+    assert out.loc[("a", 0), "packed"] == "d0|d1|d2"
+    assert out.loc[("a", 1), "packed"] == "d3|d4"
+    assert out.loc[("a", 2), "packed"] == "d5|d6|d7"
+    assert out.loc[("a", 3), "packed"] == "d8|d9"
+    assert int(out.loc[("a", 0), "n"]) == 3
+    # b: all zero-token docs stay in bin 0 (prefix never advances)
+    assert out.loc[("b", 0), "packed"] == "z0|z1|z2|z3|z4|z5"
+    capped = pack_sequences(ds, "k", "i", "nt", "txt", budget=100, sep="|",
+                            max_docs_per_pack=2).to_pandas() \
+        .set_index(["k", "bin_id"]).sort_index()
+    assert capped.loc[("b", 0), "packed"] == "z0|z1"
+    assert int(capped.loc[("b", 0), "n"]) == 6  # true count survives
