@@ -1390,6 +1390,50 @@ def q_split_counts(sf_dir: str):
     return agg.sort("split")
 
 
+def q_topk_per_user(sf_dir: str):
+    """Per-user latest-3 events — exact per-key top-k with PARTIAL
+    pushdown (top-k is a semigroup, so each batch pre-reduces to <= k
+    rows per key and only those cross the exchange; at web scale the
+    shuffle carries k rows per key per batch instead of the key's full
+    history).  Oracle: ROW_NUMBER <= 3."""
+    from ..stages.aggregate import grouped_topk
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "event_type", "ts"])
+    out = grouped_topk(ev, "user_id", ["ts", "event_id"], k=3,
+                       ascending=[False, True])
+    return out.select_columns(
+        ["user_id", "event_id", "event_type", "rnk"]
+    ).sort(["user_id", "rnk"])
+
+
+def q_connected_components(sf_dir: str):
+    """Connected components by distributed min-label propagation — the
+    dedup stack's clustering primitive (cluster_pairs_distributed: fused
+    first round, lazy pointer jumping, 2 thin exchanges/round) exposed as
+    its own ORACLE-CHECKED query: the SQL replay is a recursive CTE
+    computing min reachable label over the symmetrized edge set, which at
+    fixpoint is exactly the per-component minimum.  Graph: the
+    part-supplier bipartite co-purchase graph from low-quantity lineitems
+    (supplier ids offset into a disjoint range).  Duplicate edges need no
+    pre-distinct — the propagation groupby-min is insensitive."""
+    from ..stages.dedup import cluster_pairs_distributed
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=(pc.field("l_quantity") <= 2.0),
+    )
+    pairs = li.map_batches(
+        lambda t: pa.table({
+            "id_a": t.column("l_partkey"),
+            "id_b": pc.add(t.column("l_suppkey"),
+                           pa.scalar(1_000_000, pa.int64())),
+        }),
+        batch_format="pyarrow")
+    return cluster_pairs_distributed(pairs).sort("node")
+
+
 def q_pack_sequences(sf_dir: str):
     """Full sequence PACKING (the step after bin assignment): per-source
     token-budget bins (exclusive prefix sum / 5000), then each (source,
@@ -3371,6 +3415,8 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "bpe_encode": q_bpe_encode,
     "pack_sequences": q_pack_sequences,
+    "connected_components": q_connected_components,
+    "topk_per_user": q_topk_per_user,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -5245,6 +5291,33 @@ ORACLE_SQL["salted_join"] = """
     SELECT e.event_id, e.hot_uid, d.label
     FROM e JOIN d USING (hot_uid)
     ORDER BY e.event_id
+"""
+
+ORACLE_SQL["topk_per_user"] = """
+    WITH r AS (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id) AS rnk
+      FROM events
+    )
+    SELECT user_id, event_id, event_type, rnk FROM r
+    WHERE rnk <= 3 ORDER BY user_id, rnk
+"""
+
+ORACLE_SQL["connected_components"] = """
+    WITH RECURSIVE e AS (
+      SELECT l_partkey AS a, 1000000 + l_suppkey AS b
+      FROM lineitem WHERE l_quantity <= 2
+    ), sym AS (
+      SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM sym
+    ), cc(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT s.dst, cc.label FROM cc JOIN sym s ON cc.node = s.src
+    )
+    SELECT node, MIN(label) AS label FROM cc GROUP BY node ORDER BY node
 """
 
 ORACLE_SQL["pack_sequences"] = r"""

@@ -736,3 +736,36 @@ def cube_sum(ds, keys, value: str, all_label: str = "ALL"):
     out[f"sum_{value}"] = out[f"sum_{value}"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def grouped_topk(ds, key, order_cols, k: int, ascending=None,
+                 out_rank: str = "rnk", n_buckets: int = 32):
+    """EXACT per-key top-k with PARTIAL pushdown: top-k is a semigroup
+    (top_k(A ∪ B) = top_k(top_k(A) ∪ top_k(B))), so each batch first
+    reduces to at most k rows per key, and only those cross the exchange
+    — at web scale the shuffle carries k rows per (key, batch) instead of
+    the key's full history.  One bucketed fold then ranks the survivors.
+
+    ``order_cols`` must totally order rows within a key (include a unique
+    id as the last column) or ranks are nondeterministic; ``ascending``
+    is a bool list per order column (default all False = descending)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    order_cols = list(order_cols)
+    if ascending is None:
+        ascending = [False] * len(order_cols)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, ascending=ascending, kind="mergesort")
+        return g.groupby(keys, sort=False).head(k)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + order_cols,
+                          ascending=[True] * len(keys) + list(ascending),
+                          kind="mergesort")
+        g = g.groupby(keys, sort=False).head(k).copy()
+        g[out_rank] = g.groupby(keys, sort=False).cumcount() + 1
+        g[out_rank] = g[out_rank].astype("int64")
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_fold(partials, keys, fold, n_buckets=n_buckets)

@@ -462,3 +462,24 @@ def test_cube_sum_matches_pandas_cube():
     fine = out[(out["a"] != "ALL") & (out["b"] != "ALL")]
     ref_f = df.groupby(["a", "b"])["v"].sum()
     assert {(r.a, r.b): r.sum_v for r in fine.itertuples()} == dict(ref_f)
+
+
+def test_grouped_topk_partial_pushdown_exact():
+    """Partial per-batch head(k) + bucket fold == global per-key top-k,
+    regardless of how rows are sharded (semigroup property)."""
+    from document_text_extraction_ray.stages.aggregate import grouped_topk
+
+    rng = np.random.RandomState(3)
+    rows = [{"k": int(rng.randint(0, 7)), "v": int(rng.randint(0, 1000)),
+             "id": i} for i in range(400)]
+    for parts in (2, 9):
+        out = grouped_topk(ray.data.from_items(rows).repartition(parts),
+                           "k", ["v", "id"], k=4,
+                           ascending=[False, True]).to_pandas()
+        import pandas as pd
+        df = pd.DataFrame(rows).sort_values(["k", "v", "id"],
+                                            ascending=[True, False, True])
+        ref = df.groupby("k").head(4)
+        got = out.sort_values(["k", "rnk"])
+        assert list(got["id"]) == list(ref["id"])
+        assert list(got.groupby("k")["rnk"].max()) == [4] * 7
