@@ -939,6 +939,44 @@ def q_multimodal_features(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow").sort("img_id")
 
 
+def q_multimodal_resize(sf_dir: str):
+    """Image RESIZE stage, ORACLE-CHECKED: the actor-pool decode resizes
+    each fake image to 16x16 by deterministic nearest-neighbor index
+    sampling (src = trunc(i*(n-1)/15) — IEEE-double identical in numpy
+    and DuckDB, so SQL reconstructs the SAMPLED pixels and their exact
+    integer sum).  Verifies the resize kernel itself, not just plumbing —
+    the last of the four multimodal verbs (decode / features / RESIZE /
+    frame-sample) to get an oracle."""
+    from ..stages.multimodal import encode_fake_image, image_features
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    ).column("vec_id").to_pylist()
+    rows = [
+        {"img_id": int(i), "payload": encode_fake_image(32 + i % 64, 24 + i % 48,
+                                                        seed=int(i))}
+        for i in ids[:500]
+    ]
+    t = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("img_id", pa.int64()), ("payload", pa.large_binary())]
+    ))
+    out = image_features(rd.from_arrow(t), concurrency=2, resize_to=16)
+
+    def project(b: pa.Table) -> pa.Table:
+        f = b.column("image_features")
+        return pa.table(
+            {
+                "img_id": b.column("img_id"),
+                "width": pc.cast(pc.struct_field(f, "width"), pa.int64()),
+                "height": pc.cast(pc.struct_field(f, "height"), pa.int64()),
+                "sum_intensity": pc.struct_field(f, "sum_intensity"),
+                "decode_status": b.column("decode_status"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow").sort("img_id")
+
+
 def q_synth_extract(sf_dir: str):
     """Pure synthetic corpus extraction smoke (full boilerplate-strip path).
     Row count scales with sf via the documents row count."""
@@ -3417,6 +3455,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "connected_components": q_connected_components,
     "topk_per_user": q_topk_per_user,
+    "multimodal_resize": q_multimodal_resize,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -4745,6 +4784,32 @@ ORACLE_SQL["multimodal_features"] = """
       ON j.range < (32 + e.vec_id % 64) * (24 + e.vec_id % 48)
     WHERE e.vec_id < 500
     GROUP BY e.vec_id ORDER BY img_id
+"""
+
+# Resize oracle: numpy linspace(0, n-1, 16).astype(int) == the SQL
+# CASE/FLOOR replay for every n (verified exhaustively for n in 2..129 —
+# both compute i * ((n-1)/15.0) in IEEE double then truncate, and numpy
+# pins the endpoint to n-1 exactly, mirrored by the CASE).
+ORACLE_SQL["multimodal_resize"] = """
+    WITH img AS (
+      SELECT vec_id, 32 + vec_id % 64 AS w, 24 + vec_id % 48 AS h
+      FROM embeddings WHERE vec_id < 500
+    ), grid AS (
+      SELECT i.range AS yi, j.range AS xi FROM range(16) i, range(16) j
+    ), px AS (
+      SELECT img.vec_id, img.w,
+             CASE WHEN yi = 15 THEN h - 1
+                  ELSE CAST(FLOOR(yi * ((h - 1) / 15.0)) AS BIGINT) END AS sy,
+             CASE WHEN xi = 15 THEN w - 1
+                  ELSE CAST(FLOOR(xi * ((w - 1) / 15.0)) AS BIGINT) END AS sx
+      FROM img, grid
+    )
+    SELECT vec_id AS img_id,
+           CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+           CAST(SUM((vec_id * 2654435761 + (sy * w + sx) * 2246822519) % 256)
+                AS BIGINT) AS sum_intensity,
+           'ok' AS decode_status
+    FROM px GROUP BY vec_id ORDER BY img_id
 """
 
 # HLL bound check: n_exact must match COUNT(DISTINCT) exactly (verifying the
