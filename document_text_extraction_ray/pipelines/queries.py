@@ -901,6 +901,24 @@ def q_training_data(sf_dir: str):
     ).sort("url")
 
 
+def q_training_data_exact(sf_dir: str):
+    """The training-data composition with near-dedup OFF — which makes the
+    WHOLE pipeline hash-exactly SQL-replayable (extraction kernel replay +
+    language-prediction CTE + length gate + min-url exact dedup), so the
+    driver verifies the composition end-to-end instead of rows-only.  The
+    full pipeline (with MinHash) stays registered as ``training_data``;
+    this variant isolates everything EXCEPT the (non-SQL-expressible)
+    near-dedup step.  min_score=0.0 makes the score gate vacuous by
+    construction (the score is multiplicative-positive), so the replay
+    needs no float score arithmetic."""
+    from .training_data import prepare_training_data
+
+    corpus = corpus_from_documents(sf_dir)
+    out, _ = prepare_training_data(corpus, min_chars=40, min_score=0.0,
+                                   langs=("en", "und"), near_dedup=False)
+    return out.select_columns(["url", "n_chars", "pred_lang"]).sort("url")
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal image pipeline over deterministic fake payloads derived
     from the embeddings table ids, now ORACLE-CHECKED end-to-end: the fake
@@ -3456,6 +3474,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "topk_per_user": q_topk_per_user,
     "multimodal_resize": q_multimodal_resize,
+    "training_data_exact": q_training_data_exact,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -4784,6 +4803,33 @@ ORACLE_SQL["multimodal_features"] = """
       ON j.range < (32 + e.vec_id % 64) * (24 + e.vec_id % 48)
     WHERE e.vec_id < 500
     GROUP BY e.vec_id ORDER BY img_id
+"""
+
+# Training composition replay: extraction (whitespace-normalize), language
+# prediction (the shared CTE — word sets are whitespace-invariant, so
+# predicting over raw text equals predicting over the extracted text),
+# length gate, min-url exact dedup.  The score gate is vacuous at
+# min_score=0.0 (multiplicative-positive score), stated in the query doc.
+ORACLE_SQL["training_data_exact"] = ORACLE_SQL_PRED_CTE + f""",
+    x AS (
+      SELECT doc_id,
+             'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+             {_NORM_TEXT} AS extracted
+      FROM documents
+    ), f AS (
+      SELECT x.url, x.extracted, length(x.extracted) AS n_chars,
+             p.pred_lang
+      FROM x JOIN p USING (doc_id)
+    ), g AS (
+      SELECT * FROM f
+      WHERE n_chars >= 40 AND pred_lang IN ('en', 'und')
+    ), dd AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY extracted ORDER BY url)
+                 AS rn
+      FROM g
+    )
+    SELECT url, CAST(n_chars AS BIGINT) AS n_chars, pred_lang
+    FROM dd WHERE rn = 1 ORDER BY url
 """
 
 # Resize oracle: numpy linspace(0, n-1, 16).astype(int) == the SQL
