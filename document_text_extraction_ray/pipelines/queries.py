@@ -1469,24 +1469,41 @@ def q_connected_components(sf_dir: str):
     first round, lazy pointer jumping, 2 thin exchanges/round) exposed as
     its own ORACLE-CHECKED query: the SQL replay is a recursive CTE
     computing min reachable label over the symmetrized edge set, which at
-    fixpoint is exactly the per-component minimum.  Graph: the
-    part-supplier bipartite co-purchase graph from low-quantity lineitems
-    (supplier ids offset into a disjoint range).  Duplicate edges need no
-    pre-distinct — the propagation groupby-min is insensitive."""
+    fixpoint is exactly the per-component minimum.  Graph (deterministic,
+    derived from the events user ids): each user links to its hub
+    (1M + user//10), and hubs chain in runs of three — components of ~30
+    nodes with REAL diameter (~8), so pointer jumping is exercised, while
+    component size stays bounded (the recursive-CTE oracle is
+    O(nodes x component size); an earlier co-purchase fixture produced a
+    giant component and 8 propagation rounds / an exploding CTE).
+    Duplicate edges would not change the result (the propagation
+    groupby-min is insensitive) but they DO multiply every propagate
+    join's input — one edge per EVENT is ~400x the distinct edge set — so
+    the user set is pre-distincted with one thin exchange first."""
+    from ..stages.aggregate import pre_aggregated_count
     from ..stages.dedup import cluster_pairs_distributed
 
-    li = rd.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_partkey", "l_suppkey", "l_quantity"],
-        filter=(pc.field("l_quantity") <= 2.0),
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    users = pre_aggregated_count(ev, "user_id", alias="__n").map_batches(
+        lambda t: t if t.num_columns == 0 else t.select(["user_id"]),
+        batch_format="pyarrow",
     )
-    pairs = li.map_batches(
-        lambda t: pa.table({
-            "id_a": t.column("l_partkey"),
-            "id_b": pc.add(t.column("l_suppkey"),
-                           pa.scalar(1_000_000, pa.int64())),
-        }),
-        batch_format="pyarrow")
+
+    def edges(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").combine_chunks() \
+             .to_numpy(zero_copy_only=False).astype(np.int64)
+        hub = 1_000_000 + u // 10
+        a = [u, ]
+        b = [hub, ]
+        # hub chain: hub k links to hub k+1 within runs of 3 (k % 3 != 2)
+        chain = hub[(hub - 1_000_000) % 3 != 2]
+        a.append(chain)
+        b.append(chain + 1)
+        return pa.table({"id_a": pa.array(np.concatenate(a), pa.int64()),
+                         "id_b": pa.array(np.concatenate(b), pa.int64())})
+
+    pairs = users.map_batches(edges, batch_format="pyarrow")
     return cluster_pairs_distributed(pairs).sort("node")
 
 
@@ -5416,9 +5433,14 @@ ORACLE_SQL["topk_per_user"] = """
 """
 
 ORACLE_SQL["connected_components"] = """
-    WITH RECURSIVE e AS (
-      SELECT l_partkey AS a, 1000000 + l_suppkey AS b
-      FROM lineitem WHERE l_quantity <= 2
+    WITH RECURSIVE u AS (
+      SELECT DISTINCT user_id FROM events
+    ), e AS (
+      SELECT user_id AS a, 1000000 + user_id // 10 AS b FROM u
+      UNION ALL
+      SELECT 1000000 + user_id // 10 AS a,
+             1000000 + user_id // 10 + 1 AS b
+      FROM u WHERE (user_id // 10) % 3 <> 2
     ), sym AS (
       SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e
     ), nodes AS (
