@@ -901,6 +901,19 @@ def q_training_data(sf_dir: str):
     ).sort("url")
 
 
+def q_chunk_documents(sf_dir: str):
+    """Sliding-window chunking (RAG / context-window prep): 128-token
+    windows, 16-token overlap (stride 112), no sub-overlap tail
+    fragments, empty docs emit nothing.  Row-local flat explode, zero
+    shuffles.  Oracle: regexp token split + list_slice over an unnested
+    chunk range, integer chunk-count arithmetic."""
+    from ..stages.curation import chunk_documents
+
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                           chunk_tokens=128, overlap_tokens=16) \
+        .sort(["doc_id", "chunk_id"])
+
+
 def q_training_data_exact(sf_dir: str):
     """The training-data composition with near-dedup OFF — which makes the
     WHOLE pipeline hash-exactly SQL-replayable (extraction kernel replay +
@@ -3492,6 +3505,7 @@ QUERIES = {
     "topk_per_user": q_topk_per_user,
     "multimodal_resize": q_multimodal_resize,
     "training_data_exact": q_training_data_exact,
+    "chunk_documents": q_chunk_documents,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -4820,6 +4834,26 @@ ORACLE_SQL["multimodal_features"] = """
       ON j.range < (32 + e.vec_id % 64) * (24 + e.vec_id % 48)
     WHERE e.vec_id < 500
     GROUP BY e.vec_id ORDER BY img_id
+"""
+
+# Chunking replay: chunk count = 1 + ceil(max(0, n-128)/112) in integer
+# form; chunk k = 1-based inclusive list_slice [k*112+1, k*112+128].
+ORACLE_SQL["chunk_documents"] = r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+             len(regexp_extract_all(text, '\S+')) AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(range(0,
+                 1 + (GREATEST(n - 128, 0) + 111) // 112)) AS k
+      FROM t WHERE n > 0
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+           CAST(len(toks[k * 112 + 1 : k * 112 + 128]) AS BIGINT)
+               AS n_tokens,
+           array_to_string(toks[k * 112 + 1 : k * 112 + 128], ' ') AS chunk
+    FROM c ORDER BY doc_id, chunk_id
 """
 
 # Training composition replay: extraction (whitespace-normalize), language

@@ -496,3 +496,50 @@ def line_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
                     "n_lines_kept"]]
 
     return bucketed_fold(marked, id_column, reassemble, n_buckets=n_buckets)
+
+
+def chunk_documents(ds, id_column: str = "doc_id",
+                    text_column: str = "text", chunk_tokens: int = 128,
+                    overlap_tokens: int = 16):
+    """Sliding-window document CHUNKING (the RAG / context-window prep
+    step): each document explodes into overlapping windows of
+    ``chunk_tokens`` whitespace tokens advancing by ``stride =
+    chunk_tokens - overlap_tokens``; the last window starts at the final
+    stride position whose predecessor did not already cover the document
+    (no sub-overlap tail fragments).  Empty documents emit zero chunks.
+
+    Row-local flat explode — zero shuffles; output rows carry (doc id,
+    chunk_id, n_tokens, chunk text).  Hash-exactly SQL-replayable
+    (regexp token split + list_slice over generate_series)."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, cidx, ntok, chunks = [], [], [], []
+        for doc_id, text in zip(t.column(id_column).to_pylist(),
+                                t.column(text_column).to_pylist()):
+            toks = (text or "").split()
+            n = len(toks)
+            if n == 0:
+                continue
+            start, k = 0, 0
+            while True:
+                window = toks[start:start + chunk_tokens]
+                ids.append(doc_id)
+                cidx.append(k)
+                ntok.append(len(window))
+                chunks.append(" ".join(window))
+                if start + chunk_tokens >= n:
+                    break
+                start += stride
+                k += 1
+        return pa.table({
+            id_column: pa.array(ids, t.schema.field(id_column).type),
+            "chunk_id": pa.array(cidx, pa.int64()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "chunk": pa.array(chunks, pa.string()),
+        })
+
+    return ds.select_columns([id_column, text_column]).map_batches(
+        explode, batch_format="pyarrow")

@@ -246,3 +246,37 @@ def test_c4_filters_rules():
     assert out.loc[3, "n_lines_kept"] == 4
     # one sentence < 3: fails the gate with no page flag
     assert out.loc[6, "n_lines_kept"] == 1 and not bool(out.loc[6, "pass_c4"])
+
+
+def test_chunk_documents_windows_and_edges():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.curation import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    rows = [
+        {"doc_id": 1, "text": " ".join(toks)},   # 10 tokens
+        {"doc_id": 2, "text": "only three words"},
+        {"doc_id": 3, "text": ""},                # no chunks
+        {"doc_id": 4, "text": " ".join(f"x{i}" for i in range(4))},  # == size
+    ]
+    out = chunk_documents(rd.from_items(rows).repartition(2),
+                          chunk_tokens=4, overlap_tokens=1).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    # doc 1: stride 3, starts 0,3,6 (start 6 covers to 10) -> 3 chunks
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["chunk"]) == ["t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    assert list(d1["n_tokens"]) == [4, 4, 4]
+    # doc 2: single short chunk
+    d2 = out[out["doc_id"] == 2]
+    assert list(d2["chunk"]) == ["only three words"]
+    # doc 3: nothing
+    assert (out["doc_id"] == 3).sum() == 0
+    # doc 4: exactly chunk_tokens -> ONE chunk, no empty tail
+    d4 = out[out["doc_id"] == 4]
+    assert len(d4) == 1 and d4["n_tokens"].iloc[0] == 4
+    # overlap >= size rejected
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_items(rows), chunk_tokens=4,
+                        overlap_tokens=4)
