@@ -723,6 +723,22 @@ def q_ngram_verified_dups(sf_dir: str):
     return verified.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
 
 
+def q_setsim_join(sf_dir: str):
+    """EXACT Jaccard-threshold set-similarity self-join via prefix
+    filtering (SSJoin/PPJoin) — complete AND precise, unlike the
+    probabilistic MinHash path: every word-3-gram-set pair with jaccard
+    >= 4/5 is returned, none missed, without the all-pairs scan (only
+    each doc's ``sz - ceil(t*sz) + 1`` lowest-hash shingles are indexed).
+    Rational threshold keeps the predicate integer-exact, so the oracle
+    replays it as shared * 5 >= 4 * (union size) over a DuckDB shingle
+    join — hash-exact including the shared/size columns."""
+    from ..stages.dedup import setsim_prefix_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return setsim_prefix_join(docs, "text", "doc_id", n=3,
+                              threshold=(4, 5)).sort(["id_a", "id_b"])
+
+
 def q_simhash_pairs(sf_dir: str):
     pairs = simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id",
                           max_hamming=3)
@@ -3540,6 +3556,7 @@ QUERIES = {
     "training_data_exact": q_training_data_exact,
     "chunk_documents": q_chunk_documents,
     "tdigest_quantiles": q_tdigest_quantiles,
+    "setsim_join": q_setsim_join,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -5612,6 +5629,32 @@ ORACLE_SQL["event_sequences"] = """
 ORACLE_SQL["hist_quantiles"] = """
     SELECT source, COUNT(*) AS n_rows, TRUE AS q50_ok, TRUE AS q90_ok
     FROM documents GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["setsim_join"] = f"""
+    WITH norm AS (
+      SELECT doc_id, lower({_NORM.format(col="text")}) AS t FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(t, ' ') AS l FROM norm WHERE t <> ''
+    ), sh AS (
+      SELECT DISTINCT doc_id, md5_number_lower(unnest(
+        CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+             ELSE list_transform(range(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+        END)) AS h
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b
+    FROM shared JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared * 5 >= 4 * (sa.sz + sb.sz - shared)
+    ORDER BY id_a, id_b
 """
 
 ORACLE_SQL["tdigest_quantiles"] = """

