@@ -634,6 +634,32 @@ def q_sessionize(sf_dir: str):
     return out.sort(["user_id", "session_start_s"])
 
 
+def q_merge_intervals(sf_dir: str):
+    """Gaps-and-islands interval coalescing: each event opens a 10-minute
+    [start, start+600] window per user; overlapping-or-touching windows
+    merge into islands (the crawl-visit / retry-span coalescing shape).
+    One bucketed shuffle on user_id, per-key sorted fold; oracle replays
+    with the running-max-end window trick."""
+    from ..stages.windows import merge_intervals
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id"])
+
+    def spans(t: pa.Table) -> pa.Table:
+        arr = t.column("ts").combine_chunks()
+        div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[arr.type.unit]
+        secs = pc.divide(pc.cast(arr, pa.int64()), div)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "start_s": secs,
+            "end_s": pc.add(secs, 600),
+        })
+
+    iv = ev.map_batches(spans, batch_format="pyarrow")
+    return merge_intervals(iv, "user_id", "start_s", "end_s") \
+        .sort(["user_id", "start_s"])
+
+
 def q_sliding_window(sf_dir: str):
     """1h windows sliding by 15 min over events (explode-to-buckets)."""
     from ..stages.windows import sliding_window
@@ -3206,6 +3232,20 @@ def q_term_cooccurrence(sf_dir: str):
                              top_m=20, min_count=2).sort(["a", "b"])
 
 
+def q_pmi_pairs(sf_dir: str):
+    """PMI association inputs: every co-occurrence pair (count >= 3) joined
+    with both terms' document frequencies under the SAME per-doc cap —
+    (a, b, n_pair, df_a, df_b, n_docs).  log(n_pair*n_docs/(df_a*df_b)) is
+    monotone in the integer ratio, so ranking works on these integers and
+    the output stays hash-exact.  Two thin partial+combine passes; the
+    vocab-shaped df table attaches via TWO distributed hash joins (never
+    broadcast)."""
+    from ..stages.lexicon import pmi_pair_stats
+
+    return pmi_pair_stats(_docs(sf_dir, ["doc_id", "text"]),
+                          top_m=20, min_count=3).sort(["a", "b"])
+
+
 def q_edit_distance_join(sf_dir: str):
     """String-similarity self-join (fuzzy join): all document pairs whose
     short derived key (source + 3-digit length bucket) is within Levenshtein
@@ -3557,6 +3597,8 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "tdigest_quantiles": q_tdigest_quantiles,
     "setsim_join": q_setsim_join,
+    "pmi_pairs": q_pmi_pairs,
+    "merge_intervals": q_merge_intervals,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -5581,6 +5623,54 @@ ORACLE_SQL["term_cooccurrence"] = """
     )
     SELECT a, b, COUNT(*) AS n FROM p GROUP BY a, b
     HAVING COUNT(*) >= 2 ORDER BY a, b
+"""
+
+ORACLE_SQL["merge_intervals"] = """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) + 600 AS e
+      FROM events
+    ), m AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max
+      FROM iv
+    ), g AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0
+                 END) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m
+    )
+    SELECT user_id, MIN(s) AS start_s, MAX(e) AS end_s,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM g GROUP BY user_id, grp ORDER BY user_id, start_s
+"""
+
+ORACLE_SQL["pmi_pairs"] = """
+    WITH toks AS (
+      SELECT list_sort(list_distinct(
+                 regexp_extract_all(lower(text), '[a-z0-9]+')))[1:20] AS ts
+      FROM documents
+    ), idx AS (
+      SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM toks
+    ), p AS (
+      SELECT ts[i] AS a, unnest(ts[i + 1:]) AS b FROM idx
+    ), pairs AS (
+      SELECT a, b, COUNT(*) AS n_pair FROM p GROUP BY a, b
+      HAVING COUNT(*) >= 3
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY term
+    ), nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT pairs.a, pairs.b, CAST(n_pair AS BIGINT) AS n_pair,
+           da.df AS df_a, db.df AS df_b, CAST(nd.n_docs AS BIGINT) AS n_docs
+    FROM pairs JOIN df da ON pairs.a = da.term
+               JOIN df db ON pairs.b = db.term
+               CROSS JOIN nd
+    ORDER BY pairs.a, pairs.b
 """
 
 ORACLE_SQL["edit_distance_join"] = """

@@ -441,3 +441,84 @@ def bpe_encode(docs, merges, id_column: str = "doc_id",
 
     return docs.select_columns([id_column, text_column]).map_batches(
         encode, batch_format="pyarrow")
+
+
+# --------------------------------------------------- PMI pair association
+
+def pmi_pair_stats(docs, id_column: str = "doc_id",
+                   text_column: str = "text", top_m: int = 20,
+                   min_count: int = 2, n_buckets: int = 32,
+                   n_partitions: int = 16):
+    """Pointwise-mutual-information INPUTS for term-pair association
+    mining: every surviving co-occurrence pair joined with both terms'
+    document frequencies — (a, b, n_pair, df_a, df_b, n_docs).  PMI itself
+    is log(n_pair * n_docs / (df_a * df_b)); the log is MONOTONE in the
+    integer ratio, so ranking/thresholding works on these integers and the
+    output stays hash-exact (the family contract: counts, never floats).
+
+    Both statistics use the SAME per-doc cap (the first ``top_m`` DISTINCT
+    terms in alphabetical order — ``term_cooccurrence``'s deterministic,
+    SQL-replayable cap), so df is the number of docs whose CAPPED set
+    contains the term and the PMI probabilities are mutually consistent.
+
+    Plan: pair counts ride ``term_cooccurrence`` (Counter partials, one
+    bucketed combine); df counts are a second thin partial + combine; the
+    vocab-shaped df table then attaches to the pair table by TWO
+    distributed hash joins (never broadcast — vocabulary is corpus-shaped
+    at 100 TB).  n_docs rides a count() metadata pass, the one scalar
+    allowed to the driver."""
+    pairs = term_cooccurrence(docs, id_column, text_column, top_m=top_m,
+                              min_count=min_count, n_buckets=n_buckets)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        counts = Counter()
+        for text in t.column(text_column).to_pylist():
+            counts.update(sorted(set(_tokens(text)))[:top_m])
+        return pa.table({
+            "term": pa.array(list(counts.keys()), pa.string()),
+            "dn": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    partials = docs.select_columns([text_column]).map_batches(
+        df_partial, batch_format="pyarrow")
+
+    def df_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", sort=False)["dn"].sum().reset_index()
+        out = out.rename(columns={"dn": "df"})
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    df_tbl = bucketed_fold(partials, "term", df_combine, n_buckets=n_buckets)
+    n_docs = docs.count()
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("n", pa.int64())])
+    df_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
+
+    j1 = partitioned_hash_join(
+        pairs, df_tbl.map_batches(
+            lambda t: pa.table({"a": t.column("term"), "df_a": t.column("df")}),
+            batch_format="pyarrow"),
+        on="a", n_buckets=n_partitions,
+        left_schema=pair_schema,
+        right_schema=pa.schema([("a", pa.string()), ("df_a", pa.int64())]))
+    j2 = partitioned_hash_join(
+        j1, df_tbl.map_batches(
+            lambda t: pa.table({"b": t.column("term"), "df_b": t.column("df")}),
+            batch_format="pyarrow"),
+        on="b", n_buckets=n_partitions,
+        left_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                               ("n", pa.int64()), ("df_a", pa.int64())]),
+        right_schema=pa.schema([("b", pa.string()), ("df_b", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": t.column("a"),
+            "b": t.column("b"),
+            "n_pair": pa.compute.cast(t.column("n"), pa.int64()),
+            "df_a": pa.compute.cast(t.column("df_a"), pa.int64()),
+            "df_b": pa.compute.cast(t.column("df_b"), pa.int64()),
+            "n_docs": pa.array([int(n_docs)] * t.num_rows, pa.int64()),
+        })
+
+    return j2.map_batches(finish, batch_format="pyarrow")

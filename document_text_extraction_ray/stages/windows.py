@@ -296,3 +296,42 @@ def range_window_sum(ds, key_col: str, ts_col: str, value_col: str,
         return g
 
     return bucketed_map_groups(ds, key_col, fold)
+
+
+def merge_intervals(ds, key_col: str, start_col: str, end_col: str):
+    """Coalesce overlapping-or-touching [start, end] intervals per key
+    (gaps-and-islands): intervals sorted by (start, end) merge while the
+    next start <= the running max end.  Returns (key, start, end,
+    n_intervals) — one row per merged island, integer-exact.
+
+    One bucketed shuffle on the key, per-key sorted numpy fold (the
+    ``sessionize`` shape).  The classic uses: dedup retry-inflated event
+    spans, merge crawl-visit windows before sessionizing, coalesce span
+    annotations after substring dedup."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([start_col, end_col], kind="mergesort")
+        s = g[start_col].to_numpy(dtype=np.int64)
+        e = g[end_col].to_numpy(dtype=np.int64)
+        key = g[key_col].iloc[0]
+        rows = []
+        cur_s, cur_e, n = int(s[0]), int(e[0]), 1
+        for i in range(1, len(s)):
+            if s[i] <= cur_e:
+                cur_e = max(cur_e, int(e[i]))
+                n += 1
+            else:
+                rows.append({key_col: key, start_col: cur_s,
+                             end_col: cur_e, "n_intervals": n})
+                cur_s, cur_e, n = int(s[i]), int(e[i]), 1
+        rows.append({key_col: key, start_col: cur_s,
+                     end_col: cur_e, "n_intervals": n})
+        out = pd.DataFrame(rows)
+        for c in (start_col, end_col, "n_intervals"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    from .aggregate import bucketed_map_groups
+
+    return bucketed_map_groups(ds.select_columns(
+        [key_col, start_col, end_col]), key_col, fold)

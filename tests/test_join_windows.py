@@ -412,3 +412,41 @@ def test_anti_join_empty_right():
     removed = rd.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
     out = anti_join(left, removed, on="id").to_pandas()
     assert sorted(out["id"]) == [1, 2]
+
+
+def test_merge_intervals_islands(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.windows import merge_intervals
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 3,
+        "s": [0, 5, 20, 21, 40,   0, 100, 100],
+        "e": [10, 12, 25, 30, 45,  50, 110, 105],
+    })
+    out = merge_intervals(rd.from_pandas(df).repartition(3), "k", "s", "e") \
+        .to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
+    want = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b"],
+        "s": [0, 20, 40, 0, 100],
+        "e": [12, 30, 45, 50, 110],
+        "n_intervals": [2, 2, 1, 1, 2],
+    })
+    assert out[["k", "s", "e", "n_intervals"]].astype(
+        {"s": "int64", "e": "int64", "n_intervals": "int64"}) \
+        .equals(want.astype({"s": "int64", "e": "int64",
+                             "n_intervals": "int64"}))
+
+
+def test_merge_intervals_touching_merge(ray_session):
+    # touching (next.start == cur.end) merges — closed-interval semantics
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.windows import merge_intervals
+
+    df = pd.DataFrame({"k": [1, 1], "s": [0, 10], "e": [10, 20]})
+    out = merge_intervals(rd.from_pandas(df), "k", "s", "e").to_pandas()
+    assert len(out) == 1
+    assert int(out["s"].iloc[0]) == 0 and int(out["e"].iloc[0]) == 20

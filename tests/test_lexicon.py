@@ -210,3 +210,38 @@ def test_bpe_encode_matches_local_reference():
         assert out.loc[i, "n_words"] == len(words)
         assert out.loc[i, "n_tokens"] == len(syms)
         assert out.loc[i, "preview"] == " ".join(syms[:5])
+
+
+def test_pmi_pair_stats_matches_local_reference(ray_session):
+    from itertools import combinations
+
+    from document_text_extraction_ray.stages.lexicon import (
+        _tokens, pmi_pair_stats)
+
+    texts = [
+        "alpha beta gamma alpha",
+        "alpha beta delta",
+        "beta gamma epsilon zeta",
+        "alpha beta gamma",
+        "unrelated words only here",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    # local reference under the same per-doc cap
+    capped = [sorted(set(_tokens(t)))[:20] for t in texts]
+    pair_n = Counter()
+    dfreq = Counter()
+    for ts in capped:
+        dfreq.update(ts)
+        pair_n.update(combinations(ts, 2))
+    want = sorted(
+        (a, b, n, dfreq[a], dfreq[b], len(texts))
+        for (a, b), n in pair_n.items() if n >= 2)
+
+    out = pmi_pair_stats(rd.from_pandas(df).repartition(3),
+                         top_m=20, min_count=2).to_pandas()
+    got = sorted(map(tuple, out[
+        ["a", "b", "n_pair", "df_a", "df_b", "n_docs"]].to_numpy()))
+    assert got == want
+    assert len(got) > 0
