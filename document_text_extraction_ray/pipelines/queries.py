@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -2900,6 +2901,284 @@ def q22_sales_opportunity(sf_dir: str):
     return agg.sort("c_mktsegment")
 
 
+def q9_profit_shape(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit by nation and year) on this
+    schema (no partsupp table, so amount = extprice * (1 - discount)):
+    part filter (p_name contains 'red') and supplier->nation map
+    broadcast; lineitem tags both row-locally; ONE distributed fact-fact
+    join on orderkey brings the order year; (nation, year) groupby over
+    pre-aggregated cents."""
+    import ray as _ray
+
+    from ..stages.aggregate import bucketed_fold
+    from ..stages.join import native_join
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    red = part.filter(pc.match_substring(part.column("p_name"), "red"))
+    red_keys = pa.array(sorted(red.column("p_partkey").to_pylist()),
+                        pa.int64())
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+    supp_ref = _ray.put(supp.combine_chunks())
+    nat_keys = pa.array(sorted(nmap), pa.int64())
+    nat_names = pa.array([nmap[k] for k in sorted(nmap)], pa.string())
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("l_partkey"), value_set=red_keys))
+        s = _ray.get(supp_ref)
+        nat = pc.take(s.column("s_nationkey"),
+                      pc.index_in(t.column("l_suppkey"),
+                                  value_set=s.column("s_suppkey")))
+        nm = pc.take(nat_names, pc.index_in(nat, value_set=nat_keys))
+        amount = pc.multiply(t.column("l_extendedprice"),
+                             pc.subtract(pa.scalar(1.0),
+                                         t.column("l_discount")))
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "nation": nm, "amount": amount})
+
+    l_side = li.map_batches(tag, batch_format="pyarrow")
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def years(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_year": pc.cast(pc.year(t.column("o_orderdate")),
+                                           pa.int64())})
+
+    joined = native_join(l_side,
+                         orders.map_batches(years, batch_format="pyarrow"),
+                         on="o_orderkey", n_partitions=16)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["nation", "o_year"], sort=False)["amount"] \
+               .sum().reset_index()
+        raw = out["amount"].to_numpy() * 100
+        out["profit_cents"] = np.where(
+            raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)).astype("int64")
+        return out.drop(columns=["amount"])
+
+    # (nation, year) cardinality is tiny; the per-batch groupby inside the
+    # bucketed fold is the pre-aggregation.
+    res = bucketed_fold(joined.select_columns(["nation", "o_year", "amount"]),
+                        ["nation", "o_year"], fold, n_buckets=8)
+    return res.sort(["nation", "o_year"])
+
+
+def q21_late_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (EXISTS / NOT-EXISTS double anti-join) on this
+    schema (no receipt/commit dates): count, per supplier, the
+    multi-supplier orders where THAT supplier was the ONLY late one
+    (late = shipped > 90 days after the order date).  Plan: one
+    distributed lineitem-orders join tags lateness row-locally, then one
+    bucketed per-order fold applies both existential predicates exactly
+    (>= 2 distinct suppliers; exactly 1 distinct late supplier), and a
+    thin per-supplier count + broadcast name lookup finishes."""
+    import ray as _ray
+
+    from ..stages.aggregate import bucketed_fold, pre_aggregated_count
+    from ..stages.join import native_join
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    smap_keys = pa.array(supp.column("s_suppkey").to_pylist(), pa.int64())
+    smap_names = pa.array(supp.column("s_name").to_pylist(), pa.string())
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def li_thin(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "ship_s": pc.cast(pc.cast(t.column("l_shipdate"),
+                                                   pa.date32()), pa.int32())})
+
+    def o_thin(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "order_s": pc.cast(pc.cast(t.column("o_orderdate"),
+                                                    pa.date32()), pa.int32())})
+
+    joined = native_join(li.map_batches(li_thin, batch_format="pyarrow"),
+                         orders.map_batches(o_thin, batch_format="pyarrow"),
+                         on="o_orderkey", n_partitions=16)
+
+    def tag_late(t: pa.Table) -> pa.Table:
+        late = pc.greater(pc.subtract(t.column("ship_s"),
+                                      t.column("order_s")), 90)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "late": late})
+
+    tagged = joined.map_batches(tag_late, batch_format="pyarrow")
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        # Whole-bucket vectorized: distinct (order, supp) sizes give the
+        # EXISTS side; distinct late (order, supp) sizes give NOT-EXISTS.
+        pairs = g[["o_orderkey", "l_suppkey"]].drop_duplicates()
+        n_supp = pairs.groupby("o_orderkey", sort=False).size()
+        late = g.loc[g["late"], ["o_orderkey", "l_suppkey"]] \
+                .drop_duplicates()
+        ln = late.groupby("o_orderkey", sort=False)["l_suppkey"] \
+                 .agg(["size", "min"])
+        ok = ln[(ln["size"] == 1)
+                & (n_supp.reindex(ln.index) >= 2)]
+        return pd.DataFrame(
+            {"l_suppkey": ok["min"].astype("int64").to_numpy()})
+
+    waiting = bucketed_fold(tagged, "o_orderkey", per_order, n_buckets=16)
+    counts = pre_aggregated_count(waiting, "l_suppkey", alias="numwait",
+                                  n_buckets=8)
+
+    def name(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        nm = pc.take(smap_names, pc.index_in(t.column("l_suppkey"),
+                                             value_set=smap_keys))
+        return pa.table({"s_name": nm,
+                         "numwait": pc.cast(t.column("numwait"), pa.int64())})
+
+    return counts.map_batches(name, batch_format="pyarrow") \
+        .sort(["numwait", "s_name"], descending=[True, False]).limit(20)
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape (global-threshold HAVING) on this schema: per-part
+    revenue cents from one nation's suppliers, keeping parts whose value
+    exceeds 1/500 of the nation's total.  Per-part table is bounded by
+    the part dimension; the global threshold is the one scalar collected
+    (sum of the ROUNDED per-part cents, so both sides of the comparison
+    are integers and the replay is exact)."""
+    import ray as _ray
+
+    from ..stages.aggregate import pre_aggregated_sum
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nkey = nation.filter(pc.equal(nation.column("n_name"), "NATION_3")) \
+                 .column("n_nationkey")[0].as_py()
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    skeys = pa.array(sorted(
+        supp.filter(pc.equal(supp.column("s_nationkey"), nkey))
+            .column("s_suppkey").to_pylist()), pa.int64())
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("l_suppkey"), value_set=skeys))
+        return pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "r": pc.multiply(t.column("l_extendedprice"),
+                             pc.subtract(pa.scalar(1.0),
+                                         t.column("l_discount"))),
+        })
+
+    per_part = pre_aggregated_sum(
+        li.map_batches(rev, batch_format="pyarrow"), "l_partkey", "r",
+        n_buckets=8,
+    ).map_batches(
+        lambda t: t if t.num_columns == 0
+        else _scale_int(pa.table({"l_partkey": t.column("l_partkey"),
+                                  "value_cents": t.column("sum_r")}),
+                        {"value_cents": 100}),
+        batch_format="pyarrow",
+    ).materialize()  # bounded by the part dimension; consumed twice
+    total = int(per_part.aggregate(Sum("value_cents", alias_name="t"))["t"])
+    kept = per_part.map_batches(
+        lambda t: t.filter(pc.greater(pc.multiply(t.column("value_cents"),
+                                                  pa.scalar(500)), total)),
+        batch_format="pyarrow")
+    return kept.sort(["value_cents", "l_partkey"], descending=[True, False])
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (correlated MIN subquery) on this schema: for each
+    SMALL-type part, the EUROPE supplier with the minimum total revenue
+    cents on that part (cheapest source), ties broken by suppkey.
+    Composite (part, supplier) pre-aggregation -> per-part argmin fold ->
+    broadcast name lookup; the correlated MIN never leaves the cluster."""
+    import ray as _ray
+
+    from ..stages.aggregate import bucketed_fold
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    small = pa.array(sorted(
+        part.filter(pc.equal(part.column("p_type"), "SMALL"))
+            .column("p_partkey").to_pylist()), pa.int64())
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    eu = region.filter(pc.equal(region.column("r_name"), "EUROPE")) \
+               .column("r_regionkey")[0].as_py()
+    eu_nations = set(nation.filter(
+        pc.equal(nation.column("n_regionkey"), eu))
+        .column("n_nationkey").to_pylist())
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name", "s_nationkey"])
+    eu_mask = pc.is_in(supp.column("s_nationkey"),
+                       value_set=pa.array(sorted(eu_nations), pa.int64()))
+    eu_supp = supp.filter(eu_mask)
+    eu_keys = pa.array(sorted(eu_supp.column("s_suppkey").to_pylist()),
+                       pa.int64())
+    sname_keys = pa.array(eu_supp.column("s_suppkey").to_pylist(), pa.int64())
+    sname_vals = pa.array(eu_supp.column("s_name").to_pylist(), pa.string())
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.is_in(t.column("l_partkey"), value_set=small),
+            pc.is_in(t.column("l_suppkey"), value_set=eu_keys)))
+        return pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "l_suppkey": t.column("l_suppkey"),
+            "r": pc.multiply(t.column("l_extendedprice"),
+                             pc.subtract(pa.scalar(1.0),
+                                         t.column("l_discount"))),
+        })
+
+    thin = li.map_batches(rev, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # (part, supp) totals -> cents -> per-part argmin (cents, suppkey)
+        ps = g.groupby(["l_partkey", "l_suppkey"], sort=False)["r"] \
+              .sum().reset_index()
+        raw = ps["r"].to_numpy() * 100
+        ps["cents"] = np.where(raw >= 0, np.floor(raw + 0.5),
+                               np.ceil(raw - 0.5)).astype("int64")
+        ps = ps.sort_values(["l_partkey", "cents", "l_suppkey"],
+                            kind="mergesort")
+        best = ps.groupby("l_partkey", sort=False).head(1)
+        return best[["l_partkey", "l_suppkey", "cents"]]
+
+    best = bucketed_fold(thin, "l_partkey", fold, n_buckets=16)
+
+    def name(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        nm = pc.take(sname_vals, pc.index_in(t.column("l_suppkey"),
+                                             value_set=sname_keys))
+        return pa.table({"p_partkey": t.column("l_partkey"),
+                         "s_name": nm,
+                         "min_cents": pc.cast(t.column("cents"), pa.int64())})
+
+    return best.map_batches(name, batch_format="pyarrow").sort("p_partkey")
+
+
 def q_rank_features(sf_dir: str):
     """Rank window-function family in ONE per-key fold: ROW_NUMBER,
     PERCENT_RANK / CUME_DIST as e6 fixed-point integers (floor division —
@@ -3599,6 +3878,10 @@ QUERIES = {
     "setsim_join": q_setsim_join,
     "pmi_pairs": q_pmi_pairs,
     "merge_intervals": q_merge_intervals,
+    "q9_profit_shape": q9_profit_shape,
+    "q21_late_suppliers": q21_late_suppliers,
+    "q11_important_parts": q11_important_parts,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -5623,6 +5906,74 @@ ORACLE_SQL["term_cooccurrence"] = """
     )
     SELECT a, b, COUNT(*) AS n FROM p GROUP BY a, b
     HAVING COUNT(*) >= 2 ORDER BY a, b
+"""
+
+ORACLE_SQL["q9_profit_shape"] = """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100)
+                AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["q21_late_suppliers"] = """
+    WITH tagged AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (datediff('day', o.o_orderdate, l.l_shipdate) > 90) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+             MIN(CASE WHEN late THEN l_suppkey END) AS the_supp
+      FROM tagged GROUP BY l_orderkey
+    ), waiting AS (
+      SELECT the_supp AS k FROM per_order WHERE n_supp >= 2 AND n_late = 1
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM waiting w JOIN supplier s ON w.k = s.s_suppkey
+    GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+ORACLE_SQL["q11_important_parts"] = """
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                  AS BIGINT) AS value_cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      GROUP BY l_partkey
+    ), tot AS (SELECT SUM(value_cents) AS t FROM pv)
+    SELECT l_partkey, value_cents FROM pv, tot
+    WHERE value_cents * 500 > t
+    ORDER BY value_cents DESC, l_partkey
+"""
+
+ORACLE_SQL["q2_min_cost_supplier"] = """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                   ORDER BY cents, l_suppkey) AS rn
+      FROM ps
+    )
+    SELECT r.l_partkey AS p_partkey, s.s_name, r.cents AS min_cents
+    FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE rn = 1 ORDER BY p_partkey
 """
 
 ORACLE_SQL["merge_intervals"] = """
