@@ -766,6 +766,39 @@ def q_setsim_join(sf_dir: str):
                               threshold=(4, 5)).sort(["id_a", "id_b"])
 
 
+def q_setsim_snapshot(sf_dir: str):
+    """Cross-snapshot NEAR-dup anti-join, exact: the corpus splits into an
+    OLD snapshot (doc_id % 3 == 0) and a NEW slice; new docs with ANY old
+    doc at word-3-gram Jaccard >= 4/5 are dropped (prefix-filter
+    completeness guarantee — no qualifying old match is ever missed; the
+    key-equality sibling is ``snapshot_dedup``, the probabilistic one
+    MinHash).  Survivors leave via Ray's native left_anti join."""
+    from ..stages.dedup import setsim_snapshot_anti_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def part(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            m = (ids % 3 == 0) if keep_old else (ids % 3 != 0)
+            return t.filter(pa.array(m))
+
+        return f
+
+    # Real snapshots are separate parquet inputs that each consumer chain
+    # re-reads with pruned columns; this fixture DERIVES them from one
+    # table, so the split is coalesced + materialized once (bounded —
+    # fixture corpus) instead of re-running a 64-tiny-block filter scan in
+    # all five consumer chains (measured 28 s -> 8 s at sf0.01).
+    old = docs.map_batches(part(True), batch_format="pyarrow") \
+        .repartition(8).materialize()
+    new = docs.map_batches(part(False), batch_format="pyarrow") \
+        .repartition(8).materialize()
+    out = setsim_snapshot_anti_join(new, old, "text", "doc_id",
+                                    n=3, threshold=(4, 5))
+    return out.select_columns(["doc_id"]).sort("doc_id")
+
+
 def q_simhash_pairs(sf_dir: str):
     pairs = simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id",
                           max_hamming=3)
@@ -3179,6 +3212,104 @@ def q2_min_cost_supplier(sf_dir: str):
     return best.map_batches(name, batch_format="pyarrow").sort("p_partkey")
 
 
+def q16_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape (COUNT DISTINCT per attribute group + NOT IN
+    exclusion) on this schema: distinct suppliers per (p_brand, p_type,
+    p_size) over lineitem part-supplier pairs, excluding negative-balance
+    suppliers (the NOT IN side, broadcast — supplier is a dimension).
+    Exact distinct via thin (group, supplier) partials + one bucketed
+    combine (``exact_distinct_count``)."""
+    from ..stages.aggregate import exact_distinct_count
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_acctbal"])
+    bad = pa.array(sorted(
+        supp.filter(pc.less(supp.column("s_acctbal"), 0.0))
+            .column("s_suppkey").to_pylist()), pa.int64())
+    pk = part.column("p_partkey")
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.is_in(t.column("l_suppkey"),
+                                        value_set=bad)))
+        idx = pc.index_in(t.column("l_partkey"), value_set=pk)
+        grp = pc.binary_join_element_wise(
+            pc.take(part.column("p_brand"), idx),
+            pc.take(part.column("p_type"), idx),
+            pc.cast(pc.take(part.column("p_size"), idx), pa.string()),
+            "|")
+        return pa.table({"grp": grp, "l_suppkey": t.column("l_suppkey")})
+
+    pairs = li.map_batches(tag, batch_format="pyarrow")
+    out = exact_distinct_count(pairs, "grp", "l_suppkey").map_batches(
+        lambda t: t if t.num_columns == 0
+        else pa.table({"grp": t.column("grp"),
+                       "supplier_cnt": pc.cast(t.column("n_distinct"),
+                                               pa.int64())}),
+        batch_format="pyarrow")
+    return out.sort(["supplier_cnt", "grp"], descending=[True, False])
+
+
+def q20_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (nested semi-joins against a correlated quantity
+    threshold) on this schema: suppliers with MORE THAN A 1/6 SHARE of
+    some SMALL-type part's total shipped quantity (the excess-stock
+    predicate becomes a dominant-share one; a 1/2 share never occurs on
+    this uniform fixture).  Plan: one composite
+    (part, supplier) quantity pre-aggregation; the per-part total folds
+    in the SAME key-complete bucket (no second exchange); the qualifying
+    supplier set is a thin distinct projection + broadcast name lookup.
+    Quantities are integer-valued doubles -> exact int64 sums."""
+    from ..stages.aggregate import bucketed_fold
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    small = pa.array(sorted(
+        part.filter(pc.equal(part.column("p_type"), "SMALL"))
+            .column("p_partkey").to_pylist()), pa.int64())
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    sk = pa.array(supp.column("s_suppkey").to_pylist(), pa.int64())
+    sn = pa.array(supp.column("s_name").to_pylist(), pa.string())
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def thin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("l_partkey"), value_set=small))
+        return pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "l_suppkey": t.column("l_suppkey"),
+            "q": pc.cast(t.column("l_quantity"), pa.int64()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.groupby(["l_partkey", "l_suppkey"], sort=False)["q"] \
+              .sum().reset_index()
+        tot = ps.groupby("l_partkey", sort=False)["q"].transform("sum")
+        dom = ps[ps["q"] * 6 > tot]
+        return pd.DataFrame({"l_suppkey": dom["l_suppkey"].unique()
+                             .astype("int64")})
+
+    dom = bucketed_fold(li.map_batches(thin, batch_format="pyarrow"),
+                        "l_partkey", fold, n_buckets=16)
+    # a supplier can dominate several parts -> distinct
+    dom = dom.groupby("l_suppkey").aggregate(
+        Count(alias_name="__n")).drop_columns(["__n"])
+
+    def name(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        nm = pc.take(sn, pc.index_in(t.column("l_suppkey"), value_set=sk))
+        return pa.table({"s_name": nm})
+
+    return dom.map_batches(name, batch_format="pyarrow").sort("s_name")
+
+
 def q_rank_features(sf_dir: str):
     """Rank window-function family in ONE per-key fold: ROW_NUMBER,
     PERCENT_RANK / CUME_DIST as e6 fixed-point integers (floor division —
@@ -3882,6 +4013,9 @@ QUERIES = {
     "q21_late_suppliers": q21_late_suppliers,
     "q11_important_parts": q11_important_parts,
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
+    "setsim_snapshot": q_setsim_snapshot,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -5974,6 +6108,66 @@ ORACLE_SQL["q2_min_cost_supplier"] = """
     SELECT r.l_partkey AS p_partkey, s.s_name, r.cents AS min_cents
     FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
     WHERE rn = 1 ORDER BY p_partkey
+"""
+
+ORACLE_SQL["setsim_snapshot"] = f"""
+    WITH norm AS (
+      SELECT doc_id, lower({_NORM.format(col="text")}) AS t FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(t, ' ') AS l FROM norm WHERE t <> ''
+    ), sh AS (
+      SELECT DISTINCT doc_id, md5_number_lower(unnest(
+        CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+             ELSE list_transform(range(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+        END)) AS h
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS nid, b.doc_id AS oid, COUNT(*) AS shd
+      FROM sh a JOIN sh b ON a.h = b.h
+      WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+      GROUP BY 1, 2
+    ), matched AS (
+      SELECT DISTINCT nid
+      FROM shared JOIN sizes sa ON nid = sa.doc_id
+                  JOIN sizes sb ON oid = sb.doc_id
+      WHERE shd * 5 >= 4 * (sa.sz + sb.sz - shd)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT nid FROM matched)
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["q16_supplier_variety"] = """
+    WITH pairs AS (
+      SELECT DISTINCT
+             p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR)
+                 AS grp,
+             l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    )
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS supplier_cnt
+    FROM pairs GROUP BY grp ORDER BY supplier_cnt DESC, grp
+"""
+
+ORACLE_SQL["q20_dominant_suppliers"] = """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'SMALL'
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_partkey, SUM(q) AS t FROM ps GROUP BY 1
+    )
+    SELECT DISTINCT s_name
+    FROM ps JOIN tot USING (l_partkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE q * 6 > t ORDER BY s_name
 """
 
 ORACLE_SQL["merge_intervals"] = """

@@ -1261,11 +1261,7 @@ def setsim_prefix_join(ds, text_column: str, id_column: str, n: int = 3,
     empty_fold = empty_pairs.to_pandas()
 
     def doc_hashes(text):
-        sh = D.word_ngrams(text or "", n)
-        if not sh:
-            return None
-        return np.unique(np.fromiter(
-            (T.md5_u64(s) for s in sh), dtype=np.uint64, count=len(sh)))
+        return _setsim_doc_hashes(text, n)
 
     def explode(batch: pa.Table) -> pa.Table:
         keys, ids, szs, poss = [], [], [], []
@@ -1413,3 +1409,198 @@ def setsim_prefix_join(ds, text_column: str, id_column: str, n: int = 3,
     verified = bucketed_fold(joined, ["id_a", "id_b"], verify_bucket,
                              n_buckets=n_buckets)
     return ray.data.from_arrow(empty_out).union(verified)
+
+
+def _setsim_doc_hashes(text, n: int):
+    """Distinct word-n-gram md5_u64 hashes of a doc, ASCENDING (= the
+    global prefix order); None for shingle-less docs."""
+    sh = D.word_ngrams(text or "", n)
+    if not sh:
+        return None
+    return np.unique(np.fromiter(
+        (T.md5_u64(s) for s in sh), dtype=np.uint64, count=len(sh)))
+
+
+def setsim_snapshot_anti_join(new_ds, old_ds, text_column: str,
+                              id_column: str, n: int = 3, threshold=(4, 5),
+                              n_buckets: int = 32, n_partitions: int = 16):
+    """Cross-snapshot NEAR-dup anti-join, exact: keep the NEW rows that
+    have no OLD document within word-n-gram-set Jaccard >= ``threshold``
+    — incremental crawl near-dedup with the prefix-filter guarantee (no
+    qualifying old match is ever missed — see ``setsim_prefix_join``;
+    ``dedup_against_snapshot`` is the key-EQUALITY sibling, MinHash the
+    probabilistic one).
+
+    R-S variant of the self-join plan: both sides explode prefixes (a
+    ``side`` tag rides along), candidate groups pair only ACROSS sides
+    (with the same size + positional filters), verification intersects
+    hash arrays after one distributed join against the union of both
+    sides' set tables (member keys are side-prefixed strings so the two
+    snapshots' id spaces may overlap), and one left anti-join drops the
+    matched new ids.  Output: the surviving NEW (id, text) rows."""
+    num, den = threshold
+
+    from .aggregate import bucketed_fold
+    from .join import _arrow_schema, native_join
+
+    id_type = _arrow_schema(
+        new_ds.select_columns([id_column])).field(id_column).type
+    empty_pairs = pa.table({
+        "new_id": pa.array([], id_type),
+        "old_id": pa.array([], id_type),
+    })
+    empty_fold = empty_pairs.to_pandas()
+
+    def explode_side(side: int):
+        def explode(batch: pa.Table) -> pa.Table:
+            keys, ids, szs, poss = [], [], [], []
+            for doc_id, text in zip(batch.column(id_column).to_pylist(),
+                                    batch.column(text_column).to_pylist()):
+                hashes = _setsim_doc_hashes(text, n)
+                if hashes is None:
+                    continue
+                sz = len(hashes)
+                p = sz - (-(-num * sz // den)) + 1
+                for pos in range(min(p, sz)):
+                    keys.append(int(hashes[pos]))
+                    ids.append(doc_id)
+                    szs.append(sz)
+                    poss.append(pos)
+            return pa.table({
+                "pkey": pa.array(keys, pa.uint64()),
+                id_column: pa.array(ids, type=batch.column(id_column).type),
+                "sz": pa.array(szs, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "side": pa.array([side] * len(ids), pa.int8()),
+            })
+
+        return explode
+
+    new_pref = new_ds.select_columns([id_column, text_column]).map_batches(
+        explode_side(0), batch_format="pyarrow")
+    old_pref = old_ds.select_columns([id_column, text_column]).map_batches(
+        explode_side(1), batch_format="pyarrow")
+    exploded = new_pref.union(old_pref)
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        new_side = g[g["side"] == 0]
+        old_side = g[g["side"] == 1]
+        if new_side.empty or old_side.empty:
+            return empty_fold
+        n_ids = new_side[id_column].tolist()
+        n_sz = new_side["sz"].tolist()
+        n_pos = new_side["pos"].tolist()
+        o_ids = old_side[id_column].tolist()
+        o_sz = old_side["sz"].tolist()
+        o_pos = old_side["pos"].tolist()
+        a_out, b_out = [], []
+        for i in range(len(n_ids)):
+            for j in range(len(o_ids)):
+                sa, sb = n_sz[i], o_sz[j]
+                lo, hi = (sa, sb) if sa <= sb else (sb, sa)
+                if lo * den < num * hi:
+                    continue
+                alpha = -(-num * (sa + sb) // (num + den))
+                if min(sa - n_pos[i], sb - o_pos[j]) < alpha:
+                    continue
+                a_out.append(n_ids[i])
+                b_out.append(o_ids[j])
+        return pd.DataFrame({"new_id": a_out, "old_id": b_out})
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("pkey", sort=False)["pkey"].transform("size")
+        g = g[sizes.to_numpy() >= 2]
+        if g.empty:
+            return empty_fold
+        outs = [pairs_of_group(sub)
+                for _, sub in g.groupby("pkey", sort=False)]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else empty_fold
+
+    raw = bucketed_fold(exploded, "pkey", fold_bucket, n_buckets=n_buckets)
+    pairs = ray.data.from_arrow(empty_pairs).union(raw)
+
+    # ---- verification (side-prefixed member keys; ids may overlap)
+    def member_explode(t: pa.Table) -> pa.Table:
+        a = t.column("new_id").combine_chunks()
+        b = t.column("old_id").combine_chunks()
+        ka = pc.binary_join_element_wise(
+            pa.array(["n"] * len(a)), pc.cast(a, pa.string()), ":")
+        kb = pc.binary_join_element_wise(
+            pa.array(["o"] * len(b)), pc.cast(b, pa.string()), ":")
+        if isinstance(ka, pa.ChunkedArray):
+            ka = ka.combine_chunks()
+        if isinstance(kb, pa.ChunkedArray):
+            kb = kb.combine_chunks()
+        return pa.table({
+            "new_id": pa.concat_arrays([a, a]),
+            "old_id": pa.concat_arrays([b, b]),
+            "key": pa.concat_arrays([ka, kb]),
+        })
+
+    def hash_sets(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            keys, blobs = [], []
+            for doc_id, text in zip(batch.column(id_column).to_pylist(),
+                                    batch.column(text_column).to_pylist()):
+                hashes = _setsim_doc_hashes(text, n)
+                if hashes is None:
+                    continue
+                keys.append(f"{side}:{doc_id}")
+                blobs.append(hashes.tobytes())
+            return pa.table({"key": pa.array(keys, pa.string()),
+                             "hs": pa.array(blobs, pa.large_binary())})
+
+        return f
+
+    exploded_pairs = pairs.select_columns(["new_id", "old_id"]).map_batches(
+        member_explode, batch_format="pyarrow")
+    sets_tbl = new_ds.select_columns([id_column, text_column]).map_batches(
+        hash_sets("n"), batch_format="pyarrow").union(
+        old_ds.select_columns([id_column, text_column]).map_batches(
+            hash_sets("o"), batch_format="pyarrow"))
+    joined = native_join(exploded_pairs, sets_tbl, on="key",
+                         n_partitions=n_partitions, left_from_aggregate=True)
+
+    empty_matched = pa.table({"new_id": pa.array([], id_type)}).to_pandas()
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["new_id", "old_id", "key"])
+        # 2 rows per pair; "n:..." sorts before "o:..." lexicographically.
+        g = g.sort_values(["new_id", "old_id", "key"], kind="mergesort")
+        ids_a = g["new_id"].to_numpy()
+        ids_b = g["old_id"].to_numpy()
+        blobs = g["hs"].tolist()
+        out = []
+        i = 0
+        while i < len(blobs) - 1:
+            if ids_a[i] != ids_a[i + 1] or ids_b[i] != ids_b[i + 1]:
+                i += 1
+                continue
+            ha = np.frombuffer(bytes(blobs[i]), dtype=np.uint64)
+            hb = np.frombuffer(bytes(blobs[i + 1]), dtype=np.uint64)
+            shared = len(np.intersect1d(ha, hb, assume_unique=True))
+            if shared * den >= num * (len(ha) + len(hb) - shared):
+                out.append(ids_a[i])
+            i += 2
+        if not out:
+            return empty_matched
+        return pd.DataFrame({"new_id": out}).drop_duplicates()
+
+    matched = bucketed_fold(joined, ["new_id", "old_id"], verify_bucket,
+                            n_buckets=n_buckets)
+    # A new doc matching several old docs appears several times — left_anti
+    # excludes on ANY right match, so no dedup exchange is needed.
+    matched_ids = ray.data.from_arrow(
+        pa.table({"new_id": pa.array([], id_type)})).union(matched) \
+        .map_batches(
+            lambda t: t if t.num_columns == 0
+            else pa.table({id_column: t.column("new_id")}),
+            batch_format="pyarrow")
+
+    # Ray's native left_anti join IS the survivor filter — one exchange,
+    # no marker column, no driver collection.
+    return native_join(new_ds, matched_ids, on=id_column,
+                       n_partitions=n_partitions, how="left_anti",
+                       right_from_aggregate=True)
+

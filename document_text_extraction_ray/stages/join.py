@@ -759,7 +759,16 @@ def native_join(left, right, on: str, n_partitions: int = 16,
 
     Set ``left_from_aggregate`` / ``right_from_aggregate`` when a side is a
     groupby/aggregate output: those can carry zero-column empty blocks that
-    crash the arrow join, and are coalesced away first (thin tables — cheap)."""
+    crash the arrow join, and are coalesced away first (thin tables — cheap).
+
+    ``n_partitions`` is clamped to the cluster's CPUs (``pool_size``): the
+    join operator reserves per-partition resources, and TWO 16-partition
+    joins in one DAG starve a 4-CPU session into a full deadlock (observed
+    in ``setsim_snapshot_anti_join`` under the test fixture; a single
+    16-partition join was fine).  At >= 18 CPUs the clamp is a no-op."""
+    from ..util import pool_size
+
+    n_partitions = pool_size(n_partitions)
     if not hasattr(left, "join"):  # older Ray
         return partitioned_hash_join(left, right, on=on, how=how,
                                      n_buckets=n_partitions, suffix=right_suffix)

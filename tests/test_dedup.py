@@ -368,3 +368,56 @@ def test_setsim_prefix_join_empty_result_keeps_schema(ray_session):
     # head pins schema() (the minhash all-empty-corpus convention).
     assert set(out.schema().names) >= {"id_a", "id_b", "shared",
                                        "size_a", "size_b"}
+
+
+def test_setsim_snapshot_anti_join_matches_brute_force(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.functions.dedup import word_ngrams
+    from document_text_extraction_ray.stages.dedup import (
+        setsim_snapshot_anti_join)
+
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i}" for i in range(300)]
+    old_docs, new_docs = [], []
+    for _ in range(25):
+        base = [vocab[rng.randint(300)] for _ in range(rng.randint(20, 60))]
+        old_docs.append(" ".join(base))
+        if rng.rand() < 0.6:  # some new docs are near-dups of old ones
+            mod = list(base)
+            for _ in range(rng.randint(1, 3)):
+                mod[rng.randint(len(mod))] = vocab[rng.randint(300)]
+            new_docs.append(" ".join(mod))
+    for _ in range(20):
+        new_docs.append(" ".join(vocab[rng.randint(300)]
+                                 for _ in range(rng.randint(5, 40))))
+    new_docs.append("")  # empty new doc always survives (never matches)
+    # OVERLAPPING id spaces on purpose — side-prefixed member keys
+    old = pd.DataFrame({"doc_id": range(len(old_docs)), "text": old_docs})
+    new = pd.DataFrame({"doc_id": range(len(new_docs)), "text": new_docs})
+
+    def brute(num, den, n=3):
+        osets = [word_ngrams(t, n) for t in old_docs]
+        keep = []
+        for i, t in enumerate(new_docs):
+            s = word_ngrams(t, n)
+            matched = False
+            if s:
+                for o in osets:
+                    if not o:
+                        continue
+                    sh = len(s & o)
+                    if sh * den >= num * (len(s) + len(o) - sh):
+                        matched = True
+                        break
+            keep.append(not matched)
+        return [i for i, k in enumerate(keep) if k]
+
+    for num, den in [(4, 5), (1, 2)]:
+        out = setsim_snapshot_anti_join(
+            rd.from_pandas(new).repartition(4),
+            rd.from_pandas(old).repartition(3),
+            "text", "doc_id", n=3, threshold=(num, den)).to_pandas()
+        assert sorted(out["doc_id"].tolist()) == sorted(brute(num, den)), \
+            (num, den)
