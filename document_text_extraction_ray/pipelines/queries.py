@@ -3517,6 +3517,32 @@ def q_hist_quantiles(sf_dir: str):
     })
 
 
+def q_grouped_mode(sf_dir: str):
+    """Per-user MODE event type (deterministic tie-break: smallest value):
+    thin (key, value) count partials, ONE bucketed combine + argmax.
+    Oracle: ROW_NUMBER over pair counts."""
+    from ..stages.aggregate import grouped_mode
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type").sort("user_id")
+
+
+def q_profile_columns(sf_dir: str):
+    """ANALYZE-style table profile of the events table: per column,
+    (n_rows, n_nulls, n_distinct) — one pass, two thin exchanges
+    (per-batch distinct (col, value) rows + one-row-per-column count
+    partials); int64/string columns only (float rendering is not
+    engine-stable).  Null counts in n_nulls, never n_distinct."""
+    from ..stages.aggregate import profile_columns
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"])
+    return profile_columns(ev, ["event_id", "user_id", "event_type"]) \
+        .sort("col")
+
+
 def q_tdigest_quantiles(sf_dir: str):
     """Mergeable t-digest quantile sketch (Dunning's merging digest) over
     event values per type — the unbounded-group scale path with TAIL
@@ -4016,6 +4042,8 @@ QUERIES = {
     "q16_supplier_variety": q16_supplier_variety,
     "q20_dominant_suppliers": q20_dominant_suppliers,
     "setsim_snapshot": q_setsim_snapshot,
+    "grouped_mode": q_grouped_mode,
+    "profile_columns": q_profile_columns,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -6290,6 +6318,37 @@ ORACLE_SQL["setsim_join"] = f"""
                 JOIN sizes sb ON id_b = sb.doc_id
     WHERE shared * 5 >= 4 * (sa.sz + sb.sz - shared)
     ORDER BY id_a, id_b
+"""
+
+ORACLE_SQL["grouped_mode"] = """
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode, n AS mode_n
+    FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+ORACLE_SQL["profile_columns"] = """
+    SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM events
+    ORDER BY col
 """
 
 ORACLE_SQL["tdigest_quantiles"] = """

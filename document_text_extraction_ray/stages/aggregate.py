@@ -878,3 +878,113 @@ def tdigest_quantiles(ds, key: str, value: str, ps=(0.25, 0.5, 0.75, 0.9),
         return out
 
     return bucketed_fold(partials, key, fold, n_buckets=n_buckets)
+
+
+def grouped_mode(ds, key: str, value: str, n_buckets: int = 32):
+    """Per-key MODE (most frequent value) with a deterministic tie-break
+    (smallest value wins): per-batch (key, value) count partials — one row
+    per distinct pair per batch crosses the wire — then ONE bucketed
+    combine sums counts and takes the per-key argmax.  Returns
+    (key, mode, mode_n); SQL replay is ROW_NUMBER over the pair counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key, value]).group_by([key, value]).aggregate(
+            [([], "count_all")])
+        return pa.table({key: g.column(key), value: g.column(value),
+                         "pn": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = ds.select_columns([key, value]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby([key, value], sort=False)["pn"].sum().reset_index()
+        s = s.sort_values([key, "pn", value],
+                          ascending=[True, False, True], kind="mergesort")
+        best = s.groupby(key, sort=False).head(1).rename(
+            columns={value: "mode", "pn": "mode_n"})
+        best["mode_n"] = best["mode_n"].astype("int64")
+        return best
+
+    return bucketed_fold(partials, key, fold, n_buckets=n_buckets)
+
+
+def profile_columns(ds, columns, n_buckets: int = 32):
+    """ANALYZE-style table profile: per column, (n_rows, n_nulls,
+    n_distinct) — the stats pass a pipeline runs before choosing join
+    sides, salting hot keys, or sizing dictionaries.
+
+    One pass, two thin exchanges: every batch emits per-batch DISTINCT
+    (column, value-as-string) rows (int64/string columns only — int
+    rendering is engine-identical, float formatting is not, so floats are
+    rejected) plus a one-row-per-column (n, nulls) partial.  Distinct
+    counting is the ``exact_distinct_count`` plan keyed by column name;
+    null totals ride ``bucketed_fold``.  Null is not a value: it counts in
+    n_nulls, never n_distinct (SQL COUNT(DISTINCT) semantics)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def values_partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for c in columns:
+            col = t.column(c)
+            if pa.types.is_floating(col.type):
+                raise TypeError(
+                    f"profile_columns: float column {c!r} has no "
+                    "engine-stable string rendering; cast or bin it first")
+            vals = pc.drop_null(pc.cast(col, pa.string())).unique()
+            outs.append(pa.table({
+                "col": pa.array([c] * len(vals), pa.string()),
+                "v": vals,
+            }))
+        return pa.concat_tables(outs)
+
+    def counts_partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls = [], [], []
+        for c in columns:
+            names.append(c)
+            ns.append(t.num_rows)
+            nulls.append(t.column(c).null_count)
+        return pa.table({"col": pa.array(names, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "nulls": pa.array(nulls, pa.int64())})
+
+    proj = ds.select_columns(list(columns))
+    distinct_rows = proj.map_batches(values_partial, batch_format="pyarrow")
+
+    def distinct_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["col", "v"])
+        out = d.groupby("col", sort=False).size().reset_index(name="pd_n")
+        out["pd_n"] = out["pd_n"].astype("int64")
+        return out
+
+    # bucket by VALUE so each (col, v) pair meets exactly once; per-bucket
+    # partial distinct counts then reduce by one tiny groupby on col.
+    per_bucket = bucketed_fold(distinct_rows, "v", distinct_fold,
+                               n_buckets=n_buckets)
+    n_distinct = per_bucket.groupby("col").aggregate(
+        Sum("pd_n", alias_name="n_distinct"))
+
+    counts = bucketed_fold(
+        proj.map_batches(counts_partial, batch_format="pyarrow"), "col",
+        lambda g: g.groupby("col", sort=False)[["n", "nulls"]].sum()
+                   .astype("int64").reset_index(),
+        n_buckets=8)
+
+    from .join import native_join
+
+    out = native_join(counts, n_distinct, on="col", n_partitions=4,
+                      left_from_aggregate=True, right_from_aggregate=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table({
+            "col": t.column("col"),
+            "n_rows": _pc.cast(t.column("n"), pa.int64()),
+            "n_nulls": _pc.cast(t.column("nulls"), pa.int64()),
+            "n_distinct": _pc.cast(t.column("n_distinct"), pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

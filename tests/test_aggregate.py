@@ -581,3 +581,51 @@ def test_tdigest_quantiles_ignores_nulls(ray_session):
                             ps=(0.5,)).to_pandas()
     assert int(out["n_rows"].iloc[0]) == 4
     assert 1.0 <= float(out["tq50"].iloc[0]) <= 4.0
+
+
+def test_grouped_mode_tie_break(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import grouped_mode
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 3 + ["c"],
+        "v": ["x", "y", "x", "y",   "q", "p", "q",   "z"],
+    })
+    out = grouped_mode(rd.from_pandas(df).repartition(3), "k", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    # a: x/y tie at 2 -> smallest value "x"; b: q wins 2-1; c: singleton
+    assert list(out["mode"]) == ["x", "q", "z"]
+    assert list(out["mode_n"]) == [2, 2, 1]
+
+
+def test_profile_columns_counts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import profile_columns
+
+    df = pd.DataFrame({
+        "a": pd.array([1, 2, 2, None, 3], dtype="Int64"),
+        "b": ["x", None, "x", "y", None],
+    })
+    out = profile_columns(rd.from_pandas(df).repartition(3), ["a", "b"]) \
+        .to_pandas().set_index("col")
+    assert int(out.loc["a", "n_rows"]) == 5
+    assert int(out.loc["a", "n_nulls"]) == 1
+    assert int(out.loc["a", "n_distinct"]) == 3
+    assert int(out.loc["b", "n_nulls"]) == 2
+    assert int(out.loc["b", "n_distinct"]) == 2
+
+
+def test_profile_columns_rejects_floats(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import profile_columns
+
+    df = pd.DataFrame({"f": [1.5, 2.5]})
+    with pytest.raises(Exception):  # TypeError surfaced through Ray
+        profile_columns(rd.from_pandas(df), ["f"]).to_pandas()
