@@ -17,7 +17,10 @@ classic AND modern cross-reference layouts):
   * page tree walked from the /Catalog through nested /Pages nodes, pages
     visited in /Kids order (defines page order, like fitz's page loop in
     /root/reference/approach4_v1.py:24-28);
-  * content streams raw or /FlateDecode (zlib);
+  * content streams raw or through a filter CHAIN of /FlateDecode (zlib),
+    /LZWDecode (EarlyChange=1), /ASCIIHexDecode, /ASCII85Decode and
+    /RunLengthDecode (abbreviated names too); /Predictor DecodeParms and
+    image codecs (DCT/JBIG2/JPX/CCITT) stay loud errors;
   * text from ``Tj``, ``'``, ``"`` and ``TJ`` show operators over literal
     ``( ... )`` strings with full escape handling (octal, \\n, \\t, nested
     parens, line continuations) and hex ``< ... >`` strings;
@@ -119,13 +122,105 @@ def _stream_data(body: bytes, objs: dict[int, bytes] | None = None) -> bytes:
         data = body[start:end]
     fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/\w+)", body)
     if fm:
+        if re.search(rb"/Predictor\s+(?!1\b)\d", body):
+            raise ValueError("unsupported /Predictor in DecodeParms")
         filters = re.findall(rb"/(\w+)", fm.group(1))
-        if filters == [b"FlateDecode"]:
-            data = zlib.decompress(data)
-        else:
-            raise ValueError("unsupported stream filter "
-                             + repr([f.decode() for f in filters]))
+        for f in filters:
+            dec = _FILTER_DECODERS.get(f)
+            if dec is None:
+                raise ValueError("unsupported stream filter " + repr(f))
+            data = dec(data)
     return data
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    import binascii
+
+    s = re.sub(rb"\s", b"", data)
+    end = s.find(b">")
+    if end >= 0:
+        s = s[:end]
+    if len(s) % 2:
+        s += b"0"  # odd count: spec-mandated trailing zero nibble
+    return binascii.unhexlify(s)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    s = re.sub(rb"\s", b"", data)
+    if s.startswith(b"<~"):
+        s = s[2:]
+    if s.endswith(b"~>"):
+        s = s[:-2]
+    return base64.a85decode(b"<~" + s + b"~>", adobe=True)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:  # EOD
+            break
+        if n < 128:
+            out += data[i + 1:i + 2 + n]
+            i += 2 + n
+        else:
+            out += data[i + 1:i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (EarlyChange=1 default): 9->12-bit codes, clear=256,
+    EOD=257; code width grows ONE CODE EARLY (when the next free slot is
+    the last representable), matching the spec's default and the mirrored
+    test encoder."""
+    table = {i: bytes([i]) for i in range(256)}
+    next_code, bits = 258, 9
+    out = bytearray()
+    prev = None
+    acc = nacc = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nacc += 8
+        while nacc >= bits:
+            code = (acc >> (nacc - bits)) & ((1 << bits) - 1)
+            nacc -= bits
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, bits, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            else:
+                entry = table.get(code)
+                if entry is None:  # KwKwK case
+                    entry = prev + prev[:1]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code >= (1 << bits) - 1 and bits < 12:
+                    bits += 1
+            out += entry
+            prev = entry
+    return bytes(out)
+
+
+_FILTER_DECODERS = {
+    b"FlateDecode": zlib.decompress,
+    b"Fl": zlib.decompress,
+    b"LZWDecode": _lzw_decode,
+    b"LZW": _lzw_decode,
+    b"ASCIIHexDecode": _asciihex_decode,
+    b"AHx": _asciihex_decode,
+    b"ASCII85Decode": _ascii85_decode,
+    b"A85": _ascii85_decode,
+    b"RunLengthDecode": _runlength_decode,
+    b"RL": _runlength_decode,
+}
 
 
 _ESCAPES = {

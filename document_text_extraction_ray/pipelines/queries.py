@@ -2304,21 +2304,33 @@ def q_pdf_extract(sf_dir: str):
     indirect /Length — VERDICT r3 #4); and the SUBSET-FONT (Type0/CID)
     layout whose hex show strings decode only through the font's
     /ToUnicode CMap (non-identity code mapping — a latin-1-only extractor
-    garbles it).  The fixtures are ASCII, so extraction is byte-exact:
-    expected output is ``text`` itself regardless of container."""
+    garbles it).  A FOURTH rotation slot exercises the non-Flate filter
+    chains (LZWDecode / RunLengthDecode / ASCII85+Flate, cycling) — the
+    wire formats pre-2000 and image-era PDFs actually ship.  The fixtures
+    are ASCII, so extraction is byte-exact: expected output is ``text``
+    itself regardless of container."""
     from ..sources.synth_pdf_real import (
         build_pdf,
         build_pdf_cid,
+        build_pdf_filters,
         build_pdf_objstm,
     )
     from .dispatch import RealPdfExtractor
 
-    _BUILDERS = (build_pdf, build_pdf_objstm, build_pdf_cid)
+    _SCHEMES = ("lzw", "rle", "a85f")
+    _BUILDERS = (build_pdf, build_pdf_objstm, build_pdf_cid,
+                 lambda pages, _s=_SCHEMES: None)  # slot 3 handled below
+
+    def build_for(doc_id: int, pages):
+        slot = doc_id % 4
+        if slot < 3:
+            return _BUILDERS[slot](pages)
+        return build_pdf_filters(pages, _SCHEMES[(doc_id // 4) % 3])
 
     def roundtrip(t: pa.Table) -> pa.Table:
         ex = RealPdfExtractor()
         payloads = [
-            _BUILDERS[doc_id % 3]([x or ""])
+            build_for(doc_id, [x or ""])
             for doc_id, x in zip(t.column("doc_id").to_pylist(),
                                  t.column("text").to_pylist())
         ]

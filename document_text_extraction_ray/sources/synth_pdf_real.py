@@ -249,3 +249,133 @@ def build_pdf_cid(pages: list[str], compress: bool = True) -> bytes:
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)
+
+
+# ------------------------------------------------------- filtered variants
+
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF LZWDecode-compatible encoder (EarlyChange=1): emits clear(256),
+    codes at 9->12 bits growing ONE EARLY, clear+reset when the table
+    fills, EOD(257).  Mirrors functions/pdf_extract._lzw_decode (fuzzed
+    round-trip in tests)."""
+    codes: list[tuple[int, int]] = []
+    table = {bytes([i]): i for i in range(256)}
+    next_code, bits = 258, 9
+    codes.append((256, bits))
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        codes.append((table[w], bits))
+        table[w + c] = next_code
+        next_code += 1
+        # The DECODER's table lags one insertion behind (it inserts on the
+        # NEXT code), so its early-change bump at next_code == 2^bits - 1
+        # corresponds to the encoder bumping one insertion LATER.
+        if next_code >= (1 << bits) and bits < 12:
+            bits += 1
+        elif next_code >= 4094:  # table full: clear and start over
+            codes.append((256, bits))
+            table = {bytes([i]): i for i in range(256)}
+            next_code, bits = 258, 9
+        w = c
+    if w:
+        codes.append((table[w], bits))
+    codes.append((257, bits))
+    acc = nacc = 0
+    out = bytearray()
+    for code, width in codes:
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    """Simple spec-valid RunLengthDecode encoder: literal runs of <= 128
+    bytes, repeat runs for >= 3 equal bytes, EOD marker."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i = j + 1
+            continue
+        j = i
+        while (j < n and j - i < 128
+               and not (j + 2 < n and data[j] == data[j + 1] == data[j + 2])):
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    out.append(128)
+    return bytes(out)
+
+
+_FILTER_SCHEMES = {
+    # name -> (encode fn over raw content, /Filter header fragment)
+    "lzw": (_lzw_encode, "/Filter /LZWDecode"),
+    "rle": (_runlength_encode, "/Filter /RunLengthDecode"),
+    "hex": (lambda d: __import__("binascii").hexlify(d) + b">",
+            "/Filter /ASCIIHexDecode"),
+    "a85f": (lambda d: __import__("base64").a85encode(
+                 zlib.compress(d, 6)) + b"~>",
+             "/Filter [/ASCII85Decode /FlateDecode]"),
+}
+
+
+def build_pdf_filters(pages: list[str], scheme: str = "lzw") -> bytes:
+    """Classic-layout PDF whose content streams use a NON-Flate filter (or
+    a two-filter chain): LZWDecode, RunLengthDecode, ASCIIHexDecode, or
+    ASCII85Decode+FlateDecode.  Same round-trip contract as ``build_pdf``;
+    exercises the extractor's filter-chain decoders on the wire formats
+    pre-2000 and image-era PDFs actually ship."""
+    encode, header = _FILTER_SCHEMES[scheme]
+    n_pages = len(pages)
+    page_obj = [4 + 2 * i for i in range(n_pages)]
+    cont_obj = [5 + 2 * i for i in range(n_pages)]
+    objects: dict[int, bytes] = {}
+    kids = " ".join(f"{o} 0 R" for o in page_obj)
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                  ).encode()
+    objects[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for i, text in enumerate(pages):
+        objects[page_obj[i]] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {cont_obj[i]} 0 R >>"
+        ).encode()
+        data = encode(page_content_stream(text))
+        head = f"<< /Length {len(data)} {header} >>"
+        objects[cont_obj[i]] = (
+            head.encode() + b"\nstream\n" + data + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    n_objs = max(objects) + 1
+    out += f"xref\n0 {n_objs}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n_objs):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

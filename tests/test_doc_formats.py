@@ -164,9 +164,9 @@ def test_pdf_unsupported_filter_is_loud():
         b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
         b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
         b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
-        b"4 0 obj\n<< /Length 3 /Filter /LZWDecode >>\nstream\nxyz\nendstream\nendobj\n"
+        b"4 0 obj\n<< /Length 3 /Filter /DCTDecode >>\nstream\nxyz\nendstream\nendobj\n"
     )
-    with pytest.raises(ValueError, match="LZWDecode"):
+    with pytest.raises(ValueError, match="DCTDecode"):
         minipdf_extract_text(body)
 
 
@@ -218,3 +218,64 @@ def test_tounicode_one_byte_codespace():
     cm = _parse_tounicode(data)
     assert cm["nbytes"] == 1
     assert _decode_shown(b"AB", cm) == "ab"
+
+
+# ----------------------------------------------------- non-Flate PDF filters
+
+def test_pdf_filter_schemes_round_trip():
+    from document_text_extraction_ray.functions.pdf_extract import (
+        minipdf_extract_text)
+    from document_text_extraction_ray.sources.synth_pdf_real import (
+        build_pdf_filters)
+
+    text = ["hello filter world\nsecond line with more words", "page two"]
+    for scheme in ("lzw", "rle", "hex", "a85f"):
+        pdf = build_pdf_filters(text, scheme)
+        assert minipdf_extract_text(pdf) == "\n".join(text), scheme
+        # the fixture genuinely uses the claimed filter
+        assert b"FlateDecode" not in pdf or scheme == "a85f"
+
+
+def test_lzw_codec_fuzz_round_trip():
+    import numpy as np
+
+    from document_text_extraction_ray.functions.pdf_extract import _lzw_decode
+    from document_text_extraction_ray.sources.synth_pdf_real import _lzw_encode
+
+    rng = np.random.RandomState(0)
+    for trial in range(60):
+        n = rng.randint(1, 20000)
+        if trial % 2:
+            data = bytes(rng.randint(0, 256, n, dtype=np.uint8))
+        else:  # text-like: long matches exercise width growth + KwKwK
+            words = [b"spark", b"query", b"vector", b"the ", b"batch "]
+            data = b" ".join(words[rng.randint(0, 5)]
+                             for _ in range(n // 4 + 1))
+        assert _lzw_decode(_lzw_encode(data)) == data, (trial, n)
+
+
+def test_runlength_codec_round_trip():
+    from document_text_extraction_ray.functions.pdf_extract import (
+        _runlength_decode)
+    from document_text_extraction_ray.sources.synth_pdf_real import (
+        _runlength_encode)
+
+    cases = [b"", b"a", b"ab", b"aaaa", b"abcabc", b"a" * 400,
+             b"xy" + b"z" * 129 + b"tail", bytes(range(256)) * 3]
+    for d in cases:
+        assert _runlength_decode(_runlength_encode(d)) == d
+
+
+def test_predictor_decodeparms_rejected():
+    import pytest
+    import zlib
+
+    from document_text_extraction_ray.functions.pdf_extract import (
+        _stream_data)
+
+    data = zlib.compress(b"x")
+    body = (f"<< /Length {len(data)} /Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 12 >> >>").encode() \
+        + b"\nstream\n" + data + b"\nendstream"
+    with pytest.raises(ValueError, match="Predictor"):
+        _stream_data(body)
