@@ -298,6 +298,26 @@ def range_window_sum(ds, key_col: str, ts_col: str, value_col: str,
     return bucketed_map_groups(ds, key_col, fold)
 
 
+def merge_interval_rows(s: np.ndarray, e: np.ndarray):
+    """One key's interval coalescing kernel: sort by (start, end), merge
+    while next.start <= running max end (closed intervals — touching
+    merges).  Returns [(start, end, n_intervals), ...] islands.  Shared by
+    the Dataset stage's fold and the property tests."""
+    order = np.lexsort((e, s))
+    s, e = s[order], e[order]
+    rows = []
+    cur_s, cur_e, n = int(s[0]), int(e[0]), 1
+    for i in range(1, len(s)):
+        if s[i] <= cur_e:
+            cur_e = max(cur_e, int(e[i]))
+            n += 1
+        else:
+            rows.append((cur_s, cur_e, n))
+            cur_s, cur_e, n = int(s[i]), int(e[i]), 1
+    rows.append((cur_s, cur_e, n))
+    return rows
+
+
 def merge_intervals(ds, key_col: str, start_col: str, end_col: str):
     """Coalesce overlapping-or-touching [start, end] intervals per key
     (gaps-and-islands): intervals sorted by (start, end) merge while the
@@ -310,25 +330,12 @@ def merge_intervals(ds, key_col: str, start_col: str, end_col: str):
     annotations after substring dedup."""
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([start_col, end_col], kind="mergesort")
-        s = g[start_col].to_numpy(dtype=np.int64)
-        e = g[end_col].to_numpy(dtype=np.int64)
-        key = g[key_col].iloc[0]
-        rows = []
-        cur_s, cur_e, n = int(s[0]), int(e[0]), 1
-        for i in range(1, len(s)):
-            if s[i] <= cur_e:
-                cur_e = max(cur_e, int(e[i]))
-                n += 1
-            else:
-                rows.append({key_col: key, start_col: cur_s,
-                             end_col: cur_e, "n_intervals": n})
-                cur_s, cur_e, n = int(s[i]), int(e[i]), 1
-        rows.append({key_col: key, start_col: cur_s,
-                     end_col: cur_e, "n_intervals": n})
-        out = pd.DataFrame(rows)
-        for c in (start_col, end_col, "n_intervals"):
-            out[c] = out[c].astype("int64")
+        islands = merge_interval_rows(
+            g[start_col].to_numpy(dtype=np.int64),
+            g[end_col].to_numpy(dtype=np.int64))
+        out = pd.DataFrame(islands, columns=[start_col, end_col,
+                                             "n_intervals"]).astype("int64")
+        out.insert(0, key_col, g[key_col].iloc[0])
         return out
 
     from .aggregate import bucketed_map_groups

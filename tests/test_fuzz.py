@@ -252,3 +252,64 @@ def test_partitioned_hash_join_random_vs_pandas_all_hows():
                  for k, a, b in zip(got["k"], got["a"], got["b"])),
                 key=_nullsort)
             assert gl == ref(how), (trial, how)
+
+
+# ------------------------------------------------ round-4 kernel properties
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=4000),
+       st.integers(min_value=1, max_value=7))
+def test_tdigest_weight_and_rank_invariants(values, n_chunks):
+    """For ANY value multiset and ANY split into partial digests: total
+    weight is preserved exactly, centroid means stay sorted, and the p50
+    estimate lands within the value range with rank error < 10% (loose —
+    the registered gate asserts 2% at delta=100 on real group sizes)."""
+    import numpy as np
+
+    from document_text_extraction_ray.stages.aggregate import (
+        tdigest_compress, tdigest_quantile)
+
+    v = np.asarray(values, dtype=np.float64)
+    parts = [tdigest_compress(c, np.ones(len(c)), float(len(c)), 100)
+             for c in np.array_split(v, min(n_chunks, len(v))) if len(c)]
+    m = np.concatenate([p[0] for p in parts])
+    w = np.concatenate([p[1] for p in parts])
+    m2, w2 = tdigest_compress(m, w, float(w.sum()), 100)
+    assert w2.sum() == float(len(v))
+    assert np.all(np.diff(m2) >= 0)
+    est = tdigest_quantile(m2, w2, 0.5)
+    assert v.min() <= est <= v.max()
+    # two-sided rank band: with heavy ties the estimate's rank is an
+    # interval [left, right]; 0.5 must fall within it (+/- 10%)
+    sv = np.sort(v)
+    lo = np.searchsorted(sv, est, side="left") / len(v)
+    hi = np.searchsorted(sv, est, side="right") / len(v)
+    assert lo - 0.1 <= 0.5 <= hi + 0.1 or len(v) < 10
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(0, 100)),
+                min_size=1, max_size=200))
+def test_merge_intervals_fold_properties(spans):
+    """Local fold invariants on arbitrary spans: output islands are
+    disjoint with gaps > 0, cover exactly the input union, and
+    n_intervals sums to the input count."""
+    import numpy as np
+
+    from document_text_extraction_ray.stages.windows import merge_interval_rows
+
+    islands = merge_interval_rows(
+        np.array([a for a, _ in spans], dtype=np.int64),
+        np.array([a + d for a, d in spans], dtype=np.int64))
+    assert sum(i[2] for i in islands) == len(spans)
+    for (s1, e1, _), (s2, e2, _) in zip(islands, islands[1:]):
+        assert s2 > e1  # disjoint with a true gap
+    covered = set()
+    for s, e, _ in islands:
+        covered.update(range(s, e + 1))
+    expect = set()
+    for a, d in spans:
+        expect.update(range(a, a + d + 1))
+    assert covered == expect
