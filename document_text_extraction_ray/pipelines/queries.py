@@ -2318,8 +2318,7 @@ def q_pdf_extract(sf_dir: str):
     from .dispatch import RealPdfExtractor
 
     _SCHEMES = ("lzw", "rle", "a85f")
-    _BUILDERS = (build_pdf, build_pdf_objstm, build_pdf_cid,
-                 lambda pages, _s=_SCHEMES: None)  # slot 3 handled below
+    _BUILDERS = (build_pdf, build_pdf_objstm, build_pdf_cid)
 
     def build_for(doc_id: int, pages):
         slot = doc_id % 4

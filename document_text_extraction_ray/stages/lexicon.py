@@ -493,7 +493,6 @@ def pmi_pair_stats(docs, id_column: str = "doc_id",
 
     pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
                              ("n", pa.int64())])
-    df_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
 
     j1 = partitioned_hash_join(
         pairs, df_tbl.map_batches(
