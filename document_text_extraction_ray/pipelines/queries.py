@@ -3528,6 +3528,35 @@ def q_hist_quantiles(sf_dir: str):
     })
 
 
+def q_index_delta(sf_dir: str):
+    """Incremental inverted-index maintenance across a crawl refresh:
+    every doc_id % 4 == 0 document is 'recrawled' (its first
+    whitespace-token dropped, a marker term appended), and the query
+    returns exactly the terms whose posting lists changed —
+    (term, n_added, n_removed).  Unchanged docs contribute nothing, so
+    the output is delta-sized: the full index is never rebuilt.  One
+    bucketed exchange of distinct (term, doc, side) rows."""
+    from ..stages.lexicon import index_delta
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def refresh(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out = []
+        for doc_id, text in zip(ids, texts):
+            text = text or ""
+            if doc_id % 4 == 0:
+                rest = text.split(" ", 1)[1] if " " in text else ""
+                text = rest + " refreshedterm"
+            out.append(text)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    new = docs.map_batches(refresh, batch_format="pyarrow")
+    return index_delta(new, docs).sort("term")
+
+
 def q_grouped_mode(sf_dir: str):
     """Per-user MODE event type (deterministic tie-break: smallest value):
     thin (key, value) count partials, ONE bucketed combine + argmax.
@@ -4055,6 +4084,7 @@ QUERIES = {
     "setsim_snapshot": q_setsim_snapshot,
     "grouped_mode": q_grouped_mode,
     "profile_columns": q_profile_columns,
+    "index_delta": q_index_delta,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -6329,6 +6359,37 @@ ORACLE_SQL["setsim_join"] = f"""
                 JOIN sizes sb ON id_b = sb.doc_id
     WHERE shared * 5 >= 4 * (sa.sz + sb.sz - shared)
     ORDER BY id_a, id_b
+"""
+
+ORACLE_SQL["index_delta"] = """
+    WITH newd AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN
+               CASE WHEN strpos(text, ' ') > 0
+                    THEN substr(text, strpos(text, ' ') + 1) ELSE '' END
+               || ' refreshedterm'
+             ELSE text END AS text
+      FROM documents
+    ), nw AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM newd
+    ), od AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), m AS (
+      SELECT COALESCE(n.term, o.term) AS term,
+             CASE WHEN o.term IS NULL THEN 1 ELSE 0 END AS a,
+             CASE WHEN n.term IS NULL THEN 1 ELSE 0 END AS r
+      FROM nw n FULL OUTER JOIN od o
+        ON n.term = o.term AND n.doc_id = o.doc_id
+    )
+    SELECT term, CAST(SUM(a) AS BIGINT) AS n_added,
+           CAST(SUM(r) AS BIGINT) AS n_removed
+    FROM m GROUP BY term
+    HAVING SUM(a) > 0 OR SUM(r) > 0
+    ORDER BY term
 """
 
 ORACLE_SQL["grouped_mode"] = """

@@ -521,3 +521,56 @@ def pmi_pair_stats(docs, id_column: str = "doc_id",
         })
 
     return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def index_delta(new_docs, old_docs, id_column: str = "doc_id",
+                text_column: str = "text", n_buckets: int = 32):
+    """Incremental inverted-index maintenance: for a re-crawled corpus,
+    the terms whose POSTING LISTS changed — (term, n_added, n_removed)
+    with n_added = docs that now contain the term and didn't before,
+    n_removed = the reverse.  Unchanged terms are absent, so the output
+    is delta-sized (a refresh touching 1% of docs yields a ~1% table),
+    which is the point: the full index is never rebuilt or collected.
+
+    Plan: both sides explode to DISTINCT (term, doc, side) rows inside
+    map_batches (side is a 1/2 bit), then ONE bucketed fold on term sums
+    the side bits per (term, doc) — 1 = added, 2 = removed, 3 = unchanged
+    — and counts per term.  Term-complete buckets make the diff exact;
+    only changed terms leave the fold."""
+    import pyarrow as pa
+
+    def explode(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            terms, docs = [], []
+            for doc_id, text in zip(t.column(id_column).to_pylist(),
+                                    t.column(text_column).to_pylist()):
+                for term in set(_tokens(text)):
+                    terms.append(term)
+                    docs.append(doc_id)
+            return pa.table({
+                "term": pa.array(terms, pa.string()),
+                "doc": pa.array(docs, type=t.column(id_column).type),
+                "side": pa.array([side] * len(terms), pa.int8()),
+            })
+
+        return f
+
+    rows = new_docs.select_columns([id_column, text_column]).map_batches(
+        explode(1), batch_format="pyarrow").union(
+        old_docs.select_columns([id_column, text_column]).map_batches(
+            explode(2), batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["term", "doc", "side"])
+        s = d.groupby(["term", "doc"], sort=False)["side"].sum()
+        flags = s.reset_index()
+        flags["added"] = (flags["side"] == 1).astype("int64")
+        flags["removed"] = (flags["side"] == 2).astype("int64")
+        out = flags.groupby("term", sort=False)[["added", "removed"]] \
+                   .sum().reset_index()
+        out = out[(out["added"] > 0) | (out["removed"] > 0)]
+        return out.rename(columns={"added": "n_added",
+                                   "removed": "n_removed"}) \
+                  .astype({"n_added": "int64", "n_removed": "int64"})
+
+    return bucketed_fold(rows, "term", fold, n_buckets=n_buckets)

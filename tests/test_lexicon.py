@@ -245,3 +245,42 @@ def test_pmi_pair_stats_matches_local_reference(ray_session):
         ["a", "b", "n_pair", "df_a", "df_b", "n_docs"]].to_numpy()))
     assert got == want
     assert len(got) > 0
+
+
+def test_index_delta_matches_local_reference(ray_session):
+    from document_text_extraction_ray.stages.lexicon import (
+        _tokens, index_delta)
+
+    old_texts = {1: "alpha beta gamma", 2: "beta delta", 3: "solo unique",
+                 4: ""}
+    new_texts = {1: "alpha beta",          # gamma removed
+                 2: "beta delta epsilon",  # epsilon added
+                 3: "solo unique",         # unchanged -> absent from delta
+                 5: "fresh doc words"}     # new doc: all terms added
+    # doc 4 empty in old (no terms); doc 4 missing in new (no rows)
+    old = rd.from_items([{"doc_id": k, "text": v}
+                         for k, v in old_texts.items()])
+    new = rd.from_items([{"doc_id": k, "text": v}
+                         for k, v in new_texts.items()])
+
+    out = index_delta(new, old).to_pandas().set_index("term")
+    # local reference
+    def postings(d):
+        out = {}
+        for doc, text in d.items():
+            for term in set(_tokens(text)):
+                out.setdefault(term, set()).add(doc)
+        return out
+    po, pn = postings(old_texts), postings(new_texts)
+    want = {}
+    for term in set(po) | set(pn):
+        added = len(pn.get(term, set()) - po.get(term, set()))
+        removed = len(po.get(term, set()) - pn.get(term, set()))
+        if added or removed:
+            want[term] = (added, removed)
+    got = {t: (int(r["n_added"]), int(r["n_removed"]))
+           for t, r in out.iterrows()}
+    assert got == want
+    assert "solo" not in got and "beta" not in got  # unchanged postings
+    assert got["gamma"] == (0, 1) and got["epsilon"] == (1, 0)
+    assert got["fresh"] == (1, 0)
