@@ -929,10 +929,13 @@ def profile_columns(ds, columns, n_buckets: int = 32):
         outs = []
         for c in columns:
             col = t.column(c)
-            if pa.types.is_floating(col.type):
+            if not (pa.types.is_integer(col.type)
+                    or pa.types.is_string(col.type)
+                    or pa.types.is_large_string(col.type)):
                 raise TypeError(
-                    f"profile_columns: float column {c!r} has no "
-                    "engine-stable string rendering; cast or bin it first")
+                    f"profile_columns: column {c!r} ({col.type}) has no "
+                    "engine-stable string rendering (int/string only); "
+                    "cast or bin it first")
             vals = pc.drop_null(pc.cast(col, pa.string())).unique()
             outs.append(pa.table({
                 "col": pa.array([c] * len(vals), pa.string()),
