@@ -3696,6 +3696,91 @@ def q_cube_orders(sf_dir: str):
                         ("o_orderpriority", "ascending")])
 
 
+def q_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS((status, priority), (status), ()) revenue —
+    the general form behind ROLLUP/CUBE with an EXPLICIT level list (here:
+    the ROLLUP lattice minus nothing, but chosen freely): one distributed
+    finest-level pre-aggregation, each requested set folded locally from
+    the group-count-sized result."""
+    from ..stages.aggregate import grouping_sets_sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    ).map_batches(
+        lambda t: _scale_int(
+            t.rename_columns(
+                ["o_orderstatus", "o_orderpriority", "cents"]),
+            {"cents": 100},
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouping_sets_sum(
+        ds,
+        sets=[["o_orderstatus", "o_orderpriority"],
+              ["o_orderpriority"], []],
+        keys=["o_orderstatus", "o_orderpriority"], value="cents")
+    return out.sort_by([("o_orderstatus", "ascending"),
+                        ("o_orderpriority", "ascending")])
+
+
+def q_bloom_pruned_join(sf_dir: str):
+    """Bloom-filter JOIN PRUNING (the semi-join optimizer move as a
+    first-class operator): per-supplier revenue for the high-balance
+    suppliers (s_acctbal >= 5000 — non-empty at every fixture SF) — the dimension keyset's bloom broadcasts once and the fact
+    side is probe-filtered row-locally BEFORE the join exchange, so
+    non-matching lineitems never shuffle.  Bloom false positives pass the
+    filter but die in the join: the result EXACTLY equals the unpruned
+    join (the oracle is the plain SQL join)."""
+    import ray as _ray
+
+    from ..stages.aggregate import pre_aggregated_sum
+    from ..stages.dedup import bloom_semi_filter, build_bloom
+    from ..stages.join import native_join
+
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_acctbal"],
+        filter=(pc.field("s_acctbal") >= 5000.0),
+    ).map_batches(
+        lambda t: pa.table({"l_suppkey": t.column("s_suppkey"),
+                            "s_name": t.column("s_name")}),
+        batch_format="pyarrow",
+    ).materialize()  # dimension-sized; bloom build + join side
+
+    bloom_ref = _ray.put(build_bloom(supp, "l_suppkey", m_bits=1 << 16))
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": t.column("l_suppkey"),
+            "r": pc.multiply(t.column("l_extendedprice"),
+                             pc.subtract(pa.scalar(1.0),
+                                         t.column("l_discount"))),
+        })
+
+    pruned = bloom_semi_filter(li.map_batches(rev, batch_format="pyarrow"),
+                               "l_suppkey", bloom_ref, m_bits=1 << 16,
+                               keep="member")
+    # right_from_aggregate: the filtered dimension read can carry EMPTY
+    # blocks that never reached the rename UDF (map_batches skips empty
+    # input) and so still wear the raw schema — coalesce drops them.
+    joined = native_join(pruned, supp, on="l_suppkey", n_partitions=8,
+                         right_from_aggregate=True)
+    per_supp = pre_aggregated_sum(
+        joined.select_columns(["s_name", "r"]), "s_name", "r", n_buckets=8
+    ).map_batches(
+        lambda t: t if t.num_columns == 0
+        else _scale_int(pa.table({"s_name": t.column("s_name"),
+                                  "revenue_cents": t.column("sum_r")}),
+                        {"revenue_cents": 100}),
+        batch_format="pyarrow",
+    )
+    return per_supp.sort("s_name")
+
+
 def q_term_cooccurrence(sf_dir: str):
     """Corpus-wide term co-occurrence counts (the PMI / word-association
     statistic): per doc the first 20 DISTINCT terms alphabetically generate
@@ -4085,6 +4170,8 @@ QUERIES = {
     "grouped_mode": q_grouped_mode,
     "profile_columns": q_profile_columns,
     "index_delta": q_index_delta,
+    "grouping_sets": q_grouping_sets,
+    "bloom_pruned_join": q_bloom_pruned_join,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -6093,6 +6180,27 @@ ORACLE_SQL["cube_orders"] = """
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus, o_orderpriority
+"""
+
+ORACLE_SQL["grouping_sets"] = """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    ORDER BY o_orderstatus, o_orderpriority
+"""
+
+ORACLE_SQL["bloom_pruned_join"] = """
+    SELECT s_name,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_acctbal >= 5000
+    GROUP BY s_name ORDER BY s_name
 """
 
 ORACLE_SQL["term_cooccurrence"] = """

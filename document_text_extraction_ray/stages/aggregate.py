@@ -991,3 +991,60 @@ def profile_columns(ds, columns, n_buckets: int = 32):
         })
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def grouping_sets_sum(ds, sets, keys, value: str, all_label: str = "ALL"):
+    """``GROUP BY GROUPING SETS(sets...)`` over an integer value column —
+    the general form behind ROLLUP and CUBE: each requested set (a tuple
+    of columns from ``keys``) becomes one grouping level.  Same physical
+    shape as ``cube_sum``: ONE distributed pre-aggregated pass at the
+    finest level (the union of all set columns), then each set folds
+    LOCALLY from the group-count-sized finest table — never from the fact
+    rows.  Rolled-up slots carry ``all_label``, not NULL, so output
+    hashes identically across engines.  Exactness requires every set to
+    be a subset of ``keys`` (asserted)."""
+    import pyarrow as pa
+
+    keys = list(keys)
+    sets = [list(s) for s in sets]
+    for s in sets:
+        assert set(s) <= set(keys), (s, keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(keys + [value]).group_by(keys).aggregate(
+            [(value, "sum"), (value, "count")])
+        cols = {k: g.column(k) for k in keys}
+        cols["psum"] = g.column(f"{value}_sum")
+        cols["pn"] = g.column(f"{value}_count")
+        return pa.table(cols)
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .sum(["psum", "pn"])
+        .to_pandas()
+    )
+    finest = finest.rename(columns={"sum(psum)": f"sum_{value}",
+                                    "sum(pn)": "n"})
+
+    levels = []
+    for grp_keys in sets:
+        if grp_keys == keys:
+            up = finest.copy()
+        elif grp_keys:
+            up = finest.groupby(grp_keys, sort=False, as_index=False)[
+                [f"sum_{value}", "n"]].sum()
+        else:
+            up = finest[[f"sum_{value}", "n"]].sum().to_frame().T
+        for k in keys:
+            if k not in grp_keys:
+                up[k] = all_label
+        levels.append(up[keys + [f"sum_{value}", "n"]])
+
+    out = pd.concat(levels, ignore_index=True)[keys + [f"sum_{value}", "n"]]
+    out = out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    out[f"sum_{value}"] = out[f"sum_{value}"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    import pyarrow as _pa
+
+    return _pa.Table.from_pandas(out, preserve_index=False)

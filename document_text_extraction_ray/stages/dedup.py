@@ -203,21 +203,8 @@ def dedup_against_snapshot(new_ds, old_ds, key_column: str, id_column: str,
     if method == "bloom":
         bloom_ref = ray.put(build_bloom(old_ds, key_column,
                                         m_bits=m_bits, k=k))
-
-        def probe(t: pa.Table) -> pa.Table:
-            bloom = np.frombuffer(ray.get(bloom_ref), dtype=np.uint8)
-            h1 = _hash64_column(t.column(key_column))
-            h2 = _splitmix64(h1) | np.uint64(1)
-            member = np.ones(t.num_rows, dtype=bool)
-            with np.errstate(over="ignore"):
-                for i in range(k):
-                    pos = ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)) \
-                        .astype(np.int64)
-                    member &= (bloom[pos >> 3]
-                               >> (pos & 7).astype(np.uint8)) & 1 == 1
-            return t.filter(pa.array(~member))
-
-        fresh = new_ds.map_batches(probe, batch_format="pyarrow")
+        fresh = bloom_semi_filter(new_ds, key_column, bloom_ref,
+                                  m_bits=m_bits, k=k, keep="non_member")
     else:
         fresh = anti_join(new_ds, old_ds.select_columns([key_column]),
                           on=key_column, n_buckets=n_buckets)
@@ -1604,3 +1591,34 @@ def setsim_snapshot_anti_join(new_ds, old_ds, text_column: str,
                        n_partitions=n_partitions, how="left_anti",
                        right_from_aggregate=True)
 
+
+
+def bloom_semi_filter(ds, key_column: str, bloom_ref, m_bits: int = 1 << 23,
+                      k: int = 4, keep: str = "member"):
+    """Row-local Bloom probe over a broadcast bloom (``ray.put`` of
+    ``build_bloom``'s bytes): keep rows whose key IS (``keep='member'``)
+    or IS NOT (``'non_member'``) possibly-in-the-set.
+
+    ``member`` mode is the classic JOIN-PRUNING semi-filter: probe the
+    fact side with the (small) dimension keyset's bloom BEFORE the join
+    exchange, so non-matching fact rows never shuffle; bloom false
+    positives pass the filter but die in the join, so the join result is
+    EXACTLY the unpruned join's.  ``non_member`` mode is the snapshot
+    anti-dedup probe (conservative: FPs drop ~1% of genuinely-new rows —
+    see ``dedup_against_snapshot``)."""
+    want_member = {"member": True, "non_member": False}[keep]
+
+    def probe(t: pa.Table) -> pa.Table:
+        bloom = np.frombuffer(ray.get(bloom_ref), dtype=np.uint8)
+        h1 = _hash64_column(t.column(key_column))
+        h2 = _splitmix64(h1) | np.uint64(1)
+        member = np.ones(t.num_rows, dtype=bool)
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                pos = ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)) \
+                    .astype(np.int64)
+                member &= (bloom[pos >> 3]
+                           >> (pos & 7).astype(np.uint8)) & 1 == 1
+        return t.filter(pa.array(member if want_member else ~member))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

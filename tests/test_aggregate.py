@@ -629,3 +629,55 @@ def test_profile_columns_rejects_floats(ray_session):
     df = pd.DataFrame({"f": [1.5, 2.5]})
     with pytest.raises(Exception):  # TypeError surfaced through Ray
         profile_columns(rd.from_pandas(df), ["f"]).to_pandas()
+
+
+def test_grouping_sets_sum_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import (
+        grouping_sets_sum)
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 300),
+        "b": rng.choice(["p", "q", "r"], 300),
+        "v": rng.randint(0, 100, 300),
+    })
+    out = grouping_sets_sum(
+        rd.from_pandas(df).repartition(4),
+        sets=[["a", "b"], ["b"], []], keys=["a", "b"], value="v").to_pandas()
+    # finest level
+    fin = df.groupby(["a", "b"], as_index=False)["v"].sum()
+    for _, r in fin.iterrows():
+        m = out[(out["a"] == r["a"]) & (out["b"] == r["b"])]
+        assert int(m["sum_v"].iloc[0]) == int(r["v"])
+    # (b) level wears ALL in a
+    per_b = df.groupby("b")["v"].sum()
+    for b, v in per_b.items():
+        m = out[(out["a"] == "ALL") & (out["b"] == b)]
+        assert int(m["sum_v"].iloc[0]) == int(v)
+    # grand total; and NO (a)-only level was requested
+    gt = out[(out["a"] == "ALL") & (out["b"] == "ALL")]
+    assert int(gt["sum_v"].iloc[0]) == int(df["v"].sum())
+    assert len(out[(out["b"] == "ALL") & (out["a"] != "ALL")]) == 0
+
+
+def test_bloom_semi_filter_member_mode_join_pruning(ray_session):
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.dedup import (
+        bloom_semi_filter, build_bloom)
+
+    dim = rd.from_pandas(pd.DataFrame({"k": [2, 5, 7]}))
+    fact = rd.from_pandas(pd.DataFrame({"k": list(range(100)),
+                                        "v": list(range(100))}))
+    bloom_ref = ray.put(build_bloom(dim, "k", m_bits=1 << 12))
+    kept = bloom_semi_filter(fact, "k", bloom_ref, m_bits=1 << 12,
+                             keep="member").to_pandas()
+    # every true member survives (no false negatives — the join-pruning
+    # contract); FPs are allowed but bounded
+    assert {2, 5, 7} <= set(kept["k"])
+    assert len(kept) <= 10
