@@ -3557,6 +3557,35 @@ def q_index_delta(sf_dir: str):
     return index_delta(new, docs).sort("term")
 
 
+def q_grouped_moments(sf_dir: str):
+    """Per-brand second-order moments of (quantity, price-cents) — the
+    exact int64 sufficient statistics behind variance / covariance /
+    Pearson / regression at scale; the float math happens at the
+    consumer, never on the wire, so the result is hash-identical to
+    SQL.  One pre-aggregated pass + bucketed combine."""
+    from ..stages.aggregate import grouped_moments
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    pk = part.column("p_partkey")
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        brand = pc.take(part.column("p_brand"),
+                        pc.index_in(t.column("l_partkey"), value_set=pk))
+        cents = _scale_int(pa.table({"c": t.column("l_extendedprice")}),
+                           {"c": 100}).column("c")
+        return pa.table({"p_brand": brand,
+                         "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                         "cents": cents})
+
+    tagged = li.map_batches(tag, batch_format="pyarrow")
+    return grouped_moments(tagged, "p_brand", "qty", "cents") \
+        .sort("p_brand")
+
+
 def q_grouped_mode(sf_dir: str):
     """Per-user MODE event type (deterministic tie-break: smallest value):
     thin (key, value) count partials, ONE bucketed combine + argmax.
@@ -4172,6 +4201,7 @@ QUERIES = {
     "index_delta": q_index_delta,
     "grouping_sets": q_grouping_sets,
     "bloom_pruned_join": q_bloom_pruned_join,
+    "grouped_moments": q_grouped_moments,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -6498,6 +6528,22 @@ ORACLE_SQL["index_delta"] = """
     FROM m GROUP BY term
     HAVING SUM(a) > 0 OR SUM(r) > 0
     ORDER BY term
+"""
+
+ORACLE_SQL["grouped_moments"] = """
+    WITH t AS (
+      SELECT p_brand,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qty) AS BIGINT) AS sum_x,
+           CAST(SUM(cents) AS BIGINT) AS sum_y,
+           CAST(SUM(qty * qty) AS BIGINT) AS sum_xx,
+           CAST(SUM(cents * cents) AS BIGINT) AS sum_yy,
+           CAST(SUM(qty * cents) AS BIGINT) AS sum_xy
+    FROM t GROUP BY p_brand ORDER BY p_brand
 """
 
 ORACLE_SQL["grouped_mode"] = """

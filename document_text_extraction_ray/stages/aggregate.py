@@ -1048,3 +1048,55 @@ def grouping_sets_sum(ds, sets, keys, value: str, all_label: str = "ALL"):
     import pyarrow as _pa
 
     return _pa.Table.from_pandas(out, preserve_index=False)
+
+
+def grouped_moments(ds, key: str, x: str, y: str, n_buckets: int = 32):
+    """Mergeable second-order MOMENTS per group over two INTEGER columns:
+    (key, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy) — the sufficient
+    statistics behind variance, covariance, Pearson correlation and
+    one-variable linear regression, kept as exact int64 sums so the
+    distributed result is hash-identical to SQL (the float divide/sqrt
+    happens at the consumer, off the wire).  Per-batch pyarrow partials
+    (one row per key per batch), one bucketed combine.  Caller owns
+    overflow headroom: |x|,|y| up to ~1e6 with ~1e6 rows/key fits int64
+    products comfortably."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        xv = pc.cast(t.column(x), pa.int64())
+        yv = pc.cast(t.column(y), pa.int64())
+        base = pa.table({
+            key: t.column(key),
+            "px": xv, "py": yv,
+            "pxx": pc.multiply(xv, xv),
+            "pyy": pc.multiply(yv, yv),
+            "pxy": pc.multiply(xv, yv),
+        })
+        g = base.group_by(key).aggregate(
+            [("px", "sum"), ("py", "sum"), ("pxx", "sum"),
+             ("pyy", "sum"), ("pxy", "sum"), ([], "count_all")])
+        return pa.table({
+            key: g.column(key),
+            "pn": pc.cast(g.column("count_all"), pa.int64()),
+            "px": g.column("px_sum"), "py": g.column("py_sum"),
+            "pxx": g.column("pxx_sum"), "pyy": g.column("pyy_sum"),
+            "pxy": g.column("pxy_sum"),
+        })
+
+    partials = ds.select_columns([key, x, y]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(key).aggregate(
+            [("pn", "sum"), ("px", "sum"), ("py", "sum"),
+             ("pxx", "sum"), ("pyy", "sum"), ("pxy", "sum")])
+        return pa.table({
+            key: g.column(key),
+            "n": g.column("pn_sum"),
+            "sum_x": g.column("px_sum"), "sum_y": g.column("py_sum"),
+            "sum_xx": g.column("pxx_sum"), "sum_yy": g.column("pyy_sum"),
+            "sum_xy": g.column("pxy_sum"),
+        })
+
+    return bucketed_combine(partials, key, combine, n_buckets)

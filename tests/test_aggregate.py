@@ -681,3 +681,29 @@ def test_bloom_semi_filter_member_mode_join_pruning(ray_session):
     # contract); FPs are allowed but bounded
     assert {2, 5, 7} <= set(kept["k"])
     assert len(kept) <= 10
+
+
+def test_grouped_moments_exact_vs_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import grouped_moments
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 500),
+        "x": rng.randint(-50, 50, 500),
+        "y": rng.randint(0, 1000, 500),
+    })
+    out = grouped_moments(rd.from_pandas(df).repartition(5), "k", "x", "y") \
+        .to_pandas().set_index("k")
+    for k, sub in df.groupby("k"):
+        assert int(out.loc[k, "n"]) == len(sub)
+        assert int(out.loc[k, "sum_x"]) == int(sub["x"].sum())
+        assert int(out.loc[k, "sum_xx"]) == int((sub["x"] ** 2).sum())
+        assert int(out.loc[k, "sum_xy"]) == int((sub["x"] * sub["y"]).sum())
+        # and the downstream float math is recoverable: covariance
+        n = len(sub)
+        cov = (int(out.loc[k, "sum_xy"]) / n
+               - int(out.loc[k, "sum_x"]) / n * int(out.loc[k, "sum_y"]) / n)
+        assert abs(cov - sub["x"].cov(sub["y"], ddof=0)) < 1e-6
