@@ -845,7 +845,9 @@ def tdigest_quantiles(ds, key: str, value: str, ps=(0.25, 0.5, 0.75, 0.9),
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for k, sub in b.groupby(key, sort=False):
+        # dropna=False: null keys form their own group (the repo's SQL
+        # GROUP BY convention — see bucketed_map_groups)
+        for k, sub in b.groupby(key, sort=False, dropna=False):
             v = sub[value].to_numpy(dtype=np.float64)
             v = v[~np.isnan(v)]
             if len(v) == 0:
@@ -864,7 +866,7 @@ def tdigest_quantiles(ds, key: str, value: str, ps=(0.25, 0.5, 0.75, 0.9),
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for k, sub in g.groupby(key, sort=False):
+        for k, sub in g.groupby(key, sort=False, dropna=False):
             m = sub["c_mean"].to_numpy(dtype=np.float64)
             w = sub["c_weight"].to_numpy(dtype=np.float64)
             n = float(w.sum())
@@ -899,10 +901,13 @@ def grouped_mode(ds, key: str, value: str, n_buckets: int = 32):
         partial, batch_format="pyarrow")
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby([key, value], sort=False)["pn"].sum().reset_index()
+        # dropna=False throughout: null keys/values group, not vanish
+        # (pyarrow's group_by in the partial already keeps them)
+        s = g.groupby([key, value], sort=False, dropna=False)["pn"] \
+             .sum().reset_index()
         s = s.sort_values([key, "pn", value],
                           ascending=[True, False, True], kind="mergesort")
-        best = s.groupby(key, sort=False).head(1).rename(
+        best = s.groupby(key, sort=False, dropna=False).head(1).rename(
             columns={value: "mode", "pn": "mode_n"})
         best["mode_n"] = best["mode_n"].astype("int64")
         return best

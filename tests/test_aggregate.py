@@ -707,3 +707,24 @@ def test_grouped_moments_exact_vs_pandas(ray_session):
         cov = (int(out.loc[k, "sum_xy"]) / n
                - int(out.loc[k, "sum_x"]) / n * int(out.loc[k, "sum_y"]) / n)
         assert abs(cov - sub["x"].cov(sub["y"], ddof=0)) < 1e-6
+
+
+def test_grouped_mode_and_tdigest_keep_null_key_group(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import (
+        grouped_mode, tdigest_quantiles)
+
+    df = pd.DataFrame({
+        "k": ["a", "a", None, None, None],
+        "v": ["x", "x", "y", "y", "z"],
+        "num": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    ds = rd.from_pandas(df)
+    mode = grouped_mode(ds.select_columns(["k", "v"]), "k", "v").to_pandas()
+    null_rows = mode[mode["k"].isna()]
+    assert len(null_rows) == 1 and null_rows["mode"].iloc[0] == "y"
+    td = tdigest_quantiles(ds.select_columns(["k", "num"]), "k", "num",
+                           ps=(0.5,)).to_pandas()
+    assert int(td.loc[td["k"].isna(), "n_rows"].iloc[0]) == 3
