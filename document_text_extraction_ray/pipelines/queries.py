@@ -3557,6 +3557,30 @@ def q_index_delta(sf_dir: str):
     return index_delta(new, docs).sort("term")
 
 
+def q_topk_agg(sf_dir: str):
+    """Top-2 event types PER USER by count — top-k over an AGGREGATE, not
+    raw rows: one composite (user, type) pre-aggregated count, then the
+    per-key top-k pushdown (``grouped_topk``) ranks the group-count-sized
+    table.  Composition of two existing scale primitives; zero new
+    shuffle shapes.  Oracle: ROW_NUMBER over counts."""
+    from ..stages.aggregate import bucketed_fold, grouped_topk
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["user_id", "event_type"], sort=False) \
+               .size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = bucketed_fold(ev, ["user_id", "event_type"], fold, n_buckets=16)
+    top = grouped_topk(counts, "user_id", ["n", "event_type"], k=2,
+                       # n descending, type ascending tie-break
+                       ascending=[False, True])
+    return top.sort(["user_id", "rnk"])
+
+
 def q_grouped_moments(sf_dir: str):
     """Per-brand second-order moments of (quantity, price-cents) — the
     exact int64 sufficient statistics behind variance / covariance /
@@ -4202,6 +4226,7 @@ QUERIES = {
     "grouping_sets": q_grouping_sets,
     "bloom_pruned_join": q_bloom_pruned_join,
     "grouped_moments": q_grouped_moments,
+    "topk_agg": q_topk_agg,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -6528,6 +6553,19 @@ ORACLE_SQL["index_delta"] = """
     FROM m GROUP BY term
     HAVING SUM(a) > 0 OR SUM(r) > 0
     ORDER BY term
+"""
+
+ORACLE_SQL["topk_agg"] = """
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+      FROM counts
+    )
+    SELECT user_id, event_type, n, rnk FROM ranked
+    WHERE rnk <= 2 ORDER BY user_id, rnk
 """
 
 ORACLE_SQL["grouped_moments"] = """
