@@ -4178,6 +4178,172 @@ def q_group_sample(sf_dir: str):
                             "source", "doc_id", n=5).sort(["source", "rnk"])
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user ordered event streams — the
+    LAG()-bigram statistic behind next-event prediction and user-journey
+    graphs.  ONE bucketed exchange on user_id (key-complete buckets,
+    vectorized sort+shift fold), then a tiny pair-keyed combine; the
+    per-bucket partials are at most |event_types|^2 rows, so the second
+    exchange is dimension-sized at any corpus scale."""
+    from ..stages.windows import transition_counts
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id", "event_type"])
+    return transition_counts(ev, "user_id", ("ts", "event_id"),
+                             "event_type").sort(["from_type", "to_type"])
+
+
+def q_burst_dedup(sf_dir: str):
+    """Burst dedup of the event log: drop an event arriving < 1 day after
+    its predecessor in the same (user, event_type) stream — retry /
+    double-fire suppression, LAG semantics so the SQL replay is exact.
+    ONE bucketed exchange; vectorized in-bucket sort+shift+mask."""
+    from ..stages.windows import window_dedup
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts", "event_id"])
+    return window_dedup(ev, ["user_id", "event_type"], "ts", "event_id",
+                        min_gap_s=86400).sort("event_id")
+
+
+def q_changelog_merge(sf_dir: str):
+    """CDC MERGE: apply a changelog (upserts, a later overriding upsert,
+    deletes, and new-key inserts — synthesized deterministically from the
+    documents table) onto the documents base snapshot with latest-wins
+    per-key semantics.  One bucketed exchange over base+changes unioned;
+    the oracle replays it as ROW_NUMBER() OVER (PARTITION BY key ORDER BY
+    seq DESC) = 1 minus deletes."""
+    from ..stages.cdc import apply_changelog
+
+    base = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def mk_changes(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t.column("source")
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        m7, m11 = d % 7, d % 11
+        parts = []
+        sel = m7 == 0  # delete
+        parts.append(pa.table({
+            "doc_id": pa.array(d[sel]), "seq": pa.array(np.full(sel.sum(), 3)),
+            "op": pa.array(["delete"] * int(sel.sum()), pa.string()),
+            "source": src.filter(pa.array(sel)),
+            "n_chars": pa.array(np.zeros(sel.sum(), np.int64))}))
+        sel = (m7 == 1) | (m7 == 2)  # upsert
+        parts.append(pa.table({
+            "doc_id": pa.array(d[sel]), "seq": pa.array(np.full(sel.sum(), 1)),
+            "op": pa.array(["upsert"] * int(sel.sum()), pa.string()),
+            "source": src.filter(pa.array(sel)),
+            "n_chars": pa.array(nch[sel] + 1000)}))
+        sel = m7 == 1  # later upsert wins over the seq-1 one
+        parts.append(pa.table({
+            "doc_id": pa.array(d[sel]), "seq": pa.array(np.full(sel.sum(), 2)),
+            "op": pa.array(["upsert"] * int(sel.sum()), pa.string()),
+            "source": src.filter(pa.array(sel)),
+            "n_chars": pa.array(nch[sel] + 5000)}))
+        sel = m11 == 3  # insert under a fresh key
+        parts.append(pa.table({
+            "doc_id": pa.array(d[sel] + 10_000_000),
+            "seq": pa.array(np.full(sel.sum(), 1)),
+            "op": pa.array(["upsert"] * int(sel.sum()), pa.string()),
+            "source": pa.array(["new"] * int(sel.sum()), pa.string()),
+            "n_chars": pa.array(d[sel] % 997)}))
+        return pa.concat_tables(parts)
+
+    changes = _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        mk_changes, batch_format="pyarrow")
+    return apply_changelog(base, changes, "doc_id", "seq", "op",
+                           ["source", "n_chars"]).sort("doc_id")
+
+
+def q_triangle_count(sf_dir: str):
+    """Distributed triangle counting (clustering-coefficient numerator —
+    the dense-neighborhood template-spam signature) on a deterministic
+    bounded-degree graph derived from the contiguous doc_id space: edges
+    (i, i+1) when i%100 < 99 and (i, i+2) when i%100 < 98, both clipped to
+    max(doc_id) — forward degree <= 2, so the wedge join cannot skew.
+    Two join exchanges (wedge build on the pivot, composite-key close) +
+    one thin count; counts each triangle at its minimum node."""
+    from ..stages.graph import triangle_count
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    meta = pq.ParquetFile(path)
+    idx = meta.schema_arrow.get_field_index("doc_id")
+    mx = max(meta.metadata.row_group(i).column(idx).statistics.max
+             for i in range(meta.metadata.num_row_groups))
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        a = d[(d % 100 < 99) & (d + 1 <= mx)]
+        b = d[(d % 100 < 98) & (d + 2 <= mx)]
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([a + 1, b + 2]))})
+
+    e = rd.read_parquet(path, columns=["doc_id"]).map_batches(
+        edges, batch_format="pyarrow")
+    out = triangle_count(e, "src", "dst")
+    return out.map_batches(
+        lambda t: t if t.num_columns == 0 else t.rename_columns(
+            ["node", "n_triangles"]),
+        batch_format="pyarrow").sort("node")
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Retention-cohort analysis: cohort each user by first-active day,
+    count distinct users active at each day offset — the product-analytics
+    retention curve.  Plan: per-batch arrow DISTINCT (user, day) partials,
+    ONE bucketed exchange on user_id whose fold computes cohort = min(day)
+    and emits bucket-local (cohort, offset) partial counts, then a tiny
+    pair-keyed combine (offsets x cohorts is calendar-bounded).  The raw
+    event log never shuffles — only distinct (user, day) rows do."""
+    from ..stages.aggregate import bucketed_fold
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def to_days(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        return pa.table({"user_id": t.column("user_id"),
+                         "day": day}).group_by(
+            ["user_id", "day"]).aggregate([])
+
+    days = ev.map_batches(to_days, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        cohort = g.groupby("user_id")["day"].transform("min")
+        pairs = pd.DataFrame({"cohort_day": cohort,
+                              "offset_days": g["day"] - cohort})
+        out = (pairs.groupby(["cohort_day", "offset_days"], sort=False)
+               .size().rename("n_users").reset_index())
+        return out.astype("int64")
+
+    partials = bucketed_fold(days, "user_id", fold)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["cohort_day", "offset_days"], sort=False)["n_users"]
+               .sum().reset_index())
+        return out.astype("int64")
+
+    return bucketed_fold(partials, ["cohort_day", "offset_days"], combine,
+                         n_buckets=8).sort(["cohort_day", "offset_days"])
+
+
+def q_mixture_resample(sf_dir: str):
+    """Domain-mixture resampling (the DoReMi / pile-construction step):
+    keep a hash-deterministic subset whose per-source sizes sit in the
+    target 5:4:2:2:1 ratio over five sources — the largest subset the
+    corpus supports.  One #sources-row count table (dimension-sized,
+    driver-collected like percentile_filter's bounds), then a row-local
+    integer-exact md5 predicate; the corpus never shuffles."""
+    from ..stages.sampling import mixture_resample
+
+    weights = {"src0": 5, "src1": 4, "src2": 2, "src3": 2, "src4": 1}
+    docs = _docs(sf_dir, ["doc_id", "source"])
+    return mixture_resample(docs, "source", "doc_id", weights).sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -4227,6 +4393,12 @@ QUERIES = {
     "bloom_pruned_join": q_bloom_pruned_join,
     "grouped_moments": q_grouped_moments,
     "topk_agg": q_topk_agg,
+    "event_transitions": q_event_transitions,
+    "burst_dedup": q_burst_dedup,
+    "changelog_merge": q_changelog_merge,
+    "triangle_count": q_triangle_count,
+    "retention_cohorts": q_retention_cohorts,
+    "mixture_resample": q_mixture_resample,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -6735,5 +6907,117 @@ ORACLE_SQL["weighted_sample"] = """
     m AS (SELECT MAX(n_chars) AS mx FROM documents)
     SELECT doc_id, n_chars FROM v, m
     WHERE h16 * mx < 65536 * n_chars
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["event_transitions"] = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["burst_dedup"] = """
+    WITH g AS (
+        SELECT event_id, user_id, event_type, ts,
+               LAG(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT user_id, event_type, event_id FROM g
+    WHERE prev_ts IS NULL
+       OR epoch_us(ts) - epoch_us(prev_ts) >= 86400 * CAST(1000000 AS BIGINT)
+    ORDER BY event_id
+"""
+
+ORACLE_SQL["changelog_merge"] = """
+    WITH changes AS (
+        SELECT doc_id, 3 AS seq, 'delete' AS op, source, 0 AS n_chars
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, 1, 'upsert', source, n_chars + 1000
+        FROM documents WHERE doc_id % 7 IN (1, 2)
+        UNION ALL
+        SELECT doc_id, 2, 'upsert', source, n_chars + 5000
+        FROM documents WHERE doc_id % 7 = 1
+        UNION ALL
+        SELECT doc_id + 10000000, 1, 'upsert', 'new', doc_id % 997
+        FROM documents WHERE doc_id % 11 = 3
+    ),
+    unioned AS (
+        SELECT doc_id, -1 AS seq, 'base' AS op, source, n_chars
+        FROM documents
+        UNION ALL SELECT * FROM changes
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY seq DESC, op DESC) AS rn
+        FROM unioned
+    )
+    SELECT doc_id, source, n_chars FROM ranked
+    WHERE rn = 1 AND op <> 'delete'
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["triangle_count"] = """
+    WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+    e AS (
+        SELECT doc_id AS u, doc_id + 1 AS v FROM documents, m
+        WHERE doc_id % 100 < 99 AND doc_id + 1 <= mx
+        UNION ALL
+        SELECT doc_id, doc_id + 2 FROM documents, m
+        WHERE doc_id % 100 < 98 AND doc_id + 2 <= mx
+    ),
+    t AS (
+        SELECT e1.u AS node
+        FROM e e1
+        JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM t GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["retention_cohorts"] = """
+    WITH d AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ),
+    f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+    SELECT f.cohort_day, d.day - f.cohort_day AS offset_days,
+           COUNT(*) AS n_users
+    FROM d JOIN f USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["mixture_resample"] = """
+    WITH w(source, wt) AS (VALUES
+        ('src0', 5), ('src1', 4), ('src2', 2), ('src3', 2), ('src4', 1)),
+    c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    s AS (SELECT MIN(c.n * 1000000 // w.wt) AS scale
+          FROM c JOIN w USING (source) WHERE w.wt > 0),
+    q AS (
+        SELECT c.source, c.n,
+               LEAST((s.scale * w.wt) // 1000000, c.n) AS quota
+        FROM c JOIN w USING (source) CROSS JOIN s
+        WHERE w.wt > 0
+    ),
+    v AS (
+        SELECT doc_id, source,
+               ((strpos('0123456789abcdef', substring(p, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substring(p, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substring(p, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substring(p, 4, 1)) - 1)) AS h16
+        FROM (SELECT doc_id, source,
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS p
+              FROM documents)
+    )
+    SELECT v.doc_id, v.source FROM v JOIN q USING (source)
+    WHERE v.h16 * q.n < 65536 * q.quota
     ORDER BY doc_id
 """

@@ -1,0 +1,68 @@
+"""Change-data-capture maintenance: apply a changelog (upserts + deletes)
+to a base snapshot — the lakehouse MERGE INTO / compaction step every
+incrementally-refreshed corpus needs (crawl refreshes, label fixups,
+takedown deletes).
+
+Latest-wins semantics: for each key, the change row with the highest
+``seq`` decides the outcome (``op == "delete"`` removes the key, anything
+else replaces the row); keys with no change keep their base row.  New keys
+in the changelog insert.  Exactly ROW_NUMBER() OVER (PARTITION BY key
+ORDER BY seq DESC) = 1 over base-tagged-as-seq=-1 UNION changes, minus
+deletes — the SQL replay the oracle runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def apply_changelog(base, changes, key_col: str, seq_col: str, op_col: str,
+                    payload_cols, n_buckets: int = 32):
+    """Merge ``changes`` into ``base`` with latest-wins-per-key semantics.
+
+    ``base``: Dataset with (key, *payload) columns — no seq/op needed.
+    ``changes``: Dataset with (key, seq, op, *payload); ``op`` is
+    ``"delete"`` or any upsert tag.  ``seq`` must totally order the
+    changes per key (a log sequence number / commit timestamp); ties are
+    broken by op descending (deterministic), matching the oracle.
+
+    Plan: tag base rows with seq = -1 / op = "base", union, ONE bucketed
+    exchange on the key, and a vectorized in-bucket fold (sort by
+    (key, seq desc, op desc), drop_duplicates(key), filter deletes).  The
+    exchange carries base + changelog once — no join, no driver state;
+    at 100 TB the changelog side is usually tiny but nothing here
+    requires it to be."""
+    from .aggregate import bucketed_fold
+
+    payload_cols = list(payload_cols)
+    out_cols = [key_col, *payload_cols]
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        cols = {key_col: t.column(key_col)}
+        cols[seq_col] = pa.array(np.full(t.num_rows, -1, np.int64))
+        cols[op_col] = pa.array(["base"] * t.num_rows, pa.string())
+        for c in payload_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    def project_changes(t: pa.Table) -> pa.Table:
+        cols = {key_col: t.column(key_col),
+                seq_col: t.column(seq_col).cast(pa.int64()),
+                op_col: t.column(op_col)}
+        for c in payload_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    unioned = base.map_batches(tag_base, batch_format="pyarrow").union(
+        changes.map_batches(project_changes, batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, seq_col, op_col], kind="mergesort",
+                          ascending=[True, False, False])
+        g = g.drop_duplicates(key_col, keep="first")
+        g = g[g[op_col] != "delete"]
+        return g[out_cols]
+
+    return bucketed_fold(unioned, key_col, fold, n_buckets=n_buckets)

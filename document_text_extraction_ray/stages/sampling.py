@@ -198,3 +198,51 @@ def pack_sequences(ds, key_column: str, order_column: str,
     return grouped_concat(binned, [key_column, "bin_id"], text_column,
                           [order_column], sep=sep, out_column="packed",
                           n_buckets=n_buckets, max_items=max_docs_per_pack)
+
+
+def mixture_resample(ds, strata_column: str, id_column: str,
+                     target_weights: dict, n_buckets: int = 32):
+    """Resample a corpus DOWN to a target domain mixture (the DoReMi /
+    pile-construction step): given relative integer ``target_weights``
+    per stratum (e.g. {"web": 6, "wiki": 3, "code": 1}), keep a
+    hash-deterministic subset whose per-stratum sizes sit in the target
+    ratio — the largest such subset the corpus supports (the scarcest
+    stratum relative to its weight binds; that stratum keeps ~everything).
+
+    Integer-exact plan, fully SQL-replayable:
+      1. one thin pre-aggregated count per stratum (a #strata-row table —
+         dimension-sized, collected to the driver like percentile_filter's
+         bounds table);
+      2. scale = min_s floor(c_s * 10^6 / w_s); quota t_s =
+         floor(scale * w_s / 10^6)  (<= c_s by construction);
+      3. row-local keep: md5_16(id) * c_s < 65536 * t_s — the corpus
+         itself never shuffles, and the predicate is retry/reshard-stable
+         (same md5 contract as ``hash_sample``).
+    Kept sizes are hash-binomial around the quotas (exact-quota sampling
+    would need a per-stratum top-k by hash instead — heavier exchange).
+    Strata absent from ``target_weights`` are dropped (weight 0)."""
+    from .aggregate import pre_aggregated_count
+
+    counts = pre_aggregated_count(ds, strata_column, alias="__n",
+                                  n_buckets=min(n_buckets, 8)).take_all()
+    c = {r[strata_column]: int(r["__n"]) for r in counts}
+    scale = min(
+        (c[s] * 1_000_000) // w
+        for s, w in target_weights.items() if w > 0 and s in c
+    )
+    quota = {s: min((scale * w) // 1_000_000, c.get(s, 0))
+             for s, w in target_weights.items() if w > 0}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        strata = batch.column(strata_column).to_pylist()
+        h = np.array([
+            int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:4], 16)
+            for v in batch.column(id_column).to_pylist()
+        ], np.int64)
+        cs = np.array([c.get(s, 0) for s in strata], np.int64)
+        ts = np.array([quota.get(s, 0) for s in strata], np.int64)
+        return batch.filter(pa.array(h * cs < 65536 * ts))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -342,3 +342,87 @@ def merge_intervals(ds, key_col: str, start_col: str, end_col: str):
 
     return bucketed_map_groups(ds.select_columns(
         [key_col, start_col, end_col]), key_col, fold)
+
+
+def transition_counts(ds, key_col: str, order_cols, type_col: str,
+                      n_buckets: int = 32):
+    """Markov transition-matrix counts over per-key ordered event streams:
+    for each key, sort its events by ``order_cols`` and count adjacent
+    (from_type, to_type) pairs; return corpus-wide (from_type, to_type, n).
+    The LAG() OVER (PARTITION BY key ORDER BY ...) bigram — the statistic
+    behind next-event prediction, user-journey graphs, and anomaly scores.
+
+    Plan: ONE bucketed exchange on the key (key-complete buckets), then a
+    fully vectorized in-bucket fold — sort by (key, order), shift, mask
+    rows where the key changes, pyarrow group-count the surviving pairs.
+    The per-bucket partials are at most |types|^2 rows, so the final
+    combine is a second tiny bucketed exchange on the pair."""
+    from .aggregate import bucketed_fold
+
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    cols = [key_col, *order_cols, type_col]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        if len(g) < 2:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        keys = g[key_col].to_numpy()
+        types = g[type_col].to_numpy()
+        same = keys[1:] == keys[:-1]
+        pairs = pd.DataFrame({"from_type": types[:-1][same],
+                              "to_type": types[1:][same]})
+        out = (pairs.groupby(["from_type", "to_type"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = bucketed_fold(ds.select_columns(cols), key_col, fold,
+                             n_buckets=n_buckets)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["from_type", "to_type"], sort=False)["n"]
+               .sum().reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return bucketed_fold(partials, ["from_type", "to_type"], combine,
+                         n_buckets=min(n_buckets, 8))
+
+
+def window_dedup(ds, key_cols, ts_col: str, id_col: str,
+                 min_gap_s: int, n_buckets: int = 32):
+    """Burst deduplication over an event log: within each key tuple
+    (e.g. user_id + event_type), DROP a row when it arrives less than
+    ``min_gap_s`` seconds after its predecessor in (ts, id) order — the
+    standard retry/double-fire suppression for clickstreams and crawler
+    fetch logs.  LAG semantics (gap measured to the previous RAW row, not
+    the previous kept row), so the result is exactly SQL-replayable:
+    keep iff prev_ts IS NULL OR ts - prev_ts >= min_gap_s.
+
+    ONE bucketed exchange on the key tuple; the in-bucket fold is one
+    vectorized sort + shift + mask (no per-group Python).  Returns the
+    kept rows' (key..., id) columns."""
+    from .aggregate import bucketed_fold
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cols = [*key_cols, ts_col, id_col]
+    gap_us = int(min_gap_s) * 1_000_000
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*key_cols, ts_col, id_col], kind="mergesort")
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        same = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            prev_same = np.ones(len(g) - 1, dtype=bool)
+            for k in key_cols:
+                kv = g[k].to_numpy()
+                prev_same &= kv[1:] == kv[:-1]
+            keep_tail = ~prev_same | (us[1:] - us[:-1] >= gap_us)
+            same[1:] = keep_tail
+        return g.loc[same, [*key_cols, id_col]]
+
+    return bucketed_fold(ds.select_columns(cols), key_cols, fold,
+                         n_buckets=n_buckets)

@@ -1,0 +1,47 @@
+"""Changelog MERGE (latest-wins upsert/delete apply)."""
+
+import pandas as pd
+import ray.data as rd
+
+from document_text_extraction_ray.stages.cdc import apply_changelog
+
+
+def test_apply_changelog_latest_wins():
+    base = rd.from_items([
+        {"k": i, "val": f"base{i}", "n": i * 10} for i in range(10)
+    ])
+    changes = rd.from_items([
+        # k=1: upsert then later delete -> gone
+        {"k": 1, "seq": 1, "op": "upsert", "val": "u1", "n": 11},
+        {"k": 1, "seq": 2, "op": "delete", "val": "", "n": 0},
+        # k=2: delete then later upsert -> resurrected with the upsert row
+        {"k": 2, "seq": 1, "op": "delete", "val": "", "n": 0},
+        {"k": 2, "seq": 2, "op": "upsert", "val": "u2", "n": 22},
+        # k=3: two upserts -> highest seq wins
+        {"k": 3, "seq": 1, "op": "upsert", "val": "old", "n": 1},
+        {"k": 3, "seq": 9, "op": "upsert", "val": "new", "n": 33},
+        # k=99: insert of a key absent from base
+        {"k": 99, "seq": 1, "op": "upsert", "val": "ins", "n": 990},
+    ])
+    out = apply_changelog(base, changes, "k", "seq", "op", ["val", "n"],
+                          n_buckets=4).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+
+    expect = {i: (f"base{i}", i * 10) for i in range(10)}
+    del expect[1]
+    expect[2] = ("u2", 22)
+    expect[3] = ("new", 33)
+    expect[99] = ("ins", 990)
+    got = {int(r.k): (r.val, int(r.n)) for r in out.itertuples()}
+    assert got == expect
+
+
+def test_apply_changelog_empty_changes_is_identity():
+    base = rd.from_items([{"k": i, "val": str(i), "n": i} for i in range(5)])
+    changes = rd.from_items(
+        [{"k": 0, "seq": 1, "op": "upsert", "val": "z", "n": 7}]
+    ).filter(lambda r: False)
+    out = apply_changelog(base, changes, "k", "seq", "op", ["val", "n"],
+                          n_buckets=2).to_pandas()
+    assert sorted(out["k"]) == [0, 1, 2, 3, 4]
+    assert set(out.columns) == {"k", "val", "n"}

@@ -36,3 +36,31 @@ def test_pagerank_int_matches_integer_reference():
     assert len(set(out.values())) > 1
     # total mass bounded by SCALE (floor losses only shrink it)
     assert 0 < sum(out.values()) <= SCALE
+
+
+def test_triangle_count_matches_brute_force():
+    from itertools import combinations
+
+    from document_text_extraction_ray.stages.graph import triangle_count
+
+    # Deterministic graph with known dense spots: ring chords on 30 nodes.
+    n = 30
+    edges = set()
+    for i in range(n):
+        edges.add((i, (i + 1) % n))
+        if i % 3 == 0:
+            edges.add((i, (i + 2) % n))
+        if i % 5 == 0:
+            edges.add((i, (i + 7) % n))
+    oriented = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    eset = set(oriented)
+    ref = {}
+    for u, v, w in combinations(range(n), 3):
+        if {(u, v), (u, w), (v, w)} <= eset:
+            ref[u] = ref.get(u, 0) + 1
+
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in oriented])
+    out = triangle_count(ds, n_buckets=4).to_pandas() \
+        .set_index("pivot")["n_triangles"].to_dict()
+    assert out == ref
+    assert sum(ref.values()) > 0

@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import ray.data
+import ray.data as rd
 
 from document_text_extraction_ray.stages.join import broadcast_join, partitioned_hash_join
 from document_text_extraction_ray.stages.windows import (
@@ -450,3 +451,58 @@ def test_merge_intervals_touching_merge(ray_session):
     out = merge_intervals(rd.from_pandas(df), "k", "s", "e").to_pandas()
     assert len(out) == 1
     assert int(out["s"].iloc[0]) == 0 and int(out["e"].iloc[0]) == 20
+
+
+def test_transition_counts_matches_pandas_lag():
+    import pandas as pd
+
+    from document_text_extraction_ray.stages.windows import transition_counts
+
+    rows = []
+    for i in range(400):
+        rows.append({"k": i % 13, "t": (i * 7) % 97, "id": i,
+                     "ev": "abcde"[(i * 3) % 5]})
+    ds = rd.from_items(rows)
+    out = transition_counts(ds, "k", ("t", "id"), "ev", n_buckets=4) \
+        .to_pandas().sort_values(["from_type", "to_type"]) \
+        .reset_index(drop=True)
+
+    df = pd.DataFrame(rows).sort_values(["k", "t", "id"])
+    prev = df.groupby("k")["ev"].shift(1)
+    ref = (pd.DataFrame({"from_type": prev, "to_type": df["ev"]})
+           .dropna().groupby(["from_type", "to_type"]).size()
+           .rename("n").reset_index()
+           .sort_values(["from_type", "to_type"]).reset_index(drop=True))
+    ref["n"] = ref["n"].astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_window_dedup_lag_semantics():
+    import numpy as np
+    import pandas as pd
+
+    from document_text_extraction_ray.stages.windows import window_dedup
+
+    # Bursts: events at 0s, 10s, 200s, 210s within one (k, ev) stream.
+    rows = []
+    for k in range(6):
+        for ev in ("x", "y"):
+            for j, off in enumerate((0, 10, 200, 210, 1000)):
+                rows.append({"k": k, "ev": ev,
+                             "ts": np.datetime64(100000 * k + off, "s"),
+                             "id": len(rows)})
+    ds = rd.from_items(rows)
+    out = window_dedup(ds, ["k", "ev"], "ts", "id", min_gap_s=60,
+                       n_buckets=4).to_pandas()
+    kept = set(out["id"])
+
+    df = pd.DataFrame(rows).sort_values(["k", "ev", "ts", "id"])
+    secs = df["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+    prev_same = (df["k"].to_numpy()[1:] == df["k"].to_numpy()[:-1]) & (
+        df["ev"].to_numpy()[1:] == df["ev"].to_numpy()[:-1])
+    keep = np.ones(len(df), bool)
+    keep[1:] = ~prev_same | (secs[1:] - secs[:-1] >= 60)
+    ref = set(df["id"].to_numpy()[keep])
+    assert kept == ref
+    # each 5-event stream keeps offsets 0, 200, 1000 -> 3 of 5
+    assert len(kept) == 6 * 2 * 3

@@ -125,3 +125,36 @@ def test_pack_sequences_budget_and_order():
         .set_index(["k", "bin_id"]).sort_index()
     assert capped.loc[("b", 0), "packed"] == "z0|z1"
     assert int(capped.loc[("b", 0), "n"]) == 6  # true count survives
+
+
+def test_mixture_resample_hits_quota_ratio():
+    import hashlib
+
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.sampling import mixture_resample
+
+    rows = [{"id": i, "src": f"s{i % 4}"} for i in range(2000)]
+    ds = rd.from_items(rows)
+    weights = {"s0": 4, "s1": 2, "s2": 1}  # s3 dropped entirely
+    out = mixture_resample(ds, "src", "id", weights, n_buckets=4).to_pandas()
+
+    # replay the integer predicate
+    c = {f"s{j}": 500 for j in range(4)}
+    scale = min(c[s] * 1_000_000 // w for s, w in weights.items())
+    quota = {s: min(scale * w // 1_000_000, c[s]) for s, w in weights.items()}
+    kept = {s: 0 for s in weights}
+    ref_ids = set()
+    for r in rows:
+        s = r["src"]
+        if s not in quota:
+            continue
+        h = int(hashlib.md5(str(r["id"]).encode()).hexdigest()[:4], 16)
+        if h * c[s] < 65536 * quota[s]:
+            ref_ids.add(r["id"])
+            kept[s] += 1
+    assert set(out["id"]) == ref_ids
+    assert set(out["src"]) <= set(weights)
+    # binding stratum (highest weight) keeps ~everything; sizes track ratio
+    assert quota["s0"] == 500
+    assert kept["s0"] == 500
