@@ -4344,6 +4344,98 @@ def q_mixture_resample(sf_dir: str):
     return mixture_resample(docs, "source", "doc_id", weights).sort("doc_id")
 
 
+def q_table_diff(sf_dir: str):
+    """Snapshot diff (anti-entropy audit): added / removed / changed keys
+    between the documents base and a deterministically mutated refresh —
+    output is delta-sized, unchanged keys never leave their bucket.  One
+    bucketed exchange over both sides unioned; vectorized outer merge per
+    bucket.  Oracle: FULL OUTER JOIN + CASE."""
+    from ..stages.cdc import table_diff
+
+    old = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = d % 13 != 0
+        kept = pa.table({
+            "doc_id": pa.array(d[keep]),
+            "source": t.column("source").filter(pa.array(keep)),
+            "n_chars": pa.array(np.where(d[keep] % 5 == 0,
+                                         nch[keep] + 7, nch[keep]))})
+        ins = d % 17 == 2
+        added = pa.table({
+            "doc_id": pa.array(d[ins] + 20_000_000),
+            "source": pa.array(["new"] * int(ins.sum()), pa.string()),
+            "n_chars": pa.array(d[ins] % 89)})
+        return pa.concat_tables([kept, added])
+
+    new = _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        mutate, batch_format="pyarrow")
+    return table_diff(old, new, "doc_id", ["source", "n_chars"]) \
+        .sort("doc_id")
+
+
+def q_skyline(sf_dir: str):
+    """2-D Pareto frontier of lineitem (maximize quantity AND price):
+    per-block local skyline prunes the fact table row-locally (dominance
+    is transitive, so dropping block-dominated rows is exact), one tiny
+    single-task merge over the candidates — the corpus never shuffles.
+    Oracle: the O(n log n) window replay (per-qty max + running max over
+    strictly greater qty), NOT the quadratic NOT EXISTS."""
+    from ..stages.aggregate import skyline_2d
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice"])
+
+    def to_int(t: pa.Table) -> pa.Table:
+        t = _scale_int(t, {"l_extendedprice": 100})
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_linenumber": pc.cast(t.column("l_linenumber"), pa.int64()),
+            "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+            "price_cents": t.column("l_extendedprice")})
+
+    return skyline_2d(li.map_batches(to_int, batch_format="pyarrow"),
+                      "qty", "price_cents").sort(
+        ["qty", "price_cents", "l_orderkey", "l_linenumber"])
+
+
+def q_grouped_regression(sf_dir: str):
+    """Per-user OLS slope of event value (cents) against day, kept as an
+    INTEGER RATIONAL — slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²) — so the
+    distributed result is hash-identical to SQL (the float divide happens
+    at the consumer, never on the wire).  Pure composition over
+    grouped_moments' exact int64 sufficient statistics: per-batch arrow
+    partials, one bucketed combine, then a row-local finish."""
+    from ..stages.aggregate import grouped_moments
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _scale_int(t, {"value": 100})
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()), 86_400_000_000)
+        return pa.table({"user_id": t.column("user_id"),
+                         "day": day, "cents": t.column("value")})
+
+    mom = grouped_moments(ev.map_batches(prep, batch_format="pyarrow"),
+                          "user_id", "day", "cents")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n")
+        num = pc.subtract(pc.multiply(n, t.column("sum_xy")),
+                          pc.multiply(t.column("sum_x"), t.column("sum_y")))
+        den = pc.subtract(pc.multiply(n, t.column("sum_xx")),
+                          pc.multiply(t.column("sum_x"), t.column("sum_x")))
+        return pa.table({"user_id": t.column("user_id"), "n": n,
+                         "slope_num": num, "slope_den": den})
+
+    return mom.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -4399,6 +4491,9 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "retention_cohorts": q_retention_cohorts,
     "mixture_resample": q_mixture_resample,
+    "table_diff": q_table_diff,
+    "skyline": q_skyline,
+    "grouped_regression": q_grouped_regression,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -7020,4 +7115,65 @@ ORACLE_SQL["mixture_resample"] = """
     SELECT v.doc_id, v.source FROM v JOIN q USING (source)
     WHERE v.h16 * q.n < 65536 * q.quota
     ORDER BY doc_id
+"""
+
+ORACLE_SQL["table_diff"] = """
+    WITH newt AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 5 = 0 THEN n_chars + 7
+                    ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 20000000, 'new', doc_id % 89
+        FROM documents WHERE doc_id % 17 = 2
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM documents o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+       OR o.source <> n.source OR o.n_chars <> n.n_chars
+    ORDER BY 1
+"""
+
+ORACLE_SQL["skyline"] = """
+    WITH v AS (
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+        FROM lineitem
+    ),
+    w AS (
+        SELECT *,
+               MAX(price_cents) OVER (PARTITION BY qty) AS max_c,
+               MAX(price_cents) OVER (
+                   ORDER BY qty DESC
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_best
+        FROM v
+    )
+    SELECT l_orderkey, l_linenumber, qty, price_cents FROM w
+    WHERE price_cents = max_c
+      AND (prev_best IS NULL OR price_cents > prev_best)
+    ORDER BY qty, price_cents, l_orderkey, l_linenumber
+"""
+
+ORACLE_SQL["grouped_regression"] = """
+    WITH v AS (
+        SELECT user_id,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(day) AS sx, SUM(cents) AS sy,
+               SUM(day * day) AS sxx, SUM(day * cents) AS sxy
+        FROM v GROUP BY 1
+    )
+    SELECT user_id, n,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den
+    FROM s ORDER BY user_id
 """

@@ -1105,3 +1105,49 @@ def grouped_moments(ds, key: str, x: str, y: str, n_buckets: int = 32):
         })
 
     return bucketed_combine(partials, key, combine, n_buckets)
+
+
+def _skyline_mask_2d(xa: np.ndarray, ya: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D maximize-both Pareto frontier, exact
+    NOT-EXISTS semantics (a row is dropped iff some row is >= on both dims
+    and > on at least one; identical duplicate points all survive).
+    Vectorized: sort by (x desc, y desc); within an x-group only rows at
+    the group's max y can survive, and the group survives iff that max y
+    strictly exceeds the best y seen at any greater x."""
+    n = len(xa)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-ya, -xa))
+    xs, ys = xa[order], ya[order]
+    new_x = np.r_[True, xs[1:] != xs[:-1]]
+    group_id = np.cumsum(new_x) - 1
+    group_max_y = ys[new_x]                    # y desc within group
+    best_upto = np.maximum.accumulate(group_max_y)
+    prev_best = np.r_[np.int64(np.iinfo(np.int64).min), best_upto[:-1]]
+    group_keep = group_max_y > prev_best
+    keep_sorted = group_keep[group_id] & (ys == group_max_y[group_id])
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def skyline_2d(ds, x: str, y: str):
+    """Distributed 2-D skyline (Pareto frontier, maximize both INTEGER
+    columns): per-block local skyline prunes row-locally (a block-dominated
+    row is globally dominated — safe to drop; dominance is transitive, so
+    the survivor set still contains a dominator for every globally
+    dominated candidate), then ONE single-task merge re-runs the same
+    kernel over the candidates.  Candidate count is bounded by
+    #blocks x frontier size; frontiers are tiny in practice (<= distinct
+    x values) — the documented assumption of every local-then-merge
+    skyline plan.  The corpus itself never shuffles."""
+    import pyarrow as pa
+
+    def local(t: pa.Table) -> pa.Table:
+        xa = t.column(x).to_numpy(zero_copy_only=False).astype(np.int64)
+        ya = t.column(y).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(_skyline_mask_2d(xa, ya)))
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(local, batch_size=None, batch_format="pyarrow"))

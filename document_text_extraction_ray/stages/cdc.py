@@ -66,3 +66,53 @@ def apply_changelog(base, changes, key_col: str, seq_col: str, op_col: str,
         return g[out_cols]
 
     return bucketed_fold(unioned, key_col, fold, n_buckets=n_buckets)
+
+
+def table_diff(old, new, key_col: str, payload_cols, n_buckets: int = 32):
+    """Row-level diff of two snapshots keyed by ``key_col`` (unique per
+    side): returns (key, status) with status in {"added", "removed",
+    "changed"} — unchanged keys are OMITTED, so the output is delta-sized
+    (the anti-entropy / incremental-refresh audit step; ``index_delta`` is
+    this op specialized to posting lists).
+
+    Plan: both sides project to (key, *payload) + a side tag, union, ONE
+    bucketed exchange on the key, and a vectorized in-bucket outer merge.
+    No driver state; each side ships its payload once."""
+    from .aggregate import bucketed_fold
+
+    payload_cols = list(payload_cols)
+    cols = [key_col, *payload_cols]
+
+    def tag(side: int):
+        def _t(t: pa.Table) -> pa.Table:
+            out = {c: t.column(c) for c in cols}
+            out["__side"] = pa.array(np.full(t.num_rows, side, np.int8))
+            return pa.table(out)
+        return _t
+
+    unioned = old.select_columns(cols).map_batches(
+        tag(0), batch_format="pyarrow").union(
+        new.select_columns(cols).map_batches(tag(1), batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["__side"] == 0]
+        n = g[g["__side"] == 1]
+        m = o.merge(n, on=key_col, how="outer", suffixes=("_o", "_n"),
+                    indicator=True)
+        status = np.where(m["_merge"] == "left_only", "removed",
+                          np.where(m["_merge"] == "right_only", "added",
+                                   "changed"))
+        if payload_cols:
+            same = np.ones(len(m), dtype=bool)
+            for c in payload_cols:
+                a, b = m[f"{c}_o"], m[f"{c}_n"]
+                same &= (a == b) | (a.isna() & b.isna())
+            keep = (m["_merge"] != "both") | ~same
+        else:
+            keep = m["_merge"] != "both"
+        out = pd.DataFrame({key_col: m.loc[keep, key_col],
+                            "status": status[keep]})
+        out["status"] = out["status"].astype(object)
+        return out
+
+    return bucketed_fold(unioned, key_col, fold, n_buckets=n_buckets)

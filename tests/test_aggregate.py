@@ -728,3 +728,22 @@ def test_grouped_mode_and_tdigest_keep_null_key_group(ray_session):
     td = tdigest_quantiles(ds.select_columns(["k", "num"]), "k", "num",
                            ps=(0.5,)).to_pandas()
     assert int(td.loc[td["k"].isna(), "n_rows"].iloc[0]) == 3
+
+
+def test_skyline_2d_matches_brute_force():
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import skyline_2d
+
+    rows = [{"id": i, "x": (i * 13) % 23, "y": (i * 7) % 31}
+            for i in range(500)]
+    ds = rd.from_items(rows)
+    out = skyline_2d(ds, "x", "y").to_pandas()
+    xs = np.array([r["x"] for r in rows])
+    ys = np.array([r["y"] for r in rows])
+    ref = {r["id"] for i, r in enumerate(rows)
+           if not any((xs >= xs[i]) & (ys >= ys[i])
+                      & ((xs > xs[i]) | (ys > ys[i])))}
+    assert set(out["id"]) == ref
+    assert len(out) > 0

@@ -45,3 +45,33 @@ def test_apply_changelog_empty_changes_is_identity():
                           n_buckets=2).to_pandas()
     assert sorted(out["k"]) == [0, 1, 2, 3, 4]
     assert set(out.columns) == {"k", "val", "n"}
+
+
+def test_table_diff_statuses():
+    old = rd.from_items([{"k": i, "v": f"v{i}", "n": i} for i in range(12)])
+    new = rd.from_items(
+        [{"k": i, "v": f"v{i}", "n": i + (7 if i % 4 == 0 else 0)}
+         for i in range(12) if i % 3 != 0]
+        + [{"k": 100, "v": "x", "n": 1}, {"k": 101, "v": "y", "n": 2}])
+    from document_text_extraction_ray.stages.cdc import table_diff
+
+    out = table_diff(old, new, "k", ["v", "n"], n_buckets=4).to_pandas()
+    got = dict(zip(out["k"], out["status"]))
+    expect = {}
+    for i in range(12):
+        if i % 3 == 0:
+            expect[i] = "removed"
+        elif i % 4 == 0:
+            expect[i] = "changed"
+    expect[100] = "added"
+    expect[101] = "added"
+    assert got == expect
+
+
+def test_table_diff_identical_snapshots_empty():
+    a = rd.from_items([{"k": i, "v": str(i)} for i in range(8)])
+    b = rd.from_items([{"k": i, "v": str(i)} for i in range(8)])
+    from document_text_extraction_ray.stages.cdc import table_diff
+
+    out = table_diff(a, b, "k", ["v"], n_buckets=2).to_pandas()
+    assert len(out) == 0
