@@ -4436,6 +4436,76 @@ def q_grouped_regression(sf_dir: str):
     return mom.map_batches(finish, batch_format="pyarrow").sort("user_id")
 
 
+def q_anomaly_events(sf_dir: str):
+    """Per-user z-score outlier detection kept INTEGER-EXACT: flag events
+    whose value (cents) deviates from their user's mean by more than 3
+    population standard deviations — the squared form
+    (n·x − Sy)² > 9·n·(n·Syy − Sy²)·... reduces to
+    (n·x − Sy)² > 9·(n·Syy − Sy²) after cancelling n², so no float ever
+    crosses an engine boundary.  One moments exchange builds the
+    user-bounded stats table; it broadcasts (the percentile_filter
+    pattern — swap to partitioned_hash_join if the key dimension is
+    corpus-shaped); the event log is filtered row-locally."""
+    from ..stages.aggregate import grouped_moments
+    from ..stages.join import broadcast_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _scale_int(t, {"value": 100})
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "cents": t.column("value")})
+
+    cents = ev.map_batches(prep, batch_format="pyarrow")
+    mom = grouped_moments(cents, "user_id", "cents", "cents")
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "n": t.column("n"),
+                         "sy": t.column("sum_y"),
+                         "syy": t.column("sum_yy")})
+
+    stats_df = mom.map_batches(stats, batch_format="pyarrow").to_pandas()
+    joined = broadcast_join(cents, stats_df, on="user_id")
+
+    def flag(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = t.column("sy").to_numpy(zero_copy_only=False).astype(np.int64)
+        syy = t.column("syy").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        lhs = (n * x - sy) ** 2
+        rhs = 9 * (n * syy - sy * sy)
+        keep = lhs > rhs
+        return pa.table({
+            "event_id": t.column("event_id").filter(pa.array(keep)),
+            "user_id": t.column("user_id").filter(pa.array(keep)),
+            "cents": t.column("cents").filter(pa.array(keep))})
+
+    return joined.map_batches(flag, batch_format="pyarrow").sort("event_id")
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label embedding centroid sufficient statistics (the k-means /
+    SemDeDup building block as a grouped op): (label, dim, sum_e6,
+    n_vecs) with elements scaled to integer micro-units BEFORE summation
+    so the result is hash-identical to the SQL replay.  Per-batch
+    vectorized partials; one dimension-sized bucketed combine; the vector
+    table never shuffles."""
+    from ..stages.similarity import embedding_centroids
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["label", "embedding"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({"label": pc.cast(t.column("label"), pa.int64()),
+                         "embedding": t.column("embedding")})
+
+    return embedding_centroids(
+        emb.map_batches(widen, batch_format="pyarrow")).sort(["label", "dim"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -4494,6 +4564,8 @@ QUERIES = {
     "table_diff": q_table_diff,
     "skyline": q_skyline,
     "grouped_regression": q_grouped_regression,
+    "anomaly_events": q_anomaly_events,
+    "embedding_centroids": q_embedding_centroids,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -7176,4 +7248,31 @@ ORACLE_SQL["grouped_regression"] = """
            n * sxy - sx * sy AS slope_num,
            n * sxx - sx * sx AS slope_den
     FROM s ORDER BY user_id
+"""
+
+ORACLE_SQL["anomaly_events"] = """
+    WITH v AS (
+        SELECT event_id, user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, COUNT(*) AS n, SUM(cents) AS sy,
+               SUM(cents * cents) AS syy
+        FROM v GROUP BY 1
+    )
+    SELECT v.event_id, v.user_id, v.cents
+    FROM v JOIN s USING (user_id)
+    WHERE (s.n * v.cents - s.sy) * (s.n * v.cents - s.sy)
+          > 9 * (s.n * s.syy - s.sy * s.sy)
+    ORDER BY v.event_id
+"""
+
+ORACLE_SQL["embedding_centroids"] = """
+    SELECT CAST(label AS BIGINT) AS label, i AS dim,
+           SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000 ) AS BIGINT))
+               AS sum_e6,
+           COUNT(*) AS n_vecs
+    FROM embeddings, generate_series(1, 64) AS t(i)
+    GROUP BY 1, 2 ORDER BY 1, 2
 """

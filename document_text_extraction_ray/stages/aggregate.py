@@ -1089,7 +1089,7 @@ def grouped_moments(ds, key: str, x: str, y: str, n_buckets: int = 32):
             "pxy": g.column("pxy_sum"),
         })
 
-    partials = ds.select_columns([key, x, y]).map_batches(
+    partials = ds.select_columns(list(dict.fromkeys([key, x, y]))).map_batches(
         partial, batch_format="pyarrow")
 
     def combine(t: pa.Table) -> pa.Table:

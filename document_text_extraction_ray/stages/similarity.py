@@ -518,3 +518,60 @@ def ivf_topk(
     df["query_id"] = [query_ids[i] for i in df["query_idx"]]
     out = df[["query_id", "neighbor_id", "cosine", "rank"]].reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embedding_centroids(ds, label_col: str = "label",
+                        embedding_col: str = "embedding",
+                        scale: int = 1_000_000, n_buckets: int = 8):
+    """Per-label centroid SUFFICIENT STATISTICS over an embedding column:
+    (label, dim, sum_e6, n_vecs) with every element scaled to integer
+    micro-units before summation — so the distributed result is
+    hash-identical to a SQL replay (float sums are order-dependent at the
+    ULP level; the divide to an actual mean happens at the consumer).
+    The k-means / SemDeDup building block as a first-class grouped op.
+
+    Per-batch vectorized partials (labels x dims rows — dimension-sized),
+    ONE tiny bucketed combine on (label, dim).  The vector table itself
+    never shuffles."""
+    import pandas as pd
+
+    from .aggregate import bucketed_fold
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({label_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "psum": pa.array([], pa.int64()),
+                             "pn": pa.array([], pa.int64())})
+        m = np.stack(t.column(embedding_col).to_numpy(zero_copy_only=False))
+        m = m.astype(np.float64) * scale
+        ints = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)) \
+            .astype(np.int64)
+        labels = t.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame(ints)
+        df["__l"] = labels
+        g = df.groupby("__l", sort=False)
+        sums = g.sum()
+        counts = g.size()
+        n_dims = ints.shape[1]
+        lab = np.repeat(sums.index.to_numpy(), n_dims)
+        dim = np.tile(np.arange(1, n_dims + 1, dtype=np.int64),
+                      len(sums))
+        return pa.table({label_col: pa.array(lab, pa.int64()),
+                         "dim": pa.array(dim, pa.int64()),
+                         "psum": pa.array(sums.to_numpy().ravel(), pa.int64()),
+                         "pn": pa.array(np.repeat(counts.to_numpy(), n_dims),
+                                        pa.int64())})
+
+    partials = ds.select_columns([label_col, embedding_col]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby([label_col, "dim"], sort=False)
+               .agg(sum_e6=("psum", "sum"), n_vecs=("pn", "sum"))
+               .reset_index())
+        return out.astype("int64")
+
+    return bucketed_fold(partials, [label_col, "dim"], combine,
+                         n_buckets=n_buckets)

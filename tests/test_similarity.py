@@ -169,3 +169,31 @@ def test_semdedup_keep_first_within_cluster():
     # blocked vs unblocked plans agree
     out2 = SIM.semdedup(ds, eps=0.99, n_centroids=4, block=4096).to_pandas()
     assert set(out2["vec_id"]) == surv
+
+
+def test_embedding_centroids_integer_exact():
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.similarity import (
+        embedding_centroids,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 8).astype(np.float32) / 3
+    labels = (np.arange(200) % 5).astype(np.int64)
+    ds = rd.from_items([
+        {"label": int(l), "embedding": v.tolist()}
+        for l, v in zip(labels, vecs)
+    ])
+    out = embedding_centroids(ds, n_buckets=4).to_pandas()
+
+    m = vecs.astype(np.float64) * 1_000_000
+    ints = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)).astype(np.int64)
+    for lab in range(5):
+        sel = ints[labels == lab]
+        for d in range(8):
+            row = out[(out["label"] == lab) & (out["dim"] == d + 1)]
+            assert int(row["sum_e6"].iloc[0]) == int(sel[:, d].sum())
+            assert int(row["n_vecs"].iloc[0]) == len(sel)
+    assert len(out) == 40
