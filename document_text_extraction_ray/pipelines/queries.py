@@ -4506,6 +4506,85 @@ def q_embedding_centroids(sf_dir: str):
         emb.map_batches(widen, batch_format="pyarrow")).sort(["label", "dim"])
 
 
+def q_hits_scores(sf_dir: str):
+    """Integer-exact HITS hub scores over the bipartite user -> event_type
+    graph (distinct edges; 2 full iterations).  Every half step is one
+    thin attach + one pre-aggregated sum + a SUM-normalization to the
+    1e6 fixed point (floor division, so the 4-CTE SQL replay is
+    bit-exact; the classic 1e12 scale would overflow int64 at the
+    raw*scale product — see graph.HITS_NORM)."""
+    from ..stages.graph import hits_int
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def distinct(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([])
+        return pa.table({"src": g.column("user_id"),
+                         "dst": g.column("event_type")})
+
+    from ..stages.aggregate import bucketed_fold
+
+    edges = bucketed_fold(
+        ev.map_batches(distinct, batch_format="pyarrow"),
+        ["src", "dst"],
+        lambda g: g.drop_duplicates(["src", "dst"]),
+        n_buckets=8)
+    auth, hub = hits_int(edges, n_iters=2)
+    return hub.map_batches(
+        lambda t: t if t.num_columns == 0 else t.rename_columns(
+            ["user_id", "hub"]),
+        batch_format="pyarrow").sort("user_id")
+
+
+def q_dense_rank(sf_dir: str):
+    """RANK() / DENSE_RANK() per user over a tie-heavy order (event_type)
+    — the two window functions the unique-order rank family cannot
+    express.  One bucketed exchange; fully vectorized run-boundary fold
+    (no per-group Python)."""
+    from ..stages.windows import value_ranks
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "event_id"])
+    out = value_ranks(ev, "user_id", "event_type",
+                      carry_cols=["event_id"])
+    return out.sort("event_id")
+
+
+def q_mad_by_source(sf_dir: str):
+    """Per-source MEDIAN ABSOLUTE DEVIATION of document length — the
+    robust-statistics outlier scale (insensitive to the heavy tails that
+    wreck stddev on web corpora).  Two grouped exact-median passes
+    (PERCENTILE_DISC semantics, bounded groups), with the #sources-row
+    median table broadcast between them; the corpus shuffles only its
+    (source, n_chars) projection."""
+    import ray
+
+    from ..stages.aggregate import grouped_quantiles
+
+    docs = _docs(sf_dir, ["source", "n_chars"])
+    med = grouped_quantiles(docs, "source", "n_chars", ps=(0.5,))
+    med_map = {r["source"]: int(r["p50"]) for r in med.take_all()}
+    ref = ray.put(med_map)
+
+    def absdev(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        src = t.column("source").to_pylist()
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        meds = np.array([m[s] for s in src], np.int64)
+        return pa.table({"source": t.column("source"),
+                         "absdev": pa.array(np.abs(nch - meds), pa.int64())})
+
+    devs = docs.map_batches(absdev, batch_format="pyarrow")
+    out = grouped_quantiles(devs, "source", "absdev", ps=(0.5,))
+    return out.map_batches(
+        lambda t: t if t.num_columns == 0 else pa.table(
+            {"source": t.column("source"), "n_rows": t.column("n_rows"),
+             "mad": t.column("p50")}),
+        batch_format="pyarrow").sort("source")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -4566,6 +4645,9 @@ QUERIES = {
     "grouped_regression": q_grouped_regression,
     "anomaly_events": q_anomaly_events,
     "embedding_centroids": q_embedding_centroids,
+    "hits_scores": q_hits_scores,
+    "dense_rank": q_dense_rank,
+    "mad_by_source": q_mad_by_source,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -7275,4 +7357,51 @@ ORACLE_SQL["embedding_centroids"] = """
            COUNT(*) AS n_vecs
     FROM embeddings, generate_series(1, 64) AS t(i)
     GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["hits_scores"] = """
+    WITH e AS (SELECT DISTINCT user_id AS src, event_type AS dst
+               FROM events),
+    h0 AS (SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS s FROM e),
+    a1r AS (SELECT dst, SUM(h0.s) AS raw FROM e JOIN h0 USING (src)
+            GROUP BY dst),
+    a1 AS (SELECT dst, CAST(raw * 1000000 // (SELECT SUM(raw) FROM a1r)
+                            AS BIGINT) AS s FROM a1r),
+    h1r AS (SELECT src, SUM(a1.s) AS raw FROM e JOIN a1 USING (dst)
+            GROUP BY src),
+    h1 AS (SELECT src, CAST(raw * 1000000 // (SELECT SUM(raw) FROM h1r)
+                            AS BIGINT) AS s FROM h1r),
+    a2r AS (SELECT dst, SUM(h1.s) AS raw FROM e JOIN h1 USING (src)
+            GROUP BY dst),
+    a2 AS (SELECT dst, CAST(raw * 1000000 // (SELECT SUM(raw) FROM a2r)
+                            AS BIGINT) AS s FROM a2r),
+    h2r AS (SELECT src, SUM(a2.s) AS raw FROM e JOIN a2 USING (dst)
+            GROUP BY src),
+    h2 AS (SELECT src, CAST(raw * 1000000 // (SELECT SUM(raw) FROM h2r)
+                            AS BIGINT) AS s FROM h2r)
+    SELECT src AS user_id, s AS hub FROM h2 ORDER BY user_id
+"""
+
+ORACLE_SQL["dense_rank"] = """
+    SELECT event_id, user_id, event_type,
+           RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+           DENSE_RANK() OVER (
+               PARTITION BY user_id ORDER BY event_type) AS drnk
+    FROM events
+    ORDER BY event_id
+"""
+
+ORACLE_SQL["mad_by_source"] = """
+    WITH med AS (
+        SELECT source,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS m
+        FROM documents GROUP BY source
+    ),
+    dev AS (
+        SELECT d.source, ABS(d.n_chars - med.m) AS absdev
+        FROM documents d JOIN med USING (source)
+    )
+    SELECT source, COUNT(*) AS n_rows,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY absdev) AS mad
+    FROM dev GROUP BY source ORDER BY source
 """

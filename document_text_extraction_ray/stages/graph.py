@@ -166,3 +166,69 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
                                    n_buckets=n_buckets, suffix="_e")
     return pre_aggregated_count(closed, "pivot", alias="n_triangles",
                                 n_buckets=min(n_buckets, 8))
+
+
+HITS_NORM = 10**6  # hub/auth fixed point: score 1.0 == 10^6
+
+
+def hits_int(edges, n_iters: int = 2, src_col: str = "src",
+             dst_col: str = "dst", n_buckets: int = 16):
+    """Integer-exact HITS (hubs & authorities) over an edge Dataset —
+    the bipartite-reinforcement companion to ``pagerank_int``.  Each half
+    step is: join the opposite score onto the edges (thin (node, score)
+    table, co-partitioned attach), pre-aggregated sum, then SUM-normalize
+    to ``HITS_NORM`` with floor division (a global scalar per half step —
+    the one driver-sized value an iterative normalization needs).  All
+    arithmetic stays under ~1e15, inside int64 (the classic SCALE=1e12
+    normalization overflows int64 at the raw*scale product — that is why
+    hub/auth use their own smaller fixed point).
+
+    Returns (auth_ds, hub_ds): (node, auth) over distinct dst nodes and
+    (node, hub) over distinct src nodes.  Each normalized table is
+    node-bounded and materialized (consumed by both the scalar fold and
+    the next join — re-executing lineage would re-run every prior
+    iteration)."""
+    from .aggregate import pre_aggregated_sum
+    from .join import attach_column, coalesce_aggregate_blocks
+
+    def init_hub(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return pa.table({
+            "node": t.column(src_col),
+            "hub": pa.array(np.full(t.num_rows, HITS_NORM, np.int64))})
+
+    hub = coalesce_aggregate_blocks(
+        edges.select_columns([src_col]).groupby(src_col).count().map_batches(
+            init_hub, batch_format="pyarrow"), 4).materialize()
+
+    def half_step(score_ds, join_on: str, group_on: str, out_name: str):
+        ej = attach_column(edges, score_ds.map_batches(
+            lambda t: t if t.num_columns == 0 else t.rename_columns(
+                [join_on, "__score"]),
+            batch_format="pyarrow"), on=join_on, value_col="__score",
+            n_buckets=n_buckets)
+        raw = pre_aggregated_sum(ej, group_on, "__score",
+                                 n_buckets=n_buckets)
+        raw = coalesce_aggregate_blocks(raw.map_batches(
+            lambda t: t if t.num_columns == 0 else pa.table(
+                {"node": t.column(group_on), "raw": t.column("sum___score")}),
+            batch_format="pyarrow"), 4).materialize()
+        total = raw.sum("raw")
+
+        def norm(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return t
+            v = t.column("raw").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "node": t.column("node"),
+                out_name: pa.array(v * HITS_NORM // total, pa.int64())})
+
+        return raw.map_batches(norm, batch_format="pyarrow").materialize()
+
+    auth = None
+    for _ in range(n_iters):
+        auth = half_step(hub, src_col, dst_col, "auth")
+        hub = half_step(auth, dst_col, src_col, "hub")
+    return auth, hub

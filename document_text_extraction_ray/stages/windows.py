@@ -426,3 +426,42 @@ def window_dedup(ds, key_cols, ts_col: str, id_col: str,
 
     return bucketed_fold(ds.select_columns(cols), key_cols, fold,
                          n_buckets=n_buckets)
+
+
+def value_ranks(ds, key_col: str, value_col: str, carry_cols=(),
+                n_buckets: int = 32):
+    """RANK() and DENSE_RANK() per key ordered by a (tie-prone) value —
+    the two window functions ``rank_features`` cannot express (it
+    requires a unique total order; these are DEFINED by ties).  One
+    bucketed exchange on the key; the in-bucket fold is fully vectorized
+    (sort + run-boundary masks + cumulative maxima — no per-group
+    Python).  Returns (key, value, *carry, rnk, drnk)."""
+    from .aggregate import bucketed_fold
+
+    carry_cols = list(carry_cols)
+    cols = [key_col, value_col, *carry_cols]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, value_col], kind="mergesort")
+        n = len(g)
+        if n == 0:
+            out = g.copy()
+            out["rnk"] = pd.Series([], dtype="int64")
+            out["drnk"] = pd.Series([], dtype="int64")
+            return out
+        keys = g[key_col].to_numpy()
+        vals = g[value_col].to_numpy()
+        idx = np.arange(n, dtype=np.int64)
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        new_run = new_key | np.r_[True, vals[1:] != vals[:-1]]
+        key_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        rn = idx - key_start + 1
+        runs = np.cumsum(new_run)
+        out = g.copy()
+        out["rnk"] = rn[run_start]
+        out["drnk"] = runs - runs[key_start] + 1
+        return out
+
+    return bucketed_fold(ds.select_columns(cols), key_col, fold,
+                         n_buckets=n_buckets)

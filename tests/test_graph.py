@@ -64,3 +64,43 @@ def test_triangle_count_matches_brute_force():
         .set_index("pivot")["n_triangles"].to_dict()
     assert out == ref
     assert sum(ref.values()) > 0
+
+
+def _ref_hits(edges, n_iters=2, norm=10**6):
+    """Pure-python integer replay of hits_int's half steps."""
+    from collections import defaultdict
+
+    hub = {s: norm for s, _ in edges}
+    auth = {}
+    for _ in range(n_iters):
+        raw = defaultdict(int)
+        for s, d in edges:
+            raw[d] += hub[s]
+        total = sum(raw.values())
+        auth = {v: r * norm // total for v, r in raw.items()}
+        raw = defaultdict(int)
+        for s, d in edges:
+            raw[s] += auth[d]
+        total = sum(raw.values())
+        hub = {v: r * norm // total for v, r in raw.items()}
+    return auth, hub
+
+
+def test_hits_int_matches_integer_reference():
+    from document_text_extraction_ray.stages.graph import HITS_NORM, hits_int
+
+    # Bipartite-ish graph with uneven degrees: srcs 0..19, dsts "a".."f".
+    edges = sorted({(s, "abcdef"[(s * s + j) % 6])
+                    for s in range(20) for j in range(1 + s % 4)})
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+    auth, hub = hits_int(ds, n_iters=2, n_buckets=4)
+    got_auth = auth.to_pandas().set_index("node")["auth"].to_dict()
+    got_hub = hub.to_pandas().set_index("node")["hub"].to_dict()
+    ref_auth, ref_hub = _ref_hits(edges, n_iters=2, norm=HITS_NORM)
+    assert got_auth == ref_auth
+    assert got_hub == ref_hub
+    # reinforcement differentiates the nodes
+    assert len(set(got_hub.values())) > 1
+    assert len(set(got_auth.values())) > 1
+    # normalization: total mass within floor losses of HITS_NORM
+    assert HITS_NORM - len(got_hub) < sum(got_hub.values()) <= HITS_NORM

@@ -506,3 +506,26 @@ def test_window_dedup_lag_semantics():
     assert kept == ref
     # each 5-event stream keeps offsets 0, 200, 1000 -> 3 of 5
     assert len(kept) == 6 * 2 * 3
+
+
+def test_value_ranks_matches_pandas_window(ray_session):
+    from document_text_extraction_ray.stages.windows import value_ranks
+
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, n),
+        "v": rng.integers(0, 5, n),          # tie-heavy on purpose
+        "rid": np.arange(n, dtype=np.int64),
+    })
+    out = value_ranks(rd.from_pandas(df), "k", "v", carry_cols=["rid"],
+                      n_buckets=4).to_pandas() \
+        .sort_values("rid").reset_index(drop=True)
+    ref = df.sort_values("rid").reset_index(drop=True)
+    ref["rnk"] = df.groupby("k")["v"].rank(method="min").astype("int64") \
+        .reindex(ref.index)
+    ref["drnk"] = df.groupby("k")["v"].rank(method="dense").astype("int64") \
+        .reindex(ref.index)
+    pd.testing.assert_frame_equal(
+        out[["k", "v", "rid", "rnk", "drnk"]],
+        ref[["k", "v", "rid", "rnk", "drnk"]])
