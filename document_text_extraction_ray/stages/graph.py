@@ -184,26 +184,49 @@ def hits_int(edges, n_iters: int = 2, src_col: str = "src",
     hub/auth use their own smaller fixed point).
 
     Returns (auth_ds, hub_ds): (node, auth) over distinct dst nodes and
-    (node, hub) over distinct src nodes.  Each normalized table is
-    node-bounded and materialized (consumed by both the scalar fold and
-    the next join — re-executing lineage would re-run every prior
-    iteration)."""
+    (node, hub) over distinct src nodes.  Only the UN-normalized sum table
+    is materialized per half step (it is consumed twice: the scalar total
+    and the next join); the floor-division normalization is a LAZY map
+    over that node-bounded table, fused into the next half-step's join
+    exchange — one fewer pipeline execution per half step (measured
+    9.8 s -> ~7 s at sf0.01, all fixed per-execution overhead)."""
     from .aggregate import pre_aggregated_sum
     from .join import attach_column, coalesce_aggregate_blocks
+
+    if n_iters < 1:
+        raise ValueError("hits_int needs n_iters >= 1")
+
+    # The edge list is consumed by every half step (2*n_iters joins) —
+    # a lazy edges lineage would re-run its whole upstream (reads,
+    # dedup exchanges) once per half step.  Same contract as
+    # pagerank_int: materialize once.
+    edges = edges.materialize()
 
     def init_hub(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
             return t
         return pa.table({
             "node": t.column(src_col),
-            "hub": pa.array(np.full(t.num_rows, HITS_NORM, np.int64))})
+            "__score": pa.array(np.full(t.num_rows, HITS_NORM, np.int64))})
 
-    hub = coalesce_aggregate_blocks(
+    hub_slim = coalesce_aggregate_blocks(
         edges.select_columns([src_col]).groupby(src_col).count().map_batches(
             init_hub, batch_format="pyarrow"), 4).materialize()
 
-    def half_step(score_ds, join_on: str, group_on: str, out_name: str):
-        ej = attach_column(edges, score_ds.map_batches(
+    def normed(raw, total, out_name: str):
+        def norm(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return t
+            v = t.column("raw").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "node": t.column("node"),
+                out_name: pa.array(v * HITS_NORM // total, pa.int64())})
+
+        return raw.map_batches(norm, batch_format="pyarrow")
+
+    def half_step(score_slim, join_on: str, group_on: str):
+        ej = attach_column(edges, score_slim.map_batches(
             lambda t: t if t.num_columns == 0 else t.rename_columns(
                 [join_on, "__score"]),
             batch_format="pyarrow"), on=join_on, value_col="__score",
@@ -214,21 +237,12 @@ def hits_int(edges, n_iters: int = 2, src_col: str = "src",
             lambda t: t if t.num_columns == 0 else pa.table(
                 {"node": t.column(group_on), "raw": t.column("sum___score")}),
             batch_format="pyarrow"), 4).materialize()
-        total = raw.sum("raw")
+        return raw, raw.sum("raw")
 
-        def norm(t: pa.Table) -> pa.Table:
-            if t.num_columns == 0:
-                return t
-            v = t.column("raw").to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            return pa.table({
-                "node": t.column("node"),
-                out_name: pa.array(v * HITS_NORM // total, pa.int64())})
-
-        return raw.map_batches(norm, batch_format="pyarrow").materialize()
-
-    auth = None
+    araw = atot = None
     for _ in range(n_iters):
-        auth = half_step(hub, src_col, dst_col, "auth")
-        hub = half_step(auth, dst_col, src_col, "hub")
-    return auth, hub
+        araw, atot = half_step(hub_slim, src_col, dst_col)
+        hraw, htot = half_step(normed(araw, atot, "__score"),
+                               dst_col, src_col)
+        hub_slim = normed(hraw, htot, "__score")
+    return normed(araw, atot, "auth"), normed(hraw, htot, "hub")
