@@ -4585,6 +4585,60 @@ def q_mad_by_source(sf_dir: str):
         batch_format="pyarrow").sort("source")
 
 
+def q_interval_overlap(sf_dir: str):
+    """Interval x interval overlap join: per-user DAILY PURCHASE SPANS
+    (min..max purchase second of each user-day) joined against +/-2-minute
+    ERROR incident windows, counting overlapping incidents per span —
+    the session-x-incident co-occurrence shape.  Both interval sets
+    derive from the fact table (neither side broadcastable at scale);
+    one banded exchange per side (``interval_overlap_join``), pairs
+    emitted exactly once, then a composite-key count."""
+    from ..stages.aggregate import bucketed_fold
+    from ..stages.join import interval_overlap_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id", "event_type",
+                                  "event_id"])
+
+    def purchase_spans(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        sec = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000
+        g = pa.table({"user_id": t.column("user_id"),
+                      "day": pa.array(sec // 86400, pa.int64()),
+                      "sec": pa.array(sec, pa.int64())}) \
+            .group_by(["user_id", "day"]) \
+            .aggregate([("sec", "min"), ("sec", "max")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "day": g.column("day"),
+                         "lo": g.column("sec_min"),
+                         "hi": g.column("sec_max")})
+
+    spans = bucketed_fold(
+        ev.map_batches(purchase_spans, batch_format="pyarrow"),
+        ["user_id", "day"],
+        lambda g: g.groupby(["user_id", "day"], as_index=False)
+                   .agg(lo=("lo", "min"), hi=("hi", "max")),
+        n_buckets=8)
+
+    def error_windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "error"))
+        sec = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000
+        return pa.table({"event_id": t.column("event_id"),
+                         "lo": pa.array(sec - 120, pa.int64()),
+                         "hi": pa.array(sec + 120, pa.int64())})
+
+    windows = ev.map_batches(error_windows, batch_format="pyarrow")
+    pairs = interval_overlap_join(spans, windows, "lo", "hi", "lo", "hi",
+                                  bucket_width=21600, n_buckets=16)
+    return bucketed_fold(
+        pairs.select_columns(["user_id", "day"]), ["user_id", "day"],
+        lambda g: g.groupby(["user_id", "day"], as_index=False)
+                   .size().rename(columns={"size": "n_overlaps"}),
+        n_buckets=8).sort(["user_id", "day"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -4648,6 +4702,7 @@ QUERIES = {
     "hits_scores": q_hits_scores,
     "dense_rank": q_dense_rank,
     "mad_by_source": q_mad_by_source,
+    "interval_overlap": q_interval_overlap,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -7389,6 +7444,26 @@ ORACLE_SQL["dense_rank"] = """
                PARTITION BY user_id ORDER BY event_type) AS drnk
     FROM events
     ORDER BY event_id
+"""
+
+ORACLE_SQL["interval_overlap"] = """
+    WITH sp AS (
+        SELECT user_id,
+               (epoch_us(ts) // 1000000) // 86400 AS day,
+               MIN(epoch_us(ts) // 1000000) AS lo,
+               MAX(epoch_us(ts) // 1000000) AS hi
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_id,
+               epoch_us(ts) // 1000000 - 120 AS lo,
+               epoch_us(ts) // 1000000 + 120 AS hi
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT sp.user_id, sp.day, COUNT(*) AS n_overlaps
+    FROM sp JOIN w ON sp.lo <= w.hi AND w.lo <= sp.hi
+    GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 ORACLE_SQL["mad_by_source"] = """

@@ -494,6 +494,168 @@ def range_join(
         match_bucket, batch_format="pandas")
 
 
+def interval_overlap_join(
+    left,
+    right,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+    n_buckets: int = 32,
+    suffix: str = "_r",
+    left_schema=None,
+    right_schema=None,
+):
+    """Interval x interval OVERLAP join: every (left, right) row pair
+    satisfying ``left_lo <= right_hi AND right_lo <= left_hi`` (inclusive
+    — the SQL ``a.lo <= b.hi AND b.lo <= a.hi`` predicate).  Inner
+    semantics; all four bound columns must be integer-valued (cast
+    timestamps to epoch int64 upstream).  ``range_join`` is the
+    point-in-interval special case; this is the general form (session x
+    incident windows, span x span co-occurrence).
+
+    Physical plan — banded replication on BOTH sides:
+      1. each interval replicates to every coarse band
+         ``floor(lo/W) .. floor(hi/W)`` it touches (replication factor
+         ``len/W + 1`` — pick ``bucket_width`` near the LONGER side's
+         typical length);
+      2. one exchange of each side on ``hash(band) % n_buckets``;
+      3. inside a band the match is vectorized (left sorted by lo once,
+         per-right ``searchsorted`` prefix + arange/repeat expansion,
+         boolean overlap mask);
+      4. a true pair is emitted EXACTLY once: only in the band containing
+         ``max(left_lo, right_lo)`` — that point lies inside both
+         intervals whenever they overlap, so both replicas exist there,
+         and the in-band guard drops every other co-located replica pair.
+
+    Partitioning hazard (document per range_join): in-band candidate
+    generation is (lefts-in-band x rights-with-lo<=hi) before the mask —
+    a band stuffed with long overlapping intervals is quadratic in that
+    band alone.  Bound it by choosing W >= typical interval length so
+    per-band populations stay near the true match density."""
+    left_schema = left_schema or _arrow_schema(left)
+    right_schema = right_schema or _arrow_schema(right)
+    l_cols = list(left_schema.names)
+    renamed_r = {
+        n: (n + suffix if n in l_cols else n) for n in right_schema.names
+    }
+    r_cols = [renamed_r[n] for n in right_schema.names]
+    all_fields = {f.name: f.type for f in left_schema}
+    for f in right_schema:
+        all_fields[renamed_r[f.name]] = f.type
+    union_names = list(all_fields)
+    rlo_out, rhi_out = renamed_r[right_lo], renamed_r[right_hi]
+    out_cols = l_cols + r_cols
+
+    def replicate(batch: pa.Table, lo_name: str, hi_name: str,
+                  side: int) -> pa.Table:
+        ok = pc.and_(pc.is_valid(batch.column(lo_name)),
+                     pc.is_valid(batch.column(hi_name)))
+        batch = batch.filter(ok)
+        lo = batch.column(lo_name).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hi = batch.column(hi_name).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cb_lo = np.floor_divide(lo, bucket_width)
+        cb_hi = np.floor_divide(np.maximum(hi, lo), bucket_width)
+        counts = cb_hi - cb_lo + 1
+        total = int(counts.sum())
+        starts = np.cumsum(counts) - counts
+        bands = (np.arange(total, dtype=np.int64)
+                 - np.repeat(starts, counts)
+                 + np.repeat(cb_lo, counts))
+        src = np.repeat(np.arange(len(lo), dtype=np.int64), counts)
+        rep = batch.take(pa.array(src))
+        cols = {}
+        for name in union_names:
+            if name in rep.column_names:
+                cols[name] = rep.column(name)
+            else:
+                cols[name] = pa.nulls(total, type=all_fields[name])
+        out = pa.table(cols)
+        out = out.append_column("__cband", pa.array(bands, pa.int64()))
+        out = out.append_column(
+            "__jbucket",
+            pa.array(_bucket_array(pa.chunked_array([pa.array(bands)]),
+                                   n_buckets), pa.int32()))
+        return out.append_column(
+            "__jside", pa.array(np.full(total, side, np.int8), pa.int8()))
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        return replicate(batch, left_lo, left_hi, 0)
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(
+            [renamed_r[c] for c in batch.column_names])
+        return replicate(batch, rlo_out, rhi_out, 1)
+
+    tagged = left.map_batches(pad_left, batch_format="pyarrow").union(
+        right.map_batches(pad_right, batch_format="pyarrow"))
+
+    int_back_l = {
+        f.name: f.type.to_pandas_dtype() for f in left_schema
+        if pa.types.is_integer(f.type)
+    }
+    int_back_r = {
+        renamed_r[f.name]: f.type.to_pandas_dtype() for f in right_schema
+        if pa.types.is_integer(f.type)
+    }
+
+    def typed_empty() -> pd.DataFrame:
+        cols = {}
+        for name in out_cols:
+            try:
+                cols[name] = pd.Series(
+                    dtype=all_fields[name].to_pandas_dtype())
+            except (NotImplementedError, TypeError):
+                cols[name] = pd.Series(dtype=object)
+        return pd.DataFrame(cols)
+
+    def match_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ls = g[g["__jside"] == 0]
+        rs = g[g["__jside"] == 1]
+        if ls.empty or rs.empty:
+            return typed_empty()
+        ls = ls.astype(int_back_l).sort_values(
+            ["__cband", left_lo], kind="mergesort")
+        rs = rs.astype(int_back_r)
+        out_parts = []
+        l_by_band = dict(tuple(ls.groupby("__cband", sort=False)))
+        for band, rb in rs.groupby("__cband", sort=False):
+            lb = l_by_band.get(band)
+            if lb is None:
+                continue
+            llo = lb[left_lo].to_numpy()
+            lhi = lb[left_hi].to_numpy()
+            rlo = rb[rlo_out].to_numpy()
+            rhi = rb[rhi_out].to_numpy()
+            # Candidates: lefts with lo <= right's hi (sorted prefix).
+            k = np.searchsorted(llo, rhi, side="right")
+            total = int(k.sum())
+            if total == 0:
+                continue
+            starts = np.cumsum(k) - k
+            l_idx = (np.arange(total, dtype=np.int64)
+                     - np.repeat(starts, k))
+            r_idx = np.repeat(np.arange(len(rb), dtype=np.int64), k)
+            lo_max = np.maximum(llo[l_idx], rlo[r_idx])
+            keep = ((lhi[l_idx] >= rlo[r_idx])
+                    & (lo_max // bucket_width == band))
+            if not keep.any():
+                continue
+            l_idx, r_idx = l_idx[keep], r_idx[keep]
+            part = lb.iloc[l_idx][l_cols].reset_index(drop=True)
+            part[r_cols] = rb.iloc[r_idx][r_cols].reset_index(drop=True)
+            out_parts.append(part)
+        if not out_parts:
+            return typed_empty()
+        return pd.concat(out_parts, ignore_index=True)[out_cols]
+
+    return tagged.groupby("__jbucket").map_groups(
+        match_bucket, batch_format="pandas")
+
+
 def semi_join(left, right, on: str, n_partitions: int = 16):
     """Distributed semi-join: keep left rows whose key appears in ``right``.
 

@@ -332,3 +332,34 @@ def test_composite_key_join_randomized_equivalence():
                 (tuple(-1 if pd.isna(x) else int(x) for x in row))
                 for row in df[["k1", "k2", "pay", "rpay"]].to_numpy())
             assert key(out) == key(ref), (trial, how)
+
+
+def test_interval_overlap_join_matches_brute_force():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import interval_overlap_join
+
+    rng = np.random.default_rng(7)
+    nl, nr = 150, 120
+    l_lo = rng.integers(0, 5000, nl)
+    l_hi = l_lo + rng.integers(0, 400, nl)          # mixed lengths
+    r_lo = rng.integers(0, 5000, nr)
+    r_hi = r_lo + rng.integers(0, 150, nr)
+    left = rd.from_items([
+        {"lid": int(i), "lo": int(l_lo[i]), "hi": int(l_hi[i])}
+        for i in range(nl)])
+    right = rd.from_items([
+        {"rid": int(i), "lo": int(r_lo[i]), "hi": int(r_hi[i])}
+        for i in range(nr)])
+    out = interval_overlap_join(
+        left, right, "lo", "hi", "lo", "hi",
+        bucket_width=256, n_buckets=8).to_pandas()
+    got = sorted(zip(out["lid"], out["rid"]))
+    ref = sorted(
+        (int(i), int(j))
+        for i in range(nl) for j in range(nr)
+        if l_lo[i] <= r_hi[j] and r_lo[j] <= l_hi[i])
+    assert got == ref
+    assert len(ref) > 100          # fixture actually overlaps
+    # bound columns survive on both sides (right suffixed)
+    assert {"lo", "hi", "lo_r", "hi_r"} <= set(out.columns)
