@@ -4639,6 +4639,19 @@ def q_interval_overlap(sf_dir: str):
         n_buckets=8).sort(["user_id", "day"])
 
 
+def q_random_projection(sf_dir: str):
+    """Johnson-Lindenstrauss sparse-sign projection of the embedding table
+    to 8 dimensions, integer-exact (micro-unit quantization BEFORE the
+    matmul, deterministic Achlioptas signs) so the full 8n-row output is
+    hash-identical to the SQL replay.  No shuffle — one vectorized int64
+    matmul per batch; the JL front end for ANN/LSH indexing at scale."""
+    from ..stages.similarity import random_projection
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return random_projection(emb, out_dim=8).sort(["vec_id", "dim"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -4703,6 +4716,7 @@ QUERIES = {
     "dense_rank": q_dense_rank,
     "mad_by_source": q_mad_by_source,
     "interval_overlap": q_interval_overlap,
+    "random_projection": q_random_projection,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -7444,6 +7458,26 @@ ORACLE_SQL["dense_rank"] = """
                PARTITION BY user_id ORDER BY event_type) AS drnk
     FROM events
     ORDER BY event_id
+"""
+
+ORACLE_SQL["random_projection"] = """
+    WITH x AS (
+        SELECT vec_id, i,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS xq
+        FROM embeddings, generate_series(1, 64) AS t(i)
+    ),
+    s AS (
+        SELECT i, j,
+               CASE ((((i * 64 + j) * (i * 64 + j) * 2654435761)
+                      % 4294967296) // 65536 % 6)
+                   WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS sgn
+        FROM generate_series(1, 64) AS a(i),
+             generate_series(1, 8) AS b(j)
+    )
+    SELECT x.vec_id, s.j AS dim, SUM(x.xq * s.sgn) AS proj
+    FROM x JOIN s USING (i)
+    GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 ORACLE_SQL["interval_overlap"] = """

@@ -575,3 +575,54 @@ def embedding_centroids(ds, label_col: str = "label",
 
     return bucketed_fold(partials, [label_col, "dim"], combine,
                          n_buckets=n_buckets)
+
+
+def random_projection(ds, id_col: str = "vec_id",
+                      embedding_col: str = "embedding", out_dim: int = 8,
+                      scale: int = 1_000_000):
+    """Achlioptas sparse-sign random projection (Johnson-Lindenstrauss)
+    to ``out_dim`` dimensions — the dimensionality-reduction front end
+    for ANN / LSH at scale (project once, then index the short vectors).
+    Signs are DETERMINISTIC via a NONLINEAR integer hash of the cell
+    index (squared multiplicative mix -> {+1, -1, 0} with Achlioptas's
+    {1/6, 1/6, 2/3} density; a linear form like ``(31i+17j) % 6`` is
+    periodic in i with period 6, collapsing the projection onto residue
+    classes), and elements are quantized to
+    integer micro-units (round half away from zero — the
+    ``embedding_centroids`` convention) BEFORE the matmul, so the int64
+    output is hash-identical to a SQL replay.  Embarrassingly parallel:
+    one vectorized integer matmul per batch, no shuffle, output
+    ``out_dim`` rows per vector in long form (id, dim, proj).
+
+    The unscaled-variance factor (sqrt(3/out_dim)) is NOT applied — it is
+    a global constant, irrelevant to relative distances and ANN ranking,
+    and would leave integer space."""
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "proj": pa.array([], pa.int64())})
+        m = np.stack(t.column(embedding_col).to_numpy(zero_copy_only=False))
+        m = m.astype(np.float64) * scale
+        xq = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)) \
+            .astype(np.int64)
+        in_dim = xq.shape[1]
+        i = np.arange(1, in_dim + 1, dtype=np.int64)[:, None]
+        j = np.arange(1, out_dim + 1, dtype=np.int64)[None, :]
+        v = i * 64 + j
+        h = (v * v * 2654435761 % 4294967296) // 65536 % 6
+        signs = np.where(h == 0, 1, np.where(h == 1, -1, 0)) \
+            .astype(np.int64)
+        proj = xq @ signs
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, out_dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, out_dim + 1,
+                                              dtype=np.int64), len(ids)),
+                            pa.int64()),
+            "proj": pa.array(proj.ravel(), pa.int64())})
+
+    return ds.select_columns([id_col, embedding_col]).map_batches(
+        project, batch_format="pyarrow")

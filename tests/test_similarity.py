@@ -197,3 +197,57 @@ def test_embedding_centroids_integer_exact():
             assert int(row["sum_e6"].iloc[0]) == int(sel[:, d].sum())
             assert int(row["n_vecs"].iloc[0]) == len(sel)
     assert len(out) == 40
+
+
+def test_random_projection_exact_and_jl_property():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.similarity import random_projection
+
+    rng = np.random.default_rng(3)
+    n, d, k = 200, 64, 8
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    ds = rd.from_items([
+        {"vec_id": int(i), "embedding": mat[i].tolist()} for i in range(n)])
+    out = random_projection(ds, out_dim=k).to_pandas() \
+        .sort_values(["vec_id", "dim"])
+    proj = out["proj"].to_numpy().reshape(n, k)
+
+    # Exact integer replay: quantize then matmul with the same sign matrix.
+    m = mat.astype(np.float64) * 1_000_000
+    xq = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)).astype(np.int64)
+    i = np.arange(1, d + 1, dtype=np.int64)[:, None]
+    j = np.arange(1, k + 1, dtype=np.int64)[None, :]
+    v = i * 64 + j
+    h = (v * v * 2654435761 % 4294967296) // 65536 % 6
+    signs = np.where(h == 0, 1, np.where(h == 1, -1, 0)).astype(np.int64)
+    assert (proj == xq @ signs).all()
+    # Achlioptas density holds (roughly 1/6 each sign)
+    assert 0.08 < (signs == 1).mean() < 0.26
+    assert 0.08 < (signs == -1).mean() < 0.26
+
+
+def test_random_projection_separates_clusters():
+    """The JL property that matters for ANN: pairs from the same tight
+    cluster stay closer in projected space than cross-cluster pairs.
+    (A distance-correlation check on isotropic Gaussian data is
+    uninformative at k=8 — even a TRUE Gaussian projection scores
+    corr ~0.25 there because high-d distances concentrate.)"""
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.similarity import random_projection
+
+    rng = np.random.default_rng(5)
+    n, d, k = 120, 64, 8
+    centers = rng.normal(size=(2, d)) * 6.0
+    labels = np.repeat([0, 1], n // 2)
+    mat = (centers[labels] + rng.normal(size=(n, d)) * 0.5).astype(np.float32)
+    ds = rd.from_items([
+        {"vec_id": int(i), "embedding": mat[i].tolist()} for i in range(n)])
+    out = random_projection(ds, out_dim=k).to_pandas() \
+        .sort_values(["vec_id", "dim"])
+    proj = out["proj"].to_numpy().reshape(n, k).astype(np.float64)
+
+    within = np.linalg.norm(proj[1] - proj[3:n // 2:7], axis=1)
+    across = np.linalg.norm(proj[1] - proj[n // 2 + 3::7], axis=1)
+    assert within.max() < across.min()
