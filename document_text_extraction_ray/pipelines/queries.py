@@ -4652,6 +4652,30 @@ def q_random_projection(sf_dir: str):
     return random_projection(emb, out_dim=8).sort(["vec_id", "dim"])
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Dedup with CANONICAL SELECTION: cluster docs by a 32-char lead
+    fingerprint (the fixture has no byte-identical texts but 24 docs
+    share lead paragraphs) and keep, per cluster, the doc from the
+    lexicographically first source (priority metadata, not first-id),
+    tie-break min doc_id — the curation-policy form of exact_dedup.
+    One bounded full-row exchange (``dedup_keep_best``)."""
+    from ..stages.dedup import dedup_keep_best
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source", "lang", "n_chars"])
+
+    def add_lead(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "lead32", pc.utf8_slice_codeunits(t.column("text"), 0, 32))
+
+    kept = dedup_keep_best(
+        docs.map_batches(add_lead, batch_format="pyarrow"),
+        "lead32", "doc_id", ["source"])
+    return kept.map_batches(
+        lambda t: t if t.num_columns == 0 else t.select(
+            ["doc_id", "source", "lang", "n_chars"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -4717,6 +4741,7 @@ QUERIES = {
     "mad_by_source": q_mad_by_source,
     "interval_overlap": q_interval_overlap,
     "random_projection": q_random_projection,
+    "dedup_keep_best": q_dedup_keep_best,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -7458,6 +7483,18 @@ ORACLE_SQL["dense_rank"] = """
                PARTITION BY user_id ORDER BY event_type) AS drnk
     FROM events
     ORDER BY event_id
+"""
+
+ORACLE_SQL["dedup_keep_best"] = """
+    SELECT doc_id, source, lang, n_chars
+    FROM (
+        SELECT doc_id, source, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY substr(text, 1, 32)
+                   ORDER BY source, doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    ORDER BY doc_id
 """
 
 ORACLE_SQL["random_projection"] = """

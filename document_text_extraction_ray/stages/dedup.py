@@ -1622,3 +1622,36 @@ def bloom_semi_filter(ds, key_column: str, bloom_ref, m_bits: int = 1 << 23,
         return t.filter(pa.array(member if want_member else ~member))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def dedup_keep_best(ds, text_column: str, id_column: str, order_cols,
+                    ascending=None, n_buckets: int = 32):
+    """Canonical selection: per exact-duplicate cluster (content hash of
+    ``text_column``), keep the single BEST row by ``order_cols`` —
+    deterministic ties broken by ascending ``id_column``.  The curation
+    form of exact dedup: instead of "first id wins" (``exact_dedup``),
+    the survivor is chosen by quality/priority metadata (prefer the
+    canonical source, the highest quality score, the newest snapshot).
+
+    One bounded full-row exchange on the hash (the ``exact_dedup``
+    "shuffle" plan) with a whole-bucket vectorized sort +
+    ``drop_duplicates`` fold — no per-group Python.  Flat schemas only
+    (the fold is pandas; nested columns should route through
+    ``exact_dedup(strategy='shuffle')``'s arrow fold)."""
+    from .aggregate import bucketed_fold
+
+    order_cols = [order_cols] if isinstance(order_cols, str) \
+        else list(order_cols)
+    if ascending is None:
+        ascending = [True] * len(order_cols)
+
+    hashed = add_content_hash(ds, text_column)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["content_hash", *order_cols, id_column],
+            ascending=[True, *ascending, True], kind="mergesort")
+        return g.drop_duplicates("content_hash", keep="first") \
+            .drop(columns=["content_hash"])
+
+    return bucketed_fold(hashed, "content_hash", fold, n_buckets=n_buckets)

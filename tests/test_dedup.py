@@ -421,3 +421,23 @@ def test_setsim_snapshot_anti_join_matches_brute_force(ray_session):
             "text", "doc_id", n=3, threshold=(num, den)).to_pandas()
         assert sorted(out["doc_id"].tolist()) == sorted(brute(num, den)), \
             (num, den)
+
+
+def test_dedup_keep_best_policy_and_ties():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.dedup import dedup_keep_best
+
+    rows = []
+    # 3 clusters x 4 variants; score descending should win, ties -> min id
+    for c in range(3):
+        for v in range(4):
+            rows.append({"id": c * 10 + v, "text": f"cluster-{c}",
+                         "score": [5, 9, 9, 1][v]})
+    rows.append({"id": 99, "text": "singleton", "score": 0})
+    out = dedup_keep_best(
+        rd.from_items(rows), "text", "id", ["score"],
+        ascending=[False], n_buckets=4).to_pandas().sort_values("id")
+    # winner per cluster: score 9 appears twice (v=1,2) -> min id wins
+    assert sorted(out["id"]) == [1, 11, 21, 99]
+    assert set(out.columns) == {"id", "text", "score"}
