@@ -4676,6 +4676,45 @@ def q_dedup_keep_best(sf_dir: str):
         batch_format="pyarrow").sort("doc_id")
 
 
+def q_fill_forward(sf_dir: str):
+    """Per-user LAST-KNOWN-STATE gap fill: every event carries the value
+    of the user's most recent PURCHASE at that point (null before the
+    first one) — LAST_VALUE(... IGNORE NULLS) OVER the per-user stream.
+    One bucketed exchange, vectorized ffill fold; values copy through
+    untouched so the float column stays bit-identical to the source."""
+    from ..stages.windows import fill_forward
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+
+    def mask(t: pa.Table) -> pa.Table:
+        lpv = pc.if_else(pc.equal(t.column("event_type"), "purchase"),
+                         t.column("value"),
+                         pa.nulls(t.num_rows, pa.float64()))
+        return pa.table({"event_id": t.column("event_id"),
+                         "ts": t.column("ts"),
+                         "user_id": t.column("user_id"),
+                         "last_purchase_value": lpv})
+
+    out = fill_forward(ev.map_batches(mask, batch_format="pyarrow"),
+                       "user_id", ["ts", "event_id"],
+                       "last_purchase_value")
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        t = t.select(["event_id", "user_id", "last_purchase_value"])
+        # Rows before a user's first purchase have no state yet — drop
+        # them (a null/NaN float column is not hash-stable across
+        # engines; the driver hashes values).
+        col = t.column("last_purchase_value")
+        return t.filter(pc.and_(pc.is_valid(col),
+                                pc.invert(pc.is_nan(col))))
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("event_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -4742,6 +4781,7 @@ QUERIES = {
     "interval_overlap": q_interval_overlap,
     "random_projection": q_random_projection,
     "dedup_keep_best": q_dedup_keep_best,
+    "fill_forward": q_fill_forward,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -7482,6 +7522,19 @@ ORACLE_SQL["dense_rank"] = """
            DENSE_RANK() OVER (
                PARTITION BY user_id ORDER BY event_type) AS drnk
     FROM events
+    ORDER BY event_id
+"""
+
+ORACLE_SQL["fill_forward"] = """
+    SELECT event_id, user_id, last_purchase_value FROM (
+        SELECT event_id, user_id,
+               LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_purchase_value
+        FROM events
+    ) WHERE last_purchase_value IS NOT NULL
     ORDER BY event_id
 """
 

@@ -465,3 +465,28 @@ def value_ranks(ds, key_col: str, value_col: str, carry_cols=(),
 
     return bucketed_fold(ds.select_columns(cols), key_col, fold,
                          n_buckets=n_buckets)
+
+
+def fill_forward(ds, key_col: str, order_cols, value_col: str,
+                 n_buckets: int = 32):
+    """Per-key forward fill (gap fill): each row's ``value_col`` becomes
+    the last NON-NULL value at or before it in ``order_cols`` order —
+    SQL ``LAST_VALUE(x IGNORE NULLS) OVER (PARTITION BY key ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)``.  Rows before a key's first non-null
+    stay null.  The time-series gap-fill / as-of-state primitive.
+
+    One bucketed exchange on the key; the in-bucket fold is one
+    vectorized pandas ``groupby().ffill()`` over the sorted bucket — no
+    per-group Python.  Values pass through unchanged (no arithmetic), so
+    float columns stay bit-identical to their source."""
+    from .aggregate import bucketed_fold
+
+    order_cols = [order_cols] if isinstance(order_cols, str) \
+        else list(order_cols)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        g[value_col] = g.groupby(key_col, sort=False)[value_col].ffill()
+        return g
+
+    return bucketed_fold(ds, key_col, fold, n_buckets=n_buckets)

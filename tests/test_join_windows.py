@@ -529,3 +529,24 @@ def test_value_ranks_matches_pandas_window(ray_session):
     pd.testing.assert_frame_equal(
         out[["k", "v", "rid", "rnk", "drnk"]],
         ref[["k", "v", "rid", "rnk", "drnk"]])
+
+
+def test_fill_forward_matches_pandas(ray_session):
+    from document_text_extraction_ray.stages.windows import fill_forward
+
+    rng = np.random.default_rng(17)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 8, n),
+        "o": np.arange(n, dtype=np.int64),
+        "v": np.where(rng.random(n) < 0.7, np.nan,
+                      rng.integers(1, 100, n).astype(float)),
+    })
+    out = fill_forward(rd.from_pandas(df), "k", ["o"], "v", n_buckets=4) \
+        .to_pandas().sort_values("o").reset_index(drop=True)
+    ref = df.sort_values(["k", "o"])
+    ref["v"] = ref.groupby("k")["v"].ffill()
+    ref = ref.sort_values("o").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["k", "o", "v"]], ref[["k", "o", "v"]])
+    # leading rows of some key stay NaN (no prior non-null)
+    assert out["v"].isna().any()
