@@ -4715,6 +4715,116 @@ def q_fill_forward(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow").sort("event_id")
 
 
+def q_key_skew_stats(sf_dir: str):
+    """Key-skew diagnostics — the "is this key safe to shuffle on"
+    pre-flight every wide plan needs at 100 TB: the DISTRIBUTION of
+    per-key group sizes (n_keys, max, exact p50/p90/p99) for
+    events.user_id x event_type.  Composition: one bucketed count
+    exchange builds the (key, n) table (fact rows shuffle a 2-column
+    projection once), then the key-count-sized table folds to a single
+    stats row.  All integers — hash-exact."""
+    from ..stages.aggregate import bucketed_fold, grouped_quantiles
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+    counts = bucketed_fold(
+        ev, ["user_id", "event_type"],
+        lambda g: g.groupby(["user_id", "event_type"], as_index=False)
+                   .size().rename(columns={"size": "n"}),
+        n_buckets=16)
+
+    def widen(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return pa.table({"grp": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "n": pc.cast(t.column("n"), pa.int64())})
+
+    q = grouped_quantiles(
+        counts.map_batches(widen, batch_format="pyarrow"),
+        "grp", "n", ps=(0.5, 0.9, 0.99), n_buckets=2)
+    mx = counts.map_batches(
+        lambda t: t if t.num_columns == 0 else pa.table(
+            {"grp": pa.array(np.zeros(t.num_rows, np.int64)),
+             "pmax": pc.cast(t.column("n"), pa.int64())}),
+        batch_format="pyarrow").groupby("grp").max("pmax")
+
+    from ..stages.join import native_join
+    out = native_join(q, mx, on="grp", n_partitions=2,
+                      left_from_aggregate=True, right_from_aggregate=True)
+    return out.map_batches(
+        lambda t: t if t.num_columns == 0 else pa.table(
+            {"n_keys": t.column("n_rows"),
+             "max_n": t.column("max(pmax)"),
+             "p50": t.column("p50"), "p90": t.column("p90"),
+             "p99": t.column("p99")}),
+        batch_format="pyarrow")
+
+
+def q_winsorized_stats(sf_dir: str):
+    """Per-source WINSORIZED sufficient statistics: clip document length
+    at the group's exact p5/p95 (PERCENTILE_DISC), then integer
+    sum + count — the robust-mean that survives web-corpus tails without
+    discarding rows.  Two passes: a grouped exact-quantile exchange on
+    the #sources-row key, clip bounds broadcast once (``ray.put``), one
+    vectorized clip + pre-aggregated sum over the (source, n_chars)
+    projection."""
+    import ray
+
+    from ..stages.aggregate import bucketed_fold, grouped_quantiles
+
+    docs = _docs(sf_dir, ["source", "n_chars"])
+    bounds = grouped_quantiles(docs, "source", "n_chars", ps=(0.05, 0.95))
+    bmap = {r["source"]: (int(r["p5"]), int(r["p95"]))
+            for r in bounds.take_all()}
+    ref = ray.put(bmap)
+
+    def clip(t: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        src = t.column("source").to_pylist()
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lo = np.array([b[s][0] for s in src], np.int64)
+        hi = np.array([b[s][1] for s in src], np.int64)
+        return pa.table({"source": t.column("source"),
+                         "w": pa.array(np.clip(nch, lo, hi), pa.int64())})
+
+    clipped = docs.map_batches(clip, batch_format="pyarrow")
+    return bucketed_fold(
+        clipped, "source",
+        lambda g: g.groupby("source", as_index=False)
+                   .agg(n_rows=("w", "size"), wsum=("w", "sum")),
+        n_buckets=8).sort("source")
+
+
+def q_weighted_quantiles(sf_dir: str):
+    """Quantity-WEIGHTED price quantiles per return flag: the weighted
+    PERCENTILE_DISC (every unit of quantity votes, not every row) — the
+    importance-weighted statistic mixture sampling and pricing analytics
+    need.  Prices as integer cents, weights as integer units, integer
+    percent thresholds — hash-exact against the SQL window replay."""
+    from ..stages.aggregate import grouped_weighted_quantiles
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_extendedprice",
+                                  "l_quantity"])
+
+    def to_int(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64) * 100
+        cents = np.where(price >= 0, np.floor(price + 0.5),
+                         np.ceil(price - 0.5)).astype(np.int64)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "cents": pa.array(cents, pa.int64()),
+                         "qty": pa.array(qty, pa.int64())})
+
+    out = grouped_weighted_quantiles(
+        li.map_batches(to_int, batch_format="pyarrow"),
+        "l_returnflag", "cents", "qty", p_pcts=(25, 50, 75), n_buckets=4)
+    return out.sort("l_returnflag")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -4782,6 +4892,9 @@ QUERIES = {
     "random_projection": q_random_projection,
     "dedup_keep_best": q_dedup_keep_best,
     "fill_forward": q_fill_forward,
+    "key_skew_stats": q_key_skew_stats,
+    "winsorized_stats": q_winsorized_stats,
+    "weighted_quantiles": q_weighted_quantiles,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -7523,6 +7636,52 @@ ORACLE_SQL["dense_rank"] = """
                PARTITION BY user_id ORDER BY event_type) AS drnk
     FROM events
     ORDER BY event_id
+"""
+
+ORACLE_SQL["weighted_quantiles"] = """
+    WITH a AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               SUM(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, cents,
+               SUM(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY cents) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM a
+    )
+    SELECT l_returnflag, MIN(tot) AS total_w,
+           MIN(cents) FILTER (WHERE cw * 100 >= 25 * tot) AS wp25,
+           MIN(cents) FILTER (WHERE cw * 100 >= 50 * tot) AS wp50,
+           MIN(cents) FILTER (WHERE cw * 100 >= 75 * tot) AS wp75
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["winsorized_stats"] = """
+    WITH b AS (
+        SELECT source,
+               percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi
+        FROM documents GROUP BY source
+    )
+    SELECT d.source, COUNT(*) AS n_rows,
+           SUM(LEAST(GREATEST(d.n_chars, b.lo), b.hi)) AS wsum
+    FROM documents d JOIN b USING (source)
+    GROUP BY d.source ORDER BY d.source
+"""
+
+ORACLE_SQL["key_skew_stats"] = """
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_keys, MAX(n) AS max_n,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS p50,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY n) AS p90,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY n) AS p99
+    FROM c
 """
 
 ORACLE_SQL["fill_forward"] = """

@@ -1151,3 +1151,33 @@ def skyline_2d(ds, x: str, y: str):
     return (ds.map_batches(local, batch_format="pyarrow")
             .repartition(1)
             .map_batches(local, batch_size=None, batch_format="pyarrow"))
+
+
+def grouped_weighted_quantiles(ds, key: str, value: str, weight: str,
+                               p_pcts=(25, 50, 75), n_buckets: int = 32):
+    """Exact per-group WEIGHTED discrete quantiles: the first distinct
+    value whose cumulative weight share reaches p — weighted
+    PERCENTILE_DISC, the importance-weighted / mixture-sampling form of
+    ``grouped_quantiles``.  Thresholds are INTEGER percents compared as
+    ``cumw * 100 >= p * total`` (no float p, so a SQL window replay is
+    bit-exact for integer weights).  Weights are pre-aggregated per
+    (key, value) before the cumulative scan, so intra-tie row order can
+    never change the answer.
+
+    One bucketed exchange on the key; bounded-group contract as
+    grouped_quantiles (a group's distinct values meet in one task)."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(value, as_index=False)[weight].sum() \
+            .sort_values(value, kind="mergesort")
+        cw = agg[weight].to_numpy().astype(np.int64).cumsum()
+        tot = int(cw[-1])
+        vals = agg[value].to_numpy()
+        row = {key: g[key].iloc[0], "total_w": tot}
+        for p in p_pcts:
+            idx = int(np.searchsorted(cw * 100, p * tot, side="left"))
+            row[f"wp{p}"] = vals[min(idx, len(vals) - 1)]
+        return pd.DataFrame([row])
+
+    return bucketed_map_groups(ds.select_columns([key, value, weight]),
+                               key, fold, n_buckets=n_buckets)

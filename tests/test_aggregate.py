@@ -747,3 +747,42 @@ def test_skyline_2d_matches_brute_force():
                       & ((xs > xs[i]) | (ys > ys[i])))}
     assert set(out["id"]) == ref
     assert len(out) > 0
+
+
+def test_grouped_weighted_quantiles_reference():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import (
+        grouped_weighted_quantiles,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for k in range(5):
+        for _ in range(80):
+            rows.append({"k": k, "v": int(rng.integers(0, 40)),
+                         "w": int(rng.integers(1, 9))})
+    out = grouped_weighted_quantiles(
+        rd.from_items(rows), "k", "v", "w", p_pcts=(50, 90),
+        n_buckets=4).to_pandas().set_index("k").sort_index()
+
+    import collections
+    for k in range(5):
+        agg = collections.Counter()
+        for r in rows:
+            if r["k"] == k:
+                agg[r["v"]] += r["w"]
+        vals = sorted(agg)
+        tot = sum(agg.values())
+        cum = 0
+        ref = {}
+        for p in (50, 90):
+            cum = 0
+            for v in vals:
+                cum += agg[v]
+                if cum * 100 >= p * tot:
+                    ref[p] = v
+                    break
+        assert out.loc[k, "total_w"] == tot
+        assert out.loc[k, "wp50"] == ref[50]
+        assert out.loc[k, "wp90"] == ref[90]
