@@ -4825,6 +4825,44 @@ def q_weighted_quantiles(sf_dir: str):
     return out.sort("l_returnflag")
 
 
+def q_kcore(sf_dir: str):
+    """2-core decomposition by distributed iterative peeling over a
+    deterministic tree+clique graph on the doc_id set (the
+    connected_components fixture lesson applies: natural co-occurrence
+    graphs here are degree-uniform, so peeling is a 1-round no-op; a
+    tree peels one leaf SHELL per round — depth ~log8(n) rounds — and
+    the embedded 8-clique is the surviving core).  The oracle unrolls 8
+    peel rounds; once the peel reaches fixpoint the extra rounds are
+    identity, so the replay is exact for any graph that converges within
+    the unroll depth (log8 bound: 8^8 = 16M nodes)."""
+    from ..stages.graph import kcore_int
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def tree_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids = ids[ids >= 1]
+        par = ids // 8
+        src = np.concatenate([ids, par])
+        dst = np.concatenate([par, ids])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    clique = rd.from_items([
+        {"src": a, "dst": b}
+        for a in range(8) for b in range(8) if a != b])
+    edges = docs.map_batches(tree_edges, batch_format="pyarrow") \
+        .union(clique)
+
+    from ..stages.aggregate import bucketed_fold
+
+    distinct = bucketed_fold(
+        edges, ["src", "dst"],
+        lambda g: g.drop_duplicates(["src", "dst"]), n_buckets=8)
+    return kcore_int(distinct, k=2, n_buckets=8).sort("node")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -4895,6 +4933,7 @@ QUERIES = {
     "key_skew_stats": q_key_skew_stats,
     "winsorized_stats": q_winsorized_stats,
     "weighted_quantiles": q_weighted_quantiles,
+    "kcore": q_kcore,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -7636,6 +7675,31 @@ ORACLE_SQL["dense_rank"] = """
                PARTITION BY user_id ORDER BY event_type) AS drnk
     FROM events
     ORDER BY event_id
+"""
+
+# kcore: 8 unrolled peel rounds (identity once converged — see q_kcore).
+# Every e{r} is referenced 3x by round r+1, so WITHOUT materialization
+# the inlined plan rescans the base 3^8 times ("too many open files").
+_KCORE_PEELS = "".join(
+    f""",
+    d{r} AS MATERIALIZED (SELECT u, COUNT(*) AS c FROM e{r} GROUP BY u),
+    n{r} AS MATERIALIZED (SELECT u FROM d{r} WHERE c >= 2),
+    e{r + 1} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{r} e
+        JOIN n{r} a ON e.u = a.u JOIN n{r} b ON e.v = b.u)"""
+    for r in range(8))
+ORACLE_SQL["kcore"] = f"""
+    WITH ids AS (SELECT doc_id AS i FROM documents),
+    base AS (
+        SELECT i AS u, i // 8 AS v FROM ids WHERE i >= 1
+        UNION
+        SELECT a.i, b.i FROM ids a, ids b
+        WHERE a.i < 8 AND b.i < 8 AND a.i <> b.i
+    ),
+    e0 AS MATERIALIZED (
+        SELECT u, v FROM base UNION SELECT v, u FROM base){_KCORE_PEELS}
+    SELECT u AS node, COUNT(*) AS degree FROM e8
+    GROUP BY u ORDER BY node
 """
 
 ORACLE_SQL["weighted_quantiles"] = """

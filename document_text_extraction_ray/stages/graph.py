@@ -246,3 +246,49 @@ def hits_int(edges, n_iters: int = 2, src_col: str = "src",
                                dst_col, src_col)
         hub_slim = normed(hraw, htot, "__score")
     return normed(araw, atot, "auth"), normed(hraw, htot, "hub")
+
+
+def kcore_int(edges, k: int, src_col: str = "src", dst_col: str = "dst",
+              n_buckets: int = 16, max_iters: int = 32):
+    """k-CORE decomposition by iterative peeling: repeatedly delete nodes
+    of degree < k (and their incident edges) until fixpoint; returns the
+    surviving (node, degree) table — degree measured INSIDE the core.
+    Input must be a SYMMETRIZED, de-duplicated edge list (u->v and v->u
+    both present, no multi-edges), so out-degree == undirected degree.
+
+    Physical plan per round: TWO chained full-edge bucketed folds (group
+    by src: drop every src group smaller than k; then the same by dst),
+    ONE pipeline execution + materialize; convergence is the (free,
+    post-materialize) edge count.  The dst pass sees the src pass's
+    output rather than the round-start edge set — legitimate because the
+    k-core is UNIQUE under any peel order (removing a node of degree < k
+    can never raise another node's degree), so asynchronous peeling
+    reaches the same fixpoint, usually in fewer rounds (measured 17 s ->
+    ~7 s at n=500/depth-3 vs the synchronized degree-exchange +
+    two-semi-join plan: 4 executions/round collapsed into 1).  Rounds are
+    bounded by the peeling cascade depth, NOT node count (each round
+    peels a whole shell vectorized); the node set is never
+    driver-collected (survivors can be corpus-sized)."""
+    from .aggregate import bucketed_fold, pre_aggregated_count
+
+    def peel_pass(ds, key_col):
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            return g[g.groupby(key_col)[key_col].transform("size") >= k]
+
+        return bucketed_fold(ds, key_col, fold, n_buckets=n_buckets)
+
+    cur = edges.select_columns([src_col, dst_col]).materialize()
+    n_edges = cur.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        nxt = peel_pass(peel_pass(cur, src_col), dst_col).materialize()
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break
+        cur, n_edges = nxt, n_next
+    return pre_aggregated_count(cur, src_col, alias="degree",
+                                n_buckets=n_buckets).map_batches(
+        lambda t: t if t.num_columns == 0 else t.rename_columns(
+            ["node", "degree"]),
+        batch_format="pyarrow")

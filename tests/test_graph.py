@@ -104,3 +104,47 @@ def test_hits_int_matches_integer_reference():
     assert len(set(got_auth.values())) > 1
     # normalization: total mass within floor losses of HITS_NORM
     assert HITS_NORM - len(got_hub) < sum(got_hub.values()) <= HITS_NORM
+
+
+def _ref_kcore(edges, k):
+    """Synchronous reference peeling (order-independent fixpoint)."""
+    from collections import Counter
+
+    E = set(edges)
+    while True:
+        deg = Counter(u for u, _ in E)
+        keep = {n for n, d in deg.items() if d >= k}
+        E2 = {(u, v) for u, v in E if u in keep and v in keep}
+        if E2 == E:
+            break
+        E = E2
+    return Counter(u for u, _ in E)
+
+
+def test_kcore_matches_reference_peeling():
+    from document_text_extraction_ray.stages.graph import kcore_int
+
+    # Tree (peels shell by shell) + embedded clique (the surviving core)
+    # + a pendant path off the clique (stresses multi-round cascades).
+    base = set()
+    for i in range(1, 36):
+        base.add((i, i // 6))
+    for a in range(6):
+        for b in range(6):
+            if a != b:
+                base.add((200 + a, 200 + b))
+    base.add((205, 0))
+    for i in range(300, 302):
+        base.add((i, i + 1))
+    base.add((300, 203))
+    edges = sorted(base | {(b, a) for a, b in base})
+
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+    out = kcore_int(ds, k=2, n_buckets=4).to_pandas() \
+        .set_index("node")["degree"].to_dict()
+    ref = dict(_ref_kcore(edges, 2))
+    assert out == ref
+    # the 2-core is exactly the 6-clique (degree 5 each): tree, pendant
+    # path and the two bridge edges all cascade away over multiple rounds
+    assert set(ref) == set(range(200, 206))
+    assert set(ref.values()) == {5}
