@@ -4863,6 +4863,38 @@ def q_kcore(sf_dir: str):
     return kcore_int(distinct, k=2, n_buckets=8).sort("node")
 
 
+def q_term_spectrum(sf_dir: str):
+    """Zipf FREQUENCY SPECTRUM of the corpus vocabulary: how many terms
+    occur exactly n times (count-of-counts) — the corpus-statistics view
+    Good-Turing smoothing and vocabulary-size estimation read.  One
+    bucketed term exchange (Counter partials, vocabulary-sized) + one
+    tiny count-sized groupby."""
+    from ..stages.aggregate import pre_aggregated_count
+    from ..stages.lexicon import word_counts
+
+    wc = word_counts(_docs(sf_dir, ["text"]))
+    spec = pre_aggregated_count(
+        wc.map_batches(
+            lambda t: t if t.num_columns == 0 else t.select(["n"]),
+            batch_format="pyarrow"),
+        "n", alias="n_terms", n_buckets=8)
+    return spec.map_batches(
+        lambda t: t if t.num_columns == 0 else t.rename_columns(
+            ["n_occurrences", "n_terms"]),
+        batch_format="pyarrow").sort("n_occurrences")
+
+
+def q_table_checksum(sf_dir: str):
+    """Order-independent corpus checksum over (doc_id, lang, source) —
+    the replica-integrity probe: two snapshots compare by exchanging one
+    (n_rows, checksum) row, no data movement.  XOR of md5_number_lower
+    row hashes; exact vs the SQL bit_xor replay."""
+    from ..stages.aggregate import table_checksum
+
+    return table_checksum(_docs(sf_dir, ["doc_id", "lang", "source"]),
+                          ["doc_id", "lang", "source"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -4934,6 +4966,8 @@ QUERIES = {
     "winsorized_stats": q_winsorized_stats,
     "weighted_quantiles": q_weighted_quantiles,
     "kcore": q_kcore,
+    "term_spectrum": q_term_spectrum,
+    "table_checksum": q_table_checksum,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -7675,6 +7709,23 @@ ORACLE_SQL["dense_rank"] = """
                PARTITION BY user_id ORDER BY event_type) AS drnk
     FROM events
     ORDER BY event_id
+"""
+
+ORACLE_SQL["term_spectrum"] = """
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    tc AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY w)
+    SELECT n AS n_occurrences, COUNT(*) AS n_terms
+    FROM tc GROUP BY n ORDER BY n
+"""
+
+ORACLE_SQL["table_checksum"] = """
+    SELECT COUNT(*) AS n_rows,
+           bit_xor(md5_number_lower(CONCAT_WS('|',
+               CAST(doc_id AS VARCHAR), lang, source))) AS checksum
+    FROM documents
 """
 
 # kcore: 8 unrolled peel rounds (identity once converged — see q_kcore).

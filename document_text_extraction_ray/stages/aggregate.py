@@ -1181,3 +1181,54 @@ def grouped_weighted_quantiles(ds, key: str, value: str, weight: str,
 
     return bucketed_map_groups(ds.select_columns([key, value, weight]),
                                key, fold, n_buckets=n_buckets)
+
+
+def table_checksum(ds, cols, n_buckets: int = 4):
+    """Order-independent TABLE CHECKSUM: XOR of a stable 64-bit row hash
+    (md5_number_lower of the '|'-joined column values — the shared
+    SQL-replayable hash) plus an exact row count.  The cross-snapshot
+    integrity primitive: two 100-TB replicas compare by exchanging ONE
+    (n_rows, checksum) row each, no data movement — XOR is commutative/
+    associative, so per-batch partials fold in any order and any
+    partitioning.  Integer/string columns only (float rendering is not
+    engine-stable — the profile_columns contract).
+
+    One row per batch leaves the map stage; the combine is a
+    constant-size fold."""
+    import pyarrow as pa
+
+    from ..functions import textstats as T
+
+    cols = list(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__g": pa.array([], pa.int64()),
+                             "px": pa.array([], pa.uint64()),
+                             "pn": pa.array([], pa.int64())})
+        for c in cols:
+            typ = t.schema.field(c).type
+            if not (pa.types.is_integer(typ) or pa.types.is_string(typ)
+                    or pa.types.is_large_string(typ)):
+                raise TypeError(
+                    f"table_checksum: column {c} has non-stable-rendering "
+                    f"type {typ} (int/string only)")
+        parts = [t.column(c).to_pylist() for c in cols]
+        hs = np.fromiter(
+            (T.md5_u64("|".join("" if v is None else str(v) for v in row))
+             for row in zip(*parts)),
+            np.uint64, t.num_rows)
+        return pa.table({"__g": pa.array([0], pa.int64()),
+                         "px": pa.array([np.bitwise_xor.reduce(hs)],
+                                        pa.uint64()),
+                         "pn": pa.array([t.num_rows], pa.int64())})
+
+    partials = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.bitwise_xor.reduce(g["px"].to_numpy().astype(np.uint64))
+        return pd.DataFrame({"n_rows": [int(g["pn"].sum())],
+                             "checksum": pd.array([x], dtype="UInt64")})
+
+    return bucketed_fold(partials, "__g", fold, n_buckets=min(n_buckets, 2))

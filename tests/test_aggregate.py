@@ -786,3 +786,28 @@ def test_grouped_weighted_quantiles_reference():
         assert out.loc[k, "total_w"] == tot
         assert out.loc[k, "wp50"] == ref[50]
         assert out.loc[k, "wp90"] == ref[90]
+
+
+def test_table_checksum_order_and_partition_invariant():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import table_checksum
+
+    rows = [{"id": i, "s": f"v{i % 7}"} for i in range(200)]
+    a = table_checksum(rd.from_items(rows), ["id", "s"]).to_pandas()
+    # reversed row order, different partitioning -> identical checksum
+    b = table_checksum(
+        rd.from_items(rows[::-1]).repartition(13), ["id", "s"]).to_pandas()
+    assert a["n_rows"].iloc[0] == b["n_rows"].iloc[0] == 200
+    assert a["checksum"].iloc[0] == b["checksum"].iloc[0]
+    # a single changed row flips the checksum
+    rows[17] = {"id": 17, "s": "poison"}
+    c = table_checksum(rd.from_items(rows), ["id", "s"]).to_pandas()
+    assert c["checksum"].iloc[0] != a["checksum"].iloc[0]
+
+    # float columns are rejected loudly
+    import pytest
+
+    with pytest.raises(Exception):
+        table_checksum(
+            rd.from_items([{"x": 1.5}]), ["x"]).to_pandas()
