@@ -4895,6 +4895,42 @@ def q_table_checksum(sf_dir: str):
                           ["doc_id", "lang", "source"])
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC source identity: the documents table written as 4 spec-framed
+    WARC files (2 plain + 2 per-record-gzip-member, the Common-Crawl
+    layout, each led by a warcinfo record the reader must skip) and read
+    back through ``read_warc`` — one parse task per file, the crawl-scale
+    parallelism unit.  Fixture construction is driver-side (WARC is an
+    INPUT format; engines read crawls, they don't write them); the
+    operator under test is the parallel reader."""
+    import hashlib
+
+    from ..sources.warc import build_warc, read_warc
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).take_all()
+    tag = hashlib.md5(f"{sf_dir}|{len(rows)}".encode()).hexdigest()[:10]
+    d = f"/tmp/dte_warc_{tag}"
+    if not os.path.isdir(d):
+        shards = {i: [] for i in range(4)}
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            shards[r["doc_id"] % 4].append(
+                (f"https://corpus.local/{r['doc_id']}", r["text"]))
+        for i, docs in shards.items():
+            build_warc(os.path.join(d, f"part-{i}.warc" + (".gz" if i % 2
+                                                           else "")),
+                       docs, gz=bool(i % 2))
+
+    out = read_warc(d)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1])
+               for u in t.column("url").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": t.column("payload")})
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -4968,6 +5004,7 @@ QUERIES = {
     "kcore": q_kcore,
     "term_spectrum": q_term_spectrum,
     "table_checksum": q_table_checksum,
+    "warc_roundtrip": q_warc_roundtrip,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -7709,6 +7746,10 @@ ORACLE_SQL["dense_rank"] = """
                PARTITION BY user_id ORDER BY event_type) AS drnk
     FROM events
     ORDER BY event_id
+"""
+
+ORACLE_SQL["warc_roundtrip"] = """
+    SELECT doc_id, text AS payload FROM documents ORDER BY doc_id
 """
 
 ORACLE_SQL["term_spectrum"] = """

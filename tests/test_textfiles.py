@@ -1,4 +1,6 @@
-"""JSONL / CSV source round-trip edge cases (quoting, unicode, newlines)."""
+"""JSONL / CSV / WARC source round-trip edge cases."""
+
+import os
 
 import ray.data as rd
 
@@ -35,3 +37,34 @@ def test_jsonl_roundtrip_edges(tmp_path):
 def test_csv_roundtrip_edges(tmp_path):
     _roundtrip(write_csv, read_csv, str(tmp_path / "csv"),
                empty_as_null=True)
+
+
+def test_warc_roundtrip_plain_and_gz(tmp_path, ray_session):
+    from document_text_extraction_ray.sources.warc import build_warc, read_warc
+
+    docs = [(f"https://ex.org/p{i}",
+             f"<html><body>doc {i} &amp; more</body></html>")
+            for i in range(37)]
+    d = str(tmp_path / "warcs")
+    build_warc(os.path.join(d, "a.warc"), docs[:20])
+    build_warc(os.path.join(d, "b.warc.gz"), docs[20:], gz=True)
+
+    out = read_warc(d).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(out) == 37                      # warcinfo records skipped
+    assert set(out["warc_type"]) == {"response"}
+    assert set(out["content_type"]) == {"text/html"}
+    assert set(out["http_status"]) == {200}
+    ref = sorted(docs)
+    assert list(out["url"]) == [u for u, _ in ref]
+    assert list(out["payload"]) == [h for _, h in ref]
+
+
+def test_warc_truncated_tail_dropped(tmp_path, ray_session):
+    from document_text_extraction_ray.sources.warc import build_warc, read_warc
+
+    p = build_warc(str(tmp_path / "w" / "t.warc"),
+                   [("https://a", "<p>one</p>"), ("https://b", "<p>two</p>")])
+    raw = open(p, "rb").read()
+    open(p, "wb").write(raw[:-20])             # cut into the last record
+    out = read_warc(str(tmp_path / "w")).to_pandas()
+    assert list(out["url"]) == ["https://a"]   # partial tail dropped
