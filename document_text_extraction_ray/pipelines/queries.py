@@ -4931,6 +4931,18 @@ def q_warc_roundtrip(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
+def q_embedding_quantize(sf_dir: str):
+    """Max-abs int8-style quantization of the embedding table (q =
+    round(127·x/max|x|) per vector) — the 4x memory-reduction step before
+    ANN indexing.  Zero shuffles; every float op is IEEE-double
+    deterministic, so the integer output hash-matches the SQL replay."""
+    from ..stages.similarity import embedding_quantize
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return embedding_quantize(emb).sort(["vec_id", "dim"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5005,6 +5017,7 @@ QUERIES = {
     "term_spectrum": q_term_spectrum,
     "table_checksum": q_table_checksum,
     "warc_roundtrip": q_warc_roundtrip,
+    "embedding_quantize": q_embedding_quantize,
     # -- (c) last driver-checked in r1 (oldest evidence) --
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -7746,6 +7759,19 @@ ORACLE_SQL["dense_rank"] = """
                PARTITION BY user_id ORDER BY event_type) AS drnk
     FROM events
     ORDER BY event_id
+"""
+
+ORACLE_SQL["embedding_quantize"] = """
+    WITH x AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, generate_series(1, 64) AS t(i)
+    ),
+    m AS (SELECT vec_id, MAX(ABS(v)) AS ma FROM x GROUP BY vec_id)
+    SELECT x.vec_id, x.i AS dim,
+           CASE WHEN m.ma = 0 THEN 0
+                ELSE CAST(ROUND((127 * x.v) / m.ma) AS BIGINT) END AS q
+    FROM x JOIN m USING (vec_id)
+    ORDER BY vec_id, dim
 """
 
 ORACLE_SQL["warc_roundtrip"] = """

@@ -626,3 +626,39 @@ def random_projection(ds, id_col: str = "vec_id",
 
     return ds.select_columns([id_col, embedding_col]).map_batches(
         project, batch_format="pyarrow")
+
+
+def embedding_quantize(ds, id_col: str = "vec_id",
+                       embedding_col: str = "embedding", qmax: int = 127):
+    """Per-vector max-abs INT8-style quantization: q = round(qmax * x /
+    max|x|) — the memory-reduction step before ANN indexing (4x smaller
+    vectors, dot products in integer SIMD).  Zero vectors quantize to
+    zeros.  Embarrassingly parallel, zero shuffles; every float op
+    (widen, abs, max, multiply, divide, round-half-away) is IEEE-double
+    deterministic, so the integer output is hash-identical to a SQL
+    replay.  Long output (id, dim, q)."""
+
+    def quantize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64())})
+        m = np.stack(t.column(embedding_col).to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        ma = np.abs(m).max(axis=1, keepdims=True)
+        safe = np.where(ma == 0, 1.0, ma)
+        s = (qmax * m) / safe
+        q = np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)) \
+            .astype(np.int64)
+        q[np.broadcast_to(ma == 0, q.shape)] = 0
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n, d = q.shape
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+                            pa.int64()),
+            "q": pa.array(q.ravel(), pa.int64())})
+
+    return ds.select_columns([id_col, embedding_col]).map_batches(
+        quantize, batch_format="pyarrow")

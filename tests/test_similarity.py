@@ -251,3 +251,29 @@ def test_random_projection_separates_clusters():
     within = np.linalg.norm(proj[1] - proj[3:n // 2:7], axis=1)
     across = np.linalg.norm(proj[1] - proj[n // 2 + 3::7], axis=1)
     assert within.max() < across.min()
+
+
+def test_embedding_quantize_bounds_and_zero_vector():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.similarity import embedding_quantize
+
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(50, 16)).astype(np.float32)
+    mat[7] = 0.0                                 # zero vector
+    ds = rd.from_items([
+        {"vec_id": int(i), "embedding": mat[i].tolist()} for i in range(50)])
+    out = embedding_quantize(ds).to_pandas().sort_values(["vec_id", "dim"])
+    q = out["q"].to_numpy().reshape(50, 16)
+    assert np.abs(q).max() <= 127
+    # max-abs element of each nonzero vector maps to +/-127
+    for i in range(50):
+        if i == 7:
+            assert (q[i] == 0).all()
+        else:
+            assert np.abs(q[i]).max() == 127
+    # reconstruction error bounded by half a quantization step
+    ma = np.abs(mat.astype(np.float64)).max(axis=1, keepdims=True)
+    ma[7] = 1.0
+    err = np.abs(q / 127.0 * ma - mat.astype(np.float64))
+    assert err.max() <= ma.max() / 127.0 / 2 + 1e-12
