@@ -624,6 +624,74 @@ def q_hash_join_revenue(sf_dir: str):
     return _scale_int(t, {"revenue": 100})
 
 
+def q_bucketed_storage_join(sf_dir: str):
+    """Storage-layout (co-partitioned) join: lineitem and orders are first
+    WRITTEN as hash-bucketed parquet (``hash(orderkey) % 32`` hive layout,
+    the write itself exchange-free), then joined with ZERO exchanges — one
+    task per bucket merges only its own files (Hive bucketing / Spark
+    ``bucketBy`` as a first-class op; at 100 TB the bucketed write
+    amortizes across every subsequent join on the key).  Revenue cents +
+    item counts per (o_orderstatus, l_returnflag), hash-equal to the
+    plain SQL join."""
+    import shutil
+    import tempfile
+
+    from ..stages.storage import read_bucketed_join, write_bucketed
+
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    try:
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_returnflag"],
+        )
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderstatus"],
+        )
+        write_bucketed(li, os.path.join(base, "lineitem"),
+                       "l_orderkey", 32)
+        write_bucketed(orders, os.path.join(base, "orders"),
+                       "o_orderkey", 32)
+        joined = read_bucketed_join(
+            os.path.join(base, "lineitem"), os.path.join(base, "orders"),
+            "l_orderkey", "o_orderkey", 32,
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+            g = pa.table({
+                "o_orderstatus": t.column("o_orderstatus"),
+                "l_returnflag": t.column("l_returnflag"),
+                "rev": rev,
+            }).group_by(["o_orderstatus", "l_returnflag"]).aggregate(
+                [("rev", "sum"), ([], "count_all")]
+            )
+            return pa.table({
+                "o_orderstatus": g.column("o_orderstatus"),
+                "l_returnflag": g.column("l_returnflag"),
+                "p_sum": g.column("rev_sum"),
+                "p_n": g.column("count_all"),
+            })
+
+        agg = (
+            joined.map_batches(partial, batch_format="pyarrow")
+            .groupby(["o_orderstatus", "l_returnflag"])
+            .aggregate(Sum("p_n", alias_name="n_items"),
+                       Sum("p_sum", alias_name="revenue"))
+        )
+        t = pa.Table.from_pandas(
+            agg.sort(["o_orderstatus", "l_returnflag"]).to_pandas(),
+            preserve_index=False,
+        )
+        return _scale_int(t, {"revenue": 100})
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessions per user (30 min): shuffle by user, per-key sorted
     fold — oracle via DuckDB window functions."""
@@ -2057,6 +2125,41 @@ def q_paragraph_dedup(sf_dir: str):
         wrap, batch_format="pyarrow"
     )
     return line_dedup(docs, "text", "doc_id", separator="\n\n").sort("doc_id")
+
+
+def q_boilerplate(sf_dir: str):
+    """Per-domain BOILERPLATE removal (RefinedWeb/CCNet template
+    stripping): every line occurring in >= 2 distinct documents of the
+    SAME source is dropped from ALL of them — the opposite keep-rule of
+    ``line_dedup`` (which keeps one global copy), and scoped per domain.
+    Each document gets a genuine per-source template (header + copyright
+    footer, replayed in SQL) around its 8-word-wrapped body, so the
+    operator removes real boilerplate while body lines that never repeat
+    within their source survive.  Two bucketed exchanges, join-free,
+    hash-oracle-checked."""
+    from ..stages.curation import boilerplate_removal
+
+    def wrap(t: pa.Table) -> pa.Table:
+        out = []
+        for src, txt in zip(t.column("source").to_pylist(),
+                            t.column("text").to_pylist()):
+            toks = (txt or "").split(" ")
+            body = [" ".join(toks[i:i + 8]) for i in range(0, len(toks), 8)]
+            out.append("\n".join(
+                [f"HEADER {src}"] + body + [f"Copyright {src}"]
+            ))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "text": pa.array(out, pa.large_string()),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        wrap, batch_format="pyarrow"
+    )
+    return boilerplate_removal(
+        docs, "text", "doc_id", "source", min_docs=2
+    ).sort("doc_id")
 
 
 def q_url_dedup(sf_dir: str):
@@ -5129,6 +5232,8 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "simhash_pairs": q_simhash_pairs,
     "redact_pii": q_redact_pii,
+    "boilerplate_removal": q_boilerplate,
+    "bucketed_storage_join": q_bucketed_storage_join,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -7944,4 +8049,56 @@ ORACLE_SQL["mad_by_source"] = """
     SELECT source, COUNT(*) AS n_rows,
            percentile_disc(0.5) WITHIN GROUP (ORDER BY absdev) AS mad
     FROM dev GROUP BY source ORDER BY source
+"""
+
+# Per-domain boilerplate removal: SQL replays the template synthesis
+# (header/footer around the 8-word wrap), counts DISTINCT docs per
+# (source, line), and drops every occurrence of lines hitting >= 2 docs
+# of the same source before the ordered reassembly.
+ORACLE_SQL["boilerplate_removal"] = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split(COALESCE(text, ''), ' ') AS tk
+        FROM documents
+    ),
+    built AS (
+        SELECT doc_id, source,
+               ['HEADER ' || source]
+               || list_transform(
+                      range(CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+                      i -> array_to_string(tk[i*8+1 : i*8+8], ' '))
+               || ['Copyright ' || source] AS ls
+        FROM toks
+    ),
+    lines AS (
+        SELECT doc_id, source, unnest(ls) AS line,
+               generate_subscripts(ls, 1) AS idx
+        FROM built
+    ),
+    freq AS (
+        SELECT source, line, COUNT(DISTINCT doc_id) AS nd
+        FROM lines GROUP BY source, line
+    ),
+    marked AS (
+        SELECT l.doc_id, l.line, l.idx, f.nd
+        FROM lines l JOIN freq f ON l.source = f.source AND l.line = f.line
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN nd < 2 THEN line END, chr(10)
+                               ORDER BY idx), '') AS clean_text,
+           COUNT(*) AS n_lines_total,
+           CAST(SUM(CASE WHEN nd < 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines_kept
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+# Co-partitioned bucketed-storage join: the layout is a physical-plan
+# detail — the result must exactly equal the plain join + group-by.
+ORACLE_SQL["bucketed_storage_join"] = """
+    SELECT o_orderstatus, l_returnflag, COUNT(*) AS n_items,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                AS BIGINT) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus, l_returnflag
+    ORDER BY o_orderstatus, l_returnflag
 """

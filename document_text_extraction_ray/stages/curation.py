@@ -498,6 +498,89 @@ def line_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
     return bucketed_fold(marked, id_column, reassemble, n_buckets=n_buckets)
 
 
+def boilerplate_removal(ds, text_column: str = "text",
+                        id_column: str = "doc_id",
+                        group_column: str = "source", min_docs: int = 2,
+                        n_buckets: int = 32, separator: str = "\n"):
+    """Per-domain BOILERPLATE line removal (the CCNet / RefinedWeb sibling
+    of ``line_dedup`` with different semantics): a line that occurs in at
+    least ``min_docs`` DISTINCT documents of the SAME ``group_column``
+    (domain / source) is boilerplate — nav bars, cookie banners, footers —
+    and EVERY occurrence is dropped, including the first.  ``line_dedup``
+    keeps one global copy of a repeated line; this keeps none, and only
+    counts repetition within a domain (a line shared by two different
+    domains is content, not template).
+
+    Physical plan — the ``line_dedup`` shape, two bucketed exchanges,
+    join-free, no broadcast, no driver collection:
+      1. explode docs into (doc, domain, idx, line) rows (row-local);
+      2. exchange on hash((domain, line)): the bucket holds every
+         occurrence of each of its (domain, line) keys, so one vectorized
+         ``groupby(...).transform('nunique')`` marks rows in place —
+         keep = the line appears in fewer than ``min_docs`` docs of that
+         domain.  A hot template line is bounded at its own reducer.
+      3. exchange on hash(doc): reassemble surviving lines in idx order.
+
+    Returns (id_column, clean_text, n_lines_total, n_lines_kept), one row
+    per input document (a fully-templated document survives with empty
+    text).  Hash-exactly SQL-replayable: COUNT(DISTINCT doc) per
+    (domain, line) then FILTER in an ordered string_agg."""
+    import pyarrow.compute as pc
+
+    from .aggregate import bucketed_fold
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        txt = pc.fill_null(t.column(text_column), "")
+        lines_list = pc.split_pattern(txt, separator)
+        lens = pc.list_value_length(lines_list).to_numpy().astype(np.int64)
+        total = int(lens.sum())
+        idx = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(lens) - lens, lens) + 1
+        parents = pc.list_parent_indices(lines_list)
+        return pa.table({
+            id_column: pc.take(t.column(id_column), parents),
+            group_column: pc.take(t.column(group_column), parents),
+            "idx": pa.array(idx, pa.int64()),
+            "line": pc.list_flatten(lines_list).cast(pa.string()),
+        })
+
+    exploded = ds.select_columns(
+        [id_column, group_column, text_column]
+    ).map_batches(explode, batch_format="pyarrow")
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        # Bucket is key-complete per (domain, line): the distinct-doc
+        # count per key is exact inside it.
+        nd = g.groupby([group_column, "line"], sort=False)[id_column] \
+              .transform("nunique")
+        return g.assign(__keep=nd.to_numpy() < min_docs)
+
+    marked = bucketed_fold(exploded, [group_column, "line"], mark,
+                           n_buckets=n_buckets)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_column, "idx"], kind="mergesort")
+        keep = g["__keep"].to_numpy()
+        agg = g.groupby(id_column, sort=False).agg(
+            n_lines_total=("idx", "size"), n_lines_kept=("__keep", "sum"))
+        texts = g.loc[keep].groupby(id_column, sort=False)["line"] \
+                 .agg(separator.join)
+        out = agg.join(texts.rename("clean_text")).reset_index()
+        out["clean_text"] = out["clean_text"].fillna("")
+        out["n_lines_total"] = out["n_lines_total"].astype("int64")
+        out["n_lines_kept"] = out["n_lines_kept"].astype("int64")
+        return out[[id_column, "clean_text", "n_lines_total",
+                    "n_lines_kept"]]
+
+    return bucketed_fold(
+        marked.map_batches(
+            lambda t: t.drop_columns([group_column]),
+            batch_format="pyarrow",
+        ),
+        id_column, reassemble, n_buckets=n_buckets)
+
+
 def chunk_documents(ds, id_column: str = "doc_id",
                     text_column: str = "text", chunk_tokens: int = 128,
                     overlap_tokens: int = 16):

@@ -1,0 +1,106 @@
+"""Bucketed (co-partitioned) parquet storage: pay the partitioning cost at
+WRITE time, then join / fold on the bucket key with ZERO exchanges forever
+after.
+
+The classic storage-layout optimization (Hive bucketing, Spark bucketBy,
+Iceberg bucket transforms): two tables written with the same hash function,
+same key, same bucket count are co-partitioned — bucket b of the left can
+only ever match bucket b of the right, so a join is n_buckets independent
+file-local merges.  No shuffle at read time; on a multi-node cluster each
+bucket task reads only its own files from shared storage.
+
+Scale notes:
+  * ``write_bucketed`` is itself exchange-FREE: each input block fans its
+    rows into per-bucket files under ``bucket=<b>/`` independently (hive
+    layout, bucket column encoded in the path).  The "partitioning cost"
+    is just the write you were doing anyway.
+  * ``read_bucketed_join`` schedules one task per bucket; a task's memory
+    is one bucket pair, so size ``n_buckets`` to make buckets task-sized
+    (at 100 TB: thousands).  Output stays partitioned by the join key —
+    downstream per-key folds are also exchange-free.
+  * The bucket hash is ``join._key_hash`` — the SAME function the shuffle
+    joins use, so a bucketed table can interoperate with live exchanges.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from .join import _bucket_array, _typed_empty
+
+
+def write_bucketed(ds, path: str, on: str, n_buckets: int = 32):
+    """Write ``ds`` as hash-bucketed parquet under ``path/bucket=<b>/``.
+
+    Row placement: ``join._key_hash(on) % n_buckets`` — the exchange hash,
+    so every equal key lands in exactly one bucket directory.  The write
+    is exchange-free (each block partitions its own rows); null keys land
+    in bucket 0 and never equi-match, matching the join kernels."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket",
+            pa.array(_bucket_array(t.column(on), n_buckets), pa.int32()),
+        )
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["bucket"]
+    )
+    return path
+
+
+def _read_bucket(path: str, b: int, schema: pa.Schema,
+                 columns=None) -> pd.DataFrame:
+    """One bucket directory -> pandas; typed empty when the bucket never
+    received a row (hive layout only creates directories for non-empty
+    buckets)."""
+    d = os.path.join(path, f"bucket={b}")
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        names = columns if columns else [n for n in schema.names]
+        return _typed_empty(names, {n: schema.field(n).type for n in names})
+    t = pa.concat_tables([pq.read_table(f, columns=columns) for f in files])
+    return t.to_pandas()
+
+
+def _schema_of(path: str) -> pa.Schema:
+    files = sorted(glob.glob(os.path.join(path, "bucket=*", "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no bucketed parquet under {path}")
+    return pq.read_schema(files[0])
+
+
+def read_bucketed_join(path_left: str, path_right: str, left_on: str,
+                       right_on: str, n_buckets: int, how: str = "inner",
+                       suffix: str = "_r", left_columns=None,
+                       right_columns=None):
+    """ZERO-exchange join of two co-bucketed tables (same hash, same
+    ``n_buckets``): one task per bucket reads both sides' ``bucket=<b>``
+    files and merges locally.  Returns the joined Dataset, still
+    partitioned by the key.
+
+    Column pruning (``left_columns`` / ``right_columns``) happens at the
+    parquet read inside each task.  The join key columns must be included
+    in the pruned sets."""
+    ls, rs = _schema_of(path_left), _schema_of(path_right)
+
+    def join_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b in batch["id"].tolist():
+            lf = _read_bucket(path_left, int(b), ls, left_columns)
+            rf = _read_bucket(path_right, int(b), rs, right_columns)
+            out.append(lf.merge(rf, left_on=left_on, right_on=right_on,
+                                how=how, suffixes=("", suffix)))
+        return pd.concat(out) if out else pd.DataFrame()
+
+    # range(n, one block per bucket) -> each bucket is its own task.
+    return rd.range(n_buckets, override_num_blocks=n_buckets).map_batches(
+        join_bucket, batch_format="pandas"
+    )

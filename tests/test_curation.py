@@ -115,6 +115,36 @@ def test_line_dedup_first_occurrence_and_reassembly():
     assert out.loc[4, "n_lines_total"] == 2
 
 
+def test_boilerplate_removal_per_domain_all_occurrences():
+    """Per-domain boilerplate stripping: a line in >= min_docs distinct
+    docs of the SAME source loses every occurrence (no survivor, unlike
+    line_dedup); intra-doc repetition alone is not boilerplate; a line
+    shared only across DIFFERENT sources is content and survives."""
+    from document_text_extraction_ray.stages.curation import (
+        boilerplate_removal,
+    )
+
+    docs = rd.from_items([
+        {"doc_id": 1, "source": "a", "text": "nav bar\nbody one\nfooter"},
+        {"doc_id": 2, "source": "a", "text": "nav bar\nbody two\nfooter"},
+        {"doc_id": 3, "source": "a", "text": "solo\nsolo"},
+        {"doc_id": 4, "source": "b", "text": "nav bar\nother body"},
+    ])
+    out = (boilerplate_removal(docs, "text", "doc_id", "source",
+                               min_docs=2, n_buckets=4)
+           .to_pandas().sort_values("doc_id").set_index("doc_id"))
+    # nav bar + footer hit 2 docs of source a: dropped everywhere.
+    assert out.loc[1, "clean_text"] == "body one"
+    assert (out.loc[1, "n_lines_total"], out.loc[1, "n_lines_kept"]) == (3, 1)
+    assert out.loc[2, "clean_text"] == "body two"
+    # intra-doc repeat in ONE doc: 1 distinct doc -> kept in full.
+    assert out.loc[3, "clean_text"] == "solo\nsolo"
+    assert out.loc[3, "n_lines_kept"] == 2
+    # source b has only one doc with "nav bar": domain-scoped -> kept.
+    assert out.loc[4, "clean_text"] == "nav bar\nother body"
+    assert out.loc[4, "n_lines_kept"] == 2
+
+
 def test_normalize_text_rule_chain():
     """NFC composition, control strip, space/tab collapse, newline-edge
     trim, blank-line collapse, outer trim — in that order."""

@@ -1,0 +1,72 @@
+"""Bucketed (co-partitioned) parquet storage tests: write layout,
+zero-exchange join equality vs pandas merge, co-location invariant,
+empty-bucket typing."""
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def _mk(tmp_path, left, right, n_buckets=4):
+    from document_text_extraction_ray.stages.storage import write_bucketed
+
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed(rd.from_pandas(left), lp, "k", n_buckets)
+    write_bucketed(rd.from_pandas(right), rp, "rk", n_buckets)
+    return lp, rp
+
+
+def test_bucketed_join_equals_pandas_merge(tmp_path):
+    from document_text_extraction_ray.stages.storage import (
+        read_bucketed_join,
+    )
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 5, 2, -7],
+                         "a": [10, 20, 30, 40, 50, 21, 70]})
+    right = pd.DataFrame({"rk": [2, 2, 3, 9, -7],
+                          "b": ["x", "y", "z", "w", "neg"]})
+    lp, rp = _mk(tmp_path, left, right)
+    out = (read_bucketed_join(lp, rp, "k", "rk", 4)
+           .to_pandas().sort_values(["k", "a", "b"]).reset_index(drop=True))
+    exp = (left.merge(right, left_on="k", right_on="rk")
+           .sort_values(["k", "a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_bucketed_write_colocates_keys(tmp_path):
+    """Every key's rows land wholly in one bucket dir, and the two sides
+    agree on the placement (same hash) — the invariant the zero-exchange
+    join relies on."""
+    from document_text_extraction_ray.stages.storage import write_bucketed
+
+    df = pd.DataFrame({"k": list(range(100)) * 2, "v": range(200)})
+    p = str(tmp_path / "t")
+    write_bucketed(rd.from_pandas(df), p, "k", 8)
+    seen = {}
+    for f in glob.glob(os.path.join(p, "bucket=*", "*.parquet")):
+        b = int(f.split("bucket=")[1].split(os.sep)[0])
+        for k in pq.read_table(f, columns=["k"]).column("k").to_pylist():
+            assert seen.setdefault(k, b) == b, f"key {k} split across buckets"
+    assert len(seen) == 100
+    # hive layout: bucket is path-encoded, not stored in the files
+    f0 = glob.glob(os.path.join(p, "bucket=*", "*.parquet"))[0]
+    assert "bucket" not in pq.read_schema(f0).names
+
+
+def test_bucketed_join_empty_buckets_stay_typed(tmp_path):
+    """Buckets where one side is absent must emit typed empties (not
+    object-dtype frames that poison the unified schema)."""
+    from document_text_extraction_ray.stages.storage import (
+        read_bucketed_join,
+    )
+
+    # single key each -> most of the 8 buckets empty on both sides
+    left = pd.DataFrame({"k": [5], "a": [1]})
+    right = pd.DataFrame({"rk": [5], "b": [2]})
+    lp, rp = _mk(tmp_path, left, right, n_buckets=8)
+    out = read_bucketed_join(lp, rp, "k", "rk", 8).to_pandas()
+    assert len(out) == 1
+    assert out["a"].dtype == "int64" and out["b"].dtype == "int64"
