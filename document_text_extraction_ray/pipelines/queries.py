@@ -692,6 +692,58 @@ def q_bucketed_storage_join(sf_dir: str):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_union_by_name(sf_dir: str):
+    """Schema-evolution UNION: two crawl 'snapshots' derived from
+    documents carry DIFFERENT column sets (even doc_ids: n_chars, no
+    lang; odd doc_ids: lang, no n_chars) — ``union_by_name`` aligns them
+    with typed nulls and zero exchanges, then per-source counts verify
+    both the row union and the null fill.  SQL replay: UNION ALL with
+    explicit NULL columns."""
+    from ..stages.cdc import union_by_name
+
+    def even(t: pa.Table) -> pa.Table:
+        m = pc.equal(pc.bit_wise_and(t.column("doc_id"), pa.scalar(1)),
+                     pa.scalar(0))
+        t = t.filter(m)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "source": t.column("source"),
+                         "n_chars": t.column("n_chars")})
+
+    def odd(t: pa.Table) -> pa.Table:
+        m = pc.equal(pc.bit_wise_and(t.column("doc_id"), pa.scalar(1)),
+                     pa.scalar(1))
+        t = t.filter(m)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "source": t.column("source"),
+                         "lang": t.column("lang")})
+
+    snap1 = _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        even, batch_format="pyarrow")
+    snap2 = _docs(sf_dir, ["doc_id", "source", "lang"]).map_batches(
+        odd, batch_format="pyarrow")
+    u = union_by_name([snap1, snap2])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("doc_id", "count"), ("n_chars", "count"), ("lang", "count"),
+             ("n_chars", "sum")])
+        return pa.table({
+            "source": g.column("source"),
+            "p_rows": g.column("doc_id_count"),
+            "p_chars": g.column("n_chars_count"),
+            "p_lang": g.column("lang_count"),
+            "p_sum": pc.fill_null(g.column("n_chars_sum"), 0),
+        })
+
+    agg = (u.map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("p_rows", alias_name="n_rows"),
+                      Sum("p_chars", alias_name="n_with_chars"),
+                      Sum("p_lang", alias_name="n_with_lang"),
+                      Sum("p_sum", alias_name="sum_chars")))
+    return agg.sort("source")
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessions per user (30 min): shuffle by user, per-key sorted
     fold — oracle via DuckDB window functions."""
@@ -5234,6 +5286,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "boilerplate_removal": q_boilerplate,
     "bucketed_storage_join": q_bucketed_storage_join,
+    "union_by_name": q_union_by_name,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8101,4 +8154,20 @@ ORACLE_SQL["bucketed_storage_join"] = """
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus, l_returnflag
     ORDER BY o_orderstatus, l_returnflag
+"""
+
+# Schema-evolution union: UNION ALL with explicit NULL columns replays the
+# typed-null alignment; COUNT(col) verifies the fill side per source.
+ORACLE_SQL["union_by_name"] = """
+    WITH u AS (
+        SELECT doc_id, source, n_chars, CAST(NULL AS VARCHAR) AS lang
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars, lang
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT source, COUNT(*) AS n_rows, COUNT(n_chars) AS n_with_chars,
+           COUNT(lang) AS n_with_lang,
+           COALESCE(SUM(n_chars), 0) AS sum_chars
+    FROM u GROUP BY source ORDER BY source
 """

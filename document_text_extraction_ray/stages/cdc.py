@@ -68,6 +68,59 @@ def apply_changelog(base, changes, key_col: str, seq_col: str, op_col: str,
     return bucketed_fold(unioned, key_col, fold, n_buckets=n_buckets)
 
 
+def union_by_name(datasets, fill_missing: bool = True):
+    """UNION ALL BY NAME across snapshots with EVOLVING schemas: each
+    dataset's batches are aligned to the union of all column names —
+    missing columns become typed nulls, column order is normalized —
+    then the datasets are unioned (zero exchanges; ``Dataset.union`` is
+    a metadata concatenation).
+
+    The real-world shape: crawl N+1 added a ``lang_conf`` column, crawl
+    N-3 lacks ``fetch_ms`` — a plain union would raise (or silently
+    misalign positional schemas).  Column TYPE for a missing column comes
+    from the first dataset that has it; datasets that share a name with a
+    different type raise loudly rather than coerce.
+
+    Returns the unified Dataset with columns sorted by first appearance."""
+    import pyarrow as pa
+
+    from .join import _arrow_schema
+
+    if not datasets:
+        raise ValueError("union_by_name needs at least one dataset")
+    schemas = [_arrow_schema(d) for d in datasets]
+    types: dict = {}
+    order: list = []
+    for sch in schemas:
+        for f in sch:
+            if f.name in types:
+                if types[f.name] != f.type:
+                    raise TypeError(
+                        f"column {f.name!r} has conflicting types: "
+                        f"{types[f.name]} vs {f.type}")
+            else:
+                types[f.name] = f.type
+                order.append(f.name)
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in order:
+            if name in t.column_names:
+                cols[name] = t.column(name)
+            else:
+                cols[name] = pa.nulls(t.num_rows, types[name])
+        return pa.table(cols)
+
+    aligned = []
+    for d, sch in zip(datasets, schemas):
+        if [f.name for f in sch] == order and not fill_missing:
+            aligned.append(d)
+        else:
+            aligned.append(d.map_batches(align, batch_format="pyarrow"))
+    out = aligned[0]
+    return out.union(*aligned[1:]) if len(aligned) > 1 else out
+
+
 def table_diff(old, new, key_col: str, payload_cols, n_buckets: int = 32):
     """Row-level diff of two snapshots keyed by ``key_col`` (unique per
     side): returns (key, status) with status in {"added", "removed",

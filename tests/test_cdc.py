@@ -75,3 +75,24 @@ def test_table_diff_identical_snapshots_empty():
 
     out = table_diff(a, b, "k", ["v"], n_buckets=2).to_pandas()
     assert len(out) == 0
+
+
+def test_union_by_name_aligns_evolving_schemas():
+    """Snapshots with different column sets union with typed nulls;
+    column order is first-appearance; same-name/different-type raises."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.cdc import union_by_name
+
+    old = rd.from_arrow(pa.table({"id": [1, 2], "a": ["x", "y"]}))
+    new = rd.from_arrow(pa.table({"id": [3], "b": [7], "a": ["z"]}))
+    out = union_by_name([old, new]).to_pandas().sort_values("id")
+    assert list(out.columns) == ["id", "a", "b"]
+    assert out["b"].tolist()[:2] == [None, None] or out["b"].isna().tolist()[:2] == [True, True]
+    assert out.iloc[2]["b"] == 7 and out["a"].tolist() == ["x", "y", "z"]
+
+    clash = rd.from_arrow(pa.table({"id": [9], "a": [1.5]}))  # a: double
+    with pytest.raises(TypeError):
+        union_by_name([old, clash])
