@@ -970,6 +970,48 @@ def q_ivf_ann(sf_dir: str):
     return out.select(["query_id", "neighbor_id", "rank"])
 
 
+def q_ivf_index_ann(sf_dir: str):
+    """PERSISTED IVF index round-trip, hash-oracle-checked: the index is
+    built ONCE to parquet (centroid table + vectors hive-partitioned by
+    nearest list), then searched twice from storage — full-probe
+    (nprobe = n_centroids, reads every list, must EXACTLY equal the SQL
+    brute-force top-k) and pruned (nprobe 6/16, reads ~37% of the lists;
+    its recall against the full-probe truth must clear the measured 0.4
+    floor, emitted as a per-row boolean the oracle pins TRUE).  The
+    pruned search is the scale path: only the probed ``part=<c>``
+    directories leave storage."""
+    import shutil
+    import tempfile
+
+    from ..stages.similarity import build_ivf_index, search_ivf_index
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, filters=[("vec_id", "<", 5)])
+    q = np.asarray(head.column("embedding").to_pylist(), dtype=np.float64)
+    qids = head.column("vec_id").to_pylist()
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    base = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        build_ivf_index(emb, base, n_centroids=16)
+        full = search_ivf_index(base, q, qids, k=10, nprobe=16).to_pandas()
+        pruned = search_ivf_index(base, q, qids, k=10, nprobe=6).to_pandas()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    ok = {}
+    for qid in qids:
+        truth = set(full.loc[full["query_id"] == qid, "neighbor_id"])
+        got = set(pruned.loc[pruned["query_id"] == qid, "neighbor_id"])
+        ok[qid] = (len(truth & got) / len(truth)) >= 0.4
+    full = full.sort_values(["query_id", "rank"])
+    return pa.table({
+        "query_id": pa.array(full["query_id"].astype("int64")),
+        "neighbor_id": pa.array(full["neighbor_id"].astype("int64")),
+        "rnk": pa.array(full["rank"].astype("int64")),
+        "pruned_recall_ok": pa.array(
+            [bool(ok[int(v)]) for v in full["query_id"]], pa.bool_()),
+    })
+
+
 def q_ann_recall(sf_dir: str):
     """ORACLE-CHECKED recall gate for the two approximate ANN paths
     (VERDICT r2 next #8): per query vector, recall@10 of multiprobe-LSH
@@ -5287,6 +5329,7 @@ QUERIES = {
     "boilerplate_removal": q_boilerplate,
     "bucketed_storage_join": q_bucketed_storage_join,
     "union_by_name": q_union_by_name,
+    "ivf_index_ann": q_ivf_index_ann,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8170,4 +8213,28 @@ ORACLE_SQL["union_by_name"] = """
            COUNT(lang) AS n_with_lang,
            COALESCE(SUM(n_chars), 0) AS sum_chars
     FROM u GROUP BY source ORDER BY source
+"""
+
+# Persisted-IVF round trip: full-probe search over the stored index must
+# exactly reproduce the brute-force top-k; the pruned probe's recall
+# floor is pinned TRUE (deterministic seeded k-means; measured min 0.5).
+ORACLE_SQL["ivf_index_ann"] = """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 5
+    ), x AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS w
+        FROM embeddings
+    ), scored AS (
+        SELECT q.query_id, x.neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.v, x.w) DESC,
+                            x.neighbor_id ASC
+               ) AS rnk
+        FROM q CROSS JOIN x
+    )
+    SELECT query_id, neighbor_id, rnk, TRUE AS pruned_recall_ok
+    FROM scored WHERE rnk <= 10
+    ORDER BY query_id, rnk
 """

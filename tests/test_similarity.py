@@ -277,3 +277,32 @@ def test_embedding_quantize_bounds_and_zero_vector():
     ma[7] = 1.0
     err = np.abs(q / 127.0 * ma - mat.astype(np.float64))
     assert err.max() <= ma.max() / 127.0 / 2 + 1e-12
+
+
+def test_persisted_ivf_index_roundtrip(tmp_path):
+    """Build-to-parquet + search-from-storage: full-probe search equals
+    brute force exactly; pruned search reads only its probed list dirs and
+    still finds each query's own vector."""
+    import glob
+    import os
+
+    from document_text_extraction_ray.stages.similarity import (
+        build_ivf_index, search_ivf_index,
+    )
+
+    ds, vecs = _embeddings(n=400, d=16)
+    base = str(tmp_path / "ivf")
+    build_ivf_index(ds, base, n_centroids=8)
+    # layout: tiny centroid table + one dir per non-empty list
+    assert os.path.exists(os.path.join(base, "centroids.parquet"))
+    assert glob.glob(os.path.join(base, "lists", "part=*", "*.parquet"))
+
+    full = search_ivf_index(base, vecs[:2], [0, 1], k=5, nprobe=8).to_pandas()
+    bf = SIM.brute_force_topk(ds, vecs[:2], query_ids=[0, 1], k=5).to_pandas()
+    assert full["neighbor_id"].tolist() == bf["neighbor_id"].tolist()
+
+    pruned = search_ivf_index(base, vecs[:3], [0, 1, 2], k=5,
+                              nprobe=3).to_pandas()
+    for qid in range(3):
+        mine = pruned[pruned["query_id"] == qid]
+        assert mine[mine["rank"] == 1]["neighbor_id"].iloc[0] == qid
