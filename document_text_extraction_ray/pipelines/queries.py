@@ -3685,6 +3685,19 @@ def q_jsonl_roundtrip(sf_dir: str):
     return read_jsonl(path, ["doc_id", "text", "lang"]).sort("doc_id")
 
 
+def q_jsonl_gz_roundtrip(sf_dir: str):
+    """GZIPPED JSONL round trip (the CC-dump interchange layout):
+    documents -> gzip .jsonl shards (each block gzip-writes its own shard
+    through arrow's stream) -> parallel decompressing read.  Identity
+    oracle."""
+    from ..sources.textfiles import read_jsonl, write_jsonl
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    path = write_jsonl(docs, "/tmp/dte_jsonl_gz_rt", compression="gzip")
+    return read_jsonl(path, ["doc_id", "text", "lang"],
+                      compression="gzip").sort("doc_id")
+
+
 def q_csv_roundtrip(sf_dir: str):
     """CSV source/sink round trip (arrow quoting: embedded commas/quotes
     survive): documents -> CSV shards -> parallel read_csv.  Identity
@@ -5330,6 +5343,7 @@ QUERIES = {
     "bucketed_storage_join": q_bucketed_storage_join,
     "union_by_name": q_union_by_name,
     "ivf_index_ann": q_ivf_index_ann,
+    "jsonl_gz_roundtrip": q_jsonl_gz_roundtrip,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8237,4 +8251,8 @@ ORACLE_SQL["ivf_index_ann"] = """
     SELECT query_id, neighbor_id, rnk, TRUE AS pruned_recall_ok
     FROM scored WHERE rnk <= 10
     ORDER BY query_id, rnk
+"""
+
+ORACLE_SQL["jsonl_gz_roundtrip"] = """
+    SELECT doc_id, text, lang FROM documents ORDER BY doc_id
 """

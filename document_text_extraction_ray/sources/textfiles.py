@@ -16,19 +16,34 @@ import shutil
 import ray.data
 
 
-def write_jsonl(ds, path: str, clean: bool = True) -> str:
-    """Write a Dataset as JSON-Lines shards (one file per block)."""
+def write_jsonl(ds, path: str, clean: bool = True,
+                compression: str | None = None) -> str:
+    """Write a Dataset as JSON-Lines shards (one file per block).
+    ``compression="gzip"`` writes gzipped shards (the CC-dump /
+    web-corpus interchange layout) through arrow's output stream — each
+    block still writes its own shard, no driver funnel."""
     if clean:
         shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
-    ds.write_json(path)
+    if compression:
+        ds.write_json(path,
+                      arrow_open_stream_args={"compression": compression})
+    else:
+        ds.write_json(path)
     return path
 
 
-def read_jsonl(path: str, columns=None) -> ray.data.Dataset:
+def read_jsonl(path: str, columns=None,
+               compression: str | None = None) -> ray.data.Dataset:
     """Parallel JSONL read; prune to ``columns`` right after parse (the
-    JSON reader has no column pushdown — pruning is a projection)."""
-    ds = ray.data.read_json(path)
+    JSON reader has no column pushdown — pruning is a projection).
+    Pass the writer's ``compression`` to read compressed shards."""
+    if compression:
+        ds = ray.data.read_json(
+            path, arrow_open_stream_args={"compression": compression},
+            file_extensions=None)
+    else:
+        ds = ray.data.read_json(path)
     if columns:
         ds = ds.select_columns(columns)
     return ds

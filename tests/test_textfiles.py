@@ -68,3 +68,31 @@ def test_warc_truncated_tail_dropped(tmp_path, ray_session):
     open(p, "wb").write(raw[:-20])             # cut into the last record
     out = read_warc(str(tmp_path / "w")).to_pandas()
     assert list(out["url"]) == ["https://a"]   # partial tail dropped
+
+
+def test_jsonl_gzip_roundtrip(tmp_path):
+    """Gzip JSONL shards: files are genuinely gzipped on disk and the
+    decompressing parallel read restores values exactly."""
+    import glob
+    import gzip
+
+    import ray.data as rd
+
+    from document_text_extraction_ray.sources.textfiles import (
+        read_jsonl, write_jsonl,
+    )
+
+    ds = rd.from_items([
+        {"id": 1, "s": "plain"},
+        {"id": 2, "s": "unié and \"quotes\""},
+        {"id": 3, "s": ""},
+    ])
+    path = write_jsonl(ds, str(tmp_path / "gz"), compression="gzip")
+    f = glob.glob(path + "/*")[0]
+    with open(f, "rb") as fh:
+        assert fh.read(2) == b"\x1f\x8b"  # gzip magic
+    with gzip.open(f, "rt") as fh:
+        assert fh.readline().startswith("{")
+    back = (read_jsonl(path, ["id", "s"], compression="gzip")
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    assert back["s"].tolist() == ["plain", 'unié and "quotes"', ""]
