@@ -3698,6 +3698,19 @@ def q_jsonl_gz_roundtrip(sf_dir: str):
                       compression="gzip").sort("doc_id")
 
 
+def q_parquet_layout(sf_dir: str):
+    """Distributed parquet-footer sweep (storage-health pre-flight): one
+    task per file reads ONLY the footer — no data pages — and reports the
+    file's row count; the oracle proves footer metadata == actual rows
+    per table.  Row-group / byte-size diagnostics from the same stage are
+    pytest-covered (SQL views can't see file layout)."""
+    from ..stages.storage import parquet_layout_stats
+
+    return (parquet_layout_stats([sf_dir])
+            .select_columns(["file_name", "n_rows"])
+            .sort("file_name"))
+
+
 def q_csv_roundtrip(sf_dir: str):
     """CSV source/sink round trip (arrow quoting: embedded commas/quotes
     survive): documents -> CSV shards -> parallel read_csv.  Identity
@@ -5344,6 +5357,7 @@ QUERIES = {
     "union_by_name": q_union_by_name,
     "ivf_index_ann": q_ivf_index_ann,
     "jsonl_gz_roundtrip": q_jsonl_gz_roundtrip,
+    "parquet_layout": q_parquet_layout,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8255,4 +8269,22 @@ ORACLE_SQL["ivf_index_ann"] = """
 
 ORACLE_SQL["jsonl_gz_roundtrip"] = """
     SELECT doc_id, text, lang FROM documents ORDER BY doc_id
+"""
+
+# Footer-metadata sweep: the footer's num_rows must equal the table's
+# actual row count, per file (one file per table in the fixtures).
+ORACLE_SQL["parquet_layout"] = """
+    WITH n AS (
+        SELECT 'customer.parquet' AS file_name, COUNT(*) AS n_rows FROM customer
+        UNION ALL SELECT 'documents.parquet', COUNT(*) FROM documents
+        UNION ALL SELECT 'embeddings.parquet', COUNT(*) FROM embeddings
+        UNION ALL SELECT 'events.parquet', COUNT(*) FROM events
+        UNION ALL SELECT 'lineitem.parquet', COUNT(*) FROM lineitem
+        UNION ALL SELECT 'nation.parquet', COUNT(*) FROM nation
+        UNION ALL SELECT 'orders.parquet', COUNT(*) FROM orders
+        UNION ALL SELECT 'part.parquet', COUNT(*) FROM part
+        UNION ALL SELECT 'region.parquet', COUNT(*) FROM region
+        UNION ALL SELECT 'supplier.parquet', COUNT(*) FROM supplier
+    )
+    SELECT file_name, n_rows FROM n ORDER BY file_name
 """

@@ -104,3 +104,35 @@ def read_bucketed_join(path_left: str, path_right: str, left_on: str,
     return rd.range(n_buckets, override_num_blocks=n_buckets).map_batches(
         join_bucket, batch_format="pandas"
     )
+
+
+def parquet_layout_stats(paths):
+    """Distributed parquet LAYOUT sweep — the storage-health pre-flight
+    for a 100-TB corpus: every task reads only the FOOTER of its files
+    (no data pages) and reports rows / row groups / on-disk bytes per
+    file.  Tiny-file soup and monster row groups are the two classic
+    read-throughput killers; this is how you find them without scanning.
+
+    Input: file paths (or dirs of .parquet).  One row per file:
+    (file_name, n_rows, n_row_groups, n_columns, total_bytes)."""
+    items = []
+    for p in paths:
+        if os.path.isdir(p):
+            items.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+        else:
+            items.append(p)
+
+    def footers(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for f in batch["item"].tolist():
+            md = pq.ParquetFile(f).metadata
+            rows.append({
+                "file_name": os.path.basename(f),
+                "n_rows": md.num_rows,
+                "n_row_groups": md.num_row_groups,
+                "n_columns": md.num_columns,
+                "total_bytes": os.path.getsize(f),
+            })
+        return pd.DataFrame(rows)
+
+    return rd.from_items(items).map_batches(footers, batch_format="pandas")

@@ -70,3 +70,24 @@ def test_bucketed_join_empty_buckets_stay_typed(tmp_path):
     out = read_bucketed_join(lp, rp, "k", "rk", 8).to_pandas()
     assert len(out) == 1
     assert out["a"].dtype == "int64" and out["b"].dtype == "int64"
+
+
+def test_parquet_layout_stats_reads_footers(tmp_path):
+    """Footer sweep: per-file rows/row-groups/bytes; a file written with
+    small row groups reports the true group count."""
+    import pyarrow as pa
+
+    from document_text_extraction_ray.stages.storage import (
+        parquet_layout_stats,
+    )
+
+    t = pa.table({"a": list(range(1000)), "b": ["x"] * 1000})
+    pq.write_table(t, str(tmp_path / "multi.parquet"), row_group_size=100)
+    pq.write_table(t.slice(0, 10), str(tmp_path / "tiny.parquet"))
+    out = (parquet_layout_stats([str(tmp_path)])
+           .to_pandas().set_index("file_name"))
+    assert out.loc["multi.parquet", "n_rows"] == 1000
+    assert out.loc["multi.parquet", "n_row_groups"] == 10
+    assert out.loc["tiny.parquet", "n_rows"] == 10
+    assert out.loc["multi.parquet", "n_columns"] == 2
+    assert (out["total_bytes"] > 0).all()
