@@ -33,22 +33,25 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from .join import _bucket_array, _typed_empty
+from .join import _bucket_array, _bucket_array_multi, _typed_empty
 
 
-def write_bucketed(ds, path: str, on: str, n_buckets: int = 32):
+def write_bucketed(ds, path: str, on, n_buckets: int = 32):
     """Write ``ds`` as hash-bucketed parquet under ``path/bucket=<b>/``.
 
     Row placement: ``join._key_hash(on) % n_buckets`` — the exchange hash,
-    so every equal key lands in exactly one bucket directory.  The write
-    is exchange-free (each block partitions its own rows); null keys land
-    in bucket 0 and never equi-match, matching the join kernels."""
+    so every equal key lands in exactly one bucket directory (``on`` may
+    be a list: composite keys use the same prime-mixed tuple hash the
+    composite joins use).  The write is exchange-free (each block
+    partitions its own rows); null keys land in bucket 0 and never
+    equi-match, matching the join kernels."""
 
     def tag(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "bucket",
-            pa.array(_bucket_array(t.column(on), n_buckets), pa.int32()),
-        )
+        if isinstance(on, (list, tuple)):
+            b = _bucket_array_multi(t, list(on), n_buckets)
+        else:
+            b = _bucket_array(t.column(on), n_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
 
     ds.map_batches(tag, batch_format="pyarrow").write_parquet(
         path, partition_cols=["bucket"]

@@ -91,3 +91,24 @@ def test_parquet_layout_stats_reads_footers(tmp_path):
     assert out.loc["tiny.parquet", "n_rows"] == 10
     assert out.loc["multi.parquet", "n_columns"] == 2
     assert (out["total_bytes"] > 0).all()
+
+
+def test_bucketed_join_composite_key(tmp_path):
+    """Composite-key bucketing: both sides written on a 2-key tuple hash
+    join with zero exchanges; equals the pandas tuple merge."""
+    from document_text_extraction_ray.stages.storage import (
+        read_bucketed_join, write_bucketed,
+    )
+
+    left = pd.DataFrame({"k1": [1, 1, 2, 2, 3], "k2": ["a", "b", "a", "b", "a"],
+                         "v": [10, 11, 20, 21, 30]})
+    right = pd.DataFrame({"r1": [1, 2, 2, 9], "r2": ["a", "b", "z", "a"],
+                          "w": [100, 200, 201, 900]})
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed(rd.from_pandas(left), lp, ["k1", "k2"], 4)
+    write_bucketed(rd.from_pandas(right), rp, ["r1", "r2"], 4)
+    out = (read_bucketed_join(lp, rp, ["k1", "k2"], ["r1", "r2"], 4)
+           .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True))
+    exp = (left.merge(right, left_on=["k1", "k2"], right_on=["r1", "r2"])
+           .sort_values(["k1", "k2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, exp)
