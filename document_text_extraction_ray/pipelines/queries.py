@@ -3698,6 +3698,34 @@ def q_jsonl_gz_roundtrip(sf_dir: str):
                       compression="gzip").sort("doc_id")
 
 
+def q_compact_roundtrip(sf_dir: str):
+    """Tiny-file COMPACTION round trip: documents deliberately shattered
+    into 32 tiny parquet files, compacted into ~4 target-size files
+    (footer-planned groups, one rewrite task per output file), read back
+    — identity oracle proves compaction is a pure layout rewrite."""
+    import shutil
+    import tempfile
+
+    from ..stages.storage import compact_parquet
+
+    base = tempfile.mkdtemp(prefix="compact_")
+    try:
+        src = os.path.join(base, "src")
+        dst = os.path.join(base, "dst")
+        docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+        docs.repartition(32).write_parquet(src)
+        total = pq.ParquetFile(
+            os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+        compact_parquet(src, dst,
+                        target_rows=max(1, total // 4)).to_pandas()
+        t = pa.Table.from_pandas(
+            rd.read_parquet(dst).sort("doc_id").to_pandas(),
+            preserve_index=False)
+        return t.select(["doc_id", "text", "lang"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_parquet_layout(sf_dir: str):
     """Distributed parquet-footer sweep (storage-health pre-flight): one
     task per file reads ONLY the footer — no data pages — and reports the
@@ -5358,6 +5386,7 @@ QUERIES = {
     "ivf_index_ann": q_ivf_index_ann,
     "jsonl_gz_roundtrip": q_jsonl_gz_roundtrip,
     "parquet_layout": q_parquet_layout,
+    "compact_roundtrip": q_compact_roundtrip,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8287,4 +8316,10 @@ ORACLE_SQL["parquet_layout"] = """
         UNION ALL SELECT 'supplier.parquet', COUNT(*) FROM supplier
     )
     SELECT file_name, n_rows FROM n ORDER BY file_name
+"""
+
+# Compaction is a pure layout rewrite: the compacted copy must read back
+# identical to the source table.
+ORACLE_SQL["compact_roundtrip"] = """
+    SELECT doc_id, text, lang FROM documents ORDER BY doc_id
 """

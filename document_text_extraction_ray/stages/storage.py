@@ -139,3 +139,53 @@ def parquet_layout_stats(paths):
         return pd.DataFrame(rows)
 
     return rd.from_items(items).map_batches(footers, batch_format="pandas")
+
+
+def compact_parquet(src_dir: str, dst_dir: str, target_rows: int = 1_000_000,
+                    columns=None):
+    """Tiny-file COMPACTION (the remediation for what
+    ``parquet_layout_stats`` diagnoses): greedily group input files into
+    runs of ~``target_rows`` by their FOOTER row counts, then one task per
+    group streams its files into ONE output file.  Row content is
+    untouched — compaction is a pure layout rewrite (identity
+    oracle-checked); only file boundaries change.
+
+    Planning reads footers via the distributed ``parquet_layout_stats``
+    sweep and collects only the (file, n_rows) table — file-count-sized,
+    never data-sized — so the plan step stays cheap at millions of files.
+    The rewrite is one independent task per output group (resumable by
+    rerunning: groups are deterministic for a fixed input listing)."""
+    stats = parquet_layout_stats([src_dir]).to_pandas() \
+        .sort_values("file_name").reset_index(drop=True)
+    groups, cur, cur_rows = [], [], 0
+    for _, r in stats.iterrows():
+        cur.append(r["file_name"])
+        cur_rows += int(r["n_rows"])
+        if cur_rows >= target_rows:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        groups.append(cur)
+    os.makedirs(dst_dir, exist_ok=True)
+    items = [{"gid": i, "files": "\x00".join(g)}
+             for i, g in enumerate(groups)]
+
+    def rewrite(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for gid, joined in zip(batch["gid"], batch["files"]):
+            names = joined.split("\x00")
+            t = pa.concat_tables([
+                pq.read_table(os.path.join(src_dir, n), columns=columns)
+                for n in names
+            ])
+            out = os.path.join(dst_dir, f"compact-{int(gid):05d}.parquet")
+            pq.write_table(t, out)
+            rows.append({"gid": int(gid), "n_files_in": len(names),
+                         "n_rows": t.num_rows,
+                         "file_name": os.path.basename(out)})
+        return pd.DataFrame(rows)
+
+    if not items:
+        return rd.from_items([]).map_batches(
+            lambda b: b, batch_format="pandas")
+    return rd.from_items(items).map_batches(rewrite, batch_format="pandas")

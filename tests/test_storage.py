@@ -112,3 +112,24 @@ def test_bucketed_join_composite_key(tmp_path):
     exp = (left.merge(right, left_on=["k1", "k2"], right_on=["r1", "r2"])
            .sort_values(["k1", "k2"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_compact_parquet_merges_tiny_files(tmp_path):
+    """32 tiny files compact into footer-planned groups; content identical
+    (order-independent), file count shrinks, manifest reports the plan."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.storage import compact_parquet
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    t = pa.table({"k": list(range(640)), "v": [f"r{i}" for i in range(640)]})
+    rd.from_arrow(t).repartition(32).write_parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 32
+    manifest = compact_parquet(src, dst, target_rows=200).to_pandas()
+    out_files = glob.glob(dst + "/*.parquet")
+    assert len(out_files) == len(manifest) < 32
+    assert manifest["n_rows"].sum() == 640
+    back = rd.read_parquet(dst).to_pandas().sort_values("k")
+    assert back["k"].tolist() == list(range(640))
+    assert back["v"].tolist() == [f"r{i}" for i in range(640)]
