@@ -3726,6 +3726,29 @@ def q_compact_roundtrip(sf_dir: str):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_zonemap_range_read(sf_dir: str):
+    """Zone-mapped key-range read: documents written as globally SORTED
+    parquet runs + a file-level (min, max) manifest from footer
+    statistics; the range read consults the manifest, opens only
+    intersecting files, and applies the exact row predicate in-scan.
+    Oracle: plain WHERE BETWEEN."""
+    import shutil
+    import tempfile
+
+    from ..stages.storage import read_key_range, write_sorted_runs
+
+    base = tempfile.mkdtemp(prefix="zonemap_")
+    try:
+        docs = _docs(sf_dir, ["doc_id", "n_chars"]).repartition(16)
+        write_sorted_runs(docs, base, "n_chars")
+        out = read_key_range(base, "n_chars", 150, 180)
+        t = pa.Table.from_pandas(out.sort("doc_id").to_pandas(),
+                                 preserve_index=False)
+        return t.select(["doc_id", "n_chars"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_parquet_layout(sf_dir: str):
     """Distributed parquet-footer sweep (storage-health pre-flight): one
     task per file reads ONLY the footer — no data pages — and reports the
@@ -5387,6 +5410,7 @@ QUERIES = {
     "jsonl_gz_roundtrip": q_jsonl_gz_roundtrip,
     "parquet_layout": q_parquet_layout,
     "compact_roundtrip": q_compact_roundtrip,
+    "zonemap_range_read": q_zonemap_range_read,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8322,4 +8346,11 @@ ORACLE_SQL["parquet_layout"] = """
 # identical to the source table.
 ORACLE_SQL["compact_roundtrip"] = """
     SELECT doc_id, text, lang FROM documents ORDER BY doc_id
+"""
+
+# Zone-mapped range read: manifest pruning + in-scan predicate must equal
+# the plain relational filter.
+ORACLE_SQL["zonemap_range_read"] = """
+    SELECT doc_id, n_chars FROM documents
+    WHERE n_chars BETWEEN 150 AND 180 ORDER BY doc_id
 """

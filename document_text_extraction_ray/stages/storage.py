@@ -189,3 +189,72 @@ def compact_parquet(src_dir: str, dst_dir: str, target_rows: int = 1_000_000,
         return rd.from_items([]).map_batches(
             lambda b: b, batch_format="pandas")
     return rd.from_items(items).map_batches(rewrite, batch_format="pandas")
+
+
+def build_zone_map(path: str, key: str) -> str:
+    """Build a FILE-level zone map for ``key`` over a parquet directory:
+    per file (key_min, key_max, n_rows), harvested from the row-group
+    STATISTICS in each footer (no data pages read), written to
+    ``path/_zonemap.parquet``.  The distributed footer sweep is one task
+    per file batch; the manifest is file-count-sized."""
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+    def footers(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for f in batch["item"].tolist():
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(key)
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"{f} row group {g} has no {key!r} statistics")
+                mins.append(st.min)
+                maxs.append(st.max)
+            rows.append({"file_name": os.path.basename(f),
+                         "key_min": min(mins), "key_max": max(maxs),
+                         "n_rows": md.num_rows})
+        return pd.DataFrame(rows)
+
+    zm = rd.from_items(files).map_batches(
+        footers, batch_format="pandas").to_pandas()
+    out = os.path.join(path, "_zonemap.parquet")
+    pq.write_table(pa.Table.from_pandas(zm.sort_values("file_name"),
+                                        preserve_index=False), out)
+    return out
+
+
+def write_sorted_runs(ds, path: str, key: str) -> str:
+    """Write ``ds`` globally SORTED by ``key`` as parquet runs plus a
+    file-level zone map: the layout that turns any later key-range read
+    into a handful of file opens.  The sort is Ray's native range-sample
+    exchange (each output file covers a disjoint key range); the zone map
+    comes from the footers (``build_zone_map``)."""
+    ds.sort(key).write_parquet(path)
+    build_zone_map(path, key)
+    return path
+
+
+def read_key_range(path: str, key: str, lo, hi):
+    """Key-range read over a zone-mapped directory: consult the manifest
+    (one tiny parquet read), open ONLY files whose [key_min, key_max]
+    intersects [lo, hi], and apply the exact row-level predicate inside
+    the scan.  Files are pruned WITHOUT opening their footers — at 100 TB
+    a selective range touches a handful of the sorted runs."""
+    import pyarrow.compute as pc
+
+    zm = pq.read_table(os.path.join(path, "_zonemap.parquet")).to_pandas()
+    keep = zm[(zm["key_max"] >= lo) & (zm["key_min"] <= hi)]
+    files = [os.path.join(path, f) for f in keep["file_name"]]
+    if not files:
+        # schema-preserving empty: scan one file, the predicate empties it
+        files = [os.path.join(path, zm["file_name"].iloc[0])]
+
+    def row_filter(t: pa.Table) -> pa.Table:
+        c = t.column(key)
+        return t.filter(pc.and_(pc.greater_equal(c, pa.scalar(lo)),
+                                pc.less_equal(c, pa.scalar(hi))))
+
+    return rd.read_parquet(files).map_batches(
+        row_filter, batch_format="pyarrow")
