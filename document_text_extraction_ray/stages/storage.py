@@ -91,16 +91,37 @@ def read_bucketed_join(path_left: str, path_right: str, left_on: str,
 
     Column pruning (``left_columns`` / ``right_columns``) happens at the
     parquet read inside each task.  The join key columns must be included
-    in the pruned sets."""
+    in the pruned sets.
+
+    SQL null semantics: a null join key matches NOTHING (pandas merge
+    would match NaN with NaN) — null-key rows are excluded from the match
+    and, for ``how="left"``, re-appended unmatched.  ``how`` is
+    restricted to inner/left (the bucketed layout cannot express outer's
+    unmatched-right rows without a second pass)."""
+    if how not in ("inner", "left"):
+        raise ValueError("read_bucketed_join supports how='inner'/'left'")
     ls, rs = _schema_of(path_left), _schema_of(path_right)
+    lkeys = left_on if isinstance(left_on, (list, tuple)) else [left_on]
+    rkeys = right_on if isinstance(right_on, (list, tuple)) else [right_on]
+
+    def _null_mask(df: pd.DataFrame, keys) -> np.ndarray:
+        m = np.zeros(len(df), dtype=bool)
+        for c in keys:
+            m |= df[c].isna().to_numpy()
+        return m
 
     def join_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         out = []
         for b in batch["id"].tolist():
             lf = _read_bucket(path_left, int(b), ls, left_columns)
             rf = _read_bucket(path_right, int(b), rs, right_columns)
-            out.append(lf.merge(rf, left_on=left_on, right_on=right_on,
-                                how=how, suffixes=("", suffix)))
+            lm, rm = _null_mask(lf, lkeys), _null_mask(rf, rkeys)
+            merged = lf[~lm].merge(rf[~rm], left_on=left_on,
+                                   right_on=right_on, how=how,
+                                   suffixes=("", suffix))
+            if how == "left" and lm.any():
+                merged = pd.concat([merged, lf[lm]], ignore_index=True)
+            out.append(merged)
         return pd.concat(out) if out else pd.DataFrame()
 
     # range(n, one block per bucket) -> each bucket is its own task.

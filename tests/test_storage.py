@@ -161,3 +161,28 @@ def test_zonemap_prunes_files_and_matches_filter(tmp_path):
     # quirk, see NOTES) — assert emptiness, not dtypes, here.
     empty = read_key_range(base, "k", 5000, 6000).to_pandas()
     assert len(empty) == 0
+
+
+def test_bucketed_join_null_keys_never_match(tmp_path):
+    """SQL semantics: null keys match nothing (pandas alone would pair
+    NaN with NaN); how='left' keeps null-key left rows unmatched."""
+    from document_text_extraction_ray.stages.storage import (
+        read_bucketed_join, write_bucketed,
+    )
+
+    left = pd.DataFrame({"k": pd.array([1, None, 3], dtype="Int64"),
+                         "a": [10, 20, 30]})
+    right = pd.DataFrame({"rk": pd.array([None, 3], dtype="Int64"),
+                          "b": [90, 80]})
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed(rd.from_pandas(left), lp, "k", 4)
+    write_bucketed(rd.from_pandas(right), rp, "rk", 4)
+    inner = read_bucketed_join(lp, rp, "k", "rk", 4).to_pandas()
+    assert len(inner) == 1 and inner.iloc[0]["a"] == 30
+    lj = (read_bucketed_join(lp, rp, "k", "rk", 4, how="left")
+          .to_pandas().sort_values("a").reset_index(drop=True))
+    assert len(lj) == 3
+    assert lj[lj["a"] == 20]["b"].isna().all()  # null key: unmatched
+    import pytest
+    with pytest.raises(ValueError):
+        read_bucketed_join(lp, rp, "k", "rk", 4, how="outer")
