@@ -313,3 +313,52 @@ def test_merge_intervals_fold_properties(spans):
     for a, d in spans:
         expect.update(range(a, a + d + 1))
     assert covered == expect
+
+
+def test_boilerplate_removal_random_vs_brute_force():
+    """Random tiny corpora (lines from a 6-word alphabet so per-source
+    collisions are dense): the distributed two-exchange plan must equal
+    the obvious brute force — drop every line occurring in >= min_docs
+    distinct docs of the same source — including counts."""
+    import random
+
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.curation import (
+        boilerplate_removal,
+    )
+
+    rng = random.Random(4242)
+    words = ["nav", "foot", "body", "ad", "x", ""]
+    for trial in range(6):
+        docs = []
+        for i in range(rng.randint(3, 14)):
+            docs.append({
+                "doc_id": i,
+                "source": rng.choice(["s1", "s2"]),
+                "text": "\n".join(
+                    rng.choice(words)
+                    for _ in range(rng.randint(1, 6))),
+            })
+        min_docs = rng.choice([2, 3])
+        # brute force
+        from collections import defaultdict
+        per_key = defaultdict(set)
+        for d in docs:
+            for ln in d["text"].split("\n"):
+                per_key[(d["source"], ln)].add(d["doc_id"])
+        expect = {}
+        for d in docs:
+            lines = d["text"].split("\n")
+            kept = [ln for ln in lines
+                    if len(per_key[(d["source"], ln)]) < min_docs]
+            expect[d["doc_id"]] = ("\n".join(kept), len(lines), len(kept))
+        out = (boilerplate_removal(rd.from_items(docs), "text", "doc_id",
+                                   "source", min_docs=min_docs, n_buckets=4)
+               .to_pandas().set_index("doc_id"))
+        assert len(out) == len(docs), f"trial {trial}"
+        for did, (txt, tot, kept) in expect.items():
+            row = out.loc[did]
+            assert (row["clean_text"], row["n_lines_total"],
+                    row["n_lines_kept"]) == (txt, tot, kept), \
+                f"trial {trial} doc {did}"
