@@ -44,3 +44,43 @@ def pool_size(requested: int | None = None, headroom: int = 2) -> int:
     if requested is None:
         return cap
     return max(1, min(requested, cap))
+
+
+def explain_stats(ds_or_stats):
+    """Summarize ``Dataset.stats()`` into one dict per operator — the
+    iterate-on-``ds.stats()`` loop as a helper: (operator, wall_s,
+    tasks, rows_out) in plan order.  ``rows_out`` is the LAST
+    suboperator's output-rows total (the operator's actual output);
+    ``wall_s`` is the "executed in" wall when Ray reports one.
+
+    Tolerant by design: missing fields stay None rather than raising, so
+    a Ray version reshuffling the text degrades to partial summaries,
+    not crashes."""
+    import re
+
+    s = ds_or_stats if isinstance(ds_or_stats, str) else ds_or_stats.stats()
+    ops = []
+    cur = None
+    for raw in s.splitlines():
+        line = raw.strip()
+        m = re.match(r"Operator (\d+) (.+?)(?::| ->)", line)
+        if m and not line.startswith("*"):
+            cur = {"operator": m.group(2), "wall_s": None,
+                   "tasks": None, "rows_out": None}
+            ops.append(cur)
+            mw = re.search(r"executed in ([\d.]+)s", line)
+            if mw:
+                cur["wall_s"] = float(mw.group(1))
+            mt = re.search(r"(\d+) tasks executed", line)
+            if mt:
+                cur["tasks"] = int(mt.group(1))
+            continue
+        if cur is None:
+            continue
+        mt = re.search(r"(\d+) tasks executed", line)
+        if mt and cur["tasks"] is None:
+            cur["tasks"] = int(mt.group(1))
+        mr = re.match(r"\* Output num rows per block:.*?(\d+) total", line)
+        if mr:
+            cur["rows_out"] = int(mr.group(1))  # last suboperator wins
+    return ops

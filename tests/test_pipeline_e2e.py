@@ -327,3 +327,23 @@ def test_empty_corpus_jobs(tmp_path):
     empty_ds = ray.data.from_arrow(pa.Table.from_pylist([], schema=schema))
     out = extract_dataset(empty_ds, with_fields=False).to_pandas()
     assert len(out) == 0
+
+
+def test_explain_stats_summarizes_operators():
+    """explain_stats parses ds.stats() into plan-ordered operator rows
+    with tasks and output rows; tolerant of missing fields."""
+    import ray.data as rd
+
+    from document_text_extraction_ray.util import explain_stats
+
+    ds = (rd.range(500).map_batches(lambda t: t, batch_format="pyarrow")
+          .groupby("id").count())
+    ds.to_pandas()
+    ops = explain_stats(ds)
+    assert len(ops) >= 2
+    names = [o["operator"] for o in ops]
+    assert any("Aggregate" in n for n in names)
+    total_rows = [o["rows_out"] for o in ops if o["rows_out"] is not None]
+    assert 500 in total_rows
+    # parser never raises on arbitrary text
+    assert explain_stats("not a stats string") == []
