@@ -122,15 +122,86 @@ def _stream_data(body: bytes, objs: dict[int, bytes] | None = None) -> bytes:
         data = body[start:end]
     fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/\w+)", body)
     if fm:
-        if re.search(rb"/Predictor\s+(?!1\b)\d", body):
-            raise ValueError("unsupported /Predictor in DecodeParms")
         filters = re.findall(rb"/(\w+)", fm.group(1))
         for f in filters:
             dec = _FILTER_DECODERS.get(f)
             if dec is None:
                 raise ValueError("unsupported stream filter " + repr(f))
             data = dec(data)
+        pm = re.search(rb"/Predictor\s+(\d+)", body)
+        if pm and int(pm.group(1)) != 1:
+            pred = int(pm.group(1))
+            cm = re.search(rb"/Columns\s+(\d+)", body)
+            columns = int(cm.group(1)) if cm else 1
+            km = re.search(rb"/Colors\s+(\d+)", body)
+            colors = int(km.group(1)) if km else 1
+            bm = re.search(rb"/BitsPerComponent\s+(\d+)", body)
+            bpc = int(bm.group(1)) if bm else 8
+            data = _apply_predictor(data, pred, columns, colors, bpc)
     return data
+
+
+def _apply_predictor(data: bytes, pred: int, columns: int,
+                     colors: int = 1, bpc: int = 8) -> bytes:
+    """Undo a /Predictor transform after the decompression filter: TIFF
+    horizontal differencing (Predictor 2) or the PNG per-row filters
+    (Predictors 10-15: each row is prefixed by a filter-type byte — none/
+    sub/up/average/paeth).  Standard in xref streams and common in
+    Flate-compressed content; only the 8-bit component case is supported
+    (sub-byte predictors stay loud)."""
+    if bpc != 8:
+        raise ValueError(f"unsupported /BitsPerComponent {bpc} predictor")
+    bpp = max(1, colors)  # bytes per pixel at 8 bits/component
+    if pred == 2:  # TIFF: undo horizontal differencing per row
+        rowlen = columns * bpp
+        out = bytearray(data)
+        for r0 in range(0, len(out), rowlen):
+            row_end = min(r0 + rowlen, len(out))
+            for j in range(r0 + bpp, row_end):
+                out[j] = (out[j] + out[j - bpp]) & 0xFF
+        return bytes(out)
+    if not 10 <= pred <= 15:
+        raise ValueError(f"unsupported /Predictor {pred}")
+    rowlen = columns * bpp
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i, n = 0, len(data)
+    while i < n:
+        ft = data[i]
+        i += 1
+        row = bytearray(data[i:i + rowlen])
+        i += rowlen
+        if ft == 0:
+            pass
+        elif ft == 1:  # sub
+            for j in range(bpp, len(row)):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # up
+            for j in range(len(row)):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # average
+            for j in range(len(row)):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + (left + prev[j]) // 2) & 0xFF
+        elif ft == 4:  # paeth
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                if pa_ <= pb_ and pa_ <= pc_:
+                    ref = a
+                elif pb_ <= pc_:
+                    ref = b
+                else:
+                    ref = c
+                row[j] = (row[j] + ref) & 0xFF
+        else:
+            raise ValueError(f"bad PNG row filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
 
 
 def _asciihex_decode(data: bytes) -> bytes:

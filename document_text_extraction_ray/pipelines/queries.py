@@ -2502,8 +2502,9 @@ def q_pdf_extract(sf_dir: str):
     layout whose hex show strings decode only through the font's
     /ToUnicode CMap (non-identity code mapping — a latin-1-only extractor
     garbles it).  A FOURTH rotation slot exercises the non-Flate filter
-    chains (LZWDecode / RunLengthDecode / ASCII85+Flate, cycling) — the
-    wire formats pre-2000 and image-era PDFs actually ship.  The fixtures
+    chains (LZWDecode / RunLengthDecode / ASCII85+Flate / PNG-predictored
+    Flate, cycling) — the wire formats pre-2000 and image-era PDFs
+    actually ship.  The fixtures
     are ASCII, so extraction is byte-exact: expected output is ``text``
     itself regardless of container."""
     from ..sources.synth_pdf_real import (
@@ -2514,14 +2515,14 @@ def q_pdf_extract(sf_dir: str):
     )
     from .dispatch import RealPdfExtractor
 
-    _SCHEMES = ("lzw", "rle", "a85f")
+    _SCHEMES = ("lzw", "rle", "a85f", "pred")
     _BUILDERS = (build_pdf, build_pdf_objstm, build_pdf_cid)
 
     def build_for(doc_id: int, pages):
         slot = doc_id % 4
         if slot < 3:
             return _BUILDERS[slot](pages)
-        return build_pdf_filters(pages, _SCHEMES[(doc_id // 4) % 3])
+        return build_pdf_filters(pages, _SCHEMES[(doc_id // 4) % 4])
 
     def roundtrip(t: pa.Table) -> pa.Table:
         ex = RealPdfExtractor()

@@ -323,6 +323,50 @@ def _runlength_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+_PRED_COLUMNS = 64
+
+
+def _png_predict_encode(data: bytes) -> bytes:
+    """PNG-predictored Flate encoding (Predictor 15 'optimal': each row
+    picks its own filter — this encoder CYCLES none/sub/up/average/paeth
+    so every row-filter type is exercised), 1 color, 8 bits, rows of
+    ``_PRED_COLUMNS`` bytes.  Content is padded to whole rows with spaces
+    (whitespace between content-stream operators is insignificant)."""
+    cols = _PRED_COLUMNS
+    pad = (-len(data)) % cols
+    data = data + b" " * pad
+    out = bytearray()
+    prev = bytearray(cols)
+    for r, r0 in enumerate(range(0, len(data), cols)):
+        raw = bytearray(data[r0:r0 + cols])
+        ft = r % 5
+        enc = bytearray(raw)
+        if ft == 1:
+            for j in range(1, cols):
+                enc[j] = (raw[j] - raw[j - 1]) & 0xFF
+        elif ft == 2:
+            for j in range(cols):
+                enc[j] = (raw[j] - prev[j]) & 0xFF
+        elif ft == 3:
+            for j in range(cols):
+                left = raw[j - 1] if j else 0
+                enc[j] = (raw[j] - (left + prev[j]) // 2) & 0xFF
+        elif ft == 4:
+            for j in range(cols):
+                a = raw[j - 1] if j else 0
+                b = prev[j]
+                c = prev[j - 1] if j else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                ref = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else c)
+                enc[j] = (raw[j] - ref) & 0xFF
+        out.append(ft)
+        out += enc
+        prev = raw
+    return zlib.compress(bytes(out), 6)
+
+
 _FILTER_SCHEMES = {
     # name -> (encode fn over raw content, /Filter header fragment)
     "lzw": (_lzw_encode, "/Filter /LZWDecode"),
@@ -332,6 +376,9 @@ _FILTER_SCHEMES = {
     "a85f": (lambda d: __import__("base64").a85encode(
                  zlib.compress(d, 6)) + b"~>",
              "/Filter [/ASCII85Decode /FlateDecode]"),
+    "pred": (_png_predict_encode,
+             "/Filter /FlateDecode /DecodeParms << /Predictor 15 "
+             f"/Columns {_PRED_COLUMNS} >>"),
 }
 
 

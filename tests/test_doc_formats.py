@@ -266,16 +266,63 @@ def test_runlength_codec_round_trip():
         assert _runlength_decode(_runlength_encode(d)) == d
 
 
-def test_predictor_decodeparms_rejected():
+def test_predictor_decodeparms_supported_and_bounded():
+    """Predictors 2 / 10-15 now DECODE through _stream_data (valid PNG
+    rows round-trip); out-of-range predictor values and sub-byte
+    components stay loud."""
+    import zlib
+
     import pytest
+
+    from document_text_extraction_ray.functions.pdf_extract import (
+        _apply_predictor, _stream_data)
+
+    raw = b"BT /F1 12 Tf (ok) Tj ET" + b" " * 9  # 32 bytes = 2 rows of 16
+    rows = b"\x00" + raw[:16] + b"\x02" + bytes(
+        (raw[16 + j] - raw[j]) & 0xFF for j in range(16))
+    data = zlib.compress(rows)
+    body = (f"<< /Length {len(data)} /Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 12 /Columns 16 >> >>").encode() \
+        + b"\nstream\n" + data + b"\nendstream"
+    assert _stream_data(body) == raw
+
+    with pytest.raises(ValueError, match="Predictor"):
+        _apply_predictor(b"\x00" * 4, 3, 4)   # 3-9 are not defined
+    with pytest.raises(ValueError, match="BitsPerComponent"):
+        _apply_predictor(b"\x00" * 4, 12, 4, bpc=4)
+
+
+def test_pdf_png_predictor_roundtrip():
+    """PNG-predictored Flate content streams (Predictor 15, every PNG row
+    filter exercised by the cycling encoder) extract byte-exactly; the
+    predictor undo is the exact inverse of the encoder on random bytes;
+    TIFF Predictor 2 decodes too."""
+    import random
     import zlib
 
     from document_text_extraction_ray.functions.pdf_extract import (
-        _stream_data)
+        _apply_predictor, minipdf_extract_text,
+    )
+    from document_text_extraction_ray.sources.synth_pdf_real import (
+        _PRED_COLUMNS, _png_predict_encode, build_pdf_filters,
+    )
 
-    data = zlib.compress(b"x")
-    body = (f"<< /Length {len(data)} /Filter /FlateDecode "
-            f"/DecodeParms << /Predictor 12 >> >>").encode() \
-        + b"\nstream\n" + data + b"\nendstream"
-    with pytest.raises(ValueError, match="Predictor"):
-        _stream_data(body)
+    txt = "Hello predictor world! " * 9 + "end."
+    out = minipdf_extract_text(build_pdf_filters([txt, "page two"], "pred"))
+    assert txt in out and "page two" in out
+
+    rng = random.Random(7)
+    for _ in range(10):
+        raw = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 400)))
+        dec = _apply_predictor(
+            zlib.decompress(_png_predict_encode(raw)), 15, _PRED_COLUMNS)
+        pad = (-len(raw)) % _PRED_COLUMNS
+        assert dec == raw + b" " * pad
+
+    cols = 8
+    raw = bytes(rng.randrange(256) for _ in range(cols * 5))
+    enc = bytearray(raw)
+    for r0 in range(0, len(enc), cols):
+        for j in range(r0 + cols - 1, r0, -1):
+            enc[j] = (raw[j] - raw[j - 1]) & 0xFF
+    assert _apply_predictor(bytes(enc), 2, cols) == raw
