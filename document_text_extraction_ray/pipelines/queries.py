@@ -755,6 +755,20 @@ def q_sessionize(sf_dir: str):
     return out.sort(["user_id", "session_start_s"])
 
 
+def q_time_weighted_avg(sf_dir: str):
+    """Time-weighted average inputs per user (telemetry semantics: a
+    value holds until the next observation): integer numerator
+    sum(v_e2 * dt_seconds) and denominator (span seconds) — no float
+    crosses the hash.  Ties totally ordered by (ts, event_id) on both
+    engines.  Oracle: LEAD window replay."""
+    from ..stages.windows import time_weighted_stats
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts", "value"])
+    return time_weighted_stats(ev, "user_id", "ts", "value",
+                               "event_id").sort("user_id")
+
+
 def q_merge_intervals(sf_dir: str):
     """Gaps-and-islands interval coalescing: each event opens a 10-minute
     [start, start+600] window per user; overlapping-or-touching windows
@@ -5412,6 +5426,7 @@ QUERIES = {
     "parquet_layout": q_parquet_layout,
     "compact_roundtrip": q_compact_roundtrip,
     "zonemap_range_read": q_zonemap_range_read,
+    "time_weighted_avg": q_time_weighted_avg,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8354,4 +8369,25 @@ ORACLE_SQL["compact_roundtrip"] = """
 ORACLE_SQL["zonemap_range_read"] = """
     SELECT doc_id, n_chars FROM documents
     WHERE n_chars BETWEEN 150 AND 180 ORDER BY doc_id
+"""
+
+# Time-weighted average: LEAD replay with the SAME (sec, event_id) total
+# order; only integers (v_e2 x seconds) reach the hash.
+ORACLE_SQL["time_weighted_avg"] = """
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, v,
+               LEAD(sec) OVER w - sec AS dt,
+               sec
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(COALESCE(SUM(v * dt), 0) AS BIGINT) AS twa_num,
+           CAST(MAX(sec) - MIN(sec) AS BIGINT) AS twa_den
+    FROM seg GROUP BY user_id HAVING COUNT(*) >= 2 ORDER BY user_id
 """

@@ -490,3 +490,62 @@ def fill_forward(ds, key_col: str, order_cols, value_col: str,
         return g
 
     return bucketed_fold(ds, key_col, fold, n_buckets=n_buckets)
+
+
+def time_weighted_stats(ds, key_col: str, ts_col: str, value_col: str,
+                        id_col: str, scale: int = 100):
+    """TIME-WEIGHTED average inputs per key (the irregular-sample /
+    telemetry aggregate: a value holds until the next observation):
+    integer numerator ``twa_num = sum(v_e * dt)`` and denominator
+    ``twa_den = last_ts - first_ts`` in seconds, with ``v_e =
+    round(value * scale)`` — the division happens at the consumer, so
+    nothing float crosses engines.  Keys with fewer than 2 events have no
+    time span and are dropped.
+
+    Tie handling: rows are totally ordered by (ts, id) on BOTH engines —
+    among same-timestamp rows only the last one's value spans to the next
+    distinct timestamp, so the tiebreak id makes the result exact, not
+    order-lucky.  One bucketed exchange, vectorized per-key diff fold."""
+    import pandas as pd
+
+    from .aggregate import bucketed_fold
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "__sec", id_col], kind="mergesort")
+        out = []
+        for key, grp in g.groupby(key_col, sort=False):
+            if len(grp) < 2:
+                continue
+            sec = grp["__sec"].to_numpy()
+            v = grp["__v"].to_numpy()
+            dt = sec[1:] - sec[:-1]
+            out.append({key_col: key, "n_events": len(grp),
+                        "twa_num": int((v[:-1] * dt).sum()),
+                        "twa_den": int(sec[-1] - sec[0])})
+        if not out:
+            return pd.DataFrame({key_col: pd.Series(dtype=g[key_col].dtype),
+                                 "n_events": pd.Series(dtype="int64"),
+                                 "twa_num": pd.Series(dtype="int64"),
+                                 "twa_den": pd.Series(dtype="int64")})
+        return pd.DataFrame(out)
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        raw = t.column(ts_col)
+        if pa.types.is_timestamp(raw.type):
+            sec = pc.cast(pc.floor(pc.divide(
+                pc.cast(raw, pa.int64()), 1_000_000)), pa.int64()) \
+                if raw.type.unit == "us" else pc.cast(raw, pa.int64())
+        else:
+            sec = pc.cast(raw, pa.int64())
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column(value_col), pa.float64()),
+            pa.scalar(float(scale)))), pa.int64())
+        return pa.table({key_col: t.column(key_col),
+                         id_col: t.column(id_col),
+                         "__sec": sec, "__v": v})
+
+    prepped = ds.select_columns(
+        [key_col, id_col, ts_col, value_col]
+    ).map_batches(prep, batch_format="pyarrow")
+    return bucketed_fold(prepped, key_col, fold)

@@ -550,3 +550,32 @@ def test_fill_forward_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(out[["k", "o", "v"]], ref[["k", "o", "v"]])
     # leading rows of some key stay NaN (no prior non-null)
     assert out["v"].isna().any()
+
+
+def test_time_weighted_stats_holds_value_until_next():
+    """TWA semantics: v holds until the next observation; same-timestamp
+    ties contribute zero-length segments deterministically (tiebreak id);
+    single-event keys drop."""
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.windows import (
+        time_weighted_stats,
+    )
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "c", "c"],
+        "i": [1, 2, 3, 4, 5, 6],
+        "sec": [0, 10, 30, 5, 7, 7],
+        "v": [1.0, 2.0, 9.0, 3.0, 4.0, 5.0],
+    })
+    out = (time_weighted_stats(rd.from_pandas(df), "k", "sec", "v", "i",
+                               scale=100)
+           .to_pandas().set_index("k").sort_index())
+    # a: 100*10 + 200*20 = 5000 over 30 s
+    assert (out.loc["a", "twa_num"], out.loc["a", "twa_den"]) == (5000, 30)
+    assert out.loc["a", "n_events"] == 3
+    # b: single event -> dropped
+    assert "b" not in out.index
+    # c: two events at the SAME second: zero span, zero num, still emitted
+    assert (out.loc["c", "twa_num"], out.loc["c", "twa_den"]) == (0, 0)
