@@ -769,6 +769,18 @@ def q_time_weighted_avg(sf_dir: str):
                                "event_id").sort("user_id")
 
 
+def q_rolling_wau(sf_dir: str):
+    """Rolling 7-day distinct users per day (WAU), EXACT: distinct
+    (user, day) partials explode into their 7 target days, one bucketed
+    exchange on the day, per-day nunique.  Oracle: the same explode via
+    generate_series + COUNT(DISTINCT)."""
+    from ..stages.windows import rolling_distinct
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return rolling_distinct(ev, "ts", "user_id", window_days=7).sort("day")
+
+
 def q_merge_intervals(sf_dir: str):
     """Gaps-and-islands interval coalescing: each event opens a 10-minute
     [start, start+600] window per user; overlapping-or-touching windows
@@ -5427,6 +5439,7 @@ QUERIES = {
     "compact_roundtrip": q_compact_roundtrip,
     "zonemap_range_read": q_zonemap_range_read,
     "time_weighted_avg": q_time_weighted_avg,
+    "rolling_wau": q_rolling_wau,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8390,4 +8403,20 @@ ORACLE_SQL["time_weighted_avg"] = """
            CAST(COALESCE(SUM(v * dt), 0) AS BIGINT) AS twa_num,
            CAST(MAX(sec) - MIN(sec) AS BIGINT) AS twa_den
     FROM seg GROUP BY user_id HAVING COUNT(*) >= 2 ORDER BY user_id
+"""
+
+# Rolling 7-day WAU: identical explode on both engines (day = epoch // 86400,
+# target days day..day+6), exact COUNT(DISTINCT) per target day.
+ORACLE_SQL["rolling_wau"] = """
+    WITH e AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        FROM events
+    ),
+    x AS (
+        SELECT user_id, day + g AS day_t
+        FROM e, generate_series(0, 6) AS t(g)
+    )
+    SELECT day_t AS day, COUNT(DISTINCT user_id) AS n_users
+    FROM x GROUP BY day_t ORDER BY day_t
 """

@@ -549,3 +549,53 @@ def time_weighted_stats(ds, key_col: str, ts_col: str, value_col: str,
         [key_col, id_col, ts_col, value_col]
     ).map_batches(prep, batch_format="pyarrow")
     return bucketed_fold(prepped, key_col, fold)
+
+
+def rolling_distinct(ds, ts_col: str, user_col: str, window_days: int = 7):
+    """Rolling DISTINCT-user count (the WAU/MAU telemetry aggregate): for
+    every day T, how many distinct users had an event in the trailing
+    ``window_days`` window [T-W+1, T].  Exact, not sketched.
+
+    Distinct counts don't decompose over windows, so the classic exact
+    plan: (1) row-local DISTINCT (user, day) partials (per-batch
+    drop_duplicates — the wire carries at most users x active-days rows);
+    (2) each pair explodes into the W target days it contributes to
+    (x W, but over the already-distinct pairs); (3) ONE bucketed exchange
+    on the target day, per-day vectorized nunique.  A hot day is bounded
+    at its own reducer.  Days near the data's end report genuinely
+    partial trailing windows (T ranges to max_day + W - 1); slice at the
+    consumer if you only want fully-covered days."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .aggregate import bucketed_fold
+
+    def prep(t: pa.Table) -> pa.Table:
+        raw = t.column(ts_col)
+        if pa.types.is_timestamp(raw.type):
+            us = pc.cast(raw, pa.int64())
+            day = pc.divide(us, 86_400_000_000)
+        else:
+            day = pc.divide(pc.cast(raw, pa.int64()), 86_400)
+        base = pa.table({user_col: t.column(user_col),
+                         "day": pc.cast(day, pa.int64())})
+        df = base.to_pandas().drop_duplicates()
+        reps = pd.DataFrame({
+            user_col: np.repeat(df[user_col].to_numpy(), window_days),
+            "day": (np.repeat(df["day"].to_numpy(), window_days)
+                    + np.tile(np.arange(window_days, dtype=np.int64),
+                              len(df))),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(reps, preserve_index=False)
+
+    exploded = ds.select_columns([user_col, ts_col]).map_batches(
+        prep, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.drop_duplicates()
+               .groupby("day", sort=False)[user_col].nunique()
+               .rename("n_users").reset_index())
+        agg["n_users"] = agg["n_users"].astype("int64")
+        return agg
+
+    return bucketed_fold(exploded, "day", fold)

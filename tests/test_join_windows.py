@@ -579,3 +579,27 @@ def test_time_weighted_stats_holds_value_until_next():
     assert "b" not in out.index
     # c: two events at the SAME second: zero span, zero num, still emitted
     assert (out.loc["c", "twa_num"], out.loc["c", "twa_den"]) == (0, 0)
+
+
+def test_rolling_distinct_trailing_window():
+    """WAU semantics on a tiny fixture: a user counts toward every day in
+    [event_day, event_day + W - 1]; duplicates within the window count
+    once; disjoint users add."""
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.windows import rolling_distinct
+
+    df = pd.DataFrame({
+        "u": [1, 1, 2, 3],
+        "sec": [0 * 86400, 1 * 86400, 1 * 86400, 5 * 86400],
+    })
+    out = (rolling_distinct(rd.from_pandas(df), "sec", "u", window_days=3)
+           .to_pandas().set_index("day").sort_index())
+    # day 0: u1; day 1: u1 (twice) + u2 -> 2; day 2: u1,u2; day 3: u1,u2
+    assert out.loc[0, "n_users"] == 1
+    assert out.loc[1, "n_users"] == 2
+    assert out.loc[2, "n_users"] == 2
+    assert out.loc[3, "n_users"] == 2  # u1's day-1 event still in window
+    assert out.loc[5, "n_users"] == 1 and out.loc[7, "n_users"] == 1
+    assert 4 not in out.index  # no event in [2, 4]
