@@ -3636,6 +3636,33 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitters(stream, "word", k=64).sort("word")
 
 
+def q_grouped_heavy_hitters(sf_dir: str):
+    """Per-SOURCE Misra-Gries heavy hitters: each batch reduces each
+    key's word stream to <= k counters, one key-bucketed merge.  k=64
+    exceeds the per-source vocabulary, so the sketch is provably exact
+    here and the oracle is the per-(source, word) count; the truncation
+    bound is asserted on a skewed fixture in tests/test_aggregate.py."""
+    from ..stages.aggregate import grouped_heavy_hitters
+
+    def explode(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        tok = _re.compile(r"[a-z0-9]+")
+        srcs, words = [], []
+        for src, x in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            ws = tok.findall((x or "").lower())
+            srcs.extend([src] * len(ws))
+            words.extend(ws)
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "word": pa.array(words, pa.string())})
+
+    stream = _docs(sf_dir, ["source", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+    return grouped_heavy_hitters(stream, "source", "word",
+                                 k=64).sort(["source", "word"])
+
+
 def q_range_window(sf_dir: str):
     """Trailing TIME-RANGE window aggregate per user (SUM OVER ... RANGE
     3600 PRECEDING): integer-cents values so the per-row running sums are
@@ -5440,6 +5467,7 @@ QUERIES = {
     "zonemap_range_read": q_zonemap_range_read,
     "time_weighted_avg": q_time_weighted_avg,
     "rolling_wau": q_rolling_wau,
+    "grouped_heavy_hitters": q_grouped_heavy_hitters,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8419,4 +8447,17 @@ ORACLE_SQL["rolling_wau"] = """
     )
     SELECT day_t AS day, COUNT(DISTINCT user_id) AS n_users
     FROM x GROUP BY day_t ORDER BY day_t
+"""
+
+# Grouped MG sketch with k above the per-source vocabulary: exact per
+# (source, word) counts; n_total is the source's full stream length.
+ORACLE_SQL["grouped_heavy_hitters"] = """
+    WITH w AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents
+    )
+    SELECT source, word, COUNT(*) AS est,
+           SUM(COUNT(*)) OVER (PARTITION BY source) AS n_total
+    FROM w GROUP BY source, word ORDER BY source, word
 """

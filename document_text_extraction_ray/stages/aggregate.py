@@ -1232,3 +1232,61 @@ def table_checksum(ds, cols, n_buckets: int = 4):
                              "checksum": pd.array([x], dtype="UInt64")})
 
     return bucketed_fold(partials, "__g", fold, n_buckets=min(n_buckets, 2))
+
+
+def grouped_heavy_hitters(ds, key_col: str, value_col: str, k: int = 64):
+    """PER-KEY Misra-Gries heavy hitters (frequent values per domain /
+    source with BOUNDED state): each batch reduces each of its keys'
+    value stream to <= k sketch counters, one bucketed exchange on the
+    key merges the sketches (sum then MG-truncate — the standard
+    mergeable-MG argument), so the wire carries at most k rows per key
+    per batch no matter how hot a value is.
+
+    Same guarantees as the global ``heavy_hitters``, per key: est <=
+    true, true - est <= 2 n_key/(k+1), and any value with true count >
+    2 n_key/(k+1) survives.  With k above a key's distinct-value count
+    the sketch is exact.  Returns (key, value, est, n_total) where
+    n_total is the key's full stream length.  The per-batch fold loops
+    over the batch's DISTINCT KEYS (not rows) — fine for domain-ish
+    keys; for ultra-high-cardinality keys use ``topk_per_key``'s exact
+    exchange instead."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select([key_col, value_col]).to_pandas()
+        rows = []
+        for key, grp in df.groupby(key_col, sort=False):
+            s = grp.groupby(value_col, sort=False).size()
+            vals, cnts = _mg_truncate(
+                s.index.to_numpy(), s.to_numpy().astype(np.int64), k)
+            n = int(len(grp))
+            if len(vals) == 0:
+                rows.append((key, None, 0, n))
+                continue
+            for i, (v, c) in enumerate(zip(vals, cnts)):
+                rows.append((key, v, int(c), n if i == 0 else 0))
+        return pd.DataFrame(
+            rows, columns=[key_col, value_col, "est", "n_part"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, grp in g.groupby(key_col, sort=False):
+            n_total = int(grp["n_part"].sum())
+            live = grp.dropna(subset=[value_col])
+            s = live.groupby(value_col, sort=False)["est"].sum()
+            vals, cnts = _mg_truncate(
+                s.index.to_numpy(), s.to_numpy().astype(np.int64), k)
+            for v, c in zip(vals, cnts):
+                out.append((key, v, int(c), n_total))
+        if not out:
+            return pd.DataFrame({
+                key_col: pd.Series(dtype=g[key_col].dtype),
+                value_col: pd.Series(dtype=object),
+                "est": pd.Series(dtype="int64"),
+                "n_total": pd.Series(dtype="int64")})
+        return pd.DataFrame(out,
+                            columns=[key_col, value_col, "est", "n_total"])
+
+    return bucketed_fold(partials, key_col, merge)

@@ -811,3 +811,40 @@ def test_table_checksum_order_and_partition_invariant():
     with pytest.raises(Exception):
         table_checksum(
             rd.from_items([{"x": 1.5}]), ["x"]).to_pandas()
+
+
+def test_grouped_heavy_hitters_zipf_bound_per_key():
+    """Per-key MG: the global guarantees hold independently per key —
+    est <= true, true - est <= 2 n_key/(k+1), heavy values survive —
+    with each key's own stream length as n_total."""
+    import collections
+
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import (
+        grouped_heavy_hitters,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for key, size, a in (("s1", 8000, 1.5), ("s2", 3000, 1.3)):
+        for z in rng.zipf(a, size):
+            if z < 2000:
+                rows.append({"k": key, "w": f"t{z}"})
+    k = 48
+    out = (grouped_heavy_hitters(
+        rd.from_items(rows), "k", "w", k=k).to_pandas())
+    for key, grp in out.groupby("k"):
+        stream = [r["w"] for r in rows if r["k"] == key]
+        true = collections.Counter(stream)
+        n = len(stream)
+        bound = 2 * n / (k + 1)
+        assert (grp["n_total"] == n).all()
+        est = grp.set_index("w")["est"]
+        for w, e in est.items():
+            assert 0 < e <= true[w]
+            assert true[w] - e <= bound + 1e-9
+        for w, c in true.items():
+            if c > bound:
+                assert w in est.index
