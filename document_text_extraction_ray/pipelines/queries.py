@@ -3636,6 +3636,19 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitters(stream, "word", k=64).sort("word")
 
 
+def q_corpus_grep(sf_dir: str):
+    """Distributed corpus grep for ``s(can|ort|tream)``: per matching doc
+    the non-overlapping match count (capped) and the 1-based offset of
+    the first match.  Row-local, zero shuffles, compiled once per task.
+    Oracle: regexp_extract_all count + min-nonzero-instr over the literal
+    alternatives (leftmost-match equivalence holds for literal
+    alternations)."""
+    from ..stages.textstats import corpus_grep
+
+    return corpus_grep(_docs(sf_dir, ["doc_id", "text"]),
+                       r"s(can|ort|tream)").sort("doc_id")
+
+
 def q_grouped_heavy_hitters(sf_dir: str):
     """Per-SOURCE Misra-Gries heavy hitters: each batch reduces each
     key's word stream to <= k counters, one key-bucketed merge.  k=64
@@ -5468,6 +5481,7 @@ QUERIES = {
     "time_weighted_avg": q_time_weighted_avg,
     "rolling_wau": q_rolling_wau,
     "grouped_heavy_hitters": q_grouped_heavy_hitters,
+    "corpus_grep": q_corpus_grep,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8460,4 +8474,27 @@ ORACLE_SQL["grouped_heavy_hitters"] = """
     SELECT source, word, COUNT(*) AS est,
            SUM(COUNT(*)) OVER (PARTITION BY source) AS n_total
     FROM w GROUP BY source, word ORDER BY source, word
+"""
+
+# Corpus grep: non-overlapping count via regexp_extract_all (leftmost
+# semantics match re.finditer); first offset via min nonzero instr over
+# the literal alternatives; count cap mirrored with LEAST.
+ORACLE_SQL["corpus_grep"] = """
+    WITH m AS (
+        SELECT doc_id,
+               LEAST(len(regexp_extract_all(COALESCE(text, ''),
+                                            's(can|ort|tream)')),
+                     1000) AS n_matches,
+               LEAST(
+                   COALESCE(NULLIF(instr(COALESCE(text, ''), 'scan'), 0),
+                            2147483647),
+                   COALESCE(NULLIF(instr(COALESCE(text, ''), 'sort'), 0),
+                            2147483647),
+                   COALESCE(NULLIF(instr(COALESCE(text, ''), 'stream'), 0),
+                            2147483647)
+               ) AS first_at
+        FROM documents
+    )
+    SELECT doc_id, n_matches, CAST(first_at AS BIGINT) AS first_at
+    FROM m WHERE n_matches > 0 ORDER BY doc_id
 """

@@ -56,3 +56,48 @@ def text_stats(ds, text_column: str = "text", concurrency: int = 8, **kw):
         concurrency=concurrency,
         fn_constructor_kwargs=dict(text_column=text_column, **kw),
     )
+
+
+def corpus_grep(ds, pattern: str, text_column: str = "text",
+                id_column: str = "doc_id", max_matches: int = 1000):
+    """Distributed corpus GREP: per document, the number of
+    non-overlapping matches of ``pattern`` (compiled ONCE per task) and
+    the 1-based offset of the first match (0 = no match).  Row-local —
+    zero shuffles; emit only matching docs.
+
+    ``max_matches`` caps the per-doc count (a pathological doc can't make
+    its task enumerate millions of hits); the cap is part of the
+    contract, mirrored in the SQL replay.  The inspection tool every
+    corpus pipeline grows: leak checks, marker hunts, contamination
+    spot-checks."""
+    import re
+
+    import pyarrow as pa
+
+    rx = re.compile(pattern)
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, counts, firsts = [], [], []
+        for did, txt in zip(t.column(id_column).to_pylist(),
+                            t.column(text_column).to_pylist()):
+            s = txt or ""
+            n = 0
+            first = 0
+            for m in rx.finditer(s):
+                if n == 0:
+                    first = m.start() + 1
+                n += 1
+                if n >= max_matches:
+                    break
+            if n:
+                ids.append(did)
+                counts.append(n)
+                firsts.append(first)
+        return pa.table({
+            id_column: pa.array(ids, t.column(id_column).type),
+            "n_matches": pa.array(counts, pa.int64()),
+            "first_at": pa.array(firsts, pa.int64()),
+        })
+
+    return ds.select_columns([id_column, text_column]).map_batches(
+        scan, batch_format="pyarrow")

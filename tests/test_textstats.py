@@ -83,3 +83,24 @@ def test_hyperloglog_accuracy_and_merge():
     assert again.to_bytes() == full.to_bytes()
     rt = HyperLogLog.from_bytes(full.to_bytes())
     assert rt.estimate() == full.estimate()
+
+
+def test_corpus_grep_counts_and_cap():
+    """Non-overlapping finditer semantics, 1-based first offset, per-doc
+    cap, non-matching docs dropped, null text safe."""
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.textstats import corpus_grep
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "xx aba abab xx"},     # 'aba': 2 (no overlap)
+        {"doc_id": 2, "text": "no hits here"},
+        {"doc_id": 3, "text": "aba" * 50},
+        {"doc_id": 4, "text": None},
+    ])
+    out = (corpus_grep(docs, "aba", max_matches=10)
+           .to_pandas().set_index("doc_id"))
+    assert list(out.index) == [1, 3]
+    assert (out.loc[1, "n_matches"], out.loc[1, "first_at"]) == (2, 4)
+    assert out.loc[3, "n_matches"] == 10  # capped (true 50)
+    assert out.loc[3, "first_at"] == 1
