@@ -5284,6 +5284,47 @@ def q_embedding_quantize(sf_dir: str):
     return embedding_quantize(emb).sort(["vec_id", "dim"])
 
 
+def q_centroid_classify(sf_dir: str):
+    """Integer-exact nearest-centroid text classification (the
+    fastText-shaped quality-classifier stage): train per-source term-count
+    centroids on even doc_ids, score odd doc_ids by the int64 dot product
+    tf·centroid, argmax per doc (ties -> smallest label), and report the
+    source x predicted-source confusion matrix.  Train = one bucketed
+    combine; apply = one hash join (the vocabulary-shaped model is never
+    broadcast); argmax = one bucketed combine on doc_id."""
+    from ..stages.aggregate import bucketed_combine
+    from ..stages.lexicon import centroid_classify
+
+    def split(parity):
+        def f(t: pa.Table) -> pa.Table:
+            par = pc.bit_wise_and(t.column("doc_id"), 1)
+            return t.filter(pc.equal(par, parity))
+        return f
+
+    docs = _docs(sf_dir, ["doc_id", "source", "text"])
+    train = docs.map_batches(split(0), batch_format="pyarrow")
+    test = docs.map_batches(split(1), batch_format="pyarrow")
+    preds = centroid_classify(train, test, label_col="source")
+
+    def conf_partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("pn", pa.array(np.ones(t.num_rows, np.int64)))
+        g = t.group_by(["true_label", "pred_label"]).aggregate([("pn", "sum")])
+        return pa.table({"true_label": g.column("true_label"),
+                         "pred_label": g.column("pred_label"),
+                         "pn": g.column("pn_sum")})
+
+    def conf_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["true_label", "pred_label"]).aggregate([("pn", "sum")])
+        return pa.table({"true_label": g.column("true_label"),
+                         "pred_label": g.column("pred_label"),
+                         "n": g.column("pn_sum")})
+
+    conf = bucketed_combine(
+        preds.map_batches(conf_partial, batch_format="pyarrow"),
+        "true_label", conf_combine, n_buckets=8)
+    return conf.sort(["true_label", "pred_label"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5482,6 +5523,7 @@ QUERIES = {
     "rolling_wau": q_rolling_wau,
     "grouped_heavy_hitters": q_grouped_heavy_hitters,
     "corpus_grep": q_corpus_grep,
+    "centroid_classify": q_centroid_classify,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8497,4 +8539,37 @@ ORACLE_SQL["corpus_grep"] = """
     )
     SELECT doc_id, n_matches, CAST(first_at AS BIGINT) AS first_at
     FROM m WHERE n_matches > 0 ORDER BY doc_id
+"""
+
+ORACLE_SQL["centroid_classify"] = """
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    cent AS (
+        SELECT term, source AS label, COUNT(*) AS w
+        FROM tok WHERE doc_id % 2 = 0 GROUP BY term, source
+    ),
+    tf AS (
+        SELECT doc_id, source AS true_label, term, COUNT(*) AS k
+        FROM tok WHERE doc_id % 2 = 1 GROUP BY doc_id, source, term
+    ),
+    sc AS (
+        SELECT tf.doc_id, tf.true_label, c.label,
+               SUM(tf.k * c.w) AS score
+        FROM tf JOIN cent c USING (term)
+        GROUP BY tf.doc_id, tf.true_label, c.label
+    ),
+    best AS (
+        SELECT doc_id, true_label, label,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, label) AS rn
+        FROM sc
+    )
+    SELECT true_label, label AS pred_label, COUNT(*) AS n
+    FROM best WHERE rn = 1
+    GROUP BY true_label, label
+    ORDER BY true_label, pred_label
 """

@@ -574,3 +574,116 @@ def index_delta(new_docs, old_docs, id_column: str = "doc_id",
                   .astype({"n_added": "int64", "n_removed": "int64"})
 
     return bucketed_fold(rows, "term", fold, n_buckets=n_buckets)
+
+
+# -------------------------------------------------- centroid classification
+
+def centroid_classify(train_docs, test_docs, label_col: str = "label",
+                      id_column: str = "doc_id", text_column: str = "text",
+                      n_buckets: int = 32, id_type: pa.DataType = None):
+    """Integer-exact Rocchio / nearest-centroid text classifier — the
+    fastText-shaped "train a linear model over the corpus, score every
+    document" stage of a quality-classifier pipeline, without floats:
+
+      train:  centroid(label) = per-label term-occurrence counts
+              (term, label, w) — per-batch Counter partials, ONE bucketed
+              combine on ``term`` (the model is vocabulary-shaped, i.e.
+              corpus-shaped at web scale, so it is NEVER broadcast);
+      apply:  per-test-doc term frequencies join the centroid table on
+              ``term`` (one bucketed hash join), score(doc, label) =
+              sum_t tf(doc,t) * w(label,t) — the unnormalized dot product
+              with the label centroid, an int64;
+      argmax: per-doc best label, ties broken by smallest label string —
+              fully deterministic, hash-exact in SQL.
+
+    Documents whose tokens never appear in any centroid (or with no
+    tokens) drop out, mirroring the SQL inner join.  Returns
+    (doc_id, true_label, pred_label, score).
+
+    The reference's classification stages are per-document model calls
+    (``/root/reference/cv_doclayout_extractor.py:107-124`` zero-shot);
+    this is the corpus-trained distributed sibling."""
+    id_type = id_type or pa.int64()
+
+    def cent_partial(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for lab, text in zip(t.column(label_col).to_pylist(),
+                             t.column(text_column).to_pylist()):
+            for tok in _tokens(text):
+                c[(tok, lab)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            "term": pa.array([k[0] for k in keys], pa.string()),
+            "label": pa.array([k[1] for k in keys], pa.string()),
+            "w": pa.array([c[k] for k in keys], pa.int64()),
+        })
+
+    def cent_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["term", "label"]).aggregate([("w", "sum")])
+        return pa.table({"term": g.column("term"),
+                         "label": g.column("label"),
+                         "w": g.column("w_sum")})
+
+    centroids = bucketed_combine(
+        train_docs.select_columns([label_col, text_column]).map_batches(
+            cent_partial, batch_format="pyarrow"),
+        "term", cent_combine, n_buckets)
+
+    def tf_explode(t: pa.Table) -> pa.Table:
+        ids, labs, terms, ks = [], [], [], []
+        for doc_id, lab, text in zip(t.column(id_column).to_pylist(),
+                                     t.column(label_col).to_pylist(),
+                                     t.column(text_column).to_pylist()):
+            c = Counter(_tokens(text))
+            ids.extend([doc_id] * len(c))
+            labs.extend([lab] * len(c))
+            terms.extend(c.keys())
+            ks.extend(c.values())
+        return pa.table({
+            id_column: pa.array(ids, t.schema.field(id_column).type),
+            "true_label": pa.array(labs, pa.string()),
+            "term": pa.array(terms, pa.string()),
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    tf = test_docs.select_columns([id_column, label_col, text_column]) \
+        .map_batches(tf_explode, batch_format="pyarrow")
+
+    left_schema = pa.schema([(id_column, id_type),
+                             ("true_label", pa.string()),
+                             ("term", pa.string()), ("k", pa.int64())])
+    right_schema = pa.schema([("term", pa.string()),
+                              ("label", pa.string()), ("w", pa.int64())])
+    joined = partitioned_hash_join(
+        tf, centroids, on="term", n_buckets=n_buckets,
+        left_schema=left_schema, right_schema=right_schema)
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("k"), dtype=np.int64)
+        w = np.asarray(t.column("w"), dtype=np.int64)
+        out = pa.table({id_column: t.column(id_column),
+                        "true_label": t.column("true_label"),
+                        "label": t.column("label"),
+                        "ps": pa.array(k * w, pa.int64())})
+        g = out.group_by([id_column, "true_label", "label"]).aggregate(
+            [("ps", "sum")])
+        return pa.table({id_column: g.column(id_column),
+                         "true_label": g.column("true_label"),
+                         "label": g.column("label"),
+                         "ps": g.column("ps_sum")})
+
+    def argmax_combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        s = df.groupby([id_column, "true_label", "label"], sort=False)["ps"] \
+              .sum().reset_index()
+        s = s.sort_values(["ps", "label"], ascending=[False, True],
+                          kind="mergesort")
+        best = s.drop_duplicates([id_column]).rename(
+            columns={"label": "pred_label", "ps": "score"})
+        return pa.Table.from_pandas(
+            best[[id_column, "true_label", "pred_label", "score"]],
+            preserve_index=False)
+
+    return bucketed_combine(
+        joined.map_batches(score_partial, batch_format="pyarrow"),
+        id_column, argmax_combine, n_buckets)

@@ -284,3 +284,61 @@ def test_index_delta_matches_local_reference(ray_session):
     assert "solo" not in got and "beta" not in got  # unchanged postings
     assert got["gamma"] == (0, 1) and got["epsilon"] == (1, 0)
     assert got["fresh"] == (1, 0)
+
+
+def test_centroid_classify_matches_local_reference():
+    """Distributed nearest-centroid classifier == Counter/dot local replay,
+    including the deterministic smallest-label tie-break and the drop-out
+    of docs with no centroid-overlapping tokens."""
+    from document_text_extraction_ray.stages.lexicon import (
+        _tokens,
+        centroid_classify,
+    )
+
+    train_rows = [
+        {"doc_id": 0, "label": "a", "text": "apple banana apple"},
+        {"doc_id": 2, "label": "a", "text": "apple cherry"},
+        {"doc_id": 4, "label": "b", "text": "dog cat dog"},
+        {"doc_id": 6, "label": "b", "text": "cat mouse"},
+        {"doc_id": 8, "label": "c", "text": "tie tie"},
+        {"doc_id": 10, "label": "d", "text": "tie tie"},  # c/d tie on "tie"
+    ]
+    test_rows = [
+        {"doc_id": 1, "label": "a", "text": "apple apple dog"},
+        {"doc_id": 3, "label": "b", "text": "cat dog banana"},
+        {"doc_id": 5, "label": "c", "text": "tie breaker"},  # tie -> "c"
+        {"doc_id": 7, "label": "a", "text": "zzz qqq"},  # no overlap -> drops
+        {"doc_id": 9, "label": "b", "text": ""},  # no tokens -> drops
+    ]
+    preds = centroid_classify(
+        rd.from_items(train_rows), rd.from_items(test_rows),
+        label_col="label", n_buckets=4,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # local reference
+    cent = Counter()
+    for r in train_rows:
+        for tok in _tokens(r["text"]):
+            cent[(tok, r["label"])] += 1
+    labels = sorted({r["label"] for r in train_rows})
+    expected = {}
+    for r in test_rows:
+        tf = Counter(_tokens(r["text"]))
+        scores = {
+            lab: sum(k * cent.get((t, lab), 0) for t, k in tf.items())
+            for lab in labels
+        }
+        scores = {lab: s for lab, s in scores.items() if s > 0}
+        if not scores:
+            continue
+        best = max(scores.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+        expected[r["doc_id"]] = (best[0], best[1])
+
+    assert list(preds["doc_id"]) == sorted(expected)
+    for _, row in preds.iterrows():
+        lab, score = expected[row["doc_id"]]
+        assert row["pred_label"] == lab, row
+        assert row["score"] == score, row
+    # the explicit tie doc
+    tie = preds[preds["doc_id"] == 5].iloc[0]
+    assert tie["pred_label"] == "c" and tie["score"] == 2
