@@ -5325,6 +5325,31 @@ def q_centroid_classify(sf_dir: str):
     return conf.sort(["true_label", "pred_label"])
 
 
+def q_join_size_estimate(sf_dir: str):
+    """Join-size pre-flight: the exact per-key output cardinality of
+    lineitem ⋈ returned-lineitem on l_partkey, computed from side-tagged
+    count partials in ONE bucketed exchange — no join rows ever move.
+    Top-10 hottest keys by n_out (ties broken by key) — the skew report a
+    planner reads before choosing salted vs plain plans."""
+    from ..stages.join import join_size_estimate
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_returnflag"])
+
+    def as_key(t: pa.Table) -> pa.Table:
+        return pa.table({"partkey": t.column("l_partkey")})
+
+    def returned(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("l_returnflag"), "R")
+        return pa.table({"partkey": t.filter(m).column("l_partkey")})
+
+    est = join_size_estimate(
+        li.map_batches(as_key, batch_format="pyarrow"),
+        li.map_batches(returned, batch_format="pyarrow"),
+        on="partkey")
+    return est.sort(["n_out", "partkey"], descending=[True, False]).limit(10)
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5524,6 +5549,7 @@ QUERIES = {
     "grouped_heavy_hitters": q_grouped_heavy_hitters,
     "corpus_grep": q_corpus_grep,
     "centroid_classify": q_centroid_classify,
+    "join_size_estimate": q_join_size_estimate,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8572,4 +8598,19 @@ ORACLE_SQL["centroid_classify"] = """
     FROM best WHERE rn = 1
     GROUP BY true_label, label
     ORDER BY true_label, pred_label
+"""
+
+ORACLE_SQL["join_size_estimate"] = """
+    WITH l AS (
+        SELECT l_partkey AS partkey, COUNT(*) AS n_left
+        FROM lineitem GROUP BY 1
+    ),
+    r AS (
+        SELECT l_partkey AS partkey, COUNT(*) AS n_right
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    )
+    SELECT partkey, n_left, n_right, n_left * n_right AS n_out
+    FROM l JOIN r USING (partkey)
+    ORDER BY n_out DESC, partkey
+    LIMIT 10
 """

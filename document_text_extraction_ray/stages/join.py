@@ -945,3 +945,53 @@ def native_join(left, right, on: str, n_partitions: int = 16,
         on=(on,),
         right_suffix=right_suffix,
     )
+
+
+def join_size_estimate(left, right, on: str, n_buckets: int = 32):
+    """EXACT equi-join output cardinality per key WITHOUT running the join
+    — the shuffle pre-flight (the per-table sibling is
+    ``key_skew_stats``): |A ⋈ B| = Σ_k c_A(k)·c_B(k), so the planner can
+    see a quadratic hot key, pick a salted plan, or reject the join before
+    paying its exchange.
+
+    Physical plan: per-batch (key, count) pyarrow partials on each side,
+    side-tagged, ONE bucketed combine on the key — only distinct keys per
+    batch cross the wire, never rows.  Returns (key, n_left, n_right,
+    n_out) for keys present on BOTH sides (keys on one side contribute 0
+    to an inner join).  ``on`` must be the unified column name; rename
+    upstream if the sides differ."""
+
+    def partial(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            t2 = t.select([on]).append_column(
+                "pn", pa.array(np.ones(t.num_rows, np.int64)))
+            g = t2.group_by(on).aggregate([("pn", "sum")])
+            return pa.table({
+                on: g.column(on),
+                "pn": g.column("pn_sum"),
+                "side": pa.array(
+                    np.full(g.num_rows, side, np.int8), pa.int8()),
+            })
+        return f
+
+    parts = left.map_batches(partial(0), batch_format="pyarrow").union(
+        right.map_batches(partial(1), batch_format="pyarrow"))
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby([on, "side"], sort=False)["pn"].sum() \
+              .unstack("side", fill_value=0)
+        for c in (0, 1):
+            if c not in g.columns:
+                g[c] = 0
+        g = g[(g[0] > 0) & (g[1] > 0)]
+        out = pd.DataFrame({
+            on: g.index,
+            "n_left": g[0].to_numpy(np.int64),
+            "n_right": g[1].to_numpy(np.int64),
+        })
+        out["n_out"] = out["n_left"] * out["n_right"]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from .aggregate import bucketed_combine
+    return bucketed_combine(parts, on, combine, n_buckets)

@@ -363,3 +363,23 @@ def test_interval_overlap_join_matches_brute_force():
     assert len(ref) > 100          # fixture actually overlaps
     # bound columns survive on both sides (right suffixed)
     assert {"lo", "hi", "lo_r", "hi_r"} <= set(out.columns)
+
+
+def test_join_size_estimate_exact_and_one_sided_keys():
+    """Per-key n_left*n_right equals the real inner-join cardinality;
+    keys present on only one side are excluded."""
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.join import join_size_estimate
+
+    left = rd.from_items([{"k": v} for v in [1] * 5 + [2] * 3 + [3]])
+    right = rd.from_items([{"k": v} for v in [1] * 4 + [2] + [9] * 7])
+    est = (join_size_estimate(left, right, on="k", n_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(est["k"]) == [1, 2]          # 3 and 9 are one-sided
+    assert list(est["n_left"]) == [5, 3]
+    assert list(est["n_right"]) == [4, 1]
+    assert list(est["n_out"]) == [20, 3]
+    # cross-check against the actual join size
+    lj = left.to_pandas().merge(right.to_pandas(), on="k")
+    assert est["n_out"].sum() == len(lj)
