@@ -5350,6 +5350,48 @@ def q_join_size_estimate(sf_dir: str):
     return est.sort(["n_out", "partkey"], descending=[True, False]).limit(10)
 
 
+def q_validate_constraints(sf_dir: str):
+    """Data-quality acceptance gate: row-local expectations (null key,
+    allowed status set, price range) in ONE pass over orders, plus an
+    exact FK-orphan count of orders.o_custkey against a deliberately holed
+    customer dim (c_custkey % 97 == 0 removed — so the check genuinely
+    fires).  Row-local checks ship (check, counts) partials only; the FK
+    check ships per-key counts + distinct dim keys through one bucketed
+    exchange.  Output: one row per check."""
+    from ..stages.validate import expectation_counts, fk_violation_counts
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderstatus", "o_totalprice"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+
+    def holed(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(
+            pc.subtract(t.column("c_custkey"),
+                        pc.multiply(pc.divide(t.column("c_custkey"), 97),
+                                    97)),
+            0)
+        return t.filter(keep)
+
+    checks = [
+        ("orders.custkey_not_null",
+         lambda t: pc.is_null(t.column("o_custkey"))),
+        ("orders.status_allowed",
+         lambda t: pc.invert(pc.is_in(
+             t.column("o_orderstatus"),
+             value_set=pa.array(["O", "F", "P"])))),
+        ("orders.totalprice_positive",
+         lambda t: pc.less_equal(t.column("o_totalprice"), 0.0)),
+    ]
+    rowlocal = expectation_counts(orders, checks)
+    fk = fk_violation_counts(
+        orders, "o_custkey",
+        cust.map_batches(holed, batch_format="pyarrow"), "c_custkey",
+        check_name="orders.custkey_fk")
+    return rowlocal.union(fk).sort("check_name")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5550,6 +5592,7 @@ QUERIES = {
     "corpus_grep": q_corpus_grep,
     "centroid_classify": q_centroid_classify,
     "join_size_estimate": q_join_size_estimate,
+    "validate_constraints": q_validate_constraints,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8613,4 +8656,34 @@ ORACLE_SQL["join_size_estimate"] = """
     FROM l JOIN r USING (partkey)
     ORDER BY n_out DESC, partkey
     LIMIT 10
+"""
+
+ORACLE_SQL["validate_constraints"] = """
+    WITH dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0),
+    fk AS (
+        SELECT 'orders.custkey_fk' AS check_name,
+               CAST(SUM(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+               CAST(COUNT(*) AS BIGINT) AS n_checked
+        FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+    )
+    SELECT * FROM fk
+    UNION ALL
+    SELECT 'orders.custkey_not_null',
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.status_allowed',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+                                    OR o_orderstatus IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.totalprice_positive',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0
+                                    OR o_totalprice IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    ORDER BY check_name
 """

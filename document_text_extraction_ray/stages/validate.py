@@ -1,0 +1,111 @@
+"""Data-quality expectation checks at dataset scale: row-local expectations
+(nulls, ranges, regex shape) folded into ONE pass over the table, plus
+referential-integrity (foreign-key) violation counting via a key-bucketed
+exchange — the Great-Expectations-shaped validation suite a 100-TB ingest
+runs before committing a snapshot.
+
+Physical shapes:
+  * ``expectation_counts``: every check evaluates vectorized per batch; the
+    wire carries (check, n_violations, n_checked) partial rows — n_checks
+    rows per batch regardless of batch size.
+  * ``fk_violation_counts``: fact side ships per-key COUNTS, dim side ships
+    DISTINCT keys; one bucketed exchange; a fact key with no dim match
+    contributes its full row count to the violation total.  Exact (bloom
+    pre-filters would undercount via false positives, so none are used).
+
+The reference validates nothing (its error capture is per-row try/except,
+``/root/reference/grid_detector_v4.py:328-336``); this is the
+dataset-level acceptance gate that precedes any production run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .aggregate import bucketed_combine
+
+
+def expectation_counts(ds, checks, n_buckets: int = 4):
+    """Run row-local expectations in one pass.  ``checks`` is a list of
+    ``(name, fn)`` where ``fn(batch: pa.Table) -> pa.BooleanArray`` marks
+    VIOLATING rows (nulls in the mask count as violations — an unparsable
+    value fails its expectation).  Returns (check, n_violations,
+    n_checked), one row per check."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, viol, checked = [], [], []
+        for name, fn in checks:
+            m = fn(t)
+            bad = int(pc.sum(pc.fill_null(m, True)).as_py() or 0)
+            names.append(name)
+            viol.append(bad)
+            checked.append(t.num_rows)
+        return pa.table({
+            "check_name": pa.array(names, pa.string()),
+            "pv": pa.array(viol, pa.int64()),
+            "pc": pa.array(checked, pa.int64()),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("check_name").aggregate([("pv", "sum"), ("pc", "sum")])
+        return pa.table({"check_name": g.column("check_name"),
+                         "n_violations": g.column("pv_sum"),
+                         "n_checked": g.column("pc_sum")})
+
+    return bucketed_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "check_name", combine, n_buckets)
+
+
+def fk_violation_counts(fact, fact_key: str, dim, dim_key: str,
+                        check_name: str, n_buckets: int = 32):
+    """Count fact rows whose ``fact_key`` has NO match in ``dim``'s
+    ``dim_key`` (orphans).  NULL fact keys are violations (SQL FK
+    semantics: a null reference can never satisfy the constraint here —
+    matching the oracle's ``dim.key IS NULL OR fact.key IS NULL`` count).
+    Returns a single row (check, n_violations, n_checked)."""
+
+    def fact_partial(t: pa.Table) -> pa.Table:
+        keys = pc.fill_null(pc.cast(t.column(fact_key), pa.int64()),
+                            -(1 << 62))
+        t2 = pa.table({"k": keys}).append_column(
+            "pn", pa.array(np.ones(t.num_rows, np.int64)))
+        g = t2.group_by("k").aggregate([("pn", "sum")])
+        return pa.table({"k": g.column("k"), "pn": g.column("pn_sum"),
+                         "side": pa.array(
+                             np.zeros(g.num_rows, np.int8), pa.int8())})
+
+    def dim_partial(t: pa.Table) -> pa.Table:
+        keys = pc.unique(pc.cast(t.column(dim_key), pa.int64()))
+        keys = keys.drop_null()
+        return pa.table({"k": keys,
+                         "pn": pa.array(np.zeros(len(keys), np.int64)),
+                         "side": pa.array(
+                             np.ones(len(keys), np.int8), pa.int8())})
+
+    parts = fact.map_batches(fact_partial, batch_format="pyarrow").union(
+        dim.map_batches(dim_partial, batch_format="pyarrow"))
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        per = df.groupby("k", sort=False).agg(
+            pn=("pn", "sum"), has_dim=("side", "max"))
+        viol = int(per.loc[per["has_dim"] == 0, "pn"].sum())
+        checked = int(per["pn"].sum())
+        return pa.table({"check_name": pa.array([check_name], pa.string()),
+                         "pv": pa.array([viol], pa.int64()),
+                         "pc": pa.array([checked], pa.int64())})
+
+    per_bucket = bucketed_combine(parts, "k", combine, n_buckets)
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.group_by("check_name").aggregate([("pv", "sum"), ("pc", "sum")])
+        return pa.table({"check_name": g.column("check_name"),
+                         "n_violations": g.column("pv_sum"),
+                         "n_checked": g.column("pc_sum")})
+
+    # n_buckets thin rows -> one block -> one final fold.
+    return per_bucket.repartition(1).map_batches(
+        total, batch_format="pyarrow")

@@ -383,3 +383,34 @@ def test_join_size_estimate_exact_and_one_sided_keys():
     # cross-check against the actual join size
     lj = left.to_pandas().merge(right.to_pandas(), on="k")
     assert est["n_out"].sum() == len(lj)
+
+
+def test_fk_and_expectation_counts_on_synthetic_violations():
+    """FK orphans (incl. NULL fact keys) and row-local expectations count
+    exactly on a fixture with known violations."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.validate import (
+        expectation_counts,
+        fk_violation_counts,
+    )
+
+    fact = rd.from_items(
+        [{"fk": 1, "v": 5}, {"fk": 1, "v": -2}, {"fk": 2, "v": 0},
+         {"fk": 7, "v": 3}, {"fk": 7, "v": 9}, {"fk": None, "v": 1}])
+    dim = rd.from_items([{"k": 1}, {"k": 2}, {"k": 3}])
+
+    fk = fk_violation_counts(fact, "fk", dim, "k", "fk_check",
+                             n_buckets=4).to_pandas()
+    assert len(fk) == 1
+    assert fk.iloc[0]["n_violations"] == 3    # two fk=7 rows + one NULL
+    assert fk.iloc[0]["n_checked"] == 6
+
+    exp = expectation_counts(fact, [
+        ("v_positive", lambda t: _pc.less_equal(t.column("v"), 0)),
+        ("fk_not_null", lambda t: _pc.is_null(t.column("fk"))),
+    ]).to_pandas().set_index("check_name")
+    assert exp.loc["v_positive", "n_violations"] == 2
+    assert exp.loc["fk_not_null", "n_violations"] == 1
+    assert (exp["n_checked"] == 6).all()
