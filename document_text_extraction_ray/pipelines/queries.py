@@ -5392,6 +5392,20 @@ def q_validate_constraints(sf_dir: str):
     return rowlocal.union(fk).sort("check_name")
 
 
+def q_fd_discovery(sf_dir: str):
+    """Functional-dependency profiling over documents: does doc_id
+    determine source (yes — it is the key), does source determine lang,
+    does lang determine source?  |distinct det| vs |distinct (det, dep)|
+    through one (pair, det)-bucketed exchange of batch-distinct thin
+    rows; n_pairs - n_det counts the violating extra mappings."""
+    from ..stages.validate import fd_discovery
+
+    docs = _docs(sf_dir, ["doc_id", "source", "lang"])
+    out = fd_discovery(docs, [("doc_id", "source"), ("source", "lang"),
+                              ("lang", "source")])
+    return out.sort(["det", "dep"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5593,6 +5607,7 @@ QUERIES = {
     "centroid_classify": q_centroid_classify,
     "join_size_estimate": q_join_size_estimate,
     "validate_constraints": q_validate_constraints,
+    "fd_discovery": q_fd_discovery,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8686,4 +8701,35 @@ ORACLE_SQL["validate_constraints"] = """
            CAST(COUNT(*) AS BIGINT)
     FROM orders
     ORDER BY check_name
+"""
+
+ORACLE_SQL["fd_discovery"] = """
+    WITH p1 AS (
+        SELECT 'doc_id' AS det, 'source' AS dep,
+               (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id
+                                      FROM documents)) AS n_det,
+               (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, source
+                                      FROM documents)) AS n_pairs
+    ),
+    p2 AS (
+        SELECT 'source', 'lang',
+               (SELECT COUNT(*) FROM (SELECT DISTINCT source
+                                      FROM documents)),
+               (SELECT COUNT(*) FROM (SELECT DISTINCT source, lang
+                                      FROM documents))
+    ),
+    p3 AS (
+        SELECT 'lang', 'source',
+               (SELECT COUNT(*) FROM (SELECT DISTINCT lang
+                                      FROM documents)),
+               (SELECT COUNT(*) FROM (SELECT DISTINCT lang, source
+                                      FROM documents))
+    ),
+    u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+          UNION ALL SELECT * FROM p3)
+    SELECT det, dep, CAST(n_det AS BIGINT) AS n_det,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN n_pairs = n_det THEN 1 ELSE 0 END AS BIGINT)
+               AS holds
+    FROM u ORDER BY det, dep
 """

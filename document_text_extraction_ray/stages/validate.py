@@ -109,3 +109,65 @@ def fk_violation_counts(fact, fact_key: str, dim, dim_key: str,
     # n_buckets thin rows -> one block -> one final fold.
     return per_bucket.repartition(1).map_batches(
         total, batch_format="pyarrow")
+
+
+def fd_discovery(ds, pairs, n_buckets: int = 32):
+    """Functional-dependency discovery: for each (det, dep) column pair,
+    does ``det -> dep`` hold (every det value maps to exactly one dep
+    value)?  The schema-profiling op behind candidate-key detection and
+    normalization hints: FD holds iff |distinct det| == |distinct
+    (det, dep)|.
+
+    Physical plan: per-batch DISTINCT (pair, det, dep) projection (values
+    cast to string with a NUL sentinel for nulls — injective, never
+    compared cross-type), ONE bucketed exchange on (pair, det) so every
+    det value's rows land whole in one bucket, a vectorized whole-bucket
+    dedup + per-det distinct-dep count, and a pair-count-sized final fold.
+    Returns (det, dep, n_det, n_pairs, holds) — ``n_pairs - n_det`` is
+    the number of violating extra mappings."""
+    import pandas as pd
+
+    from .aggregate import bucketed_fold
+
+    def explode(t: pa.Table) -> pa.Table:
+        tables = []
+        for i, (a, b) in enumerate(pairs):
+            av = pc.fill_null(pc.cast(t.column(a), pa.string()), "\x00")
+            bv = pc.fill_null(pc.cast(t.column(b), pa.string()), "\x00")
+            sub = pa.table({
+                "pair": pa.array(np.full(t.num_rows, i, np.int32)),
+                "a": av, "b": bv,
+            })
+            tables.append(sub.group_by(["pair", "a", "b"]).aggregate([]))
+        return pa.concat_tables(tables)
+
+    rows = ds.select_columns(
+        sorted({c for p in pairs for c in p})
+    ).map_batches(explode, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["pair", "a", "b"])
+        per_a = d.groupby(["pair", "a"], sort=False).size() \
+                 .reset_index(name="nb")
+        out = per_a.groupby("pair", sort=False).agg(
+            n_det=("a", "count"), n_pairs=("nb", "sum")).reset_index()
+        return out.astype({"pair": "int64", "n_det": "int64",
+                           "n_pairs": "int64"})
+
+    partial = bucketed_fold(rows, ["pair", "a"], fold, n_buckets)
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.group_by("pair").aggregate(
+            [("n_det", "sum"), ("n_pairs", "sum")])
+        idx = np.asarray(g.column("pair"), dtype=np.int64)
+        n_det = np.asarray(g.column("n_det_sum"), dtype=np.int64)
+        n_pairs = np.asarray(g.column("n_pairs_sum"), dtype=np.int64)
+        return pa.table({
+            "det": pa.array([pairs[i][0] for i in idx], pa.string()),
+            "dep": pa.array([pairs[i][1] for i in idx], pa.string()),
+            "n_det": pa.array(n_det, pa.int64()),
+            "n_pairs": pa.array(n_pairs, pa.int64()),
+            "holds": pa.array((n_pairs == n_det).astype(np.int64)),
+        })
+
+    return partial.repartition(1).map_batches(total, batch_format="pyarrow")

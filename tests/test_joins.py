@@ -414,3 +414,33 @@ def test_fk_and_expectation_counts_on_synthetic_violations():
     assert exp.loc["v_positive", "n_violations"] == 2
     assert exp.loc["fk_not_null", "n_violations"] == 1
     assert (exp["n_checked"] == 6).all()
+
+
+def test_fd_discovery_holds_and_violations_with_nulls():
+    """FD verdicts match brute force, including null determinant/dependent
+    values (a null is one distinct value, not ignored)."""
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.validate import fd_discovery
+
+    rows = [
+        {"a": 1, "b": "x", "c": None},
+        {"a": 1, "b": "x", "c": "p"},
+        {"a": 2, "b": "y", "c": "p"},
+        {"a": 2, "b": "z", "c": "p"},   # a=2 -> two b values: a->b fails
+        {"a": None, "b": "x", "c": "q"},
+        {"a": None, "b": "x", "c": "q"},
+    ]
+    out = fd_discovery(
+        rd.from_items(rows),
+        [("a", "b"), ("b", "a"), ("a", "c")], n_buckets=4,
+    ).to_pandas().set_index(["det", "dep"])
+    # a->b: det values {1, 2, None}; a=2 maps to y and z -> 4 pairs
+    assert out.loc[("a", "b"), "n_det"] == 3
+    assert out.loc[("a", "b"), "n_pairs"] == 4
+    assert out.loc[("a", "b"), "holds"] == 0
+    # b->a: b=x maps to {1, None} -> fails too
+    assert out.loc[("b", "a"), "holds"] == 0
+    # a->c: a=1 maps to {None, p} -> fails; null dep is a value
+    assert out.loc[("a", "c"), "n_pairs"] == 4
+    assert out.loc[("a", "c"), "holds"] == 0
