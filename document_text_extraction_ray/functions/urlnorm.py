@@ -130,3 +130,41 @@ def canonical_sql(url_expr: str) -> str:
                      '&{{2,}}', '&', 'g'), '^&+|&+$', '', 'g') END
         END
     """
+
+
+def url_template_array(urls) -> pa.Array:
+    """URL -> structural template: lowercase, strip scheme / query /
+    fragment, collapse all-digit path segments to ``<n>`` and >=8-char
+    hex segments to ``<h>``, drop the trailing slash.  Clusters crawl
+    URLs by page TYPE ("site0.com/article/<n>/view") — the pattern-mining
+    signal behind per-template crawl budgets and URL-frontier dedup.
+
+    RE2 (pyarrow and DuckDB both) has no lookahead, so segment patterns
+    consume their trailing '/' — adjacent variable segments overlap.  The
+    kernel appends a sentinel '/', runs each segment pass TWICE (a run of
+    adjacent matches thins to isolated ones after pass 1), then strips
+    trailing slashes.  ``template_sql`` emits the identical DuckDB chain."""
+    import pyarrow.compute as pc
+
+    x = pc.utf8_lower(urls)
+    x = pc.replace_substring_regex(x, r"^[a-z]+://", "")
+    x = pc.replace_substring_regex(x, r"[?#].*$", "")
+    x = pc.replace_substring_regex(x, r"$", "/")
+    for _ in range(2):
+        x = pc.replace_substring_regex(x, r"/[0-9]+/", "/<n>/")
+    for _ in range(2):
+        x = pc.replace_substring_regex(x, r"/[0-9a-f]{8,}/", "/<h>/")
+    return pc.replace_substring_regex(x, r"/+$", "")
+
+
+def template_sql(url_expr: str) -> str:
+    """DuckDB replay of ``url_template_array`` (same RE2 passes)."""
+    x = f"lower({url_expr})"
+    x = f"regexp_replace({x}, '^[a-z]+://', '')"
+    x = f"regexp_replace({x}, '[?#].*$', '')"
+    x = f"{x} || '/'"
+    for _ in range(2):
+        x = f"regexp_replace({x}, '/[0-9]+/', '/<n>/', 'g')"
+    for _ in range(2):
+        x = f"regexp_replace({x}, '/[0-9a-f]{{8,}}/', '/<h>/', 'g')"
+    return f"regexp_replace({x}, '/+$', '')"

@@ -5406,6 +5406,57 @@ def q_fd_discovery(sf_dir: str):
     return out.sort(["det", "dep"])
 
 
+def _synth_template_urls(df):
+    """Deterministic crawl-URL fixture for template mining (mirrored in
+    SQL): 40 hosts x 5 page shapes, including a hex token and ADJACENT
+    numeric segments (exercises the RE2 two-pass overlap fix)."""
+    d = df["doc_id"]
+    site = "https://site" + ((d // 5) % 40).astype(str) + ".com"
+    hexpart = (d * 2654435761 % (1 << 32)).map(lambda v: format(v, "08x"))
+    paths = np.select(
+        [d % 5 == 0, d % 5 == 1, d % 5 == 2, d % 5 == 3],
+        ["/article/" + d.astype(str) + "/view",
+         "/u/a" + hexpart + "/profile",
+         "/p/" + d.astype(str),
+         "/a/" + d.astype(str) + "/" + (d + 1).astype(str) + "/x"],
+        default="/static/css/main.css")
+    df = df.copy()
+    df["url"] = site + paths + np.where(d % 3 == 0, "?q=1", "")
+    return df[["url"]]
+
+
+def q_url_templates(sf_dir: str):
+    """URL pattern mining: canonicalize crawl URLs to structural
+    templates (digit segments -> <n>, >=8-char hex segments -> <h>,
+    scheme/query/fragment stripped) and count pages per template — the
+    per-template crawl-budget / frontier-dedup signal.  Pure vectorized
+    RE2 kernel (identical passes replayed in DuckDB), per-batch count
+    partials, one bucketed combine."""
+    from ..functions.urlnorm import url_template_array
+    from ..stages.aggregate import bucketed_combine
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        _synth_template_urls, batch_format="pandas")
+
+    def partial(t: pa.Table) -> pa.Table:
+        tmpl = url_template_array(t.column("url"))
+        t2 = pa.table({"template": tmpl}).append_column(
+            "pn", pa.array(np.ones(t.num_rows, np.int64)))
+        g = t2.group_by("template").aggregate([("pn", "sum")])
+        return pa.table({"template": g.column("template"),
+                         "pn": g.column("pn_sum")})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("template").aggregate([("pn", "sum")])
+        return pa.table({"template": g.column("template"),
+                         "n_pages": g.column("pn_sum")})
+
+    counts = bucketed_combine(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "template", combine, n_buckets=8)
+    return counts.sort("template")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5608,6 +5659,7 @@ QUERIES = {
     "join_size_estimate": q_join_size_estimate,
     "validate_constraints": q_validate_constraints,
     "fd_discovery": q_fd_discovery,
+    "url_templates": q_url_templates,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8733,3 +8785,29 @@ ORACLE_SQL["fd_discovery"] = """
                AS holds
     FROM u ORDER BY det, dep
 """
+
+def _sql_url_templates():
+    from ..functions.urlnorm import template_sql
+
+    return f"""
+    WITH u AS (
+        SELECT 'https://site' || CAST((doc_id // 5) % 40 AS VARCHAR) || '.com' ||
+            CASE doc_id % 5
+                WHEN 0 THEN '/article/' || CAST(doc_id AS VARCHAR) || '/view'
+                WHEN 1 THEN '/u/a' || printf('%08x',
+                    (doc_id * 2654435761) % 4294967296) || '/profile'
+                WHEN 2 THEN '/p/' || CAST(doc_id AS VARCHAR)
+                WHEN 3 THEN '/a/' || CAST(doc_id AS VARCHAR) || '/' ||
+                    CAST(doc_id + 1 AS VARCHAR) || '/x'
+                ELSE '/static/css/main.css'
+            END ||
+            CASE WHEN doc_id % 3 = 0 THEN '?q=1' ELSE '' END AS url
+        FROM documents
+    )
+    SELECT {template_sql('url')} AS template,
+           CAST(COUNT(*) AS BIGINT) AS n_pages
+    FROM u GROUP BY 1 ORDER BY template
+"""
+
+
+ORACLE_SQL["url_templates"] = _sql_url_templates()

@@ -65,3 +65,32 @@ def test_url_dedup_keeps_min_id_per_canonical():
     assert list(out["canon_url"]) == ["https://a.com/x", "https://b.com/y"]
     assert list(out["keep_doc"]) == [3, 5]
     assert list(out["n_dups"]) == [3, 1]
+
+
+def test_url_template_kernel_adjacent_and_hex_segments():
+    """Template kernel: adjacent numeric segments both collapse (the RE2
+    two-pass overlap case), >=8-char hex collapses to <h>, short hex and
+    static segments survive, query/fragment/scheme stripped."""
+    import pyarrow as pa
+
+    from document_text_extraction_ray.functions.urlnorm import (
+        url_template_array,
+    )
+
+    urls = pa.array([
+        "https://Site0.COM/a/12/34/56/78/x?q=1#f",
+        "http://h.com/u/adeadbeef01/profile",
+        "https://h.com/p/9/",
+        "https://h.com/static/css/main.css",
+        "https://h.com/u/ab12/x",          # short hex survives
+        "https://h.com/12345678/x",        # 8 digits -> <n> (digit pass first)
+    ])
+    got = url_template_array(urls).to_pylist()
+    assert got == [
+        "site0.com/a/<n>/<n>/<n>/<n>/x",
+        "h.com/u/<h>/profile",
+        "h.com/p/<n>",
+        "h.com/static/css/main.css",
+        "h.com/u/ab12/x",
+        "h.com/<n>/x",
+    ]
