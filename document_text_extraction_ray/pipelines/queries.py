@@ -5457,6 +5457,39 @@ def q_url_templates(sf_dir: str):
     return counts.sort("template")
 
 
+def q_merge_survivorship(sf_dir: str):
+    """Golden-record survivorship: three partially-null record variants
+    per entity (CRM / signup / import priority order, mirrored in SQL)
+    coalesce into ONE row taking the first non-null value PER FIELD in
+    priority order — field-level merge, not whole-row pick.  One bounded
+    exchange on the entity key, vectorized whole-bucket fold; an
+    all-variants-null field stays null."""
+    from ..stages.dedup import merge_survivorship
+
+    def explode(df):
+        rows = []
+        for pri in range(3):
+            v = df[["doc_id"]].copy().rename(columns={"doc_id": "ent_id"})
+            e = v["ent_id"]
+            v["pri"] = pri
+            v["email"] = np.where((e + pri) % 2 == 0,
+                                  "u" + e.astype(str) + "@x.com", None)
+            v["phone"] = np.where((e + pri) % 3 == 0,
+                                  "555-" + (e * 7).astype(str), None)
+            v["name"] = np.where(pri > 0, "User " + e.astype(str), None)
+            v["fax"] = np.where((e % 5 == 0) & (pri == 2),
+                                "f" + e.astype(str), None)
+            rows.append(v)
+        import pandas as pd
+        return pd.concat(rows, ignore_index=True)
+
+    recs = _docs(sf_dir, ["doc_id"]).map_batches(
+        explode, batch_format="pandas")
+    out = merge_survivorship(recs, "ent_id", "pri",
+                             ["email", "phone", "name", "fax"])
+    return out.sort("ent_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5660,6 +5693,7 @@ QUERIES = {
     "validate_constraints": q_validate_constraints,
     "fd_discovery": q_fd_discovery,
     "url_templates": q_url_templates,
+    "merge_survivorship": q_merge_survivorship,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8811,3 +8845,32 @@ def _sql_url_templates():
 
 
 ORACLE_SQL["url_templates"] = _sql_url_templates()
+
+ORACLE_SQL["merge_survivorship"] = """
+    WITH r AS (
+        SELECT doc_id AS ent_id, g.v AS pri,
+               CASE WHEN (doc_id + g.v) % 2 = 0
+                    THEN 'u' || CAST(doc_id AS VARCHAR) || '@x.com'
+               END AS email,
+               CASE WHEN (doc_id + g.v) % 3 = 0
+                    THEN '555-' || CAST(doc_id * 7 AS VARCHAR)
+               END AS phone,
+               CASE WHEN g.v > 0
+                    THEN 'User ' || CAST(doc_id AS VARCHAR)
+               END AS name,
+               CASE WHEN doc_id % 5 = 0 AND g.v = 2
+                    THEN 'f' || CAST(doc_id AS VARCHAR)
+               END AS fax
+        FROM documents, generate_series(0, 2) AS g(v)
+    )
+    SELECT ent_id,
+           (ARRAY_AGG(email ORDER BY pri)
+                FILTER (WHERE email IS NOT NULL))[1] AS email,
+           (ARRAY_AGG(phone ORDER BY pri)
+                FILTER (WHERE phone IS NOT NULL))[1] AS phone,
+           (ARRAY_AGG(name ORDER BY pri)
+                FILTER (WHERE name IS NOT NULL))[1] AS name,
+           (ARRAY_AGG(fax ORDER BY pri)
+                FILTER (WHERE fax IS NOT NULL))[1] AS fax
+    FROM r GROUP BY ent_id ORDER BY ent_id
+"""

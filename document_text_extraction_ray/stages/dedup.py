@@ -1655,3 +1655,35 @@ def dedup_keep_best(ds, text_column: str, id_column: str, order_cols,
             .drop(columns=["content_hash"])
 
     return bucketed_fold(hashed, "content_hash", fold, n_buckets=n_buckets)
+
+
+def merge_survivorship(ds, cluster_col: str, order_cols, value_cols,
+                       ascending=None, n_buckets: int = 32):
+    """Golden-record SURVIVORSHIP merge: per duplicate cluster, build ONE
+    output row whose every field is the first NON-NULL value in priority
+    order (``order_cols`` ascending/descending, then ``cluster_col`` row
+    order is irrelevant — priority must be a total order per cluster for
+    determinism).  The entity-resolution step after clustering:
+    ``dedup_keep_best`` keeps one whole row; this coalesces the best
+    value PER FIELD across the cluster (phone from the CRM row, email
+    from the signup row).
+
+    One bounded full-row exchange on the cluster key, whole-bucket
+    vectorized fold (sort + pandas ``GroupBy.first``, which skips nulls
+    per column — exactly the survivorship rule).  Flat schemas only."""
+    from .aggregate import bucketed_fold
+
+    order_cols = [order_cols] if isinstance(order_cols, str) \
+        else list(order_cols)
+    if ascending is None:
+        ascending = [True] * len(order_cols)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([cluster_col, *order_cols],
+                          ascending=[True, *ascending], kind="mergesort")
+        out = g.groupby(cluster_col, sort=False)[list(value_cols)].first()
+        return out.reset_index()
+
+    cols = [cluster_col, *order_cols, *value_cols]
+    return bucketed_fold(ds.select_columns(cols), cluster_col, fold,
+                         n_buckets=n_buckets)

@@ -441,3 +441,33 @@ def test_dedup_keep_best_policy_and_ties():
     # winner per cluster: score 9 appears twice (v=1,2) -> min id wins
     assert sorted(out["id"]) == [1, 11, 21, 99]
     assert set(out.columns) == {"id", "text", "score"}
+
+
+def test_merge_survivorship_field_level_coalesce():
+    """Per-field first-non-null in priority order; all-null fields stay
+    null; priority descending also works."""
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.dedup import merge_survivorship
+
+    rows = [
+        {"ent": 1, "pri": 0, "email": None, "phone": "a0"},
+        {"ent": 1, "pri": 1, "email": "e1", "phone": "a1"},
+        {"ent": 1, "pri": 2, "email": "e2", "phone": None},
+        {"ent": 2, "pri": 0, "email": None, "phone": None},
+        {"ent": 2, "pri": 1, "email": None, "phone": "b1"},
+    ]
+    out = merge_survivorship(rd.from_items(rows), "ent", "pri",
+                             ["email", "phone"], n_buckets=4) \
+        .to_pandas().sort_values("ent").reset_index(drop=True)
+    assert out.loc[0, "email"] == "e1"      # first non-null by pri asc
+    assert out.loc[0, "phone"] == "a0"
+    assert out.loc[1, "email"] is None or out.loc[1, "email"] != out.loc[1, "email"]  # null
+    assert out.loc[1, "phone"] == "b1"
+
+    newest = merge_survivorship(rd.from_items(rows), "ent", "pri",
+                                ["email", "phone"], ascending=[False],
+                                n_buckets=4) \
+        .to_pandas().sort_values("ent").reset_index(drop=True)
+    assert newest.loc[0, "email"] == "e2"   # newest-wins policy
+    assert newest.loc[0, "phone"] == "a1"
