@@ -5490,6 +5490,29 @@ def q_merge_survivorship(sf_dir: str):
     return out.sort("ent_id")
 
 
+def q_range_partition(sf_dir: str):
+    """Range-partition planning over event values (integer cents): exact
+    PERCENTILE_DISC cut points from a (value, count) table, broadcast-once
+    bounds, per-partition row/min/max balance stats — what a
+    range-partitioned write or distributed sort consults.  part(v) =
+    #bounds < v, so hot values collapsing thresholds leave identical
+    empty partitions in both engines."""
+    from ..stages.storage import range_partition_stats
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        raw = np.asarray(pc.cast(t.column("value"), pa.float64())) * 100
+        v = np.where(raw >= 0, np.floor(raw + 0.5),
+                     np.ceil(raw - 0.5)).astype(np.int64)
+        return pa.table({"cents": pa.array(v, pa.int64())})
+
+    return range_partition_stats(
+        ev.map_batches(cents, batch_format="pyarrow"), "cents",
+        n_parts=8).sort("part")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5694,6 +5717,7 @@ QUERIES = {
     "fd_discovery": q_fd_discovery,
     "url_templates": q_url_templates,
     "merge_survivorship": q_merge_survivorship,
+    "range_partition": q_range_partition,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8873,4 +8897,31 @@ ORACLE_SQL["merge_survivorship"] = """
            (ARRAY_AGG(fax ORDER BY pri)
                 FILTER (WHERE fax IS NOT NULL))[1] AS fax
     FROM r GROUP BY ent_id ORDER BY ent_id
+"""
+
+ORACLE_SQL["range_partition"] = """
+    WITH e AS (
+        SELECT CASE WHEN value >= 0
+                    THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                    ELSE CAST(CEIL(value * 100 - 0.5) AS BIGINT)
+               END AS v
+        FROM events
+    ),
+    c AS (SELECT v, COUNT(*) AS n FROM e GROUP BY v),
+    r AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM c),
+    tot AS (SELECT COUNT(*) AS n FROM e),
+    b AS (
+        SELECT i, MIN(v) AS b
+        FROM generate_series(1, 7) AS g(i), r, tot
+        WHERE cum >= ((i * tot.n + 7) // 8)
+        GROUP BY i
+    ),
+    a AS (
+        SELECT v, (SELECT COUNT(*) FROM b WHERE b.b < e2.v) AS part
+        FROM e e2
+    )
+    SELECT CAST(part AS BIGINT) AS part,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM a GROUP BY part ORDER BY part
 """

@@ -279,3 +279,84 @@ def read_key_range(path: str, key: str, lo, hi):
 
     return rd.read_parquet(files).map_batches(
         row_filter, batch_format="pyarrow")
+
+
+def range_partition_stats(ds, value_col: str, n_parts: int,
+                          n_buckets: int = 32):
+    """The sort/range-exchange planner primitive as a first-class op:
+    compute exact PERCENTILE_DISC cut points over ``value_col``, assign
+    every row to its range partition, and report per-partition
+    (n_rows, min, max) — the balance report a range-partitioned write or
+    a distributed sort would use.
+
+    Exactness path: a (value, count) table (per-batch partials + one
+    bucketed combine) replaces sampling — scale-sound when value
+    CARDINALITY is bounded (prices, scores, dates), which is the case
+    where exact bounds are even possible; unbounded-cardinality columns
+    should sample instead.  The bounds list (n_parts-1 values) is the one
+    driver-collected object — bounded by construction — and is broadcast
+    once via ``ray.put``.  Assignment: part(v) = #bounds strictly below v
+    (numpy searchsorted left), so a hot value spanning several quantile
+    thresholds collapses its empty middle partitions identically to the
+    SQL replay.  ``value_col`` must be integer-typed."""
+    import ray as _ray
+
+    from .aggregate import bucketed_combine
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = t.select([value_col]).append_column(
+            "pn", pa.array(np.ones(t.num_rows, np.int64)))
+        g = t2.group_by(value_col).aggregate([("pn", "sum")])
+        return pa.table({"v": g.column(value_col), "pn": g.column("pn_sum")})
+
+    counts = bucketed_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "v", lambda t: (lambda g: pa.table(
+            {"v": g.column("v"), "n": g.column("pn_sum")}))(
+                t.group_by("v").aggregate([("pn", "sum")])),
+        n_buckets)
+
+    def bounds_fold(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("v"), dtype=np.int64)
+        n = np.asarray(t.column("n"), dtype=np.int64)
+        order = np.argsort(v, kind="stable")
+        v, n = v[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1]) if len(cum) else 0
+        bs = []
+        for i in range(1, n_parts):
+            rank = -(-i * total // n_parts)    # ceil(i*N/n_parts)
+            j = int(np.searchsorted(cum, rank, side="left"))
+            bs.append(int(v[j]))
+        return pa.table({"b": pa.array(bs, pa.int64())})
+
+    bounds_rows = counts.repartition(1).map_batches(
+        bounds_fold, batch_format="pyarrow").take(n_parts - 1)
+    bounds = np.sort(np.array([r["b"] for r in bounds_rows], np.int64))
+    bref = _ray.put(bounds)
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = _ray.get(bref)
+        v = np.asarray(t.column(value_col), dtype=np.int64)
+        part = np.searchsorted(b, v, side="left").astype(np.int64)
+        t2 = pa.table({"part": pa.array(part),
+                       "v": pa.array(v),
+                       "pn": pa.array(np.ones(len(v), np.int64))})
+        g = t2.group_by("part").aggregate(
+            [("pn", "sum"), ("v", "min"), ("v", "max")])
+        return pa.table({"part": g.column("part"),
+                         "pn": g.column("pn_sum"),
+                         "vmin": g.column("v_min"),
+                         "vmax": g.column("v_max")})
+
+    def stats_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("part").aggregate(
+            [("pn", "sum"), ("vmin", "min"), ("vmax", "max")])
+        return pa.table({"part": g.column("part"),
+                         "n_rows": g.column("pn_sum"),
+                         "min_v": g.column("vmin_min"),
+                         "max_v": g.column("vmax_max")})
+
+    return bucketed_combine(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        "part", stats_combine, n_buckets=8)

@@ -186,3 +186,32 @@ def test_bucketed_join_null_keys_never_match(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         read_bucketed_join(lp, rp, "k", "rk", 4, how="outer")
+
+
+def test_range_partition_stats_balance_and_hot_key_collapse():
+    """Exact bounds balance a uniform column; a hot value spanning
+    several thresholds collapses the middle partitions (absent parts)."""
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.storage import (
+        range_partition_stats,
+    )
+
+    uniform = rd.from_items([{"v": int(i)} for i in range(1000)])
+    out = range_partition_stats(uniform, "v", 4, n_buckets=4) \
+        .to_pandas().sort_values("part").reset_index(drop=True)
+    assert list(out["part"]) == [0, 1, 2, 3]
+    assert list(out["n_rows"]) == [250, 250, 250, 250]
+    assert out.loc[0, "min_v"] == 0 and out.loc[3, "max_v"] == 999
+    # contiguous, non-overlapping ranges
+    assert (out["min_v"].iloc[1:].to_numpy()
+            > out["max_v"].iloc[:-1].to_numpy()).all()
+
+    # one value = 90% of rows -> it owns several quantile thresholds
+    hot = rd.from_items([{"v": 5}] * 900 + [{"v": int(i)} for i in range(100)])
+    h = range_partition_stats(hot, "v", 4, n_buckets=4) \
+        .to_pandas().sort_values("part").reset_index(drop=True)
+    assert h["n_rows"].sum() == 1000
+    assert len(h) < 4                      # middle partitions collapsed
+    assert h["n_rows"].max() >= 900        # the hot value stays together
