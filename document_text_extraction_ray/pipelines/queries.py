@@ -5513,6 +5513,18 @@ def q_range_partition(sf_dir: str):
         n_parts=8).sort("part")
 
 
+def q_embedding_gram(sf_dir: str):
+    """Integer-exact Gram matrix (upper triangle) over the embedding
+    table — the PCA/whitening sufficient statistic.  One vectorized int64
+    matmul per batch emits a FIXED d(d+1)/2-row dense partial (wire cost
+    independent of row count); one bucketed combine."""
+    from ..stages.similarity import embedding_gram
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return embedding_gram(emb, scale=1000).sort(["i", "j"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5718,6 +5730,7 @@ QUERIES = {
     "url_templates": q_url_templates,
     "merge_survivorship": q_merge_survivorship,
     "range_partition": q_range_partition,
+    "embedding_gram": q_embedding_gram,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8924,4 +8937,23 @@ ORACLE_SQL["range_partition"] = """
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            MIN(v) AS min_v, MAX(v) AS max_v
     FROM a GROUP BY part ORDER BY part
+"""
+
+ORACLE_SQL["embedding_gram"] = """
+    WITH x AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, generate_series(1, 64) AS t(i)
+    ),
+    q AS (
+        SELECT vec_id, i,
+               CASE WHEN v >= 0
+                    THEN CAST(FLOOR(v * 1000 + 0.5) AS BIGINT)
+                    ELSE CAST(CEIL(v * 1000 - 0.5) AS BIGINT)
+               END AS qv
+        FROM x
+    )
+    SELECT a.i AS i, b.i AS j, SUM(a.qv * b.qv) AS sxy
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY a.i, b.i
+    ORDER BY i, j
 """

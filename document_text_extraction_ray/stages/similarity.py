@@ -792,3 +792,50 @@ def search_ivf_index(path: str, queries: np.ndarray, query_ids,
     out = df[["query_id", "neighbor_id", "cosine", "rank"]] \
         .reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embedding_gram(ds, id_col: str = "vec_id",
+                   embedding_col: str = "embedding",
+                   scale: int = 1000):
+    """Integer-exact GRAM matrix over the embedding table (sum over
+    vectors of q_i·q_j for every dim pair i <= j) — the one-pass
+    sufficient statistic for PCA / whitening / covariance (the centered
+    covariance numerator is n·Σxy − Σx·Σy, all integers downstream).
+
+    Physical shape: per batch ONE vectorized int64 matmul (d×n @ n×d)
+    producing a FIXED-SIZE dense partial (d(d+1)/2 long rows regardless
+    of batch size), then one bucketed combine — the wire cost is
+    O(d² · n_batches), never O(rows).  Elements are quantized to integer
+    ``scale``-units (round half away from zero, the
+    ``embedding_centroids`` convention) BEFORE the matmul so the output
+    hash-matches a SQL replay.  Overflow bound: |q| ≤ scale·max|x|, so
+    Σ|q_i·q_j| ≤ n_rows·(scale·max|x|)² must stay under 2^63 — size
+    ``scale`` to the corpus (scale=1000, |x|≤2, 10^12 rows → 4·10^18:
+    at the edge; drop to 100 for safety at that scale)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "ps": pa.array([], pa.int64())})
+        m = np.stack(t.column(embedding_col).to_numpy(zero_copy_only=False))
+        m = m.astype(np.float64) * scale
+        q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)) \
+            .astype(np.int64)
+        g = q.T @ q                        # d x d dense partial
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table({"i": pa.array(iu + 1, pa.int64()),
+                         "j": pa.array(ju + 1, pa.int64()),
+                         "ps": pa.array(g[iu, ju], pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["i", "j"]).aggregate([("ps", "sum")])
+        return pa.table({"i": g.column("i"), "j": g.column("j"),
+                         "sxy": g.column("ps_sum")})
+
+    from .aggregate import bucketed_combine
+    return bucketed_combine(
+        ds.select_columns([id_col, embedding_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        "i", combine, n_buckets=8)

@@ -306,3 +306,29 @@ def test_persisted_ivf_index_roundtrip(tmp_path):
     for qid in range(3):
         mine = pruned[pruned["query_id"] == qid]
         assert mine[mine["rank"] == 1]["neighbor_id"].iloc[0] == qid
+
+
+def test_embedding_gram_equals_numpy_reference():
+    """Gram partials merged across batches equal the single-matrix
+    quantized numpy product; upper triangle only, 1-based dims."""
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.similarity import embedding_gram
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 6)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(len(vecs))]
+    out = embedding_gram(rd.from_items(rows), scale=1000) \
+        .to_pandas().sort_values(["i", "j"]).reset_index(drop=True)
+
+    m = vecs.astype(np.float64) * 1000
+    q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)).astype(np.int64)
+    ref = q.T @ q
+    iu, ju = np.triu_indices(6)
+    assert len(out) == len(iu)
+    for k in range(len(iu)):
+        row = out.iloc[k]
+        assert (row["i"], row["j"]) == (iu[k] + 1, ju[k] + 1)
+        assert row["sxy"] == ref[iu[k], ju[k]]
