@@ -5525,6 +5525,34 @@ def q_embedding_gram(sf_dir: str):
     return embedding_gram(emb, scale=1000).sort(["i", "j"])
 
 
+def q_bfs_hops(sf_dir: str):
+    """BFS crawl-depth labels from seed node 0 over a deterministic
+    8-ary doc-id tree plus %97 shortcut edges (shortcuts beat tree depth,
+    so MIN-distance is genuinely exercised), symmetrized; 4 hops.
+    Frontier joins + anti-join labeling per hop, node-bounded state
+    materialized per round; RECURSIVE-CTE (UNION-dedup) oracle."""
+    from ..stages.graph import bfs_hops
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def synth_edges(df):
+        import pandas as pd
+        d = df.loc[df["doc_id"] > 0, "doc_id"]
+        parent = (d - 1) // 8
+        tree = pd.DataFrame({"src": d, "dst": parent})
+        rtree = pd.DataFrame({"src": parent, "dst": d})
+        sc = d[d % 97 == 0]
+        shortcuts = pd.DataFrame({"src": np.zeros(len(sc), np.int64),
+                                  "dst": sc})
+        rshort = pd.DataFrame({"src": sc,
+                               "dst": np.zeros(len(sc), np.int64)})
+        return pd.concat([tree, rtree, shortcuts, rshort],
+                         ignore_index=True)
+
+    edges = docs.map_batches(synth_edges, batch_format="pandas")
+    return bfs_hops(edges, seeds=[0], max_hops=4).sort("node")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5731,6 +5759,7 @@ QUERIES = {
     "merge_survivorship": q_merge_survivorship,
     "range_partition": q_range_partition,
     "embedding_gram": q_embedding_gram,
+    "bfs_hops": q_bfs_hops,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8956,4 +8985,28 @@ ORACLE_SQL["embedding_gram"] = """
     FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
     GROUP BY a.i, b.i
     ORDER BY i, j
+"""
+
+ORACLE_SQL["bfs_hops"] = """
+    WITH RECURSIVE e AS (
+        SELECT doc_id AS src, (doc_id - 1) // 8 AS dst
+        FROM documents WHERE doc_id > 0
+        UNION ALL
+        SELECT (doc_id - 1) // 8, doc_id
+        FROM documents WHERE doc_id > 0
+        UNION ALL
+        SELECT 0, doc_id
+        FROM documents WHERE doc_id > 0 AND doc_id % 97 = 0
+        UNION ALL
+        SELECT doc_id, 0
+        FROM documents WHERE doc_id > 0 AND doc_id % 97 = 0
+    ),
+    bfs(node, d) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        UNION
+        SELECT e.dst, bfs.d + 1
+        FROM bfs JOIN e ON e.src = bfs.node
+        WHERE bfs.d < 4
+    )
+    SELECT node, MIN(d) AS dist FROM bfs GROUP BY node ORDER BY node
 """

@@ -292,3 +292,64 @@ def kcore_int(edges, k: int, src_col: str = "src", dst_col: str = "dst",
         lambda t: t if t.num_columns == 0 else t.rename_columns(
             ["node", "degree"]),
         batch_format="pyarrow")
+
+
+def bfs_hops(edges, seeds, max_hops: int = 4,
+             src_col: str = "src", dst_col: str = "dst",
+             n_buckets: int = 16):
+    """Multi-source BFS shortest-hop labels: dist(node) = minimum number
+    of edges from any seed, computed by frontier expansion (the distance
+    sibling of min-label connected components — crawl-depth from seed
+    hosts, blast-radius from flagged accounts).  Input must contain BOTH
+    directions for undirected semantics.
+
+    Per hop: frontier joins the edge list on src (one distributed join),
+    neighbor dedup (one bucketed fold), then Ray's native left_anti
+    against the accumulated labels drops already-reached nodes — BFS
+    guarantees the first reach IS the minimum distance, so no re-labeling
+    pass exists.  Labels are node-bounded and materialized per hop (the
+    pagerank/HITS lesson: lazy lineage re-executes every prior round).
+    Stops early when a frontier empties.  Returns (node, dist)."""
+    import ray.data as rd
+
+    from .aggregate import bucketed_fold
+    from .join import native_join, partitioned_hash_join
+
+    edges = edges.select_columns([src_col, dst_col])
+    labels = rd.from_items(
+        [{"node": s, "dist": 0} for s in seeds]).materialize()
+    frontier = labels.select_columns(["node"]).materialize()
+
+    for h in range(1, max_hops + 1):
+        fr = frontier.map_batches(
+            lambda t: t if t.num_columns == 0 else t.rename_columns(
+                [src_col]),
+            batch_format="pyarrow")
+        left_schema = pa.schema([(src_col, pa.int64()),
+                                 (dst_col, pa.int64())])
+        right_schema = pa.schema([(src_col, pa.int64())])
+        nbrs = partitioned_hash_join(
+            edges, fr, on=src_col, n_buckets=n_buckets,
+            left_schema=left_schema, right_schema=right_schema,
+        ).map_batches(
+            lambda t: t if t.num_columns == 0 else pa.table(
+                {"node": t.column(dst_col)}),
+            batch_format="pyarrow")
+        nbrs = bucketed_fold(
+            nbrs, "node", lambda g: g.drop_duplicates("node"),
+            n_buckets=n_buckets)
+        fresh = native_join(
+            nbrs, labels.select_columns(["node"]), on="node",
+            how="left_anti", left_from_aggregate=True,
+            right_from_aggregate=True)
+        new_labels = fresh.map_batches(
+            lambda t, _h=h: t if t.num_columns == 0 else t.append_column(
+                "dist", pa.array(np.full(t.num_rows, _h, np.int64))),
+            batch_format="pyarrow")
+        new_labels = new_labels.materialize()
+        if new_labels.count() == 0:
+            break
+        labels = labels.union(new_labels).materialize()
+        frontier = new_labels.select_columns(["node"]).materialize()
+
+    return labels

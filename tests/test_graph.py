@@ -148,3 +148,29 @@ def test_kcore_matches_reference_peeling():
     # path and the two bridge edges all cascade away over multiple rounds
     assert set(ref) == set(range(200, 206))
     assert set(ref.values()) == {5}
+
+
+def test_bfs_hops_min_distance_with_shortcuts():
+    """BFS distances on a path graph with a shortcut: the shortcut must
+    win (min distance), unreached nodes absent, early stop on empty
+    frontier."""
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.graph import bfs_hops
+
+    # path 0-1-2-3-4-5-6 plus shortcut 0-5
+    pairs = [(i, i + 1) for i in range(6)] + [(0, 5)]
+    edges = rd.from_items(
+        [{"src": a, "dst": b} for a, b in pairs]
+        + [{"src": b, "dst": a} for a, b in pairs])
+    out = bfs_hops(edges, seeds=[0], max_hops=3, n_buckets=4) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    dist = dict(zip(out["node"], out["dist"]))
+    assert dist == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: 1, 6: 2}
+
+    # multi-source: seeds at both ends
+    out2 = bfs_hops(edges, seeds=[0, 6], max_hops=2, n_buckets=4) \
+        .to_pandas()
+    d2 = dict(zip(out2["node"], out2["dist"]))
+    assert d2 == {0: 0, 6: 0, 1: 1, 5: 1, 2: 2, 4: 2}
+    assert 3 not in d2               # beyond the 2-hop horizon
