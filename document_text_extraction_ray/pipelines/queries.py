@@ -5553,6 +5553,21 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds=[0], max_hops=4).sort("node")
 
 
+def q_inversion_counts(sf_dir: str):
+    """Per-user rank disorder: inversions between time order (ts,
+    event_id) and event value — the Kendall tau-a discordant count,
+    integer-exact because values are only compared.  One bucketed
+    exchange, per-key O(n log n) mergesort fold; the oracle replays by
+    brute-force pair join (quadratic in SQL, n log n here — same
+    numbers)."""
+    from ..stages.windows import inversion_counts
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id", "value"])
+    return inversion_counts(ev, "user_id", ["ts", "event_id"],
+                            "value").sort("user_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5760,6 +5775,7 @@ QUERIES = {
     "range_partition": q_range_partition,
     "embedding_gram": q_embedding_gram,
     "bfs_hops": q_bfs_hops,
+    "inversion_counts": q_inversion_counts,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9009,4 +9025,22 @@ ORACLE_SQL["bfs_hops"] = """
         WHERE bfs.d < 4
     )
     SELECT node, MIN(d) AS dist FROM bfs GROUP BY node ORDER BY node
+"""
+
+ORACLE_SQL["inversion_counts"] = """
+    WITH e AS (
+        SELECT user_id, ts, event_id, value FROM events
+    ),
+    inv AS (
+        SELECT a.user_id, COUNT(*) AS n_inv
+        FROM e a JOIN e b ON a.user_id = b.user_id
+             AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+             AND a.value > b.value
+        GROUP BY a.user_id
+    ),
+    cnt AS (SELECT user_id, COUNT(*) AS n_rows FROM e GROUP BY user_id)
+    SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(COALESCE(n_inv, 0) AS BIGINT) AS n_inversions
+    FROM cnt LEFT JOIN inv USING (user_id)
+    ORDER BY user_id
 """

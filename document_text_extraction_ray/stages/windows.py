@@ -599,3 +599,64 @@ def rolling_distinct(ds, ts_col: str, user_col: str, window_days: int = 7):
         return agg
 
     return bucketed_fold(exploded, "day", fold)
+
+
+def _count_inversions(values: np.ndarray) -> int:
+    """Mergesort inversion count: pairs (i < j) with values[i] >
+    values[j] (strict — ties are concordant), O(n log n).  Iterative
+    bottom-up merge so a long key costs no Python recursion."""
+    a = np.asarray(values)
+    n = len(a)
+    inv = 0
+    width = 1
+    a = a.copy()
+    buf = np.empty_like(a)
+    while width < n:
+        for lo in range(0, n, 2 * width):
+            mid = min(lo + width, n)
+            hi = min(lo + 2 * width, n)
+            if mid == hi:
+                buf[lo:hi] = a[lo:hi]    # lone run: carry into the swap buffer
+                continue
+            # count cross inversions: left[i] > right[j]
+            left, right = a[lo:mid], a[mid:hi]
+            # for each right element, how many left elements exceed it
+            pos = np.searchsorted(left, right, side="right")
+            inv += int((len(left) - pos).sum())
+            merged = np.concatenate([left, right])
+            merged.sort(kind="mergesort")
+            buf[lo:hi] = merged
+        a, buf = buf, a
+        width *= 2
+    return inv
+
+
+def inversion_counts(ds, key_col: str, order_cols, value_col: str):
+    """Per-key INVERSION COUNT between the ordering ``order_cols`` (a
+    total order — include a unique id tie-break) and ``value_col``: the
+    number of pairs i < j (in order) with value_i > value_j — the Kendall
+    tau-a numerator's discordant half, integer-exact (values are only
+    COMPARED, never added, so float value columns are safe).  Zero means
+    monotone non-decreasing; n(n-1)/2 means strictly reversed — the
+    rank-disorder statistic for "does engagement decay over a session".
+
+    One bucketed shuffle on the key; per-key sorted numpy mergesort
+    count, O(n log n) in the key's own rows.  Returns (key, n_rows,
+    n_inversions)."""
+    import pandas as pd
+
+    from .aggregate import bucketed_map_groups
+
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_cols), kind="mergesort")
+        vals = g[value_col].to_numpy()
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "n_rows": np.array([len(g)], np.int64),
+            "n_inversions": np.array([_count_inversions(vals)], np.int64),
+        })
+
+    return bucketed_map_groups(ds, key_col, fold)

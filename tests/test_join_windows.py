@@ -603,3 +603,24 @@ def test_rolling_distinct_trailing_window():
     assert out.loc[3, "n_users"] == 2  # u1's day-1 event still in window
     assert out.loc[5, "n_users"] == 1 and out.loc[7, "n_users"] == 1
     assert 4 not in out.index  # no event in [2, 4]
+
+
+def test_inversion_count_kernel_against_brute_force():
+    """Mergesort inversion kernel == O(n^2) brute force on random arrays,
+    including ties (not inversions) and sorted/reversed extremes."""
+    import numpy as np
+
+    from document_text_extraction_ray.stages.windows import _count_inversions
+
+    rng = np.random.default_rng(11)
+    for n in [0, 1, 2, 3, 7, 64, 100, 257]:
+        a = rng.integers(0, 10, size=n)      # heavy ties
+        brute = sum(int(a[i] > a[j])
+                    for i in range(n) for j in range(i + 1, n))
+        assert _count_inversions(a) == brute, n
+    assert _count_inversions(np.arange(50)) == 0
+    assert _count_inversions(np.arange(50)[::-1]) == 50 * 49 // 2
+    f = rng.normal(size=123)                 # float comparisons
+    brute = sum(int(f[i] > f[j])
+                for i in range(123) for j in range(i + 1, 123))
+    assert _count_inversions(f) == brute
