@@ -5568,6 +5568,18 @@ def q_inversion_counts(sf_dir: str):
                             "value").sort("user_id")
 
 
+def q_compression_ratio(sf_dir: str):
+    """Gopher-style compressibility curation signal: per-doc zlib ratio
+    as fixed-point integers.  Row-local, zero shuffles.  zlib bytes are
+    deterministic per build+level but not a cross-engine contract —
+    rows-only check (no SQL oracle); kernel pinned by a local reference
+    test (tests/test_textstats.py)."""
+    from ..stages.textstats import compression_ratio
+
+    return compression_ratio(_docs(sf_dir, ["doc_id", "text"])) \
+        .sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5776,6 +5788,7 @@ QUERIES = {
     "embedding_gram": q_embedding_gram,
     "bfs_hops": q_bfs_hops,
     "inversion_counts": q_inversion_counts,
+    "compression_ratio": q_compression_ratio,
 }
 
 _NORM_TEXT = _NORM.format(col="text")

@@ -101,3 +101,41 @@ def corpus_grep(ds, pattern: str, text_column: str = "text",
 
     return ds.select_columns([id_column, text_column]).map_batches(
         scan, batch_format="pyarrow")
+
+
+def compression_ratio(ds, text_column: str = "text",
+                      id_column: str = "doc_id", level: int = 6):
+    """Per-document zlib compression ratio — the Gopher-style
+    repetitiveness signal (templated / machine-generated text compresses
+    far below prose; near-random noise compresses above 1.0).  Emits
+    (doc_id, raw_len, comp_len, ratio_e6) where ratio_e6 =
+    comp_len * 10^6 // max(raw_len, 1) — integer fixed-point, floor.
+
+    Row-local, zero shuffles; the per-row cost is one C zlib call.
+    zlib output bytes are deterministic for a FIXED zlib build + level —
+    stable within one cluster image, but NOT a cross-engine contract, so
+    the registered query is rows-only (no SQL oracle) and the kernel is
+    pinned by a local reference test instead."""
+    import zlib
+
+    import pyarrow as pa
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, raws, comps, ratios = [], [], [], []
+        for did, txt in zip(t.column(id_column).to_pylist(),
+                            t.column(text_column).to_pylist()):
+            b = (txt or "").encode("utf-8")
+            c = len(zlib.compress(b, level))
+            ids.append(did)
+            raws.append(len(b))
+            comps.append(c)
+            ratios.append(c * 1_000_000 // max(len(b), 1))
+        return pa.table({
+            id_column: pa.array(ids, t.schema.field(id_column).type),
+            "raw_len": pa.array(raws, pa.int64()),
+            "comp_len": pa.array(comps, pa.int64()),
+            "ratio_e6": pa.array(ratios, pa.int64()),
+        })
+
+    return ds.select_columns([id_column, text_column]).map_batches(
+        scan, batch_format="pyarrow")

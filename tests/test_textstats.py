@@ -104,3 +104,32 @@ def test_corpus_grep_counts_and_cap():
     assert (out.loc[1, "n_matches"], out.loc[1, "first_at"]) == (2, 4)
     assert out.loc[3, "n_matches"] == 10  # capped (true 50)
     assert out.loc[3, "first_at"] == 1
+
+
+def test_compression_ratio_local_reference_and_signal_direction():
+    """Distributed zlib ratios equal the local zlib replay; repetitive
+    text compresses far below varied prose (the curation signal)."""
+    import zlib
+
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.textstats import (
+        compression_ratio,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "spam " * 400},
+        {"doc_id": 1, "text": " ".join(f"w{i}x{i*7%13}" for i in range(400))},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": None},
+    ]
+    out = compression_ratio(rd.from_items(rows)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, r in enumerate(rows):
+        b = (r["text"] or "").encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        assert out.loc[i, "raw_len"] == len(b)
+        assert out.loc[i, "comp_len"] == c
+        assert out.loc[i, "ratio_e6"] == c * 1_000_000 // max(len(b), 1)
+    # repetitive much more compressible than varied text
+    assert out.loc[0, "ratio_e6"] < out.loc[1, "ratio_e6"] // 3
