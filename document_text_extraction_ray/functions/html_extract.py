@@ -380,3 +380,78 @@ def visible_text(html_bytes: bytes, joiner: str = "\n\n") -> str:
         blocklist_class_tokens=_NO_CLASSES,
     )
     return joiner.join(b["text"] for b in blocks)
+
+
+_HREF_RE = _re.compile(
+    rb"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", _re.I)
+
+
+def extract_outlinks(
+    html_bytes: bytes,
+    drop_subtree_tags: frozenset = DROP_SUBTREE_TAGS,
+    blocklist_class_tokens: frozenset = BLOCKLIST_CLASS_TOKENS,
+) -> list:
+    """MAIN-CONTENT outlinks in document order: every ``<a href>`` whose
+    anchor sits OUTSIDE dropped subtrees (nav/header/footer/aside/form +
+    class-blocklisted containers) — the link-graph feed (pagerank, crawl
+    frontier) with the extractor's boilerplate judgment applied, so menu
+    and footer link farms never enter the graph.  Shares the module's
+    tag primitives (``_tag_name``, ``_parse_class_attr``, the same
+    blocklists as ``extract_blocks``); hrefs are entity-unescaped,
+    otherwise verbatim (resolution against the base url is the caller's
+    policy)."""
+    n = len(html_bytes)
+    pos = 0
+    stack: list = []                    # (tag, dropped)
+    drop_depth = 0
+    lower = None
+    links: list = []
+    while True:
+        lt = html_bytes.find(b"<", pos)
+        if lt < 0:
+            break
+        gt = html_bytes.find(b">", lt + 1)
+        if gt < 0:
+            break
+        body = html_bytes[lt + 1:gt]
+        pos = gt + 1
+        if body.startswith(b"!--"):
+            end = html_bytes.find(b"-->", lt)
+            pos = end + 3 if end >= 0 else n
+            continue
+        if body[:1] in (b"!", b"?"):
+            continue
+        if body.startswith(b"/"):
+            tag, _ = _tag_name(body[1:])
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i][0] == tag:
+                    while len(stack) > i:
+                        _t, dropped = stack.pop()
+                        if dropped:
+                            drop_depth -= 1
+                    break
+            continue
+        tag, _attrs = _tag_name(body)
+        if tag in SKIP_CONTENT_TAGS:
+            if lower is None:
+                lower = html_bytes.lower()
+            end = lower.find(b"</" + tag.encode("ascii"), pos)
+            if end < 0:
+                break
+            close_gt = lower.find(b">", end)
+            pos = close_gt + 1 if close_gt >= 0 else n
+            continue
+        if tag == "a" and drop_depth == 0:
+            m = _HREF_RE.search(body)
+            if m:
+                href = next(g for g in m.groups() if g is not None)
+                links.append(
+                    _html.unescape(href.decode("utf-8", "replace")))
+        if tag and tag not in VOID_TAGS and not body.endswith(b"/"):
+            dropped = (tag in drop_subtree_tags
+                       or bool(_parse_class_attr(body)
+                               & blocklist_class_tokens))
+            stack.append((tag, dropped))
+            if dropped:
+                drop_depth += 1
+    return links

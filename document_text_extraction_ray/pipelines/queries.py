@@ -5580,6 +5580,40 @@ def q_compression_ratio(sf_dir: str):
         .sort("doc_id")
 
 
+def q_extract_outlinks(sf_dir: str):
+    """Link-graph feed through the REAL HTML tokenizer: each doc becomes
+    a page whose <main> carries (doc_id % 3) + 1 formula links while nav
+    and footer carry decoy links; ``extract_outlinks`` must keep exactly
+    the main-content hrefs (boilerplate subtrees dropped) — the oracle
+    replays the formula, so a nav leak or a lost link hash-mismatches.
+    Row-local map_batches, zero shuffles."""
+    from ..functions.html_extract import extract_outlinks
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def build_and_extract(t: pa.Table) -> pa.Table:
+        ids, outs = [], []
+        for d in t.column("doc_id").to_pylist():
+            links = "".join(
+                f'<p>w <a href="https://site{(d * 7 + k) % 40}.com/p/{k}">'
+                f"L{k}</a></p>"
+                for k in range(d % 3 + 1))
+            html = (
+                "<html><head><title>t</title></head><body>"
+                '<nav><a href="/menu">m</a></nav>'
+                f"<main>{links}</main>"
+                '<footer><a href="/foot">f</a></footer></body></html>'
+            ).encode("utf-8")
+            for href in extract_outlinks(html):
+                ids.append(d)
+                outs.append(href)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "outlink": pa.array(outs, pa.string())})
+
+    return docs.map_batches(build_and_extract, batch_format="pyarrow") \
+        .sort(["doc_id", "outlink"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5789,6 +5823,7 @@ QUERIES = {
     "bfs_hops": q_bfs_hops,
     "inversion_counts": q_inversion_counts,
     "compression_ratio": q_compression_ratio,
+    "extract_outlinks": q_extract_outlinks,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9056,4 +9091,13 @@ ORACLE_SQL["inversion_counts"] = """
            CAST(COALESCE(n_inv, 0) AS BIGINT) AS n_inversions
     FROM cnt LEFT JOIN inv USING (user_id)
     ORDER BY user_id
+"""
+
+ORACLE_SQL["extract_outlinks"] = """
+    SELECT doc_id,
+           'https://site' || CAST((doc_id * 7 + g.k) % 40 AS VARCHAR)
+               || '.com/p/' || CAST(g.k AS VARCHAR) AS outlink
+    FROM documents, generate_series(0, 2) AS g(k)
+    WHERE g.k <= doc_id % 3
+    ORDER BY doc_id, outlink
 """

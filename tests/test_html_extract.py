@@ -175,3 +175,29 @@ def test_title_extraction():
     assert extract_page(b"<p>no title anywhere here</p>")["title"] == ""
     two = b"<title>first one</title><title>second</title><p>content text here</p>"
     assert extract_page(two)["title"] == "first one"
+
+
+def test_extract_outlinks_boilerplate_and_rawtext_exclusion():
+    """Outlinks: nav/footer/class-blocked containers and script content
+    excluded; entities unescaped; single/double/bare-quoted hrefs all
+    parsed; document order preserved."""
+    from document_text_extraction_ray.functions.html_extract import (
+        extract_outlinks,
+    )
+
+    h = (b"<html><head><title>t</title></head><body>"
+         b'<nav><a href="/menu">m</a></nav>'
+         b'<div class="sidebar"><a href="/side">s</a></div>'
+         b"<main><p>a <a href=\"https://x.com/?a=1&amp;b=2\">L</a>"
+         b" b <a href='/single'>S</a> c <a href=/bare>B</a></p>"
+         b"<script>document.write('<a href=\"/js\">x</a>')</script>"
+         b"<!-- <a href=\"/comment\">c</a> -->"
+         b"</main><footer><a href=\"/foot\">f</a></footer></body></html>")
+    assert extract_outlinks(h) == [
+        "https://x.com/?a=1&b=2", "/single", "/bare"]
+
+    # anchors with no href are skipped; void/self-closing tags don't
+    # corrupt the stack
+    h2 = (b"<body><p><a name=\"anchor\">no-href</a><br>"
+          b"<img src=\"i.png\"/><a href=\"/ok\">k</a></p></body>")
+    assert extract_outlinks(h2) == ["/ok"]
