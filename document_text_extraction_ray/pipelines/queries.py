@@ -5614,6 +5614,29 @@ def q_extract_outlinks(sf_dir: str):
         .sort(["doc_id", "outlink"])
 
 
+def q_image_dhash(sf_dir: str):
+    """Perceptual dHash over fake-decodable images: 9x8 nearest-neighbor
+    resample (the oracled resize kernel) -> 64 gradient bits as two
+    int64 halves — the image near-dup fingerprint (SimHash's multimodal
+    sibling).  SQL reconstructs every sampled pixel from the closed-form
+    generator and replays the bit packing exactly."""
+    from ..stages.multimodal import encode_fake_image, image_dhash
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    ).column("vec_id").to_pylist()
+    rows = [
+        {"img_id": int(i),
+         "payload": encode_fake_image(32 + i % 64, 24 + i % 48,
+                                      seed=int(i))}
+        for i in ids[:500]
+    ]
+    t = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("img_id", pa.int64()), ("payload", pa.large_binary())]))
+    ds = rd.from_arrow(t)
+    return image_dhash(ds).sort("img_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5824,6 +5847,7 @@ QUERIES = {
     "inversion_counts": q_inversion_counts,
     "compression_ratio": q_compression_ratio,
     "extract_outlinks": q_extract_outlinks,
+    "image_dhash": q_image_dhash,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9100,4 +9124,41 @@ ORACLE_SQL["extract_outlinks"] = """
     FROM documents, generate_series(0, 2) AS g(k)
     WHERE g.k <= doc_id % 3
     ORDER BY doc_id, outlink
+"""
+
+ORACLE_SQL["image_dhash"] = """
+    WITH img AS (
+        SELECT vec_id, 32 + vec_id % 64 AS w, 24 + vec_id % 48 AS h
+        FROM embeddings WHERE vec_id < 500
+    ),
+    grid AS (
+        SELECT y.range AS yi, x.range AS xi FROM range(8) y, range(9) x
+    ),
+    px AS (
+        SELECT img.vec_id, yi, xi,
+               (vec_id * 2654435761 +
+                ((CASE WHEN yi = 7 THEN h - 1
+                       ELSE CAST(FLOOR(yi * ((h - 1) / 7.0)) AS BIGINT)
+                  END) * w +
+                 (CASE WHEN xi = 8 THEN w - 1
+                       ELSE CAST(FLOOR(xi * ((w - 1) / 8.0)) AS BIGINT)
+                  END)) * 2246822519) % 256 AS p
+        FROM img, grid
+    ),
+    bits AS (
+        SELECT a.vec_id, a.yi * 8 + a.xi AS idx,
+               CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px b
+          ON a.vec_id = b.vec_id AND a.yi = b.yi AND b.xi = a.xi + 1
+        WHERE a.xi < 8
+    )
+    SELECT vec_id AS img_id,
+           CAST(SUM(CASE WHEN idx < 32
+                         THEN bit * (CAST(1 AS BIGINT) << idx)
+                         ELSE 0 END) AS BIGINT) AS hash_lo,
+           CAST(SUM(CASE WHEN idx >= 32
+                         THEN bit * (CAST(1 AS BIGINT) << (idx - 32))
+                         ELSE 0 END) AS BIGINT) AS hash_hi,
+           'ok' AS status
+    FROM bits GROUP BY vec_id ORDER BY img_id
 """

@@ -303,45 +303,66 @@ def bfs_hops(edges, seeds, max_hops: int = 4,
     hosts, blast-radius from flagged accounts).  Input must contain BOTH
     directions for undirected semantics.
 
-    Per hop: frontier joins the edge list on src (one distributed join),
-    neighbor dedup (one bucketed fold), then Ray's native left_anti
-    against the accumulated labels drops already-reached nodes — BFS
-    guarantees the first reach IS the minimum distance, so no re-labeling
-    pass exists.  Labels are node-bounded and materialized per hop (the
-    pagerank/HITS lesson: lazy lineage re-executes every prior round).
-    Stops early when a frontier empties.  Returns (node, dist)."""
+    Per hop, TWO exchanges total: (1) the frontier joins the edge list on
+    src (one distributed hash join); (2) neighbor dedup AND the
+    already-labeled anti-filter fuse into ONE side-tagged bucketed fold —
+    raw neighbor rows (side 0) union the accumulated label nodes (side 1)
+    bucket on node, and a bucket keeps one row per node whose side-max is
+    0.  BFS guarantees the first reach IS the minimum distance, so no
+    re-labeling pass exists.  Labels are node-bounded and materialized
+    per hop (the pagerank/HITS lesson: lazy lineage re-executes every
+    prior round; the post-materialize count is the free convergence
+    probe).  Stops early when a frontier empties.  Returns (node, dist).
+    The edge list re-ships every hop — at real scale feed a MATERIALIZED
+    (or bucket-stored, see ``stages/storage.py``) edge table."""
     import ray.data as rd
 
     from .aggregate import bucketed_fold
-    from .join import native_join, partitioned_hash_join
+    from .join import partitioned_hash_join
 
     edges = edges.select_columns([src_col, dst_col])
     labels = rd.from_items(
         [{"node": s, "dist": 0} for s in seeds]).materialize()
     frontier = labels.select_columns(["node"]).materialize()
 
+    left_schema = pa.schema([(src_col, pa.int64()), (dst_col, pa.int64())])
+    right_schema = pa.schema([(src_col, pa.int64())])
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return t
+            col = dst_col if side == 0 else "node"
+            return pa.table({
+                "node": t.column(col),
+                "side": pa.array(np.full(t.num_rows, side, np.int8)),
+            })
+        return f
+
+    def fresh_fold(g: pd.DataFrame) -> pd.DataFrame:
+        mx = g.groupby("node", sort=False)["side"].transform("max")
+        return g.loc[mx == 0, ["node"]].drop_duplicates("node")
+
     for h in range(1, max_hops + 1):
         fr = frontier.map_batches(
             lambda t: t if t.num_columns == 0 else t.rename_columns(
                 [src_col]),
             batch_format="pyarrow")
-        left_schema = pa.schema([(src_col, pa.int64()),
-                                 (dst_col, pa.int64())])
-        right_schema = pa.schema([(src_col, pa.int64())])
+        # Coalesced + materialized per hop: frontier-adjacency-bounded.
+        # Without the repartition the join emits ~n_buckets x input-block
+        # tiny UNKNOWN-SIZE blocks and the downstream groupby plans them
+        # at target block size (measured: a "6 GB driver memory" shuffle
+        # estimate and 120 s folds for 20k rows); 8 known blocks plan
+        # correctly (hop cost 2-3 s total).
         nbrs = partitioned_hash_join(
             edges, fr, on=src_col, n_buckets=n_buckets,
             left_schema=left_schema, right_schema=right_schema,
-        ).map_batches(
-            lambda t: t if t.num_columns == 0 else pa.table(
-                {"node": t.column(dst_col)}),
-            batch_format="pyarrow")
-        nbrs = bucketed_fold(
-            nbrs, "node", lambda g: g.drop_duplicates("node"),
-            n_buckets=n_buckets)
-        fresh = native_join(
-            nbrs, labels.select_columns(["node"]), on="node",
-            how="left_anti", left_from_aggregate=True,
-            right_from_aggregate=True)
+        ).map_batches(tag(0), batch_format="pyarrow") \
+            .repartition(8).materialize()
+        seen = labels.select_columns(["node"]).map_batches(
+            tag(1), batch_format="pyarrow")
+        fresh = bucketed_fold(nbrs.union(seen), "node", fresh_fold,
+                              n_buckets=n_buckets)
         new_labels = fresh.map_batches(
             lambda t, _h=h: t if t.num_columns == 0 else t.append_column(
                 "dist", pa.array(np.full(t.num_rows, _h, np.int64))),
@@ -349,7 +370,9 @@ def bfs_hops(edges, seeds, max_hops: int = 4,
         new_labels = new_labels.materialize()
         if new_labels.count() == 0:
             break
-        labels = labels.union(new_labels).materialize()
+        # repartition keeps the label table's block count flat across
+        # hops (union chains accumulate blocks otherwise).
+        labels = labels.union(new_labels).repartition(4).materialize()
         frontier = new_labels.select_columns(["node"]).materialize()
 
     return labels

@@ -291,3 +291,48 @@ def video_frame_samples(ds, payload_column: str = "payload", every: int = 5,
         concurrency=pool_size(concurrency),
         fn_constructor_kwargs=dict(payload_column=payload_column, every=every, **kw),
     )
+
+
+def image_dhash(ds, payload_column: str = "payload",
+                id_column: str = "img_id"):
+    """Perceptual difference-hash (dHash) per image: nearest-neighbor
+    resample to 9x8 (the same deterministic index-sampling kernel the
+    oracled resize stage uses), then bit(y, x) = 1 iff px[y,x] <
+    px[y,x+1] — 64 gradient bits, returned as two int64 halves
+    (hash_lo = bits 0..31, hash_hi = bits 32..63; int64 halves keep the
+    SQL replay unsigned-safe).  Equal hashes ~ visually-near-duplicate
+    images: the multimodal sibling of SimHash text dedup — group by
+    (hash_hi, hash_lo) downstream for dup clusters.
+
+    Row-local map_batches, zero shuffles; undecodable payloads emit an
+    in-band error row (hash halves -1, status 'error')."""
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, los, his, status = [], [], [], []
+        for iid, blob in zip(t.column(id_column).to_pylist(),
+                             t.column(payload_column).to_pylist()):
+            ids.append(iid)
+            try:
+                img = _decode_fake_image(blob)
+                ys = np.linspace(0, img.shape[0] - 1, 8).astype(int)
+                xs = np.linspace(0, img.shape[1] - 1, 9).astype(int)
+                g = img[np.ix_(ys, xs)].astype(np.int16)
+                bits = (g[:, :-1] < g[:, 1:]).astype(np.uint64).ravel()
+                w = np.arange(64, dtype=np.uint64)
+                lo = int((bits[:32] << w[:32]).sum())
+                hi = int((bits[32:] << w[:32]).sum())
+                los.append(lo)
+                his.append(hi)
+                status.append("ok")
+            except Exception:
+                los.append(-1)
+                his.append(-1)
+                status.append("error")
+        return pa.table({
+            id_column: pa.array(ids, t.schema.field(id_column).type),
+            "hash_lo": pa.array(los, pa.int64()),
+            "hash_hi": pa.array(his, pa.int64()),
+            "status": pa.array(status, pa.string()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")

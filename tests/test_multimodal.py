@@ -71,3 +71,36 @@ def test_video_frame_sample_stage():
     g0 = again[again["vid_id"] == 0]["video_features"].iloc[0]
     assert list(g0["frame_checksums"]) == list(f0["frame_checksums"])
     assert out[out["vid_id"] == 99]["decode_status"].iloc[0].startswith("error")
+
+
+def test_image_dhash_identical_images_and_error_rows():
+    """Identical pixels -> identical hash; a different seed flips bits;
+    a corrupt payload yields an in-band error row."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.multimodal import (
+        encode_fake_image,
+        image_dhash,
+    )
+
+    rows = [
+        {"img_id": 0, "payload": encode_fake_image(40, 30, seed=7)},
+        {"img_id": 1, "payload": encode_fake_image(40, 30, seed=7)},
+        {"img_id": 2, "payload": encode_fake_image(40, 30, seed=8)},
+        {"img_id": 3, "payload": b"not an image"},
+    ]
+    t = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("img_id", pa.int64()), ("payload", pa.large_binary())]))
+    out = image_dhash(rd.from_arrow(t)).to_pandas() \
+        .sort_values("img_id").reset_index(drop=True)
+    assert (out.loc[0, "hash_lo"], out.loc[0, "hash_hi"]) == \
+           (out.loc[1, "hash_lo"], out.loc[1, "hash_hi"])
+    assert (out.loc[2, "hash_lo"], out.loc[2, "hash_hi"]) != \
+           (out.loc[0, "hash_lo"], out.loc[0, "hash_hi"])
+    assert out.loc[3, "status"] == "error"
+    assert out.loc[3, "hash_lo"] == -1
+    assert (out.loc[:2, "status"] == "ok").all()
+    # halves stay inside unsigned-32 range (int64-safe packing)
+    assert (out.loc[:2, ["hash_lo", "hash_hi"]] >= 0).all().all()
+    assert (out.loc[:2, ["hash_lo", "hash_hi"]] < (1 << 32)).all().all()
