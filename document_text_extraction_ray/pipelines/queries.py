@@ -5637,6 +5637,17 @@ def q_image_dhash(sf_dir: str):
     return image_dhash(ds).sort("img_id")
 
 
+def q_feature_hashing(sf_dir: str):
+    """Hashing-trick featurization of documents into 256 signed-count
+    slots (feat = md5_u64(term) % 256, sign = hash bit 32) — no
+    vocabulary, zero shuffles, dimension fixed at plan time.  Hash-exact:
+    md5_u64 == DuckDB md5_number_lower."""
+    from ..stages.lexicon import feature_hashing
+
+    return feature_hashing(_docs(sf_dir, ["doc_id", "text"]), d=256) \
+        .sort(["doc_id", "feat"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5848,6 +5859,7 @@ QUERIES = {
     "compression_ratio": q_compression_ratio,
     "extract_outlinks": q_extract_outlinks,
     "image_dhash": q_image_dhash,
+    "feature_hashing": q_feature_hashing,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9161,4 +9173,28 @@ ORACLE_SQL["image_dhash"] = """
                          ELSE 0 END) AS BIGINT) AS hash_hi,
            'ok' AS status
     FROM bits GROUP BY vec_id ORDER BY img_id
+"""
+
+ORACLE_SQL["feature_hashing"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(md5_number_lower(term) % 256 AS BIGINT) AS feat,
+               CASE WHEN (md5_number_lower(term) >> 32) & 1 = 0
+                    THEN tf ELSE -tf END AS sv
+        FROM tf
+    )
+    SELECT doc_id, feat, CAST(SUM(sv) AS BIGINT) AS val
+    FROM h GROUP BY doc_id, feat
+    HAVING SUM(sv) <> 0
+    ORDER BY doc_id, feat
 """

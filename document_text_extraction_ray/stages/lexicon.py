@@ -687,3 +687,46 @@ def centroid_classify(train_docs, test_docs, label_col: str = "label",
     return bucketed_combine(
         joined.map_batches(score_partial, batch_format="pyarrow"),
         id_column, argmax_combine, n_buckets)
+
+
+# --------------------------------------------------- feature hashing
+
+def feature_hashing(docs, d: int = 256, id_column: str = "doc_id",
+                    text_column: str = "text"):
+    """The HASHING TRICK featurizer (fastText/Vowpal-Wabbit input layer):
+    each document becomes a sparse signed-count vector of dimension ``d``
+    — feat = md5_u64(term) % d, sign = bit 32 of the same hash, value =
+    Σ tf·sign over the terms colliding into the slot.  No vocabulary
+    table, no exchange: a document is one row, so the featurizer is
+    embarrassingly parallel (zero shuffles) and the dimension is fixed at
+    plan time regardless of corpus vocabulary — the property that makes
+    it THE text-features op at 100 TB.
+
+    md5_u64 == DuckDB ``md5_number_lower``, so the registered query is
+    hash-exact end to end.  Emits nonzero (doc_id, feat, val) long rows.
+    """
+    from ..functions.textstats import md5_u64
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, feats, vals = [], [], []
+        for doc_id, text in zip(t.column(id_column).to_pylist(),
+                                t.column(text_column).to_pylist()):
+            acc: dict = {}
+            for term, tf in Counter(_tokens(text)).items():
+                h = md5_u64(term)
+                sign = 1 if ((h >> 32) & 1) == 0 else -1
+                slot = h % d
+                acc[slot] = acc.get(slot, 0) + tf * sign
+            for slot, v in acc.items():
+                if v != 0:
+                    ids.append(doc_id)
+                    feats.append(slot)
+                    vals.append(v)
+        return pa.table({
+            id_column: pa.array(ids, t.schema.field(id_column).type),
+            "feat": pa.array(feats, pa.int64()),
+            "val": pa.array(vals, pa.int64()),
+        })
+
+    return docs.select_columns([id_column, text_column]).map_batches(
+        explode, batch_format="pyarrow")
