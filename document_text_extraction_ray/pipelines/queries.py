@@ -5648,6 +5648,22 @@ def q_feature_hashing(sf_dir: str):
         .sort(["doc_id", "feat"])
 
 
+def q_nearest_event_join(sf_dir: str):
+    """Bidirectional as-of: each purchase matched to the NEAREST error
+    event of the same user in either direction (ties -> earlier error,
+    equal-timestamp errors -> smallest id).  One bucketed exchange of
+    the two event types' thin rows, per-key searchsorted fold; the SQL
+    replay is an argmin-over-pairs ROW_NUMBER."""
+    from ..stages.windows import nearest_event_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    return nearest_event_join(ev, "user_id", "ts", "event_type",
+                              left_type="purchase", right_type="error") \
+        .sort("event_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5860,6 +5876,7 @@ QUERIES = {
     "extract_outlinks": q_extract_outlinks,
     "image_dhash": q_image_dhash,
     "feature_hashing": q_feature_hashing,
+    "nearest_event_join": q_nearest_event_join,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9197,4 +9214,28 @@ ORACLE_SQL["feature_hashing"] = """
     FROM h GROUP BY doc_id, feat
     HAVING SUM(sv) <> 0
     ORDER BY doc_id, feat
+"""
+
+ORACLE_SQL["nearest_event_join"] = """
+    WITH a AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'purchase'
+    ),
+    b AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'error'
+    ),
+    pairs AS (
+        SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+               epoch_us(a.ts) - epoch_us(b.ts) AS delta_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.event_id
+                   ORDER BY ABS(epoch_us(a.ts) - epoch_us(b.ts)),
+                            b.ts, b.event_id) AS rn
+        FROM a JOIN b USING (user_id)
+    )
+    SELECT user_id, a_id AS event_id, b_id AS nearest_id,
+           CAST(delta_us AS BIGINT) AS delta_us
+    FROM pairs WHERE rn = 1
+    ORDER BY event_id
 """

@@ -660,3 +660,68 @@ def inversion_counts(ds, key_col: str, order_cols, value_col: str):
         })
 
     return bucketed_map_groups(ds, key_col, fold)
+
+
+def nearest_event_join(ds, key_col: str, ts_col: str, type_col: str,
+                       left_type: str, right_type: str,
+                       id_col: str = "event_id", n_buckets: int = 32):
+    """BIDIRECTIONAL as-of join within a stream: for every ``left_type``
+    event, the NEAREST ``right_type`` event of the same key in either
+    time direction (asof joins look only backward; sensor alignment and
+    cause-attribution want the closer of before/after).  Deterministic
+    tie policy: equal distance -> the EARLIER right event; equal
+    timestamp rights -> the smallest id.
+
+    One bucketed shuffle of only the two event types' thin rows; per-key
+    sorted searchsorted fold, O(n log n).  Left events whose key has no
+    right events drop out (inner semantics).  Returns (key, event_id,
+    nearest_id, delta_us) with delta_us = left_ts - right_ts (signed
+    microseconds)."""
+    import pandas as pd
+    import pyarrow.compute as _pc
+
+    from .aggregate import bucketed_map_groups
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = _pc.is_in(t.column(type_col),
+                      value_set=pa.array([left_type, right_type]))
+        return t.filter(m)
+
+    thin = ds.select_columns([key_col, ts_col, type_col, id_col]) \
+        .map_batches(prep, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        lefts = g[g[type_col] == left_type]
+        rights = g[g[type_col] == right_type] \
+            .sort_values([ts_col, id_col], kind="mergesort")
+        empty = pd.DataFrame({
+            key_col: pd.Series(dtype=g[key_col].dtype),
+            id_col: pd.Series(dtype="int64"),
+            "nearest_id": pd.Series(dtype="int64"),
+            "delta_us": pd.Series(dtype="int64")})
+        if len(lefts) == 0 or len(rights) == 0:
+            return empty
+        r_ts = rights[ts_col].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        r_id = rights[id_col].to_numpy(dtype=np.int64)
+        l_ts = lefts[ts_col].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        idx = np.searchsorted(r_ts, l_ts, side="left")
+        prev = np.clip(idx - 1, 0, len(r_ts) - 1)
+        nxt = np.clip(idx, 0, len(r_ts) - 1)
+        d_prev = np.abs(l_ts - r_ts[prev])
+        d_next = np.abs(r_ts[nxt] - l_ts)
+        # no previous right exists when idx == 0; no next when idx == len
+        d_prev = np.where(idx == 0, np.iinfo(np.int64).max, d_prev)
+        d_next = np.where(idx == len(r_ts), np.iinfo(np.int64).max, d_next)
+        # tie -> earlier right event (prev)
+        pick_prev = d_prev <= d_next
+        chosen = np.where(pick_prev, prev, nxt)
+        return pd.DataFrame({
+            key_col: lefts[key_col].to_numpy(),
+            id_col: lefts[id_col].to_numpy(dtype=np.int64),
+            "nearest_id": r_id[chosen],
+            "delta_us": l_ts - r_ts[chosen],
+        })
+
+    return bucketed_map_groups(thin, key_col, fold)

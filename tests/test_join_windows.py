@@ -624,3 +624,34 @@ def test_inversion_count_kernel_against_brute_force():
     brute = sum(int(f[i] > f[j])
                 for i in range(123) for j in range(i + 1, 123))
     assert _count_inversions(f) == brute
+
+
+def test_nearest_event_join_direction_and_ties():
+    """Nearest in EITHER direction; equal distance picks the earlier
+    right; keys with no right events drop out."""
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.windows import (
+        nearest_event_join,
+    )
+
+    def row(eid, uid, sec, typ):
+        import datetime as dt
+        return {"event_id": eid, "user_id": uid,
+                "ts": dt.datetime(2024, 1, 1, 0, 0, sec),
+                "event_type": typ}
+
+    rows = [
+        row(0, 1, 10, "A"),     # nearest B: 12 (after, d=2) vs 5 (d=5)
+        row(1, 1, 30, "A"),     # equidistant 25/35 -> earlier (25)
+        row(2, 1, 50, "A"),     # only earlier Bs exist
+        row(10, 1, 5, "B"), row(11, 1, 12, "B"),
+        row(12, 1, 25, "B"), row(13, 1, 35, "B"),
+        row(20, 2, 7, "A"),     # user 2 has no B -> dropped
+    ]
+    out = nearest_event_join(rd.from_items(rows), "user_id", "ts",
+                             "event_type", "A", "B", n_buckets=4) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert list(out["event_id"]) == [0, 1, 2]
+    assert list(out["nearest_id"]) == [11, 12, 13]
+    assert list(out["delta_us"]) == [-2_000_000, 5_000_000, 15_000_000]
