@@ -299,3 +299,40 @@ def read_manifests(out_dir: str) -> list:
         with open(os.path.join(mdir, f"part={part}.json")) as fh:
             out.append(json.load(fh))
     return out
+
+
+def export_snapshot(out_dir: str, snap_dir: str) -> dict:
+    """Publish a CONSISTENT zero-copy snapshot of the committed table:
+    hardlink every committed data file and copy the manifest set into
+    ``snap_dir`` (mirroring the layout, so ``read_committed_table(snap_dir)``
+    and ``read_committed_dataset(snap_dir)`` work unchanged).
+
+    Snapshot isolation on a plain filesystem: a later run that recommits a
+    partition ``rmtree``s + renames the live part dir, but the hardlinked
+    inodes keep the snapshot's bytes alive — readers of ``snap_dir`` see
+    the table exactly as of export, forever (the Iceberg snapshot idea
+    without a table format: manifests ARE the snapshot spec, hardlinks
+    make the data files immutable from the snapshot's viewpoint).
+    Falls back to a byte copy where hardlinks are unsupported.
+
+    Returns {"files": n, "rows": total} for the exported manifest set."""
+    os.makedirs(os.path.join(snap_dir, MANIFEST_DIR), exist_ok=True)
+    files = committed_files(out_dir) + committed_part_files(out_dir)
+    rows = 0
+    for src in files:
+        rel = os.path.relpath(src, out_dir)
+        dst = os.path.join(snap_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.exists(dst):
+            os.remove(dst)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+        rows += pq.read_metadata(dst).num_rows
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    for name in os.listdir(mdir):
+        if name.endswith(".json"):
+            shutil.copy2(os.path.join(mdir, name),
+                         os.path.join(snap_dir, MANIFEST_DIR, name))
+    return {"files": len(files), "rows": rows}

@@ -215,3 +215,49 @@ def test_range_partition_stats_balance_and_hot_key_collapse():
     assert h["n_rows"].sum() == 1000
     assert len(h) < 4                      # middle partitions collapsed
     assert h["n_rows"].max() >= 900        # the hot value stays together
+
+
+def test_export_snapshot_isolated_from_recommit(tmp_path):
+    """An exported snapshot keeps serving the OLD rows after the live
+    table recommits a partition (hardlinked inodes survive the
+    rmtree+rename) — snapshot isolation on a plain filesystem."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_text_extraction_ray.state import checkpoint as ckpt
+
+    out = str(tmp_path / "table")
+    os.makedirs(os.path.join(out, ckpt.MANIFEST_DIR), exist_ok=True)
+
+    def stage(rows, tag):
+        d = str(tmp_path / f"stage_{tag}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({"v": rows}), os.path.join(d, "f.parquet"))
+        return d
+
+    ckpt.commit_part(out, "r1", 0, stage([1, 2, 3], "a"),
+                     {"files": ["f.parquet"], "row_count": 3})
+    ckpt.commit_part(out, "r1", 1, stage([4, 5], "b"),
+                     {"files": ["f.parquet"], "row_count": 2})
+
+    snap = str(tmp_path / "snap_v1")
+    info = ckpt.export_snapshot(out, snap)
+    assert info["files"] == 2 and info["rows"] == 5
+
+    # live table recommits part 0 with different data
+    ckpt.commit_part(out, "r2", 0, stage([9, 9, 9, 9], "c"),
+                     {"files": ["f.parquet"], "row_count": 4})
+
+    def read_all(d):
+        t = pq.read_table(ckpt.committed_part_files(d), partitioning=None)
+        return sorted(t.column("v").to_pylist())
+
+    assert read_all(out) == [4, 5, 9, 9, 9, 9]
+    assert read_all(snap) == [1, 2, 3, 4, 5]   # snapshot unchanged
+
+    # snapshot is also readable as a Ray Dataset
+    import ray.data as rd
+    ds = rd.read_parquet(ckpt.committed_part_files(snap))
+    assert ds.count() == 5
