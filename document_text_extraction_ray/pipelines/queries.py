@@ -5664,6 +5664,17 @@ def q_nearest_event_join(sf_dir: str):
         .sort("event_id")
 
 
+def q_ks_drift(sf_dir: str):
+    """Pairwise KS distribution distance between sources over document
+    length — integer-exact drift numerator max|cum_a·n_b − cum_b·n_a|
+    evaluated at every distinct length.  One bucketed combine builds the
+    (value × source) count matrix; one bounded final fold."""
+    from ..stages.aggregate import ks_drift
+
+    docs = _docs(sf_dir, ["source", "n_chars"])
+    return ks_drift(docs, "source", "n_chars").sort(["key_a", "key_b"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5877,6 +5888,7 @@ QUERIES = {
     "image_dhash": q_image_dhash,
     "feature_hashing": q_feature_hashing,
     "nearest_event_join": q_nearest_event_join,
+    "ks_drift": q_ks_drift,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9238,4 +9250,30 @@ ORACLE_SQL["nearest_event_join"] = """
            CAST(delta_us AS BIGINT) AS delta_us
     FROM pairs WHERE rn = 1
     ORDER BY event_id
+"""
+
+ORACLE_SQL["ks_drift"] = """
+    WITH c AS (
+        SELECT n_chars AS v, source, COUNT(*) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, SUM(n) AS nt FROM c GROUP BY 1),
+    grid AS (SELECT DISTINCT v FROM c),
+    fullg AS (
+        SELECT g.v, t.source, t.nt, COALESCE(c.n, 0) AS n
+        FROM grid g CROSS JOIN tot t
+        LEFT JOIN c ON c.v = g.v AND c.source = t.source
+    ),
+    cdf AS (
+        SELECT v, source, nt,
+               SUM(n) OVER (PARTITION BY source ORDER BY v) AS cum
+        FROM fullg
+    )
+    SELECT a.source AS key_a, b.source AS key_b,
+           CAST(MAX(ABS(a.cum * b.nt - b.cum * a.nt)) AS BIGINT) AS ks_num,
+           CAST(MAX(a.nt) AS BIGINT) AS n_a,
+           CAST(MAX(b.nt) AS BIGINT) AS n_b
+    FROM cdf a JOIN cdf b ON a.v = b.v AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY key_a, key_b
 """

@@ -1290,3 +1290,60 @@ def grouped_heavy_hitters(ds, key_col: str, value_col: str, k: int = 64):
                             columns=[key_col, value_col, "est", "n_total"])
 
     return bucketed_fold(partials, key_col, merge)
+
+
+def ks_drift(ds, key: str, value: str, n_buckets: int = 32):
+    """Pairwise two-sample KOLMOGOROV-SMIRNOV distance between the
+    ``value`` distributions of every pair of ``key`` groups — the
+    distribution-drift detector (did source X's length profile shift vs
+    source Y's?), INTEGER-exact: the statistic sup|F_a - F_b| is reported
+    as its cross-multiplied numerator ``ks_num = max over v of
+    |cum_a(v)·n_b − cum_b(v)·n_a|`` (divide by n_a·n_b for the classical
+    D — comparisons and thresholds stay in integers).
+
+    Plan: per-batch (value, key, count) partials, one bucketed combine on
+    the value, then ONE final fold over the |distinct values| × |keys|
+    count matrix (bounded when the value is a bounded-cardinality
+    feature — lengths, scores, buckets; sup over all sample points is
+    evaluated exactly).  Returns (key_a, key_b, ks_num, n_a, n_b)."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = t.select([value, key]).append_column(
+            "pn", pa.array(np.ones(t.num_rows, np.int64)))
+        g = t2.group_by([value, key]).aggregate([("pn", "sum")])
+        return pa.table({"v": g.column(value), "k": g.column(key),
+                         "pn": g.column("pn_sum")})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["v", "k"]).aggregate([("pn", "sum")])
+        return pa.table({"v": g.column("v"), "k": g.column("k"),
+                         "n": g.column("pn_sum")})
+
+    counts = bucketed_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "v", combine, n_buckets)
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        keys = sorted(df["k"].unique())
+        piv = df.pivot_table(index="v", columns="k", values="n",
+                             aggfunc="sum", fill_value=0).sort_index()
+        cum = piv.cumsum().to_numpy(dtype=np.int64)
+        tot = cum[-1] if len(cum) else np.zeros(len(keys), np.int64)
+        ka, kb, ks, na, nb = [], [], [], [], []
+        cols = list(piv.columns)
+        for i in range(len(cols)):
+            for j in range(i + 1, len(cols)):
+                d = np.abs(cum[:, i] * tot[j] - cum[:, j] * tot[i])
+                ka.append(cols[i])
+                kb.append(cols[j])
+                ks.append(int(d.max()) if len(d) else 0)
+                na.append(int(tot[i]))
+                nb.append(int(tot[j]))
+        return pa.table({"key_a": pa.array(ka), "key_b": pa.array(kb),
+                         "ks_num": pa.array(ks, pa.int64()),
+                         "n_a": pa.array(na, pa.int64()),
+                         "n_b": pa.array(nb, pa.int64())})
+
+    return counts.repartition(1).map_batches(fold, batch_format="pyarrow")

@@ -848,3 +848,30 @@ def test_grouped_heavy_hitters_zipf_bound_per_key():
         for w, c in true.items():
             if c > bound:
                 assert w in est.index
+
+
+def test_ks_drift_matches_scipy_style_reference():
+    """ks_num / (n_a*n_b) equals the classical two-sample D computed by
+    brute force; identical distributions give 0."""
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import ks_drift
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 50, 300)
+    b = rng.integers(10, 60, 200)          # shifted distribution
+    rows = ([{"k": "a", "v": int(x)} for x in a]
+            + [{"k": "b", "v": int(x)} for x in b]
+            + [{"k": "c", "v": int(x)} for x in a])   # c == a exactly
+    out = ks_drift(rd.from_items(rows), "k", "v", n_buckets=4) \
+        .to_pandas().set_index(["key_a", "key_b"])
+
+    grid = np.unique(np.concatenate([a, b]))
+    Fa = np.searchsorted(np.sort(a), grid, side="right")
+    Fb = np.searchsorted(np.sort(b), grid, side="right")
+    brute = np.abs(Fa * len(b) - Fb * len(a)).max()
+    assert out.loc[("a", "b"), "ks_num"] == brute
+    assert out.loc[("a", "c"), "ks_num"] == 0          # identical dists
+    assert out.loc[("a", "b"), "n_a"] == 300
+    assert out.loc[("a", "b"), "n_b"] == 200
