@@ -5675,6 +5675,26 @@ def q_ks_drift(sf_dir: str):
     return ks_drift(docs, "source", "n_chars").sort(["key_a", "key_b"])
 
 
+def q_audio_fingerprint(sf_dir: str):
+    """Frame-energy audio fingerprints (32 gradient bits over 33 equal
+    frames) on closed-form fake clips — the audio near-dup signal; SQL
+    reconstructs every sample, frame energy and bit."""
+    from ..stages.multimodal import audio_fingerprint, encode_fake_audio
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    ).column("vec_id").to_pylist()
+    rows = [
+        {"clip_id": int(i),
+         "payload": encode_fake_audio(3000 + i % 2000, 16000,
+                                      seed=int(i))}
+        for i in ids[:500]
+    ]
+    t = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("clip_id", pa.int64()), ("payload", pa.large_binary())]))
+    return audio_fingerprint(rd.from_arrow(t)).sort("clip_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5889,6 +5909,7 @@ QUERIES = {
     "feature_hashing": q_feature_hashing,
     "nearest_event_join": q_nearest_event_join,
     "ks_drift": q_ks_drift,
+    "audio_fingerprint": q_audio_fingerprint,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9276,4 +9297,35 @@ ORACLE_SQL["ks_drift"] = """
     FROM cdf a JOIN cdf b ON a.v = b.v AND a.source < b.source
     GROUP BY a.source, b.source
     ORDER BY key_a, key_b
+"""
+
+ORACLE_SQL["audio_fingerprint"] = """
+    WITH clip AS (
+        SELECT vec_id, 3000 + vec_id % 2000 AS n,
+               (3000 + vec_id % 2000) // 33 AS L
+        FROM embeddings WHERE vec_id < 500
+    ),
+    s AS (
+        SELECT clip.vec_id, clip.n, j.range AS j, j.range // clip.L AS f,
+               ABS((clip.vec_id * 2654435761 + j.range * 2246822519)
+                   % 4001 - 2000) AS a
+        FROM clip, range(5000) AS j
+        WHERE j.range < clip.L * 33
+    ),
+    e AS (
+        SELECT vec_id, n, f, SUM(a) AS energy
+        FROM s GROUP BY vec_id, n, f
+    ),
+    bits AS (
+        SELECT a.vec_id, a.n, a.f,
+               CASE WHEN a.energy < b.energy THEN 1 ELSE 0 END AS bit
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.f = a.f + 1
+        WHERE a.f < 32
+    )
+    SELECT vec_id AS clip_id,
+           CAST(SUM(bit * (CAST(1 AS BIGINT) << f)) AS BIGINT)
+               AS fingerprint,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           'ok' AS status
+    FROM bits GROUP BY vec_id ORDER BY clip_id
 """

@@ -336,3 +336,52 @@ def image_dhash(ds, payload_column: str = "payload",
         })
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def audio_fingerprint(ds, payload_column: str = "payload",
+                      id_column: str = "clip_id", n_frames: int = 33):
+    """Frame-energy FINGERPRINT per audio clip (the audio sibling of
+    ``image_dhash``, the shape of chromaprint's energy-gradient bits):
+    the clip is cut into ``n_frames`` equal frames of L = n_samples //
+    n_frames samples (tail remainder dropped), frame energy = Σ|s|, and
+    bit f = 1 iff E_f < E_{f+1} — n_frames-1 gradient bits packed into
+    one int64.  Robust to volume scaling direction-wise, integer-exact,
+    SQL-replayable from the closed-form fake samples.
+
+    Row-local map_batches, zero shuffles; clips shorter than n_frames
+    samples (L = 0) and undecodable payloads emit in-band error rows."""
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, fps, lens, status = [], [], [], []
+        for cid, blob in zip(t.column(id_column).to_pylist(),
+                             t.column(payload_column).to_pylist()):
+            ids.append(cid)
+            try:
+                if not blob.startswith(FAKE_AUD_MAGIC):
+                    raise ValueError("not FAKEAUD")
+                n, _sr = struct.unpack_from(
+                    "<II", blob, len(FAKE_AUD_MAGIC))
+                s = np.frombuffer(blob, dtype=np.int16,
+                                  offset=len(FAKE_AUD_MAGIC) + 8,
+                                  count=n).astype(np.int64)
+                L = n // n_frames
+                if L == 0:
+                    raise ValueError("clip shorter than n_frames")
+                e = np.abs(s[:L * n_frames]).reshape(n_frames, L).sum(axis=1)
+                bits = (e[:-1] < e[1:]).astype(np.uint64)
+                w = np.arange(n_frames - 1, dtype=np.uint64)
+                fps.append(int((bits << w).sum()))
+                lens.append(int(n))
+                status.append("ok")
+            except Exception:
+                fps.append(-1)
+                lens.append(-1)
+                status.append("error")
+        return pa.table({
+            id_column: pa.array(ids, t.schema.field(id_column).type),
+            "fingerprint": pa.array(fps, pa.int64()),
+            "n_samples": pa.array(lens, pa.int64()),
+            "status": pa.array(status, pa.string()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -104,3 +104,42 @@ def test_image_dhash_identical_images_and_error_rows():
     # halves stay inside unsigned-32 range (int64-safe packing)
     assert (out.loc[:2, ["hash_lo", "hash_hi"]] >= 0).all().all()
     assert (out.loc[:2, ["hash_lo", "hash_hi"]] < (1 << 32)).all().all()
+
+
+def test_audio_fingerprint_identity_and_short_clip_error():
+    """Same samples -> same fingerprint; volume DOUBLING preserves the
+    gradient bits (direction-invariance); too-short clips error in-band."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.multimodal import (
+        FAKE_AUD_MAGIC,
+        audio_fingerprint,
+        encode_fake_audio,
+    )
+
+    a = encode_fake_audio(4000, 16000, seed=3)
+    # volume x2 clip: same header, doubled samples (clipped to int16 range)
+    n, sr = struct.unpack_from("<II", a, len(FAKE_AUD_MAGIC))
+    s = np.frombuffer(a, np.int16, offset=len(FAKE_AUD_MAGIC) + 8)
+    loud = FAKE_AUD_MAGIC + struct.pack("<II", n, sr) + \
+        (s.astype(np.int32) * 2).clip(-32768, 32767).astype(np.int16).tobytes()
+    rows = [
+        {"clip_id": 0, "payload": a},
+        {"clip_id": 1, "payload": a},
+        {"clip_id": 2, "payload": loud},
+        {"clip_id": 3, "payload": encode_fake_audio(10, 16000, seed=3)},
+        {"clip_id": 4, "payload": b"junk"},
+    ]
+    t = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("clip_id", pa.int64()), ("payload", pa.large_binary())]))
+    out = audio_fingerprint(rd.from_arrow(t)).to_pandas() \
+        .sort_values("clip_id").reset_index(drop=True)
+    assert out.loc[0, "fingerprint"] == out.loc[1, "fingerprint"]
+    assert out.loc[0, "fingerprint"] == out.loc[2, "fingerprint"]  # volume-proof
+    assert out.loc[3, "status"] == "error"      # 10 samples < 33 frames
+    assert out.loc[4, "status"] == "error"
+    assert out.loc[0, "status"] == "ok" and out.loc[0, "n_samples"] == 4000
