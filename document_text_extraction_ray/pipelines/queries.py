@@ -5695,6 +5695,60 @@ def q_audio_fingerprint(sf_dir: str):
     return audio_fingerprint(rd.from_arrow(t)).sort("clip_id")
 
 
+def q_host_link_graph(sf_dir: str):
+    """Web-graph build: pages (src host = site{(doc_id//5)%40}) run
+    through the REAL outlink extractor, target hosts parsed from the
+    kept hrefs, and the (src_host, dst_host) edge list aggregates with
+    one bucketed combine — the extraction -> graph hand-off (feeds
+    pagerank / crawl budgeting).  Decoy nav/footer links must not
+    produce edges."""
+    from ..functions.html_extract import extract_outlinks
+    from ..stages.aggregate import bucketed_combine
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def build_extract(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        host_re = _re.compile(r"^https://([^/]+)/")
+        srcs, dsts = [], []
+        for d in t.column("doc_id").to_pylist():
+            src_host = f"site{(d // 5) % 40}.com"
+            links = "".join(
+                f'<p>w <a href="https://site{(d * 7 + k) % 40}.com/p/{k}">'
+                f"L{k}</a></p>"
+                for k in range(d % 3 + 1))
+            html = (
+                "<html><head><title>t</title></head><body>"
+                '<nav><a href="/menu">m</a></nav>'
+                f"<main>{links}</main>"
+                '<footer><a href="https://evil.com/x">f</a></footer>'
+                "</body></html>").encode("utf-8")
+            for href in extract_outlinks(html):
+                m = host_re.match(href)
+                if m:
+                    srcs.append(src_host)
+                    dsts.append(m.group(1))
+        t2 = pa.table({"src_host": pa.array(srcs, pa.string()),
+                       "dst_host": pa.array(dsts, pa.string())}) \
+            .append_column("pn", pa.array(np.ones(len(srcs), np.int64)))
+        g = t2.group_by(["src_host", "dst_host"]).aggregate([("pn", "sum")])
+        return pa.table({"src_host": g.column("src_host"),
+                         "dst_host": g.column("dst_host"),
+                         "pn": g.column("pn_sum")})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["src_host", "dst_host"]).aggregate([("pn", "sum")])
+        return pa.table({"src_host": g.column("src_host"),
+                         "dst_host": g.column("dst_host"),
+                         "n_links": g.column("pn_sum")})
+
+    edges = bucketed_combine(
+        docs.map_batches(build_extract, batch_format="pyarrow"),
+        "src_host", combine, n_buckets=8)
+    return edges.sort(["src_host", "dst_host"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5910,6 +5964,7 @@ QUERIES = {
     "nearest_event_join": q_nearest_event_join,
     "ks_drift": q_ks_drift,
     "audio_fingerprint": q_audio_fingerprint,
+    "host_link_graph": q_host_link_graph,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9328,4 +9383,17 @@ ORACLE_SQL["audio_fingerprint"] = """
            CAST(MAX(n) AS BIGINT) AS n_samples,
            'ok' AS status
     FROM bits GROUP BY vec_id ORDER BY clip_id
+"""
+
+ORACLE_SQL["host_link_graph"] = """
+    WITH e AS (
+        SELECT 'site' || CAST((doc_id // 5) % 40 AS VARCHAR) || '.com'
+                   AS src_host,
+               'site' || CAST((doc_id * 7 + g.k) % 40 AS VARCHAR) || '.com'
+                   AS dst_host
+        FROM documents, generate_series(0, 2) AS g(k)
+        WHERE g.k <= doc_id % 3
+    )
+    SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+    FROM e GROUP BY 1, 2 ORDER BY src_host, dst_host
 """
