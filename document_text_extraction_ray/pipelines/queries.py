@@ -5749,6 +5749,21 @@ def q_host_link_graph(sf_dir: str):
     return edges.sort(["src_host", "dst_host"])
 
 
+def q_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking dedup measurement per source: rolling
+    modular hash (W=16, P=2^31-1, B=257) marks chunk ends where
+    H % 64 == 0, chunks dedup by md5 identity — the chunk-store ratio
+    (shared boilerplate dedups even when docs differ elsewhere; a front
+    insertion re-chunks only its neighborhood, pytest-proven).  Chunking
+    is row-local; ONE hash-bucketed combine dedups globally.  The oracle
+    replays every byte, window hash and chunk split in SQL (recursive
+    powers table + prefix-sum windows + ordered string_agg)."""
+    from ..stages.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(_docs(sf_dir, ["source", "text"])) \
+        .sort("source")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5965,6 +5980,7 @@ QUERIES = {
     "ks_drift": q_ks_drift,
     "audio_fingerprint": q_audio_fingerprint,
     "host_link_graph": q_host_link_graph,
+    "cdc_dedup": q_cdc_dedup,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9396,4 +9412,59 @@ ORACLE_SQL["host_link_graph"] = """
     )
     SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
     FROM e GROUP BY 1, 2 ORDER BY src_host, dst_host
+"""
+
+ORACLE_SQL["cdc_dedup"] = """
+    WITH RECURSIVE pw(i, fwd, inv) AS (
+        SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT i + 1, (fwd * 257) % 2147483647,
+               (inv * 16711935) % 2147483647
+        FROM pw WHERE i < (SELECT MAX(length(COALESCE(text, '')))
+                           FROM documents)
+    ),
+    chars AS (
+        SELECT doc_id, source, pw.i AS i, pw.fwd, pw.inv,
+               substr(text, CAST(pw.i + 1 AS INTEGER), 1) AS c,
+               ord(substr(text, CAST(pw.i + 1 AS INTEGER), 1)) AS b
+        FROM documents JOIN pw ON pw.i < length(COALESCE(text, ''))
+    ),
+    s AS (
+        SELECT doc_id, source, i, c, fwd,
+               SUM((b * inv) % 2147483647) OVER (
+                   PARTITION BY doc_id ORDER BY i) AS S
+        FROM chars
+    ),
+    hh AS (
+        SELECT doc_id, source, i, c,
+               ((S - COALESCE(LAG(S, 16) OVER (
+                    PARTITION BY doc_id ORDER BY i), 0)) % 2147483647)
+                * fwd % 2147483647 AS H
+        FROM s
+    ),
+    ch2 AS (
+        SELECT doc_id, source, i, c,
+               COALESCE(SUM(CASE WHEN i >= 15 AND H % 64 = 0
+                                 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS chunk_id
+        FROM hh
+    ),
+    chunks AS (
+        SELECT doc_id, source, chunk_id,
+               string_agg(c, '' ORDER BY i) AS chunk
+        FROM ch2 GROUP BY doc_id, source, chunk_id
+    ),
+    per_hash AS (
+        SELECT source, md5_number_lower(chunk) AS h,
+               COUNT(*) AS n, MAX(length(chunk)) AS sz
+        FROM chunks GROUP BY source, md5_number_lower(chunk)
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(n * sz) AS BIGINT) AS bytes_total,
+           CAST(SUM(sz) AS BIGINT) AS bytes_unique
+    FROM per_hash GROUP BY source ORDER BY source
 """

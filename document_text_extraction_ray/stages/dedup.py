@@ -1687,3 +1687,126 @@ def merge_survivorship(ds, cluster_col: str, order_cols, value_cols,
     cols = [cluster_col, *order_cols, *value_cols]
     return bucketed_fold(ds.select_columns(cols), cluster_col, fold,
                          n_buckets=n_buckets)
+
+
+# ---------------------------------------------- content-defined chunking
+
+CDC_P = 2147483647          # Mersenne prime 2^31-1
+CDC_B = 257                 # polynomial base (coprime with P)
+CDC_INVB = 16711935         # B^-1 mod P  (pow(257, P-2, P))
+CDC_W = 16                  # rolling window bytes
+CDC_MASK = 64               # boundary when H % 64 == 0 (avg ~64-byte chunks)
+
+
+def _cdc_chunks(text: str):
+    """One document's content-defined chunk list (FastCDC-style WITHOUT
+    min/max guards — boundaries depend only on local bytes, so an insert
+    early in the doc re-chunks only its neighborhood; the guard-free
+    variant keeps the boundary rule stateless and SQL-replayable).
+
+    Rolling hash over the trailing W bytes at position i (0-based):
+      H_i = sum_{k=0..W-1} b_{i-k} * B^k  (mod P)
+    computed via the prefix trick  H_i = (S_i - S_{i-W}) * B^i  with
+    S_i = sum_{j<=i} b_j * invB^j — one vectorized numpy pass.  A
+    position with H_i % MASK == 0 (i >= W-1) ENDS a chunk; the tail
+    remainder is a chunk.  Returns the list of chunk strings."""
+    b = np.frombuffer(text.encode("utf-8"), np.uint8).astype(np.int64)
+    n = len(b)
+    if n == 0:
+        return []
+    # inv_pows[j] = invB^j mod P ; fwd_pows[i] = B^i mod P
+    inv_pows = np.empty(n, np.int64)
+    fwd_pows = np.empty(n, np.int64)
+    x = y = 1
+    for j in range(n):
+        inv_pows[j] = x
+        fwd_pows[j] = y
+        x = (x * CDC_INVB) % CDC_P
+        y = (y * CDC_B) % CDC_P
+    S = np.cumsum(b * inv_pows % CDC_P)          # raw sums fit int64
+    S_lag = np.zeros(n, np.int64)
+    if n > CDC_W:
+        S_lag[CDC_W:] = S[:-CDC_W]
+    diff = (S - S_lag) % CDC_P
+    H = diff * fwd_pows % CDC_P
+    boundary = (H % CDC_MASK == 0)
+    boundary[:CDC_W - 1] = False                 # need a full window
+    ends = np.flatnonzero(boundary) + 1          # chunk-end offsets
+    starts = np.concatenate([[0], ends])
+    stops = np.concatenate([ends, [n]])
+    s = text
+    return [s[a:z] for a, z in zip(starts, stops) if z > a]
+
+
+def cdc_chunk_stats(ds, text_column: str = "text",
+                    group_col: str = "source", n_buckets: int = 16):
+    """Storage-dedup measurement via content-defined chunking: per
+    ``group_col``, the total chunk count/bytes vs the DISTINCT chunk
+    count/bytes — the dedup ratio a chunk store would achieve (shared
+    boilerplate dedups even when documents differ elsewhere, the property
+    fixed-size blocks lack).
+
+    Per-batch: chunk each doc row-locally, emit per-(group, chunk-hash)
+    partials (count + byte size, md5_u64 chunk identity); ONE bucketed
+    combine on the hash dedups globally and re-aggregates per group.
+    Returns (group, n_chunks, n_unique, bytes_total, bytes_unique)."""
+    from ..functions.textstats import md5_u64
+    from .aggregate import bucketed_combine
+
+    def partial(t: pa.Table) -> pa.Table:
+        gs, hs, cnt, size = [], [], [], []
+        acc: dict = {}
+        for grp, text in zip(t.column(group_col).to_pylist(),
+                             t.column(text_column).to_pylist()):
+            for ch in _cdc_chunks(text or ""):
+                k = (grp, md5_u64(ch))
+                c, sz = acc.get(k, (0, len(ch.encode("utf-8"))))
+                acc[k] = (c + 1, sz)
+        for (grp, h), (c, sz) in acc.items():
+            gs.append(grp)
+            hs.append(h)
+            cnt.append(c)
+            size.append(sz)
+        return pa.table({
+            group_col: pa.array(gs, t.schema.field(group_col).type),
+            "h": pa.array(np.array(hs, np.uint64), pa.uint64()),
+            "pn": pa.array(cnt, pa.int64()),
+            "sz": pa.array(size, pa.int64()),
+        })
+
+    partials = ds.select_columns([group_col, text_column]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        per = df.groupby([group_col, "h"], sort=False).agg(
+            n=("pn", "sum"), sz=("sz", "first"))
+        out = per.reset_index().groupby(group_col, sort=False).agg(
+            n_chunks=("n", "sum"),
+            n_unique=("n", "size"),
+            bytes_total_u=("n", lambda s: 0),   # placeholder, set below
+        )
+        g2 = per.reset_index()
+        g2["btot"] = g2["n"] * g2["sz"]
+        agg2 = g2.groupby(group_col, sort=False).agg(
+            bytes_total=("btot", "sum"), bytes_unique=("sz", "sum"))
+        out = out.drop(columns=["bytes_total_u"]).join(agg2).reset_index()
+        out = out.astype({"n_chunks": "int64", "n_unique": "int64",
+                          "bytes_total": "int64", "bytes_unique": "int64"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    per_bucket = bucketed_combine(partials, "h", combine, n_buckets)
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.group_by(group_col).aggregate(
+            [("n_chunks", "sum"), ("n_unique", "sum"),
+             ("bytes_total", "sum"), ("bytes_unique", "sum")])
+        return pa.table({
+            group_col: g.column(group_col),
+            "n_chunks": g.column("n_chunks_sum"),
+            "n_unique": g.column("n_unique_sum"),
+            "bytes_total": g.column("bytes_total_sum"),
+            "bytes_unique": g.column("bytes_unique_sum")})
+
+    return per_bucket.repartition(1).map_batches(
+        total, batch_format="pyarrow")
