@@ -5764,6 +5764,47 @@ def q_cdc_dedup(sf_dir: str):
         .sort("source")
 
 
+def q_trending_terms(sf_dir: str):
+    """Trending terms per crawl day (day = doc_id % 14, mirrored in
+    SQL): (day, term) count partials -> one tuple-bucketed combine ->
+    per-day EXACT top-5 via the partial-pushdown grouped top-k (each
+    batch ships <= k rows per day).  The dashboard query every corpus
+    pipeline grows."""
+    from ..stages.aggregate import bucketed_fold, grouped_topk
+    from ..stages.lexicon import _tokens
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        from collections import Counter as _C
+        c: dict = _C()
+        for d, text in zip(t.column("doc_id").to_pylist(),
+                           t.column("text").to_pylist()):
+            day = d % 14
+            for tok in _tokens(text):
+                c[(day, tok)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            "day": pa.array([k[0] for k in keys], pa.int64()),
+            "term": pa.array([k[1] for k in keys], pa.string()),
+            "pn": pa.array([c[k] for k in keys], pa.int64()),
+        })
+
+    import pandas as pd
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["day", "term"], sort=False)["pn"].sum() \
+            .reset_index().rename(columns={"pn": "n"})
+        return out.astype({"day": "int64", "n": "int64"})
+
+    counts = bucketed_fold(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["day", "term"], fold)
+    top = grouped_topk(counts, "day", ["n", "term"], k=5,
+                       ascending=[False, True])
+    return top.sort(["day", "rnk"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -5981,6 +6022,7 @@ QUERIES = {
     "audio_fingerprint": q_audio_fingerprint,
     "host_link_graph": q_host_link_graph,
     "cdc_dedup": q_cdc_dedup,
+    "trending_terms": q_trending_terms,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9467,4 +9509,22 @@ ORACLE_SQL["cdc_dedup"] = """
            CAST(SUM(n * sz) AS BIGINT) AS bytes_total,
            CAST(SUM(sz) AS BIGINT) AS bytes_unique
     FROM per_hash GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["trending_terms"] = """
+    WITH tok AS (
+        SELECT doc_id % 14 AS day,
+               unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    c AS (SELECT day, term, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+    r AS (
+        SELECT day, term, n,
+               ROW_NUMBER() OVER (PARTITION BY day
+                                  ORDER BY n DESC, term) AS rnk
+        FROM c
+    )
+    SELECT day, term, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5 ORDER BY day, rnk
 """
