@@ -5805,6 +5805,30 @@ def q_trending_terms(sf_dir: str):
     return top.sort(["day", "rnk"])
 
 
+def q_k_anonymity(sf_dir: str):
+    """K-anonymity audit of customer quasi-identifiers (nation, market
+    segment, account-balance band): rows in equivalence classes smaller
+    than k=5 are linkage-attack re-identifiable.  Tuple-count partials +
+    one tuple-bucketed combine; single governance-report row."""
+    from ..stages.validate import k_anonymity_stats
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def band(t: pa.Table) -> pa.Table:
+        bal = np.asarray(pc.cast(t.column("c_acctbal"), pa.float64()))
+        return pa.table({
+            "c_nationkey": t.column("c_nationkey"),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "bal_band": pa.array(np.floor(bal / 1000).astype(np.int64)),
+        })
+
+    return k_anonymity_stats(
+        cust.map_batches(band, batch_format="pyarrow"),
+        ["c_nationkey", "c_mktsegment", "bal_band"], k=5)
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6023,6 +6047,7 @@ QUERIES = {
     "host_link_graph": q_host_link_graph,
     "cdc_dedup": q_cdc_dedup,
     "trending_terms": q_trending_terms,
+    "k_anonymity": q_k_anonymity,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9527,4 +9552,24 @@ ORACLE_SQL["trending_terms"] = """
     )
     SELECT day, term, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
     FROM r WHERE rnk <= 5 ORDER BY day, rnk
+"""
+
+ORACLE_SQL["k_anonymity"] = """
+    WITH q AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+        FROM customer
+    ),
+    per AS (
+        SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS n
+        FROM q GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(COALESCE(SUM(n) FILTER (WHERE n < 5), 0) AS BIGINT)
+               AS n_rows_at_risk,
+           CAST(COUNT(*) FILTER (WHERE n < 5) AS BIGINT)
+               AS n_classes_at_risk,
+           CAST(MIN(n) AS BIGINT) AS min_class_size
+    FROM per
 """

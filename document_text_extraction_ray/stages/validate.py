@@ -171,3 +171,55 @@ def fd_discovery(ds, pairs, n_buckets: int = 32):
         })
 
     return partial.repartition(1).map_batches(total, batch_format="pyarrow")
+
+
+def k_anonymity_stats(ds, quasi_cols, k: int = 5, n_buckets: int = 32):
+    """K-ANONYMITY audit over a quasi-identifier tuple: how many rows sit
+    in equivalence classes smaller than ``k`` (re-identifiable under
+    linkage attacks) — the data-governance gate before releasing a
+    dataset.  Per-batch tuple-count partials, ONE bucketed combine;
+    returns a single row (n_rows, n_classes, n_rows_at_risk,
+    n_classes_at_risk, min_class_size)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = t.select(list(quasi_cols)).append_column(
+            "pn", pa.array(np.ones(t.num_rows, np.int64)))
+        g = t2.group_by(list(quasi_cols)).aggregate([("pn", "sum")])
+        cols = {c: g.column(c) for c in quasi_cols}
+        cols["pn"] = g.column("pn_sum")
+        return pa.table(cols)
+
+    from .aggregate import bucketed_fold
+
+    def fold(g):
+        per = g.groupby(list(quasi_cols), sort=False, dropna=False)["pn"] \
+            .sum()
+        at_risk = per[per < k]
+        import pandas as pd
+        return pd.DataFrame({
+            "n_rows": [int(per.sum())],
+            "n_classes": [len(per)],
+            "n_rows_at_risk": [int(at_risk.sum())],
+            "n_classes_at_risk": [len(at_risk)],
+            "min_class_size": [int(per.min()) if len(per) else 0],
+        }).astype("int64")
+
+    per_bucket = bucketed_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        list(quasi_cols), fold, n_buckets=n_buckets)
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        import pandas as pd
+        out = pd.DataFrame({
+            "n_rows": [int(g["n_rows"].sum())],
+            "n_classes": [int(g["n_classes"].sum())],
+            "n_rows_at_risk": [int(g["n_rows_at_risk"].sum())],
+            "n_classes_at_risk": [int(g["n_classes_at_risk"].sum())],
+            "min_class_size": [int(g["min_class_size"].min())
+                               if len(g) else 0],
+        }).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return per_bucket.repartition(1).map_batches(
+        total, batch_format="pyarrow")
