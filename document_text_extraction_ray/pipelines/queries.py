@@ -5829,6 +5829,20 @@ def q_k_anonymity(sf_dir: str):
         ["c_nationkey", "c_mktsegment", "bal_band"], k=5)
 
 
+def q_scd2_history(sf_dir: str):
+    """SCD Type-2 validity intervals per user from the event stream:
+    consecutive equal event_types collapse into (valid_from, valid_to)
+    rows with an is_current open tail — gaps-and-islands + LEAD,
+    (ts, event_id) total order for exact ties."""
+    from ..stages.windows import scd2_history
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    return scd2_history(ev, "user_id", "ts", "event_type") \
+        .sort(["user_id", "valid_from_us"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6048,6 +6062,7 @@ QUERIES = {
     "cdc_dedup": q_cdc_dedup,
     "trending_terms": q_trending_terms,
     "k_anonymity": q_k_anonymity,
+    "scd2_history": q_scd2_history,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9572,4 +9587,40 @@ ORACLE_SQL["k_anonymity"] = """
                AS n_classes_at_risk,
            CAST(MIN(n) AS BIGINT) AS min_class_size
     FROM per
+"""
+
+ORACLE_SQL["scd2_history"] = """
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    g AS (
+        SELECT *,
+               SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY rn) AS run_id
+        FROM o
+    ),
+    runs AS (
+        SELECT user_id, event_type AS state, run_id,
+               MIN(epoch_us(ts)) AS valid_from_us,
+               COUNT(*) AS n_events
+        FROM g GROUP BY user_id, event_type, run_id
+    ),
+    fin AS (
+        SELECT user_id, state, valid_from_us, n_events,
+               LEAD(valid_from_us) OVER (
+                   PARTITION BY user_id ORDER BY run_id) AS valid_to_us
+        FROM runs
+    )
+    SELECT user_id, state, CAST(valid_from_us AS BIGINT) AS valid_from_us,
+           CAST(COALESCE(valid_to_us, -1) AS BIGINT) AS valid_to_us,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+    FROM fin ORDER BY user_id, valid_from_us
 """

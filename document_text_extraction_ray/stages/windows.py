@@ -725,3 +725,44 @@ def nearest_event_join(ds, key_col: str, ts_col: str, type_col: str,
         })
 
     return bucketed_map_groups(thin, key_col, fold)
+
+
+def scd2_history(ds, key_col: str, ts_col: str, state_col: str,
+                 id_col: str = "event_id"):
+    """Build the SCD TYPE-2 history table from an event stream: per key,
+    consecutive equal states collapse into one validity interval
+    (valid_from = first event's ts, valid_to = next interval's
+    valid_from, -1 sentinel + is_current=1 for the open tail) — the
+    warehouse dimension-versioning op, and the inverse of
+    ``fill_forward``.
+
+    One bucketed shuffle on the key; per-key sorted gaps-and-islands
+    fold ((ts, id) total order so same-timestamp ties are exact).
+    Returns (key, state, valid_from_us, valid_to_us, n_events,
+    is_current)."""
+    import pandas as pd
+
+    from .aggregate import bucketed_map_groups
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        st = g[state_col].to_numpy()
+        new_run = np.ones(len(g), dtype=bool)
+        new_run[1:] = st[1:] != st[:-1]
+        run_id = np.cumsum(new_run)
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({state_col: st, "run": run_id, "us": us})
+        runs = df.groupby("run", sort=True).agg(
+            state=(state_col, "first"), valid_from_us=("us", "min"),
+            n_events=("us", "size")).reset_index(drop=True)
+        runs["valid_to_us"] = runs["valid_from_us"].shift(-1) \
+            .fillna(-1).astype("int64")
+        runs["is_current"] = np.where(
+            runs["valid_to_us"] == -1, 1, 0).astype("int64")
+        runs.insert(0, key_col, g[key_col].iloc[0])
+        runs["n_events"] = runs["n_events"].astype("int64")
+        return runs[[key_col, "state", "valid_from_us", "valid_to_us",
+                     "n_events", "is_current"]]
+
+    thin = ds.select_columns([key_col, ts_col, state_col, id_col])
+    return bucketed_map_groups(thin, key_col, fold)
