@@ -5843,6 +5843,32 @@ def q_scd2_history(sf_dir: str):
         .sort(["user_id", "valid_from_us"])
 
 
+def q_lang_segments(sf_dir: str):
+    """Per-line language segmentation through the REAL stopword detector:
+    docs synthesize 3-6 lines alternating en/fr/es in 2-line blocks (by
+    formula); the op must split each doc into exactly the formula's
+    segments — a misclassified line changes the run structure and
+    hash-mismatches.  Row-local, zero shuffles."""
+    from ..stages.textstats import lang_segments
+
+    tmpl = {0: "the and is in for", 1: "le et des pour dans",
+            2: "los las y por como"}
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for d in t.column("doc_id").to_pylist():
+            n_lines = d % 4 + 3
+            lines = [tmpl[(d + j // 2) % 3] for j in range(n_lines)]
+            ids.append(d)
+            texts.append("\n".join(lines))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return lang_segments(docs).sort(["doc_id", "seg_idx"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6063,6 +6089,7 @@ QUERIES = {
     "trending_terms": q_trending_terms,
     "k_anonymity": q_k_anonymity,
     "scd2_history": q_scd2_history,
+    "lang_segments": q_lang_segments,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9623,4 +9650,24 @@ ORACLE_SQL["scd2_history"] = """
            CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT)
                AS is_current
     FROM fin ORDER BY user_id, valid_from_us
+"""
+
+ORACLE_SQL["lang_segments"] = """
+    WITH d AS (SELECT doc_id, doc_id % 4 + 3 AS total_lines
+               FROM documents),
+    segs AS (
+        SELECT doc_id, g.k AS seg_idx,
+               CASE (doc_id + g.k) % 3 WHEN 0 THEN 'en'
+                    WHEN 1 THEN 'fr' ELSE 'es' END AS lang,
+               CASE WHEN 2 * g.k + 2 <= total_lines THEN 2
+                    ELSE total_lines - 2 * g.k END AS seg_lines
+        FROM d, generate_series(0, 2) AS g(k)
+        WHERE g.k <= (total_lines - 1) // 2
+    )
+    SELECT doc_id, seg_idx, lang,
+           CAST(seg_lines AS BIGINT) AS n_lines,
+           CAST(seg_lines * (CASE lang WHEN 'en' THEN 17
+                                  WHEN 'fr' THEN 19 ELSE 18 END)
+                AS BIGINT) AS n_chars
+    FROM segs ORDER BY doc_id, seg_idx
 """

@@ -139,3 +139,48 @@ def compression_ratio(ds, text_column: str = "text",
 
     return ds.select_columns([id_column, text_column]).map_batches(
         scan, batch_format="pyarrow")
+
+
+def lang_segments(ds, text_column: str = "text",
+                  id_column: str = "doc_id"):
+    """CCNet-style per-LINE language segmentation: split each document on
+    newlines, language-ID every line with the stopword-profile detector,
+    and collapse consecutive same-language lines into segments — the
+    mixed-language document splitter (keep the English half, route the
+    French half to the fr pipeline).  Row-local, zero shuffles.
+
+    Returns (doc_id, seg_idx, lang, n_lines, n_chars) — n_chars counts
+    the segment's line characters (newlines excluded)."""
+    import pyarrow as pa
+
+    from ..functions.textstats import detect_language
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, segs, langs, nls, ncs = [], [], [], [], []
+        for did, text in zip(t.column(id_column).to_pylist(),
+                             t.column(text_column).to_pylist()):
+            lines = (text or "").split("\n")
+            seg = -1
+            prev = None
+            for ln in lines:
+                lang = detect_language(ln)
+                if lang != prev:
+                    seg += 1
+                    ids.append(did)
+                    segs.append(seg)
+                    langs.append(lang)
+                    nls.append(0)
+                    ncs.append(0)
+                    prev = lang
+                nls[-1] += 1
+                ncs[-1] += len(ln)
+        return pa.table({
+            id_column: pa.array(ids, t.schema.field(id_column).type),
+            "seg_idx": pa.array(segs, pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "n_lines": pa.array(nls, pa.int64()),
+            "n_chars": pa.array(ncs, pa.int64()),
+        })
+
+    return ds.select_columns([id_column, text_column]).map_batches(
+        scan, batch_format="pyarrow")

@@ -133,3 +133,26 @@ def test_compression_ratio_local_reference_and_signal_direction():
         assert out.loc[i, "ratio_e6"] == c * 1_000_000 // max(len(b), 1)
     # repetitive much more compressible than varied text
     assert out.loc[0, "ratio_e6"] < out.loc[1, "ratio_e6"] // 3
+
+
+def test_lang_segments_run_collapse_and_und_lines():
+    """Consecutive same-language lines collapse; unknown lines form
+    their own 'und' segments; empty docs produce one empty-line und
+    segment."""
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.textstats import lang_segments
+
+    rows = [
+        {"doc_id": 0, "text": "the and is in for\nthe is for\n"
+                              "le et des pour dans\nzzz qqq"},
+        {"doc_id": 1, "text": ""},
+    ]
+    out = lang_segments(rd.from_items(rows)).to_pandas() \
+        .sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+    d0 = out[out["doc_id"] == 0]
+    assert list(d0["lang"]) == ["en", "fr", "und"]
+    assert list(d0["n_lines"]) == [2, 1, 1]
+    assert list(d0["n_chars"]) == [17 + 10, 19, 7]
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["lang"]) == ["und"] and list(d1["n_lines"]) == [1]
