@@ -376,3 +376,74 @@ def bfs_hops(edges, seeds, max_hops: int = 4,
         frontier = new_labels.select_columns(["node"]).materialize()
 
     return labels
+
+
+def lpa_communities(edges, n_iters: int = 3, src_col: str = "src",
+                    dst_col: str = "dst", n_buckets: int = 16):
+    """Synchronous LABEL PROPAGATION community detection (Raghavan et
+    al.), fully deterministic: every node adopts the most frequent label
+    among its in-neighbors each round (ties -> smallest label; input
+    should be symmetrized for undirected semantics).  Communities differ
+    from connected components: a 1-edge bridge between two cliques
+    cannot outvote 7 intra-clique neighbors, so cliques keep distinct
+    labels where min-label CC would merge them.
+
+    Per round TWO exchanges: (1) labels attach to the edge list on src
+    (distributed hash join); (2) ONE bucketed fold on dst computes the
+    per-node label mode.  Isolated/teleport-free handling without an
+    anti-join: every node contributes a WEIGHT-0 row of its own label,
+    which wins only when no neighbor rows exist.  Labels are node-bounded
+    and materialized per round.  Fixed ``n_iters`` (the SQL oracle
+    unrolls the same rounds).  Returns (node, label)."""
+    from .aggregate import bucketed_fold
+    from .join import partitioned_hash_join
+
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        both = pa.concat_tables([
+            pa.table({"node": t.column(src_col)}),
+            pa.table({"node": t.column(dst_col)})])
+        return both.group_by("node").aggregate([])
+
+    labels = bucketed_fold(
+        edges.map_batches(node_partial, batch_format="pyarrow"),
+        "node", lambda g: g.drop_duplicates("node"),
+        n_buckets=n_buckets).map_batches(
+        lambda t: t if t.num_columns == 0 else t.append_column(
+            "label", t.column("node")),
+        batch_format="pyarrow").repartition(8).materialize()
+
+    ls = pa.schema([(src_col, pa.int64()), (dst_col, pa.int64())])
+    rs = pa.schema([(src_col, pa.int64()), ("label", pa.int64())])
+
+    def mode_fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["node", "label"], sort=False)["n"].sum() \
+            .reset_index()
+        per = per.sort_values(["n", "label"],
+                              ascending=[False, True], kind="mergesort")
+        return per.drop_duplicates("node")[["node", "label"]]
+
+    for _ in range(n_iters):
+        lab_src = labels.map_batches(
+            lambda t: t if t.num_columns == 0 else t.rename_columns(
+                [src_col, "label"]),
+            batch_format="pyarrow")
+        contrib = partitioned_hash_join(
+            edges, lab_src, on=src_col, n_buckets=n_buckets,
+            left_schema=ls, right_schema=rs,
+        ).map_batches(
+            lambda t: t if t.num_columns == 0 else pa.table(
+                {"node": t.column(dst_col), "label": t.column("label"),
+                 "n": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow").repartition(8).materialize()
+        selfrows = labels.map_batches(
+            lambda t: t if t.num_columns == 0 else pa.table(
+                {"node": t.column("node"), "label": t.column("label"),
+                 "n": pa.array(np.zeros(t.num_rows, np.int64))}),
+            batch_format="pyarrow")
+        labels = bucketed_fold(
+            contrib.union(selfrows), "node", mode_fold,
+            n_buckets=n_buckets).repartition(8).materialize()
+
+    return labels

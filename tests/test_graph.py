@@ -174,3 +174,27 @@ def test_bfs_hops_min_distance_with_shortcuts():
     d2 = dict(zip(out2["node"], out2["dist"]))
     assert d2 == {0: 0, 6: 0, 1: 1, 5: 1, 2: 2, 4: 2}
     assert 3 not in d2               # beyond the 2-hop horizon
+
+
+def test_lpa_cliques_resist_bridge():
+    """Two 4-cliques joined by one bridge: LPA converges to one label per
+    clique (the bridge's single vote cannot outvote 3 clique votes) —
+    where min-label connected components would merge everything."""
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.graph import lpa_communities
+
+    pairs = []
+    for base in (0, 4):
+        for a in range(base, base + 4):
+            for b in range(base, base + 4):
+                if a != b:
+                    pairs.append((a, b))
+    pairs += [(3, 4), (4, 3)]          # bridge
+    edges = rd.from_items([{"src": a, "dst": b} for a, b in pairs])
+    out = lpa_communities(edges, n_iters=4, n_buckets=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    labels = out["label"].to_numpy()
+    assert len(set(labels[:4])) == 1          # clique 1 one community
+    assert len(set(labels[4:])) == 1          # clique 2 one community
+    assert labels[0] != labels[4]             # bridge did NOT merge them
