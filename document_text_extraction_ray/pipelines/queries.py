@@ -5901,6 +5901,18 @@ def q_lpa_communities(sf_dir: str):
     return lpa_communities(edges, n_iters=3).sort("node")
 
 
+def q_cdc_roundtrip(sf_dir: str):
+    """Chunk-store round trip: documents shatter into content-defined
+    chunks (manifest + unique-chunk store), then restore via ONE hash
+    join + per-doc ordered concat — byte-identical to the originals
+    (identity oracle).  The dedup-storage write/read path end to end."""
+    from ..stages.dedup import cdc_chunk_store, cdc_restore
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    manifest, chunks = cdc_chunk_store(docs)
+    return cdc_restore(manifest, chunks).sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6123,6 +6135,7 @@ QUERIES = {
     "scd2_history": q_scd2_history,
     "lang_segments": q_lang_segments,
     "lpa_communities": q_lpa_communities,
+    "cdc_roundtrip": q_cdc_roundtrip,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9757,4 +9770,10 @@ ORACLE_SQL["lpa_communities"] = """
             FROM m3) WHERE rn = 1
     )
     SELECT node, label FROM l3 ORDER BY node
+"""
+
+ORACLE_SQL["cdc_roundtrip"] = """
+    SELECT doc_id, text FROM documents
+    WHERE length(COALESCE(text, '')) > 0
+    ORDER BY doc_id
 """

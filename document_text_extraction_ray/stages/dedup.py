@@ -1810,3 +1810,75 @@ def cdc_chunk_stats(ds, text_column: str = "text",
 
     return per_bucket.repartition(1).map_batches(
         total, batch_format="pyarrow")
+
+
+def cdc_chunk_store(docs, id_column: str = "doc_id",
+                    text_column: str = "text", n_buckets: int = 16):
+    """Build a deduplicating CHUNK STORE from the corpus (the backup /
+    object-store layout over ``_cdc_chunks``): returns (manifest, chunks)
+    where manifest = (doc_id, pos, h) ordered chunk references and
+    chunks = (h, chunk) UNIQUE chunk bodies (one bucketed dedup fold on
+    the 64-bit chunk hash; hash identity — the md5_u64 collision
+    probability is the usual content-address assumption).  Two passes
+    over the corpus (manifests are thin; chunk partials dedup per batch
+    before the exchange)."""
+    from ..functions.textstats import md5_u64
+    from .aggregate import bucketed_fold
+
+    def manifest_rows(t: pa.Table) -> pa.Table:
+        ids, poss, hs = [], [], []
+        for did, text in zip(t.column(id_column).to_pylist(),
+                             t.column(text_column).to_pylist()):
+            for p, ch in enumerate(_cdc_chunks(text or "")):
+                ids.append(did)
+                poss.append(p)
+                hs.append(np.int64(np.uint64(md5_u64(ch))))
+        return pa.table({
+            id_column: pa.array(ids, t.schema.field(id_column).type),
+            "pos": pa.array(poss, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+        })
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        acc: dict = {}
+        for text in t.column(text_column).to_pylist():
+            for ch in _cdc_chunks(text or ""):
+                acc[np.int64(np.uint64(md5_u64(ch)))] = ch
+        return pa.table({"h": pa.array(list(acc.keys()), pa.int64()),
+                         "chunk": pa.array(list(acc.values()),
+                                           pa.string())})
+
+    manifest = docs.select_columns([id_column, text_column]).map_batches(
+        manifest_rows, batch_format="pyarrow")
+    chunks = bucketed_fold(
+        docs.select_columns([text_column]).map_batches(
+            chunk_rows, batch_format="pyarrow"),
+        "h", lambda g: g.drop_duplicates("h"), n_buckets=n_buckets)
+    return manifest, chunks
+
+
+def cdc_restore(manifest, chunks, id_column: str = "doc_id",
+                id_type: pa.DataType = None, n_buckets: int = 16):
+    """Reassemble documents from the chunk store: ONE distributed hash
+    join of manifest references against the chunk bodies (the chunk
+    table is corpus-shaped — never broadcast), then a per-doc ordered
+    concat fold.  Returns (doc_id, text), byte-identical to the
+    originals."""
+    from .aggregate import bucketed_map_groups
+    from .join import partitioned_hash_join
+
+    id_type = id_type or pa.int64()
+    left_schema = pa.schema([(id_column, id_type), ("pos", pa.int64()),
+                             ("h", pa.int64())])
+    right_schema = pa.schema([("h", pa.int64()), ("chunk", pa.string())])
+    joined = partitioned_hash_join(manifest, chunks, on="h",
+                                   n_buckets=n_buckets,
+                                   left_schema=left_schema,
+                                   right_schema=right_schema)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pos", kind="mergesort")
+        return pd.DataFrame({id_column: [g[id_column].iloc[0]],
+                             "text": ["".join(g["chunk"])]})
+
+    return bucketed_map_groups(joined, id_column, fold)
