@@ -5913,6 +5913,30 @@ def q_cdc_roundtrip(sf_dir: str):
     return cdc_restore(manifest, chunks).sort("doc_id")
 
 
+def q_zorder_stats(sf_dir: str):
+    """Z-order (Morton) clustering of events on (user bucket, value
+    band): 6-bit interleave, partition by the top 4 z-bits, report each
+    partition's bounding box — multidimensional locality that makes
+    range predicates on EITHER dimension prunable (the OPTIMIZE ZORDER
+    primitive).  Row-local z + one bucketed combine."""
+    from ..stages.storage import zorder_partition_stats
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64) % 64
+        raw = np.asarray(pc.cast(t.column("value"), pa.float64())) * 100
+        cents = np.where(raw >= 0, np.floor(raw + 0.5),
+                         np.ceil(raw - 0.5)).astype(np.int64)
+        v = ((cents + 1_000_000) // 16) % 64   # offset: keep // and %
+        return pa.table({"xb": pa.array(u), "yb": pa.array(v)})  # positive
+
+    return zorder_partition_stats(
+        ev.map_batches(keys, batch_format="pyarrow"), "xb", "yb",
+        n_parts_log2=4, bits=6).sort("part")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6136,6 +6160,7 @@ QUERIES = {
     "lang_segments": q_lang_segments,
     "lpa_communities": q_lpa_communities,
     "cdc_roundtrip": q_cdc_roundtrip,
+    "zorder_stats": q_zorder_stats,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9776,4 +9801,31 @@ ORACLE_SQL["cdc_roundtrip"] = """
     SELECT doc_id, text FROM documents
     WHERE length(COALESCE(text, '')) > 0
     ORDER BY doc_id
+"""
+
+ORACLE_SQL["zorder_stats"] = """
+    WITH e AS (
+        SELECT user_id % 64 AS xb,
+               (((CASE WHEN value >= 0
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       ELSE CAST(CEIL(value * 100 - 0.5) AS BIGINT)
+                  END) + 1000000) // 16) % 64 AS yb
+        FROM events
+    ),
+    z AS (
+        SELECT xb, yb,
+               SUM((((xb >> k.range) & 1) << (2 * k.range)) +
+                   (((yb >> k.range) & 1) << (2 * k.range + 1))) AS zv
+        FROM (SELECT DISTINCT xb, yb FROM e) d, range(6) AS k
+        GROUP BY xb, yb
+    ),
+    zz AS (
+        SELECT e.xb, e.yb, z.zv >> 8 AS part
+        FROM e JOIN z USING (xb, yb)
+    )
+    SELECT CAST(part AS BIGINT) AS part,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(xb) AS x_min, MAX(xb) AS x_max,
+           MIN(yb) AS y_min, MAX(yb) AS y_max
+    FROM zz GROUP BY part ORDER BY part
 """

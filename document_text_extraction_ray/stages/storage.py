@@ -360,3 +360,63 @@ def range_partition_stats(ds, value_col: str, n_parts: int,
     return bucketed_combine(
         ds.map_batches(assign, batch_format="pyarrow"),
         "part", stats_combine, n_buckets=8)
+
+
+def zorder_value(x: np.ndarray, y: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Morton / Z-ORDER interleave of two non-negative integer columns
+    (bit k of x -> bit 2k, bit k of y -> bit 2k+1).  Vectorized; shared
+    by the stage and the tests; the SQL replay uses the identical
+    shift-sum over a generate_series of bit positions."""
+    z = np.zeros(len(x), np.int64)
+    for k in range(bits):
+        z |= ((x >> k) & 1) << (2 * k)
+        z |= ((y >> k) & 1) << (2 * k + 1)
+    return z
+
+
+def zorder_partition_stats(ds, x_col: str, y_col: str,
+                           n_parts_log2: int = 4, bits: int = 16,
+                           n_buckets: int = 8):
+    """Multidimensional CLUSTERING via Z-ordering (the Delta/Iceberg
+    ``OPTIMIZE ZORDER BY (x, y)`` primitive): rows map to the Morton
+    interleave of their two keys and partition by the z-value's HIGH
+    bits, so each partition covers a compact rectangle-ish region of
+    (x, y) space — range predicates on EITHER column prune most
+    partitions, which one-dimensional sorting only gives for its lead
+    column.  Emits per-partition (n_rows, min/max of both dims) — the
+    bounding boxes a zone-map pruner would consult.  Row-local z
+    computation + one bucketed combine."""
+
+    shift = 2 * bits - n_parts_log2
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t.column(x_col), dtype=np.int64)
+        y = np.asarray(t.column(y_col), dtype=np.int64)
+        part = zorder_value(x, y, bits) >> shift
+        t2 = pa.table({"part": pa.array(part), "x": pa.array(x),
+                       "y": pa.array(y),
+                       "pn": pa.array(np.ones(len(x), np.int64))})
+        g = t2.group_by("part").aggregate(
+            [("pn", "sum"), ("x", "min"), ("x", "max"),
+             ("y", "min"), ("y", "max")])
+        return pa.table({"part": g.column("part"),
+                         "pn": g.column("pn_sum"),
+                         "xmin": g.column("x_min"), "xmax": g.column("x_max"),
+                         "ymin": g.column("y_min"), "ymax": g.column("y_max")})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("part").aggregate(
+            [("pn", "sum"), ("xmin", "min"), ("xmax", "max"),
+             ("ymin", "min"), ("ymax", "max")])
+        return pa.table({"part": g.column("part"),
+                         "n_rows": g.column("pn_sum"),
+                         "x_min": g.column("xmin_min"),
+                         "x_max": g.column("xmax_max"),
+                         "y_min": g.column("ymin_min"),
+                         "y_max": g.column("ymax_max")})
+
+    from .aggregate import bucketed_combine
+    return bucketed_combine(
+        ds.select_columns([x_col, y_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        "part", combine, n_buckets)

@@ -261,3 +261,30 @@ def test_export_snapshot_isolated_from_recommit(tmp_path):
     import ray.data as rd
     ds = rd.read_parquet(ckpt.committed_part_files(snap))
     assert ds.count() == 5
+
+
+def test_zorder_locality_beats_single_dim_sort():
+    """Morton interleave bit layout is exact, and z-partitions bound BOTH
+    dimensions (a 1-D sort bounds only its lead column)."""
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.storage import (
+        zorder_partition_stats,
+        zorder_value,
+    )
+
+    assert zorder_value(np.array([0b101]), np.array([0b011]))[0] \
+        == 0b011011          # y2x2..y0x0 interleave: x=101, y=011 -> 011011
+    rng = np.random.default_rng(2)
+    xs = rng.integers(0, 64, 4000)
+    ys = rng.integers(0, 64, 4000)
+    rows = [{"x": int(a), "y": int(b)} for a, b in zip(xs, ys)]
+    out = zorder_partition_stats(rd.from_items(rows), "x", "y",
+                                 n_parts_log2=4, bits=6, n_buckets=4) \
+        .to_pandas()
+    assert out["n_rows"].sum() == 4000
+    assert len(out) == 16
+    # each partition's bounding box covers at most a quarter of each axis
+    assert ((out["x_max"] - out["x_min"]) <= 31).all()
+    assert ((out["y_max"] - out["y_min"]) <= 31).all()
