@@ -5937,6 +5937,19 @@ def q_zorder_stats(sf_dir: str):
         n_parts_log2=4, bits=6).sort("part")
 
 
+def q_arrow_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC stream round trip (the zero-parse engine-to-engine
+    interchange): documents -> one `.arrows` shard per block (dataset-
+    native side-effect write) -> parallel zero-copy read via
+    from_arrow_refs (shards stay in the object store).  Identity
+    oracle."""
+    from ..sources.textfiles import read_arrow_ipc, write_arrow_ipc
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    path = write_arrow_ipc(docs, "/tmp/dte_ipc_rt")
+    return read_arrow_ipc(path, ["doc_id", "text", "lang"]).sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6161,6 +6174,7 @@ QUERIES = {
     "lpa_communities": q_lpa_communities,
     "cdc_roundtrip": q_cdc_roundtrip,
     "zorder_stats": q_zorder_stats,
+    "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9828,4 +9842,8 @@ ORACLE_SQL["zorder_stats"] = """
            MIN(xb) AS x_min, MAX(xb) AS x_max,
            MIN(yb) AS y_min, MAX(yb) AS y_max
     FROM zz GROUP BY part ORDER BY part
+"""
+
+ORACLE_SQL["arrow_ipc_roundtrip"] = """
+    SELECT doc_id, text, lang FROM documents ORDER BY doc_id
 """
