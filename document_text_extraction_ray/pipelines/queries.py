@@ -5950,6 +5950,46 @@ def q_arrow_ipc_roundtrip(sf_dir: str):
     return read_arrow_ipc(path, ["doc_id", "text", "lang"]).sort("doc_id")
 
 
+def q_impute_missing(sf_dir: str):
+    """Data-prep imputation: lang nulled on doc_id % 7 == 0 (mirrored in
+    SQL), then filled with the per-source MODE of the surviving values —
+    mode via the grouped_mode exchange, fill via the broadcast-small-side
+    pattern (the #sources-row mode table ships once by ray.put, never a
+    join exchange)."""
+    import ray as _ray
+
+    from ..stages.aggregate import grouped_mode
+
+    docs = _docs(sf_dir, ["doc_id", "source", "lang"])
+
+    def poke(t: pa.Table) -> pa.Table:
+        d = np.asarray(t.column("doc_id"), dtype=np.int64)
+        lang = t.column("lang").to_pylist()
+        lang = [None if dd % 7 == 0 else lv for dd, lv in zip(d, lang)]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "source": t.column("source"),
+                         "lang": pa.array(lang, pa.string())})
+
+    base = docs.map_batches(poke, batch_format="pyarrow")
+    nonnull = base.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("lang"))),
+        batch_format="pyarrow")
+    modes = grouped_mode(nonnull, "source", "lang").to_pandas()
+    table = dict(zip(modes["source"], modes["mode"]))
+    ref = _ray.put(table)
+
+    def fill(t: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        src = t.column("source").to_pylist()
+        lang = t.column("lang").to_pylist()
+        filled = [lv if lv is not None else m[s]
+                  for s, lv in zip(src, lang)]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang_filled": pa.array(filled, pa.string())})
+
+    return base.map_batches(fill, batch_format="pyarrow").sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6175,6 +6215,7 @@ QUERIES = {
     "cdc_roundtrip": q_cdc_roundtrip,
     "zorder_stats": q_zorder_stats,
     "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
+    "impute_missing": q_impute_missing,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9846,4 +9887,24 @@ ORACLE_SQL["zorder_stats"] = """
 
 ORACLE_SQL["arrow_ipc_roundtrip"] = """
     SELECT doc_id, text, lang FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["impute_missing"] = """
+    WITH base AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang
+        FROM documents
+    ),
+    m AS (
+        SELECT source, lang AS mode FROM (
+            SELECT source, lang, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY COUNT(*) DESC, lang) AS rn
+            FROM base WHERE lang IS NOT NULL
+            GROUP BY source, lang
+        ) WHERE rn = 1
+    )
+    SELECT b.doc_id, COALESCE(b.lang, m.mode) AS lang_filled
+    FROM base b JOIN m USING (source)
+    ORDER BY b.doc_id
 """
