@@ -5990,6 +5990,19 @@ def q_impute_missing(sf_dir: str):
     return base.map_batches(fill, batch_format="pyarrow").sort("doc_id")
 
 
+def q_rendezvous_rebalance(sf_dir: str):
+    """Consistent-partitioner rebalance report: rendezvous (HRW) hashing
+    of doc keys across 8 -> 9 workers; only keys whose argmax moves to
+    the NEW worker relocate (~1/9 of the corpus), per-worker old/new/
+    stayed counts.  Row-local argmax + one bucketed combine;
+    md5_number_lower replay."""
+    from ..stages.sampling import rendezvous_rebalance_stats
+
+    return rendezvous_rebalance_stats(
+        _docs(sf_dir, ["doc_id"]), "doc_id", n_old=8, n_new=9) \
+        .sort("worker")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6216,6 +6229,7 @@ QUERIES = {
     "zorder_stats": q_zorder_stats,
     "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
     "impute_missing": q_impute_missing,
+    "rendezvous_rebalance": q_rendezvous_rebalance,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9907,4 +9921,37 @@ ORACLE_SQL["impute_missing"] = """
     SELECT b.doc_id, COALESCE(b.lang, m.mode) AS lang_filled
     FROM base b JOIN m USING (source)
     ORDER BY b.doc_id
+"""
+
+ORACLE_SQL["rendezvous_rebalance"] = """
+    WITH h AS (
+        SELECT doc_id, w.range AS w,
+               md5_number_lower(CAST(doc_id AS VARCHAR) || ':' ||
+                                CAST(w.range AS VARCHAR)) AS hv
+        FROM documents, range(9) AS w
+    ),
+    a8 AS (
+        SELECT doc_id, w AS w8 FROM (
+            SELECT doc_id, w, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY hv DESC, w) AS rn
+            FROM h WHERE w < 8) WHERE rn = 1
+    ),
+    a9 AS (
+        SELECT doc_id, w AS w9 FROM (
+            SELECT doc_id, w, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY hv DESC, w) AS rn
+            FROM h) WHERE rn = 1
+    ),
+    j AS (SELECT a8.doc_id, w8, w9 FROM a8 JOIN a9 USING (doc_id)),
+    u AS (
+        SELECT w8 AS worker, 1 AS c8, 0 AS c9,
+               CASE WHEN w8 = w9 THEN 1 ELSE 0 END AS st FROM j
+        UNION ALL
+        SELECT w9, 0, 1, 0 FROM j
+    )
+    SELECT CAST(worker AS BIGINT) AS worker,
+           CAST(SUM(c8) AS BIGINT) AS n_old_keys,
+           CAST(SUM(c9) AS BIGINT) AS n_new_keys,
+           CAST(SUM(st) AS BIGINT) AS n_stayed
+    FROM u GROUP BY worker ORDER BY worker
 """

@@ -246,3 +246,53 @@ def mixture_resample(ds, strata_column: str, id_column: str,
         return batch.filter(pa.array(h * cs < 65536 * ts))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def rendezvous_rebalance_stats(ds, key_col: str, n_old: int, n_new: int,
+                               n_buckets: int = 8):
+    """RENDEZVOUS (highest-random-weight) hashing — the consistent
+    partitioner: key k goes to argmax_w md5_u64(f"{k}:{w}").  Growing the
+    worker set from ``n_old`` to ``n_new`` moves ONLY the keys whose new
+    argmax is a new worker (expected n_keys·(n_new-n_old)/n_new) — no
+    ring, no virtual nodes, deterministic, SQL-replayable
+    (md5_number_lower).  The shard-rebalancing planner for ingestion
+    actors and bucketed storage.
+
+    Returns per-worker (worker, n_old_keys, n_new_keys, n_stayed) — the
+    movement report; row-local argmax + one bucketed combine."""
+    import pyarrow as pa
+
+    from ..functions.textstats import md5_u64
+    from .aggregate import bucketed_combine
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc: dict = {}
+        for k in t.column(key_col).to_pylist():
+            hs = [md5_u64(f"{k}:{w}") for w in range(n_new)]
+            w_old = max(range(n_old), key=lambda w: (hs[w], -w))
+            w_new = max(range(n_new), key=lambda w: (hs[w], -w))
+            o = acc.setdefault(w_old, [0, 0, 0])
+            o[0] += 1
+            if w_old == w_new:
+                o[2] += 1
+            acc.setdefault(w_new, [0, 0, 0])[1] += 1
+        ws = sorted(acc)
+        return pa.table({
+            "worker": pa.array(ws, pa.int64()),
+            "po": pa.array([acc[w][0] for w in ws], pa.int64()),
+            "pn": pa.array([acc[w][1] for w in ws], pa.int64()),
+            "ps": pa.array([acc[w][2] for w in ws], pa.int64()),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("worker").aggregate(
+            [("po", "sum"), ("pn", "sum"), ("ps", "sum")])
+        return pa.table({"worker": g.column("worker"),
+                         "n_old_keys": g.column("po_sum"),
+                         "n_new_keys": g.column("pn_sum"),
+                         "n_stayed": g.column("ps_sum")})
+
+    return bucketed_combine(
+        ds.select_columns([key_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        "worker", combine, n_buckets)

@@ -158,3 +158,27 @@ def test_mixture_resample_hits_quota_ratio():
     # binding stratum (highest weight) keeps ~everything; sizes track ratio
     assert quota["s0"] == 500
     assert kept["s0"] == 500
+
+
+def test_rendezvous_minimal_movement_property():
+    """HRW invariant: growing 8 -> 9 workers moves ONLY keys whose new
+    argmax IS the new worker — every other key stays put; moved mass
+    lands entirely on worker 8 and is ~1/9 of the corpus."""
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.sampling import (
+        rendezvous_rebalance_stats,
+    )
+
+    keys = rd.from_items([{"k": i} for i in range(3000)])
+    out = rendezvous_rebalance_stats(keys, "k", 8, 9, n_buckets=4) \
+        .to_pandas().set_index("worker").sort_index()
+    assert out["n_old_keys"].sum() == 3000
+    assert out["n_new_keys"].sum() == 3000
+    # old workers lose only what worker 8 gained: stayed == new counts
+    for w in range(8):
+        assert out.loc[w, "n_stayed"] == out.loc[w, "n_new_keys"]
+    assert out.loc[8, "n_old_keys"] == 0
+    moved = 3000 - out["n_stayed"].sum()
+    assert moved == out.loc[8, "n_new_keys"]
+    assert 3000 // 9 * 0.5 < moved < 3000 // 9 * 1.6   # ~1/9 expected
