@@ -6003,6 +6003,18 @@ def q_rendezvous_rebalance(sf_dir: str):
         .sort("worker")
 
 
+def q_kmv_distinct(sf_dir: str):
+    """KMV distinct sketch over event users: the 32 smallest md5 hashes
+    of the distinct user ids + the (k-1)·2^64/h_k cardinality estimate —
+    deterministic, so the oracle reproduces sketch AND estimate
+    hash-exactly (HLL needs a tolerance gate; KMV does not)."""
+    from ..stages.aggregate import kmv_distinct
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    return kmv_distinct(ev, "user_id", k=32)
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6230,6 +6242,7 @@ QUERIES = {
     "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
     "impute_missing": q_impute_missing,
     "rendezvous_rebalance": q_rendezvous_rebalance,
+    "kmv_distinct": q_kmv_distinct,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9954,4 +9967,26 @@ ORACLE_SQL["rendezvous_rebalance"] = """
            CAST(SUM(c9) AS BIGINT) AS n_new_keys,
            CAST(SUM(st) AS BIGINT) AS n_stayed
     FROM u GROUP BY worker ORDER BY worker
+"""
+
+ORACLE_SQL["kmv_distinct"] = """
+    WITH h AS (
+        SELECT DISTINCT md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    k AS (
+        SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rank
+        FROM h ORDER BY hv LIMIT 32
+    ),
+    e AS (
+        SELECT CASE WHEN MAX(rank) < 32 THEN CAST(MAX(rank) AS BIGINT)
+                    ELSE CAST((MAX(rank) - 1) *
+                              CAST(18446744073709551616 AS HUGEINT)
+                              // CAST(MAX(hv) AS HUGEINT) AS BIGINT)
+               END AS est
+        FROM (SELECT hv, rank FROM k
+              ORDER BY rank DESC LIMIT 1)
+    )
+    SELECT k.rank, k.hv AS h, e.est
+    FROM k, e ORDER BY k.rank
 """

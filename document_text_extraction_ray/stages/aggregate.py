@@ -1347,3 +1347,41 @@ def ks_drift(ds, key: str, value: str, n_buckets: int = 32):
                          "n_b": pa.array(nb, pa.int64())})
 
     return counts.repartition(1).map_batches(fold, batch_format="pyarrow")
+
+
+def kmv_distinct(ds, value_col: str, k: int = 32):
+    """KMV (k-minimum-values) distinct sketch: keep the k SMALLEST
+    md5_u64 hashes of the distinct values — simultaneously (a) a uniform
+    sample of the DISTINCT values (not rows — hot values can't dominate)
+    and (b) the classic cardinality estimator
+    est = (k-1)·2^64 // h_k.  Fully deterministic (min-k is a
+    semigroup), so unlike the HLL gate the ORACLE is hash-exact: DuckDB
+    reproduces the same k hashes and the same estimate.
+
+    Per-batch distinct-hash partials truncate to k rows before the
+    exchange; one k·n_batches-row final fold.  Returns
+    (rank, h, est) — h as uint64, est repeated on every row."""
+    import pyarrow as pa
+
+    from ..functions.textstats import md5_u64
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = set(t.column(value_col).to_pylist())
+        hs = np.array(sorted(md5_u64(str(v)) for v in vals
+                             if v is not None)[:k], dtype=np.uint64)
+        return pa.table({"h": pa.array(hs, pa.uint64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        hs = np.unique(np.asarray(t.column("h"), dtype=np.uint64))[:k]
+        kk = len(hs)
+        # fewer than k distinct hashes => the sketch IS the exact set
+        est = kk if kk < k else int((kk - 1) * (1 << 64) // int(hs[-1]))
+        return pa.table({
+            "rank": pa.array(np.arange(1, kk + 1, dtype=np.int64)),
+            "h": pa.array(hs, pa.uint64()),
+            "est": pa.array(np.full(kk, est, np.int64)),
+        })
+
+    return ds.select_columns([value_col]).map_batches(
+        partial, batch_format="pyarrow").repartition(1).map_batches(
+        fold, batch_format="pyarrow")

@@ -875,3 +875,27 @@ def test_ks_drift_matches_scipy_style_reference():
     assert out.loc[("a", "c"), "ks_num"] == 0          # identical dists
     assert out.loc[("a", "b"), "n_a"] == 300
     assert out.loc[("a", "b"), "n_b"] == 200
+
+
+def test_kmv_distinct_accuracy_and_merge_stability():
+    """KMV estimate lands near the true distinct count for n >> k; the
+    sketch is exact below k; estimates are invariant to repartitioning
+    (mergeable min-k)."""
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import kmv_distinct
+
+    rows = [{"v": int(i % 2000)} for i in range(6000)]   # 2000 distinct
+    out = kmv_distinct(rd.from_items(rows), "v", k=64).to_pandas()
+    assert len(out) == 64
+    est = out["est"].iloc[0]
+    assert abs(est - 2000) < 2000 * 0.35                 # ~1/sqrt(64) err
+    # partitioning must not change the sketch
+    out2 = kmv_distinct(rd.from_items(rows).repartition(13), "v",
+                        k=64).to_pandas()
+    assert (out["h"].to_numpy() == out2["h"].to_numpy()).all()
+    assert out2["est"].iloc[0] == est
+
+    small = kmv_distinct(rd.from_items(rows[:10]), "v", k=64).to_pandas()
+    assert small["est"].iloc[0] == 10                     # exact below k
