@@ -6015,6 +6015,31 @@ def q_kmv_distinct(sf_dir: str):
     return kmv_distinct(ev, "user_id", k=32)
 
 
+def q_earliest_arrival(sf_dir: str):
+    """Temporal reachability from node 0 over a directed doc-id chain
+    with formula timestamps ((i*7) % 20 — frequently DECREASING, so many
+    hops are time-blocked) plus ts=0 shortcuts to every 50th node; 4
+    rounds of min-arrival propagation.  Oracle: 4 unrolled
+    candidate/min-merge CTE rounds."""
+    import pandas as pd
+
+    from ..stages.graph import earliest_arrival
+
+    def synth_edges(df):
+        d = df.loc[df["doc_id"] > 0, "doc_id"]
+        chain = pd.DataFrame({"src": d - 1, "dst": d,
+                              "ts": ((d - 1) * 7) % 20})
+        sc = d[d % 50 == 0]
+        short = pd.DataFrame({"src": np.zeros(len(sc), np.int64),
+                              "dst": sc,
+                              "ts": np.zeros(len(sc), np.int64)})
+        return pd.concat([chain, short], ignore_index=True)
+
+    edges = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth_edges, batch_format="pandas")
+    return earliest_arrival(edges, seeds=[0], n_rounds=4).sort("node")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6243,6 +6268,7 @@ QUERIES = {
     "impute_missing": q_impute_missing,
     "rendezvous_rebalance": q_rendezvous_rebalance,
     "kmv_distinct": q_kmv_distinct,
+    "earliest_arrival": q_earliest_arrival,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -9989,4 +10015,33 @@ ORACLE_SQL["kmv_distinct"] = """
     )
     SELECT k.rank, k.hv AS h, e.est
     FROM k, e ORDER BY k.rank
+"""
+
+ORACLE_SQL["earliest_arrival"] = """
+    WITH e AS (
+        SELECT doc_id - 1 AS src, doc_id AS dst,
+               ((doc_id - 1) * 7) % 20 AS ts
+        FROM documents WHERE doc_id > 0
+        UNION ALL
+        SELECT 0, doc_id, 0 FROM documents
+        WHERE doc_id > 0 AND doc_id % 50 = 0
+    ),
+    a0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS arr),
+    c1 AS (SELECT e.dst AS node, MIN(e.ts) AS arr FROM e
+           JOIN a0 ON e.src = a0.node AND e.ts >= a0.arr GROUP BY e.dst),
+    a1 AS (SELECT node, MIN(arr) AS arr FROM
+           (SELECT * FROM a0 UNION ALL SELECT * FROM c1) GROUP BY node),
+    c2 AS (SELECT e.dst AS node, MIN(e.ts) AS arr FROM e
+           JOIN a1 ON e.src = a1.node AND e.ts >= a1.arr GROUP BY e.dst),
+    a2 AS (SELECT node, MIN(arr) AS arr FROM
+           (SELECT * FROM a1 UNION ALL SELECT * FROM c2) GROUP BY node),
+    c3 AS (SELECT e.dst AS node, MIN(e.ts) AS arr FROM e
+           JOIN a2 ON e.src = a2.node AND e.ts >= a2.arr GROUP BY e.dst),
+    a3 AS (SELECT node, MIN(arr) AS arr FROM
+           (SELECT * FROM a2 UNION ALL SELECT * FROM c3) GROUP BY node),
+    c4 AS (SELECT e.dst AS node, MIN(e.ts) AS arr FROM e
+           JOIN a3 ON e.src = a3.node AND e.ts >= a3.arr GROUP BY e.dst),
+    a4 AS (SELECT node, MIN(arr) AS arr FROM
+           (SELECT * FROM a3 UNION ALL SELECT * FROM c4) GROUP BY node)
+    SELECT node, arr FROM a4 ORDER BY node
 """

@@ -447,3 +447,57 @@ def lpa_communities(edges, n_iters: int = 3, src_col: str = "src",
             n_buckets=n_buckets).repartition(8).materialize()
 
     return labels
+
+
+def earliest_arrival(edges, seeds, n_rounds: int = 4,
+                     src_col: str = "src", dst_col: str = "dst",
+                     ts_col: str = "ts", n_buckets: int = 16):
+    """TIME-RESPECTING reachability (temporal BFS): arr(node) = the
+    earliest time the node can be reached from any seed along a path
+    whose edge timestamps never decrease — information-flow /
+    contagion analysis where plain BFS overcounts (an edge that fired
+    BEFORE you arrived cannot carry you).  Seeds start at arr = 0.
+
+    Per round: arrivals join the edge list on src (one distributed
+    join), candidates keep edges with ts >= arr(src) and propose
+    arr(dst) = ts; ONE bucketed min-fold merges candidates with the
+    standing arrivals (min is idempotent — no anti-join, no dedup).
+    Fixed ``n_rounds`` (the oracle unrolls the same rounds; a round
+    without improvements is a no-op).  State is node-bounded,
+    coalesced + materialized per round (the bfs_hops block-count
+    lesson).  Returns (node, arr)."""
+    import ray.data as rd
+
+    from .aggregate import bucketed_fold
+    from .join import partitioned_hash_join
+
+    edges = edges.select_columns([src_col, dst_col, ts_col]).materialize()
+    arrivals = rd.from_items(
+        [{"node": s, "arr": 0} for s in seeds]).materialize()
+
+    ls = pa.schema([(src_col, pa.int64()), (dst_col, pa.int64()),
+                    (ts_col, pa.int64())])
+    rs = pa.schema([(src_col, pa.int64()), ("arr", pa.int64())])
+
+    def min_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False, as_index=False)["arr"].min()
+
+    for _ in range(n_rounds):
+        arr_src = arrivals.map_batches(
+            lambda t: t if t.num_columns == 0 else t.rename_columns(
+                [src_col, "arr"]),
+            batch_format="pyarrow")
+        cand = partitioned_hash_join(
+            edges, arr_src, on=src_col, n_buckets=n_buckets,
+            left_schema=ls, right_schema=rs,
+        ).map_batches(
+            lambda t: t if t.num_columns == 0 else (lambda m: pa.table(
+                {"node": t.filter(m).column(dst_col),
+                 "arr": t.filter(m).column(ts_col)}))(
+                pc.greater_equal(t.column(ts_col), t.column("arr"))),
+            batch_format="pyarrow").repartition(8).materialize()
+        arrivals = bucketed_fold(
+            cand.union(arrivals), "node", min_fold,
+            n_buckets=n_buckets).repartition(4).materialize()
+
+    return arrivals

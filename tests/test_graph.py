@@ -198,3 +198,25 @@ def test_lpa_cliques_resist_bridge():
     assert len(set(labels[:4])) == 1          # clique 1 one community
     assert len(set(labels[4:])) == 1          # clique 2 one community
     assert labels[0] != labels[4]             # bridge did NOT merge them
+
+
+def test_earliest_arrival_time_blocking():
+    """Temporal semantics: an edge that fires BEFORE you arrive cannot
+    carry you — path 0-1-2 with decreasing ts blocks at node 2 until a
+    later parallel edge exists; plain reachability would pass."""
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.graph import earliest_arrival
+
+    edges = rd.from_items([
+        {"src": 0, "dst": 1, "ts": 5},
+        {"src": 1, "dst": 2, "ts": 3},   # fires before arrival(1)=5: blocked
+        {"src": 1, "dst": 2, "ts": 9},   # the later run carries
+        {"src": 2, "dst": 3, "ts": 8},   # 8 < arr(2)=9: 3 unreachable
+        {"src": 0, "dst": 4, "ts": 0},
+    ])
+    out = earliest_arrival(edges, seeds=[0], n_rounds=4, n_buckets=4) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    arr = dict(zip(out["node"], out["arr"]))
+    assert arr == {0: 0, 1: 5, 2: 9, 4: 0}
+    assert 3 not in arr
