@@ -6040,6 +6040,31 @@ def q_earliest_arrival(sf_dir: str):
     return earliest_arrival(edges, seeds=[0], n_rounds=4).sort("node")
 
 
+def q_late_event_stats(sf_dir: str):
+    """Watermark / late-event accounting per event type: arrival order
+    simulated by an md5 permutation of event_id (out-of-order ingestion,
+    mirrored in SQL), watermark = running max event time in that order,
+    late = more than 60 s behind — the pre-flight that sizes
+    allowed-lateness for a streaming port."""
+    from ..functions.textstats import md5_u64
+    from ..stages.streaming import late_event_stats
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "ts"])
+
+    def with_order(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_pylist()
+        orders = np.array([md5_u64(str(i)) for i in ids], np.uint64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "ts": t.column("ts"),
+                         "ord": pa.array(orders, pa.uint64())})
+
+    return late_event_stats(
+        ev.map_batches(with_order, batch_format="pyarrow"),
+        "event_type", "ts", "ord", allowed_lateness_s=60) \
+        .sort("event_type")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6269,6 +6294,7 @@ QUERIES = {
     "rendezvous_rebalance": q_rendezvous_rebalance,
     "kmv_distinct": q_kmv_distinct,
     "earliest_arrival": q_earliest_arrival,
+    "late_event_stats": q_late_event_stats,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -10044,4 +10070,25 @@ ORACLE_SQL["earliest_arrival"] = """
     a4 AS (SELECT node, MIN(arr) AS arr FROM
            (SELECT * FROM a3 UNION ALL SELECT * FROM c4) GROUP BY node)
     SELECT node, arr FROM a4 ORDER BY node
+"""
+
+ORACLE_SQL["late_event_stats"] = """
+    WITH e AS (
+        SELECT event_type, ts,
+               md5_number_lower(CAST(event_id AS VARCHAR)) AS ord
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, epoch_us(ts) AS us,
+               MAX(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ord
+                   ROWS UNBOUNDED PRECEDING) AS wm
+        FROM e
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE wm - us > 60000000) AS BIGINT)
+               AS n_late,
+           CAST(MAX(wm - us) // 1000000 AS BIGINT) AS max_lateness_s
+    FROM w GROUP BY event_type ORDER BY event_type
 """

@@ -157,3 +157,40 @@ def streaming_sessionize(ds, ts_col: str, key_col: str, gap_s: int = 1800,
     df = pd.DataFrame(rows, columns=[key_col, "session_start_s",
                                      "session_end_s", "n_events"])
     return df.sort_values([key_col, "session_start_s"]).reset_index(drop=True)
+
+
+def late_event_stats(ds, key_col: str, ts_col: str, order_col: str,
+                     allowed_lateness_s: int = 60):
+    """EVENT-TIME vs ARRIVAL-ORDER accounting (the watermark half of
+    streaming semantics the batch windows don't exercise): replaying the
+    stream in arrival order (``order_col`` — ingestion sequence), the
+    per-key WATERMARK is the running max event time; an event whose
+    event time sits more than ``allowed_lateness_s`` behind the
+    watermark at its arrival would be dropped/sided by a streaming
+    engine.  Returns per-key (n_events, n_late, max_lateness_s) — the
+    report that sizes allowed-lateness before moving a pipeline from
+    batch to streaming.
+
+    One bucketed shuffle on the key; per-key sorted cummax fold,
+    deterministic because ``order_col`` is a total order."""
+    import numpy as np
+    import pandas as pd
+
+    from .aggregate import bucketed_map_groups
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort")
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        wm = np.maximum.accumulate(us)
+        late_by = wm - us          # >= 0; how far behind the watermark
+        late = late_by > allowed_lateness_s * 1_000_000
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "n_events": np.array([len(g)], np.int64),
+            "n_late": np.array([int(late.sum())], np.int64),
+            "max_lateness_s": np.array([int(late_by.max() // 1_000_000)],
+                                       np.int64),
+        })
+
+    return bucketed_map_groups(
+        ds.select_columns([key_col, ts_col, order_col]), key_col, fold)
