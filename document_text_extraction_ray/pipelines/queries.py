@@ -6065,6 +6065,27 @@ def q_late_event_stats(sf_dir: str):
         .sort("event_type")
 
 
+def q_degree_assortativity(sf_dir: str):
+    """Degree-assortativity sufficient sums over a hub-heavy formula
+    graph (every doc links to two of 97 hubs): integer Σdu, Σdv, Σdu·dv,
+    Σdu², Σdv² over edges — the Pearson degree-correlation numbers
+    without floats.  Two thin degree joins + fixed-width sum partials."""
+    import pandas as pd
+
+    from ..stages.graph import degree_assortativity_sums
+
+    def synth_edges(df):
+        d = df["doc_id"]
+        return pd.concat([
+            pd.DataFrame({"src": d, "dst": (d * d + 1) % 97}),
+            pd.DataFrame({"src": d, "dst": (d * 7 + 3) % 97}),
+        ], ignore_index=True)
+
+    edges = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth_edges, batch_format="pandas")
+    return degree_assortativity_sums(edges)
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6295,6 +6316,7 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "earliest_arrival": q_earliest_arrival,
     "late_event_stats": q_late_event_stats,
+    "degree_assortativity": q_degree_assortativity,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -10091,4 +10113,26 @@ ORACLE_SQL["late_event_stats"] = """
                AS n_late,
            CAST(MAX(wm - us) // 1000000 AS BIGINT) AS max_lateness_s
     FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["degree_assortativity"] = """
+    WITH e AS (
+        SELECT doc_id AS src, (doc_id * doc_id + 1) % 97 AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 3) % 97 FROM documents
+    ),
+    od AS (SELECT src, COUNT(*) AS du FROM e GROUP BY src),
+    idg AS (SELECT dst, COUNT(*) AS dv FROM e GROUP BY dst),
+    j AS (
+        SELECT od.du, idg.dv
+        FROM e JOIN od USING (src) JOIN idg USING (dst)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(du) AS BIGINT) AS s_du,
+           CAST(SUM(dv) AS BIGINT) AS s_dv,
+           CAST(SUM(du * dv) AS BIGINT) AS s_dudv,
+           CAST(SUM(du * du) AS BIGINT) AS s_du2,
+           CAST(SUM(dv * dv) AS BIGINT) AS s_dv2
+    FROM j
 """

@@ -501,3 +501,63 @@ def earliest_arrival(edges, seeds, n_rounds: int = 4,
             n_buckets=n_buckets).repartition(4).materialize()
 
     return arrivals
+
+
+def degree_assortativity_sums(edges, src_col: str = "src",
+                              dst_col: str = "dst", n_buckets: int = 16):
+    """Degree-ASSORTATIVITY sufficient statistics, integer-exact: over
+    every (directed) edge, with du = out-degree(src) and dv =
+    in-degree(dst), the five sums (n_edges, Σdu, Σdv, Σdu·dv, Σdu²+Σdv²
+    split) that assemble the Pearson degree-correlation — do hubs link to
+    hubs (assortative, r>0, social graphs) or to leaves (disassortative,
+    r<0, the web)?  Consumers form r from the integer sums; no float
+    leaves the engine.
+
+    Plan: two thin degree tables (pre-aggregated counts), each attached
+    to the edge list by ONE hash join on its own end, then a fixed-width
+    sum partial + single-row fold.  Returns one row
+    (n_edges, s_du, s_dv, s_dudv, s_du2, s_dv2)."""
+    from .aggregate import pre_aggregated_count
+    from .join import coalesce_aggregate_blocks, partitioned_hash_join
+
+    e = edges.select_columns([src_col, dst_col]).materialize()
+    outd = coalesce_aggregate_blocks(
+        pre_aggregated_count(e, src_col, alias="du",
+                             n_buckets=n_buckets), 4)
+    ind = coalesce_aggregate_blocks(
+        pre_aggregated_count(e, dst_col, alias="dv",
+                             n_buckets=n_buckets), 4)
+
+    es = pa.schema([(src_col, pa.int64()), (dst_col, pa.int64())])
+    os_ = pa.schema([(src_col, pa.int64()), ("du", pa.int64())])
+    with_du = partitioned_hash_join(e, outd, on=src_col,
+                                    n_buckets=n_buckets,
+                                    left_schema=es, right_schema=os_) \
+        .repartition(8).materialize()
+    ds_ = pa.schema([(dst_col, pa.int64()), ("dv", pa.int64())])
+    ws = pa.schema([(src_col, pa.int64()), (dst_col, pa.int64()),
+                    ("du", pa.int64())])
+    both = partitioned_hash_join(with_du, ind, on=dst_col,
+                                 n_buckets=n_buckets,
+                                 left_schema=ws, right_schema=ds_)
+
+    def partial(t: pa.Table) -> pa.Table:
+        du = np.asarray(t.column("du"), dtype=np.int64)
+        dv = np.asarray(t.column("dv"), dtype=np.int64)
+        return pa.table({
+            "n_edges": pa.array([len(du)], pa.int64()),
+            "s_du": pa.array([int(du.sum())], pa.int64()),
+            "s_dv": pa.array([int(dv.sum())], pa.int64()),
+            "s_dudv": pa.array([int((du * dv).sum())], pa.int64()),
+            "s_du2": pa.array([int((du * du).sum())], pa.int64()),
+            "s_dv2": pa.array([int((dv * dv).sum())], pa.int64()),
+        })
+
+    def total(t: pa.Table) -> pa.Table:
+        cols = ["n_edges", "s_du", "s_dv", "s_dudv", "s_du2", "s_dv2"]
+        return pa.table({
+            c: pa.array([int(np.asarray(t.column(c)).sum())], pa.int64())
+            for c in cols})
+
+    return both.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(total, batch_format="pyarrow")
