@@ -6086,6 +6086,43 @@ def q_degree_assortativity(sf_dir: str):
     return degree_assortativity_sums(edges)
 
 
+def q_identity_resolution(sf_dir: str):
+    """Entity resolution across MULTIPLE identifier fields: records
+    sharing an email (triples) or a phone (quintuples) are the same
+    entity TRANSITIVELY — min-label connected components over the
+    record—identifier bipartite graph; entity = the component's minimum
+    record id.  15 % 3 == 15 % 5 == 0 keeps identifier groups inside
+    15-record blocks, so components are exactly those blocks (bounded —
+    the recursive-CTE oracle is O(nodes x component size)).  Output:
+    (record, entity) for record nodes only."""
+    from ..stages.dedup import cluster_pairs_distributed
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = np.asarray(t.column("doc_id"), dtype=np.int64)
+        email = 10_000_000 + d // 3
+        phone = 20_000_000 + d // 5
+        return pa.table({
+            "id_a": pa.array(np.concatenate([d, d]), pa.int64()),
+            "id_b": pa.array(np.concatenate([email, phone]), pa.int64()),
+        })
+
+    labels = cluster_pairs_distributed(
+        docs.map_batches(edges, batch_format="pyarrow"))
+
+    def records_only(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        m = pc.less(t.column("node"), 10_000_000)
+        t = t.filter(m)
+        return pa.table({"record": t.column("node"),
+                         "entity": t.column("label")})
+
+    return labels.map_batches(records_only,
+                              batch_format="pyarrow").sort("record")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6317,6 +6354,7 @@ QUERIES = {
     "earliest_arrival": q_earliest_arrival,
     "late_event_stats": q_late_event_stats,
     "degree_assortativity": q_degree_assortativity,
+    "identity_resolution": q_identity_resolution,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -10135,4 +10173,22 @@ ORACLE_SQL["degree_assortativity"] = """
            CAST(SUM(du * du) AS BIGINT) AS s_du2,
            CAST(SUM(dv * dv) AS BIGINT) AS s_dv2
     FROM j
+"""
+
+ORACLE_SQL["identity_resolution"] = """
+    WITH RECURSIVE e AS (
+        SELECT doc_id AS a, 10000000 + doc_id // 3 AS b FROM documents
+        UNION ALL
+        SELECT doc_id, 20000000 + doc_id // 5 FROM documents
+    ),
+    sym AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    cc(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.dst, cc.label FROM cc JOIN sym s ON cc.node = s.src
+    )
+    SELECT node AS record, MIN(label) AS entity
+    FROM cc WHERE node < 10000000
+    GROUP BY node ORDER BY record
 """
