@@ -6123,6 +6123,64 @@ def q_identity_resolution(sf_dir: str):
                               batch_format="pyarrow").sort("record")
 
 
+def q_clustering_coefficient(sf_dir: str):
+    """Per-node local clustering coefficient as integer sufficient
+    statistics (2*T(v), deg*(deg-1)) on a deterministic bounded-degree
+    graph: chain edges (i, i+1) / (i, i+2) close triangles; sparse
+    (i, i+5) chords at i%20==0 add triangle-free degree so coefficients
+    genuinely VARY across nodes.  Wedge self-join + composite close +
+    3-corner explode count, degrees from an endpoint explode, one final
+    node-bucketed merge fold — everything integer, hash-exact."""
+    from ..stages.graph import clustering_coefficient
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    meta = pq.ParquetFile(path)
+    idx = meta.schema_arrow.get_field_index("doc_id")
+    mx = max(meta.metadata.row_group(i).column(idx).statistics.max
+             for i in range(meta.metadata.num_row_groups))
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        a = d[(d % 100 < 99) & (d + 1 <= mx)]
+        b = d[(d % 100 < 98) & (d + 2 <= mx)]
+        c = d[(d % 20 == 0) & (d + 5 <= mx)]
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b, c])),
+            "dst": pa.array(np.concatenate([a + 1, b + 2, c + 5]))})
+
+    e = rd.read_parquet(path, columns=["doc_id"]).map_batches(
+        edges, batch_format="pyarrow")
+    return clustering_coefficient(e, "src", "dst").sort("node")
+
+
+def q_link_prediction(sf_dir: str):
+    """Common-neighbor link prediction: non-adjacent node pairs sharing
+    >= 2 neighbors on a chain+chord graph whose (i, i+2) chords drop out
+    at i%4==3 — so candidate scores and the adjacency exclusions both
+    vary.  Symmetrized wedge self-join, one bucketed tuple combine with
+    the threshold inside the fold, packed-key anti-join against the edge
+    set."""
+    from ..stages.graph import common_neighbor_pairs
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    meta = pq.ParquetFile(path)
+    idx = meta.schema_arrow.get_field_index("doc_id")
+    mx = max(meta.metadata.row_group(i).column(idx).statistics.max
+             for i in range(meta.metadata.num_row_groups))
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        a = d[(d % 100 < 99) & (d + 1 <= mx)]
+        b = d[(d % 100 < 98) & (d % 4 != 3) & (d + 2 <= mx)]
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([a + 1, b + 2]))})
+
+    e = rd.read_parquet(path, columns=["doc_id"]).map_batches(
+        edges, batch_format="pyarrow")
+    out = common_neighbor_pairs(e, min_common=2)
+    return out.sort(["v", "w"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6355,6 +6413,8 @@ QUERIES = {
     "late_event_stats": q_late_event_stats,
     "degree_assortativity": q_degree_assortativity,
     "identity_resolution": q_identity_resolution,
+    "clustering_coefficient": q_clustering_coefficient,
+    "link_prediction": q_link_prediction,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -10191,4 +10251,64 @@ ORACLE_SQL["identity_resolution"] = """
     SELECT node AS record, MIN(label) AS entity
     FROM cc WHERE node < 10000000
     GROUP BY node ORDER BY record
+"""
+
+ORACLE_SQL["clustering_coefficient"] = """
+    WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+    e AS (
+        SELECT doc_id AS u, doc_id + 1 AS v FROM documents, m
+        WHERE doc_id % 100 < 99 AND doc_id + 1 <= mx
+        UNION ALL
+        SELECT doc_id, doc_id + 2 FROM documents, m
+        WHERE doc_id % 100 < 98 AND doc_id + 2 <= mx
+        UNION ALL
+        SELECT doc_id, doc_id + 5 FROM documents, m
+        WHERE doc_id % 20 = 0 AND doc_id + 5 <= mx
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    tn AS (
+        SELECT node, COUNT(*) AS n_tri FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY 1
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY 1
+    )
+    SELECT d.node,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_triangles,
+           CAST(2 * COALESCE(tn.n_tri, 0) AS BIGINT) AS cc_numer,
+           CAST(d.degree * (d.degree - 1) AS BIGINT) AS cc_denom
+    FROM deg d LEFT JOIN tn ON d.node = tn.node
+    ORDER BY d.node
+"""
+
+ORACLE_SQL["link_prediction"] = """
+    WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+    e AS (
+        SELECT doc_id AS u, doc_id + 1 AS v FROM documents, m
+        WHERE doc_id % 100 < 99 AND doc_id + 1 <= mx
+        UNION ALL
+        SELECT doc_id, doc_id + 2 FROM documents, m
+        WHERE doc_id % 100 < 98 AND doc_id % 4 != 3 AND doc_id + 2 <= mx
+    ),
+    adj AS (SELECT u, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+    cand AS (
+        SELECT a1.nb AS v, a2.nb AS w,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.nb < a2.nb
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT v, w, n_common FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.v AND e.v = cand.w)
+    ORDER BY v, w
 """

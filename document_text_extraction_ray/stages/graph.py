@@ -561,3 +561,164 @@ def degree_assortativity_sums(edges, src_col: str = "src",
 
     return both.map_batches(partial, batch_format="pyarrow") \
         .repartition(1).map_batches(total, batch_format="pyarrow")
+
+
+def _as_arrays(col):
+    """List of plain Arrays from a cast column (ChunkedArray or Array)."""
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return list(c.chunks) if isinstance(c, pa.ChunkedArray) else [c]
+
+
+def clustering_coefficient(edges, src_col: str = "src",
+                           dst_col: str = "dst", n_buckets: int = 32):
+    """Per-node local clustering coefficient as EXACT INTEGER sufficient
+    statistics: for each node v, ``n_triangles`` (triangles containing v)
+    and degree — the coefficient is 2*T(v) / (deg*(deg-1)), and the
+    returned ``cc_numer`` / ``cc_denom`` columns carry exactly those
+    integers so a SQL replay hash-matches without float division.  The
+    per-node refinement of ``triangle_count`` (which credits each triangle
+    only at its minimum node): here every closed wedge credits ALL THREE
+    corners.
+
+    Contract (same as ``triangle_count``): ``edges`` DISTINCT and oriented
+    ``src < dst``; forward-degree orientation bounds the wedge fan-out.
+    Plan: wedge self-join on the pivot, composite-key close against the
+    edge set, explode each triangle to its 3 corners into a thin
+    pre-aggregated count; degrees from an endpoint explode + count; one
+    final bucketed fold merges the two node-bounded count tables.
+    Isolated coefficients for degree-1 nodes are undefined — they emit
+    ``cc_denom`` 0 (callers must not divide)."""
+    from .aggregate import bucketed_fold, pre_aggregated_count
+    from .join import partitioned_hash_join
+
+    e = edges.select_columns([src_col, dst_col])
+
+    wedges = partitioned_hash_join(e, e, on=src_col, n_buckets=n_buckets,
+                                   suffix="_w")
+
+    def orient(t: pa.Table) -> pa.Table:
+        keep = pc.less(t.column(dst_col), t.column(f"{dst_col}_w"))
+        t = t.filter(keep)
+        return pa.table({"pivot": t.column(src_col),
+                         src_col: t.column(dst_col),
+                         dst_col: t.column(f"{dst_col}_w")})
+
+    wedges = wedges.map_batches(orient, batch_format="pyarrow")
+    closed = partitioned_hash_join(wedges, e, on=[src_col, dst_col],
+                                   n_buckets=n_buckets, suffix="_e")
+
+    def corners(t: pa.Table) -> pa.Table:
+        chunks = []
+        for c in ("pivot", src_col, dst_col):
+            chunks.extend(_as_arrays(pc.cast(t.column(c), pa.int64())))
+        return pa.table({"node": pa.concat_arrays(chunks)})
+
+    tri = pre_aggregated_count(
+        closed.map_batches(corners, batch_format="pyarrow"),
+        "node", alias="cnt", n_buckets=n_buckets)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        a = _as_arrays(pc.cast(t.column(src_col), pa.int64()))
+        b = _as_arrays(pc.cast(t.column(dst_col), pa.int64()))
+        return pa.table({"node": pa.concat_arrays(a + b)})
+
+    deg = pre_aggregated_count(
+        e.map_batches(endpoints, batch_format="pyarrow"),
+        "node", alias="cnt", n_buckets=n_buckets)
+
+    def tag(is_tri: int):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            z = pa.array(np.zeros(n, np.int64), pa.int64())
+            c = pc.cast(t.column("cnt"), pa.int64())
+            return pa.table({"node": t.column("node"),
+                             "n_triangles": c if is_tri else z,
+                             "degree": z if is_tri else c})
+        return f
+
+    both = tri.map_batches(tag(1), batch_format="pyarrow").union(
+        deg.map_batches(tag(0), batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("node", sort=False).agg(
+            n_triangles=("n_triangles", "sum"),
+            degree=("degree", "sum")).reset_index()
+        d = a["degree"].to_numpy().astype(np.int64)
+        a["cc_numer"] = 2 * a["n_triangles"].astype("int64")
+        a["cc_denom"] = d * (d - 1)
+        return a[["node", "degree", "n_triangles", "cc_numer", "cc_denom"]]
+
+    return bucketed_fold(both, "node", fold, n_buckets=min(n_buckets, 8))
+
+
+def common_neighbor_pairs(edges, min_common: int = 2,
+                          src_col: str = "src", dst_col: str = "dst",
+                          n_buckets: int = 32):
+    """Link prediction by common-neighbor counting: for every NON-adjacent
+    node pair (v, w) with at least ``min_common`` shared neighbors, emit
+    (v, w, n_common) — the classic missing-link score (Liben-Nowell &
+    Kleinberg), and the 2-hop recommendation primitive ("users who share
+    k neighbors").
+
+    Contract: ``edges`` DISTINCT and oriented ``src < dst``; node ids must
+    fit in int32 ranges (the pair anti-join keys pack as v * 2^32 + w).
+    Hub hazard: wedge fan-out is quadratic in UNDIRECTED degree at the
+    pivot (unlike the triangle plan, both directions must expand —
+    common-neighborhood is symmetric), so cap or pre-filter hot nodes
+    upstream for power-law graphs.
+
+    Plan: symmetrize the adjacency (union both directions), self-join on
+    the pivot, per-batch pair-count partials, ONE bucketed tuple combine
+    with the ``min_common`` threshold applied inside the fold (thins the
+    anti-join input), then a distributed anti-join against the packed
+    edge keys removes already-adjacent pairs."""
+    from .aggregate import bucketed_fold
+    from .join import anti_join, partitioned_hash_join
+
+    e = edges.select_columns([src_col, dst_col])
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = _as_arrays(pc.cast(t.column(src_col), pa.int64()))
+        b = _as_arrays(pc.cast(t.column(dst_col), pa.int64()))
+        return pa.table({"u": pa.concat_arrays(a + b),
+                         "nb": pa.concat_arrays(b + a)})
+
+    adj = e.map_batches(sym, batch_format="pyarrow")
+    wedges = partitioned_hash_join(adj, adj, on="u", n_buckets=n_buckets,
+                                   suffix="_w")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("nb"), dtype=np.int64)
+        w = np.asarray(t.column("nb_w"), dtype=np.int64)
+        keep = v < w
+        g = pa.table({"v": pa.array(v[keep], pa.int64()),
+                      "w": pa.array(w[keep], pa.int64())}) \
+            .group_by(["v", "w"]).aggregate([([], "count_all")])
+        return pa.table({"v": g.column("v"), "w": g.column("w"),
+                         "pn": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = wedges.map_batches(pair_partial, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["v", "w"], sort=False)["pn"].sum().reset_index()
+        out = out.rename(columns={"pn": "n_common"})
+        out["n_common"] = out["n_common"].astype("int64")
+        out = out[out["n_common"] >= min_common]
+        out["pair_key"] = (out["v"].to_numpy().astype(np.int64) << 32) \
+            + out["w"].to_numpy().astype(np.int64)
+        return out[["pair_key", "v", "w", "n_common"]]
+
+    cands = bucketed_fold(partials, ["v", "w"], combine,
+                          n_buckets=n_buckets)
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        a = np.asarray(pc.cast(t.column(src_col), pa.int64()))
+        b = np.asarray(pc.cast(t.column(dst_col), pa.int64()))
+        return pa.table({"pair_key": pa.array((a << 32) + b, pa.int64())})
+
+    ek = e.map_batches(edge_keys, batch_format="pyarrow")
+    cand_schema = pa.schema([("pair_key", pa.int64()), ("v", pa.int64()),
+                             ("w", pa.int64()), ("n_common", pa.int64())])
+    out = anti_join(cands, ek, on="pair_key",
+                    n_buckets=min(n_buckets, 16), left_schema=cand_schema)
+    return out.drop_columns(["pair_key"])

@@ -220,3 +220,80 @@ def test_earliest_arrival_time_blocking():
     arr = dict(zip(out["node"], out["arr"]))
     assert arr == {0: 0, 1: 5, 2: 9, 4: 0}
     assert 3 not in arr
+
+
+def test_clustering_coefficient_matches_brute_force():
+    from itertools import combinations
+
+    from document_text_extraction_ray.stages.graph import (
+        clustering_coefficient,
+    )
+
+    n = 30
+    edges = set()
+    for i in range(n):
+        edges.add((i, (i + 1) % n))
+        if i % 3 == 0:
+            edges.add((i, (i + 2) % n))
+        if i % 5 == 0:
+            edges.add((i, (i + 7) % n))
+    oriented = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    eset = set(oriented)
+    tri = {v: 0 for v in range(n)}
+    for u, v, w in combinations(range(n), 3):
+        if {(u, v), (u, w), (v, w)} <= eset:
+            tri[u] += 1
+            tri[v] += 1
+            tri[w] += 1
+    deg = {v: 0 for v in range(n)}
+    for a, b in oriented:
+        deg[a] += 1
+        deg[b] += 1
+
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in oriented])
+    out = clustering_coefficient(ds, n_buckets=4).to_pandas() \
+        .set_index("node").sort_index()
+    assert set(out.index) == set(range(n))
+    for v in range(n):
+        assert out.loc[v, "degree"] == deg[v]
+        assert out.loc[v, "n_triangles"] == tri[v]
+        assert out.loc[v, "cc_numer"] == 2 * tri[v]
+        assert out.loc[v, "cc_denom"] == deg[v] * (deg[v] - 1)
+    # coefficients genuinely vary on this graph
+    nz = out[out["cc_denom"] > 0]
+    assert len(set(
+        (nz["cc_numer"] / nz["cc_denom"]).round(6))) > 1
+
+
+def test_common_neighbor_pairs_matches_brute_force():
+    from document_text_extraction_ray.stages.graph import (
+        common_neighbor_pairs,
+    )
+
+    n = 40
+    edges = set()
+    for i in range(n):
+        edges.add((i, (i + 1) % n))
+        if i % 4 != 3:
+            edges.add((i, (i + 2) % n))
+    oriented = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    eset = set(oriented)
+    nbrs = {v: set() for v in range(n)}
+    for a, b in oriented:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    ref = {}
+    for v in range(n):
+        for w in range(v + 1, n):
+            if (v, w) in eset:
+                continue
+            c = len(nbrs[v] & nbrs[w])
+            if c >= 2:
+                ref[(v, w)] = c
+
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in oriented])
+    out = common_neighbor_pairs(ds, min_common=2, n_buckets=4).to_pandas()
+    got = {(int(r.v), int(r.w)): int(r.n_common)
+           for r in out.itertuples()}
+    assert got == ref
+    assert len(ref) > 0
