@@ -6181,6 +6181,29 @@ def q_link_prediction(sf_dir: str):
     return out.sort(["v", "w"])
 
 
+def q_simpson_diversity(sf_dir: str):
+    """Per-source lexical concentration (Simpson/Herfindahl sufficient
+    statistics): token total, distinct terms, sum of squared term counts
+    — the template-farm repetitiveness signal, all integers.  One
+    bucketed tuple combine to exact (source, term) counts, then
+    fixed-width per-source partial sums."""
+    from ..stages.lexicon import simpson_diversity
+
+    return simpson_diversity(
+        _docs(sf_dir, ["source", "text"])).sort("source")
+
+
+def q_vocab_overlap(sf_dir: str):
+    """Pairwise source vocabulary overlap: |Va ∩ Vb| / |Va| / |Vb| /
+    |Va ∪ Vb| integers for every source pair — the mirrored-crawl
+    detector.  Distinct (source, term) partials, one term-bucketed pair
+    fold (diagonal carries sizes), #sources^2-bounded final block."""
+    from ..stages.lexicon import vocab_overlap
+
+    return vocab_overlap(_docs(sf_dir, ["source", "text"])) \
+        .sort(["source_a", "source_b"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6415,6 +6438,8 @@ QUERIES = {
     "identity_resolution": q_identity_resolution,
     "clustering_coefficient": q_clustering_coefficient,
     "link_prediction": q_link_prediction,
+    "simpson_diversity": q_simpson_diversity,
+    "vocab_overlap": q_vocab_overlap,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -10311,4 +10336,46 @@ ORACLE_SQL["link_prediction"] = """
     SELECT v, w, n_common FROM cand
     WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.v AND e.v = cand.w)
     ORDER BY v, w
+"""
+
+ORACLE_SQL["simpson_diversity"] = """
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    c AS (SELECT source, term, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(n * n) AS BIGINT) AS sum_sq
+    FROM c GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["vocab_overlap"] = """
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    v AS (SELECT DISTINCT source, term FROM tok),
+    s AS (SELECT source, COUNT(*) AS n FROM v GROUP BY 1),
+    p AS (
+        SELECT v1.source AS source_a, v2.source AS source_b,
+               COUNT(*) AS n_common
+        FROM v v1 JOIN v v2
+          ON v1.term = v2.term AND v1.source < v2.source
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(p.n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(sa.n + sb.n - p.n_common AS BIGINT) AS n_union
+    FROM p
+    JOIN s sa ON sa.source = p.source_a
+    JOIN s sb ON sb.source = p.source_b
+    ORDER BY p.source_a, p.source_b
 """

@@ -730,3 +730,120 @@ def feature_hashing(docs, d: int = 256, id_column: str = "doc_id",
 
     return docs.select_columns([id_column, text_column]).map_batches(
         explode, batch_format="pyarrow")
+
+
+def simpson_diversity(docs, group_col: str = "source",
+                      text_column: str = "text", n_buckets: int = 32):
+    """Per-group lexical concentration as EXACT INTEGER sufficient
+    statistics: token total, distinct-term count and sum of squared term
+    counts — the Simpson/Herfindahl index numerator (sum c^2 / N^2), the
+    repetitiveness signal corpus curation uses to flag template-generated
+    sources (a boilerplate farm concentrates mass on few terms; diverse
+    prose spreads it).  No floats: the index is monotone in sum_sq at
+    fixed N, so consumers can rank and threshold on the integers.
+
+    Plan: per-batch (group, term) Counter partials, ONE bucketed tuple
+    combine to exact per-(group, term) counts, then each combined bucket
+    emits fixed-width per-group partial sums (sum c, sum c^2, count)
+    that a tiny group-keyed combine folds — the term vocabulary never
+    re-shuffles and never reaches the driver."""
+    from .aggregate import bucketed_fold
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = {}
+        groups = t.column(group_col).to_pylist()
+        texts = t.column(text_column).to_pylist()
+        for g, text in zip(groups, texts):
+            for tok in _tokens(text):
+                counts[(g, tok)] = counts.get((g, tok), 0) + 1
+        ks = list(counts)
+        return pa.table({
+            group_col: pa.array([k[0] for k in ks], pa.string()),
+            "term": pa.array([k[1] for k in ks], pa.string()),
+            "pn": pa.array([counts[k] for k in ks], pa.int64())})
+
+    partials = docs.select_columns([group_col, text_column]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby([group_col, "term"], sort=False)["pn"].sum()
+        c = c.reset_index(name="n")
+        n = c["n"].to_numpy().astype(np.int64)
+        out = pd.DataFrame({group_col: c[group_col], "pt": n,
+                            "psq": n * n,
+                            "pd": np.ones(len(c), np.int64)})
+        return (out.groupby(group_col, sort=False)
+                .agg(pt=("pt", "sum"), psq=("psq", "sum"),
+                     pd_=("pd", "sum")).reset_index())
+
+    per_bucket = bucketed_fold(partials, [group_col, "term"], combine,
+                               n_buckets=n_buckets)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(group_col, sort=False)
+               .agg(n_tokens=("pt", "sum"), sum_sq=("psq", "sum"),
+                    n_distinct=("pd_", "sum")).reset_index())
+        for c in ("n_tokens", "n_distinct", "sum_sq"):
+            out[c] = out[c].astype("int64")
+        return out[[group_col, "n_tokens", "n_distinct", "sum_sq"]]
+
+    return bucketed_fold(per_bucket, group_col, final, n_buckets=4)
+
+
+def vocab_overlap(docs, group_col: str = "source",
+                  text_column: str = "text", n_buckets: int = 32):
+    """Pairwise vocabulary overlap between groups: for every group pair
+    (a < b), |Va ∩ Vb|, |Va|, |Vb| and |Va ∪ Vb| as exact integers — the
+    Jaccard corpus-similarity matrix curation uses to spot mirrored /
+    re-crawled sources before mixing them into training data.
+
+    Plan: per-batch DISTINCT (group, term) partials, ONE bucketed
+    exchange on term whose fold re-distincts and emits per-term group
+    PAIRS (diagonal included — it carries the vocab sizes); the pair
+    table is #groups^2-bounded, so the final fold runs on one block.
+    Contract: #groups is small (sources, langs, shards — not users)."""
+    from .aggregate import bucketed_fold
+
+    def partial(t: pa.Table) -> pa.Table:
+        seen = set()
+        groups = t.column(group_col).to_pylist()
+        texts = t.column(text_column).to_pylist()
+        for g, text in zip(groups, texts):
+            for tok in set(_tokens(text)):
+                seen.add((g, tok))
+        ks = list(seen)
+        return pa.table({
+            group_col: pa.array([k[0] for k in ks], pa.string()),
+            "term": pa.array([k[1] for k in ks], pa.string())})
+
+    partials = docs.select_columns([group_col, text_column]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.drop_duplicates([group_col, "term"])
+        j = m.merge(m, on="term", suffixes=("_a", "_b"))
+        j = j[j[f"{group_col}_a"] <= j[f"{group_col}_b"]]
+        out = (j.groupby([f"{group_col}_a", f"{group_col}_b"], sort=False)
+               .size().reset_index(name="pn"))
+        out["pn"] = out["pn"].astype("int64")
+        return out
+
+    pair_partials = bucketed_fold(partials, "term", pairs,
+                                  n_buckets=n_buckets)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = f"{group_col}_a", f"{group_col}_b"
+        c = g.groupby([a, b], sort=False)["pn"].sum().reset_index(name="n")
+        sizes = dict(zip(c.loc[c[a] == c[b], a],
+                         c.loc[c[a] == c[b], "n"].astype(int)))
+        off = c[c[a] != c[b]].copy()
+        off["n_common"] = off["n"].astype("int64")
+        off["n_a"] = off[a].map(sizes).astype("int64")
+        off["n_b"] = off[b].map(sizes).astype("int64")
+        off["n_union"] = off["n_a"] + off["n_b"] - off["n_common"]
+        out = off.rename(columns={a: "source_a", b: "source_b"})
+        return out[["source_a", "source_b", "n_common", "n_a", "n_b",
+                    "n_union"]]
+
+    return pair_partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

@@ -342,3 +342,57 @@ def test_centroid_classify_matches_local_reference():
     # the explicit tie doc
     tie = preds[preds["doc_id"] == 5].iloc[0]
     assert tie["pred_label"] == "c" and tie["score"] == 2
+
+
+def test_simpson_diversity_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.lexicon import (
+        _tokens, simpson_diversity,
+    )
+
+    rows = [{"source": f"s{i % 3}",
+             "text": f"alpha beta w{i % 5} w{i % 7} alpha"}
+            for i in range(40)]
+    ds = rd.from_items(rows)
+    out = simpson_diversity(ds, n_buckets=4).to_pandas() \
+        .set_index("source").sort_index()
+
+    from collections import Counter
+    ref = {}
+    for r in rows:
+        c = ref.setdefault(r["source"], Counter())
+        c.update(_tokens(r["text"]))
+    assert set(out.index) == set(ref)
+    for s, c in ref.items():
+        assert out.loc[s, "n_tokens"] == sum(c.values())
+        assert out.loc[s, "n_distinct"] == len(c)
+        assert out.loc[s, "sum_sq"] == sum(v * v for v in c.values())
+
+
+def test_vocab_overlap_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.lexicon import (
+        _tokens, vocab_overlap,
+    )
+
+    rows = [{"source": f"s{i % 3}",
+             "text": f"common w{i % 4} only{i % 3} x{i % 11}"}
+            for i in range(30)]
+    ds = rd.from_items(rows)
+    out = vocab_overlap(ds, n_buckets=4).to_pandas()
+
+    vocab = {}
+    for r in rows:
+        vocab.setdefault(r["source"], set()).update(_tokens(r["text"]))
+    got = {(r.source_a, r.source_b):
+           (int(r.n_common), int(r.n_a), int(r.n_b), int(r.n_union))
+           for r in out.itertuples()}
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            assert got[(a, b)] == (inter, len(vocab[a]), len(vocab[b]),
+                                   len(vocab[a] | vocab[b]))
+    assert len(got) == 3
