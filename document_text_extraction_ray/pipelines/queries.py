@@ -6204,6 +6204,61 @@ def q_vocab_overlap(sf_dir: str):
         .sort(["source_a", "source_b"])
 
 
+def q_mv_maintenance(sf_dir: str):
+    """Incremental materialized-view maintenance: a per-customer revenue
+    SUM/COUNT view built over orders with o_orderkey % 7 != 0, then an
+    insert/retract changelog (inserts: the %7==0 rows; retracts: the
+    %5==0 rows already in the view) applied WITHOUT rescanning the fact
+    table — groups whose count reaches zero drop out, exactly as a
+    re-aggregation would.  Delta partials collapse the changelog before
+    its single exchange; integer cents keep the hash exact."""
+    from ..stages.aggregate import pre_aggregated_sum
+    from ..stages.cdc import maintain_aggregate
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        t = _scale_int(t, {"o_totalprice": 100})
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey"),
+                         "cents": t.column("o_totalprice")})
+
+    fact = orders.map_batches(cents, batch_format="pyarrow")
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        t = t.filter(pa.array(k % 7 != 0))
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "cents": t.column("cents")})
+
+    base = pre_aggregated_sum(
+        fact.map_batches(base_rows, batch_format="pyarrow"),
+        "o_custkey", "cents")
+
+    def changelog(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        ins = k % 7 == 0
+        ret = (k % 5 == 0) & (k % 7 != 0)
+        ops = np.concatenate([np.ones(int(ins.sum()), np.int64),
+                              -np.ones(int(ret.sum()), np.int64)])
+        cust = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        val = np.asarray(t.column("cents"), dtype=np.int64)
+        return pa.table({
+            "o_custkey": pa.array(
+                np.concatenate([cust[ins], cust[ret]]), pa.int64()),
+            "v": pa.array(np.concatenate([val[ins], val[ret]]),
+                          pa.int64()),
+            "op": pa.array(ops, pa.int64())})
+
+    changes = fact.map_batches(changelog, batch_format="pyarrow")
+    out = maintain_aggregate(base, changes, key_col="o_custkey",
+                             value_col="v", op_col="op",
+                             sum_col="sum_cents", n_col="n_rows")
+    return out.sort("o_custkey")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6440,6 +6495,7 @@ QUERIES = {
     "link_prediction": q_link_prediction,
     "simpson_diversity": q_simpson_diversity,
     "vocab_overlap": q_vocab_overlap,
+    "mv_maintenance": q_mv_maintenance,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -10378,4 +10434,19 @@ ORACLE_SQL["vocab_overlap"] = """
     JOIN s sa ON sa.source = p.source_a
     JOIN s sb ON sb.source = p.source_b
     ORDER BY p.source_a, p.source_b
+"""
+
+ORACLE_SQL["mv_maintenance"] = """
+    WITH c AS (
+        SELECT o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 != 0
+                    THEN 0 ELSE 1 END AS wt
+        FROM orders
+    )
+    SELECT o_custkey,
+           CAST(SUM(cents * wt) AS BIGINT) AS sum_cents,
+           CAST(SUM(wt) AS BIGINT) AS n_rows
+    FROM c GROUP BY o_custkey HAVING SUM(wt) > 0
+    ORDER BY o_custkey
 """

@@ -169,3 +169,65 @@ def table_diff(old, new, key_col: str, payload_cols, n_buckets: int = 32):
         return out
 
     return bucketed_fold(unioned, key_col, fold, n_buckets=n_buckets)
+
+
+def maintain_aggregate(base, changes, key_col: str, value_col: str,
+                       op_col: str, sum_col: str = "sum_value",
+                       n_col: str = "n_rows", n_buckets: int = 32):
+    """Incremental materialized-view maintenance for SUM/COUNT group-bys:
+    apply an insert/retract changelog (``op_col`` in {+1, -1}) to a
+    previously materialized aggregate WITHOUT rescanning the fact table —
+    the streaming-view primitive (Flink retract streams, Materialize).
+
+    ``base`` rows are (key, sum_col, n_col); ``changes`` rows are
+    (key, value, op).  New aggregate = base + Σ(op·value), n + Σ(op);
+    groups whose count reaches zero are DELETED (exactly the rows a
+    re-aggregation would not produce).  Contract: every retraction must
+    match a previously inserted row (standard retract-stream semantics)
+    — a negative final count raises in the fold, loudly, because it
+    means the changelog and the view diverged.
+
+    Plan: per-batch delta partials (key, Σ op·value, Σ op) — the raw
+    changelog collapses BEFORE the exchange — then ONE bucketed fold
+    merges base and delta rows per key.  Both inputs shuffle once; the
+    fact table is never read."""
+    import pyarrow.compute as pc
+
+    from .aggregate import bucketed_fold
+
+    def delta_partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(pc.cast(t.column(value_col), pa.int64()))
+        op = np.asarray(pc.cast(t.column(op_col), pa.int64()))
+        g = pa.table({key_col: t.column(key_col),
+                      "dv": pa.array(v * op, pa.int64()),
+                      "dn": pa.array(op, pa.int64())}) \
+            .group_by(key_col).aggregate([("dv", "sum"), ("dn", "sum")])
+        return pa.table({key_col: g.column(key_col),
+                         sum_col: g.column("dv_sum"),
+                         n_col: g.column("dn_sum")})
+
+    deltas = changes.select_columns([key_col, value_col, op_col]) \
+        .map_batches(delta_partial, batch_format="pyarrow")
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: t.column(key_col),
+                         sum_col: pc.cast(t.column(sum_col), pa.int64()),
+                         n_col: pc.cast(t.column(n_col), pa.int64())})
+
+    tagged = base.select_columns([key_col, sum_col, n_col]) \
+        .map_batches(base_rows, batch_format="pyarrow").union(deltas)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_col, sort=False).agg(
+            s=(sum_col, "sum"), n=(n_col, "sum")).reset_index()
+        n = out["n"].to_numpy().astype(np.int64)
+        if (n < 0).any():
+            bad = out[key_col].to_numpy()[n < 0][:5]
+            raise ValueError(
+                f"retraction without matching insert for keys {bad!r}")
+        out = out[n > 0].rename(columns={"s": sum_col, "n": n_col})
+        out[sum_col] = out[sum_col].astype("int64")
+        out[n_col] = out[n_col].astype("int64")
+        return out[[key_col, sum_col, n_col]]
+
+    return bucketed_fold(tagged, key_col, fold, n_buckets=n_buckets)

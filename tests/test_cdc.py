@@ -96,3 +96,54 @@ def test_union_by_name_aligns_evolving_schemas():
     clash = rd.from_arrow(pa.table({"id": [9], "a": [1.5]}))  # a: double
     with pytest.raises(TypeError):
         union_by_name([old, clash])
+
+
+def test_maintain_aggregate_matches_reaggregation(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.cdc import maintain_aggregate
+
+    # fact rows: key i%5, value i; base view over rows 0..39
+    facts = [(i % 5, i) for i in range(40)]
+    base_rows = {}
+    for k, v in facts:
+        s, n = base_rows.get(k, (0, 0))
+        base_rows[k] = (s + v, n + 1)
+    base = rd.from_items([
+        {"k": k, "sum_value": s, "n_rows": n}
+        for k, (s, n) in base_rows.items()])
+    # changelog: insert rows 40..49, retract every row with v % 4 == 0
+    changes = [{"k": i % 5, "v": i, "op": 1} for i in range(40, 50)] + \
+        [{"k": v % 5, "v": v, "op": -1} for v in range(0, 40, 4)]
+    # reference: re-aggregate the logical row set
+    rows = [(i % 5, i) for i in range(50) if not (i < 40 and i % 4 == 0)]
+    ref = {}
+    for k, v in rows:
+        s, n = ref.get(k, (0, 0))
+        ref[k] = (s + v, n + 1)
+    got = {int(r.k): (int(r.sum_value), int(r.n_rows))
+           for r in maintain_aggregate(
+               base, rd.from_items(changes), "k", "v", "op",
+               n_buckets=4).to_pandas().itertuples()}
+    assert got == {k: sn for k, sn in ref.items() if sn[1] > 0}
+
+
+def test_maintain_aggregate_deletes_zero_groups_and_rejects_negative(
+        ray_session):
+    import pytest
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.cdc import maintain_aggregate
+
+    base = rd.from_items([{"k": 1, "sum_value": 10, "n_rows": 1},
+                          {"k": 2, "sum_value": 7, "n_rows": 1}])
+    changes = rd.from_items([{"k": 1, "v": 10, "op": -1}])
+    out = maintain_aggregate(base, changes, "k", "v", "op",
+                             n_buckets=2).to_pandas()
+    assert sorted(out["k"]) == [2]
+
+    bad = rd.from_items([{"k": 2, "v": 7, "op": -1},
+                         {"k": 2, "v": 3, "op": -1}])
+    with pytest.raises(Exception, match="retraction"):
+        maintain_aggregate(base, bad, "k", "v", "op",
+                           n_buckets=2).to_pandas()
