@@ -6259,6 +6259,26 @@ def q_mv_maintenance(sf_dir: str):
     return out.sort("o_custkey")
 
 
+def q_mutual_nn(sf_dir: str):
+    """Reciprocal nearest neighbors by exact integer max-inner-product
+    (quantized dots, argmax ties to the smaller id): the
+    embedding-alignment anchor miner / high-precision near-dup seed.
+    Triangle partition-pair self-join -> per-node partial bests -> one
+    node-bucketed global argmax -> thin mutuality self-join.  O(n^2)
+    compute by definition — same 1M-vector size guard as
+    ``embedding_dups``; LSH/IVF remain the subquadratic paths."""
+    from ..stages.similarity import mutual_top1_pairs
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n = pq.ParquetFile(path).metadata.num_rows
+    if n > 1_000_000:
+        raise ValueError(
+            f"mutual_nn is exact all-pairs (O(n^2) compute); corpus has "
+            f"{n} vectors > 1M guard. Use LSH/IVF scale paths.")
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return mutual_top1_pairs(emb).sort(["id_a", "id_b"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6496,6 +6516,7 @@ QUERIES = {
     "simpson_diversity": q_simpson_diversity,
     "vocab_overlap": q_vocab_overlap,
     "mv_maintenance": q_mv_maintenance,
+    "mutual_nn": q_mutual_nn,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -10449,4 +10470,31 @@ ORACLE_SQL["mv_maintenance"] = """
            CAST(SUM(wt) AS BIGINT) AS n_rows
     FROM c GROUP BY o_custkey HAVING SUM(wt) > 0
     ORDER BY o_custkey
+"""
+
+ORACLE_SQL["mutual_nn"] = """
+    WITH x AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(v, e -> ROUND(e * 10000)) AS qv
+        FROM x
+    ),
+    p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS s
+        FROM q a JOIN q b ON a.vec_id != b.vec_id
+    ),
+    t AS (
+        SELECT ia, ib, s,
+               ROW_NUMBER() OVER (PARTITION BY ia
+                                  ORDER BY s DESC, ib) AS rn
+        FROM p
+    ),
+    top1 AS (SELECT ia, ib, s FROM t WHERE rn = 1)
+    SELECT a.ia AS id_a, a.ib AS id_b, a.s AS sim_q
+    FROM top1 a
+    JOIN top1 b ON a.ib = b.ia AND b.ib = a.ia AND a.ia < a.ib
+    ORDER BY id_a, id_b
 """

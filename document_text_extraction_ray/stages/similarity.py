@@ -839,3 +839,132 @@ def embedding_gram(ds, id_col: str = "vec_id",
         ds.select_columns([id_col, embedding_col]).map_batches(
             partial, batch_format="pyarrow"),
         "i", combine, n_buckets=8)
+
+
+def mutual_top1_pairs(ds, quant_scale: int = 10**4,
+                      id_column: str = "vec_id",
+                      embedding_column: str = "embedding",
+                      rows_per_part: int = 4096, n_buckets: int = 16):
+    """Mutual nearest neighbors by EXACT max-inner-product: pairs (a, b)
+    where b is a's single best neighbor AND a is b's — the reciprocal-NN
+    criterion used for embedding-space alignment (MUSE/Procrustes anchor
+    mining) and high-precision near-dup seeding (a mutual top-1 is a far
+    stronger signal than a one-sided threshold hit).
+
+    Exactness: vectors are quantized once to integers (ROUND
+    half-away-from-zero of value * ``quant_scale``) and similarity is the
+    INT64 dot product — argmax ties break to the smaller neighbor id, so
+    the whole computation is order-independent and SQL-replayable
+    (quantized products fit doubles exactly, so DuckDB
+    ``list_dot_product`` reproduces the integers bit for bit).
+
+    Plan: the triangle partition-pair self-join (same replication scheme
+    as ``exact_dup_pairs`` — memory-bounded, no driver materialization);
+    each pair group emits per-node PARTIAL bests (node, nb, sim), one
+    node-bucketed fold takes the global argmax, and one thin self-join
+    keeps the reciprocal pairs.  O(n^2) compute by definition — size-guard
+    upstream like ``embedding_dups``."""
+    import pandas as pd
+
+    from .aggregate import bucketed_fold
+    from .join import partitioned_hash_join
+
+    thin = ds.select_columns([id_column, embedding_column])
+    n = thin.count()
+    n_parts = max(1, -(-n // rows_per_part))
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(embedding_column).to_pylist(),
+                       dtype=np.float64) * quant_scale
+        q = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)) \
+            .astype(np.int64)
+        ids = batch.column(id_column).combine_chunks()
+        iv = np.asarray(ids.cast(pa.int64()).to_numpy(zero_copy_only=False))
+        p = (
+            (iv.view(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+            % np.uint64(n_parts)
+        ).astype(np.int64)
+        parts = []
+        for pq_ in range(n_parts):
+            lo = np.minimum(p, pq_)
+            hi = np.maximum(p, pq_)
+            parts.append(pa.table({
+                "pair_key": pa.array(lo * n_parts + hi, pa.int64()),
+                "part": pa.array(p, pa.int64()),
+                id_column: pa.array(iv, pa.int64()),
+                "qv": pa.array(list(q), pa.list_(pa.int64())),
+            }))
+        return pa.concat_tables(parts)
+
+    replicated = thin.map_batches(quantize, batch_format="pyarrow")
+
+    def best_rows(ids_self, sims, ids_other):
+        # sims rows: one per ids_self entry over ids_other columns
+        # (columns sorted ascending by id, so argmax tie -> smaller nb).
+        j = sims.argmax(axis=1)
+        return pd.DataFrame({
+            "node": ids_self.astype(np.int64),
+            "nb": ids_other[j].astype(np.int64),
+            "sim": sims[np.arange(len(j)), j].astype(np.int64)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = int(g["pair_key"].iloc[0])
+        a_part, b_part = key // n_parts, key % n_parts
+        empty = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                              "nb": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="int64")})
+        if a_part == b_part:
+            sub = g[g["part"] == a_part].sort_values(id_column)
+            if len(sub) < 2:
+                return empty
+            x = np.asarray(sub["qv"].tolist(), dtype=np.int64)
+            ids = sub[id_column].to_numpy()
+            sims = x @ x.T
+            np.fill_diagonal(sims, np.iinfo(np.int64).min)
+            return best_rows(ids, sims, ids)
+        sa = g[g["part"] == a_part].sort_values(id_column)
+        sb = g[g["part"] == b_part].sort_values(id_column)
+        if sa.empty or sb.empty:
+            return empty
+        xa = np.asarray(sa["qv"].tolist(), dtype=np.int64)
+        xb = np.asarray(sb["qv"].tolist(), dtype=np.int64)
+        ia = sa[id_column].to_numpy()
+        ib = sb[id_column].to_numpy()
+        sims = xa @ xb.T
+        return pd.concat([best_rows(ia, sims, ib),
+                          best_rows(ib, sims.T, ia)], ignore_index=True)
+
+    partials = replicated.groupby("pair_key").map_groups(
+        fold, batch_format="pandas")
+
+    def global_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["node", "sim", "nb"],
+                          ascending=[True, False, True])
+        return g.drop_duplicates("node")[["node", "nb", "sim"]]
+
+    top1 = bucketed_fold(partials, "node", global_best,
+                         n_buckets=n_buckets)
+
+    left_schema = pa.schema([("node", pa.int64()), ("nb", pa.int64()),
+                             ("sim", pa.int64())])
+    right = top1.map_batches(
+        lambda t: pa.table({"nb": t.column("node"),
+                            "nb_back": t.column("nb")}),
+        batch_format="pyarrow")
+    right_schema = pa.schema([("nb", pa.int64()), ("nb_back", pa.int64())])
+    joined = partitioned_hash_join(top1, right, on="nb",
+                                   n_buckets=min(n_buckets, 8),
+                                   left_schema=left_schema,
+                                   right_schema=right_schema)
+
+    def mutual(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(pc.equal(t.column("nb_back"), t.column("node")),
+                       pc.less(t.column("node"), t.column("nb")))
+        t = t.filter(keep)
+        return pa.table({"id_a": t.column("node"),
+                         "id_b": t.column("nb"),
+                         "sim_q": t.column("sim")})
+
+    return joined.map_batches(mutual, batch_format="pyarrow")

@@ -332,3 +332,39 @@ def test_embedding_gram_equals_numpy_reference():
         row = out.iloc[k]
         assert (row["i"], row["j"]) == (iu[k] + 1, ju[k] + 1)
         assert row["sxy"] == ref[iu[k], ju[k]]
+
+
+def test_mutual_top1_pairs_matches_brute_force(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.similarity import (
+        mutual_top1_pairs,
+    )
+
+    # deterministic vectors with planted reciprocal pairs
+    rng = np.random.RandomState(7)
+    n, d = 40, 8
+    base = rng.randn(n, d)
+    base[11] = base[10] + 0.01  # mutual pair by construction
+    base[23] = base[22] + 0.01
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(n)]
+
+    # integer-quantized reference
+    v = base * 10**4
+    q = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+    sims = q @ q.T
+    np.fill_diagonal(sims, np.iinfo(np.int64).min)
+    best = sims.argmax(axis=1)  # first max = smallest id on ties
+    ref = {}
+    for a in range(n):
+        b = best[a]
+        if best[b] == a and a < b:
+            ref[(a, int(b))] = int(sims[a, b])
+    assert ref  # planted pairs exist
+
+    ds = rd.from_items(rows)
+    out = mutual_top1_pairs(ds, rows_per_part=7, n_buckets=4).to_pandas()
+    got = {(int(r.id_a), int(r.id_b)): int(r.sim_q)
+           for r in out.itertuples()}
+    assert got == ref
