@@ -6279,6 +6279,32 @@ def q_mutual_nn(sf_dir: str):
     return mutual_top1_pairs(emb).sort(["id_a", "id_b"])
 
 
+def q_kmv_set_ops(sf_dir: str):
+    """KMV sketch set operations: audience overlap between two user
+    segments (click users with user_id%4!=0 vs purchase users with
+    user_id%3!=0) — per-side, union and intersection distinct estimates
+    from k=64 minimum-value sketches, never shuffling the raw sets.
+    Deterministic md5 hashing makes every estimate hash-exact in SQL."""
+    from ..stages.aggregate import kmv_set_ops
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pylist()
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        a = (np.array([e == "click" for e in et])) & (uid % 4 != 0)
+        b = (np.array([e == "purchase" for e in et])) & (uid % 3 != 0)
+        return pa.table({
+            "side": pa.array(np.concatenate(
+                [np.zeros(int(a.sum()), np.int8),
+                 np.ones(int(b.sum()), np.int8)]), pa.int8()),
+            "v": pa.array(np.concatenate([uid[a], uid[b]]), pa.int64())})
+
+    return kmv_set_ops(ev.map_batches(tag, batch_format="pyarrow"),
+                       "side", "v", k=64)
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6517,6 +6543,7 @@ QUERIES = {
     "vocab_overlap": q_vocab_overlap,
     "mv_maintenance": q_mv_maintenance,
     "mutual_nn": q_mutual_nn,
+    "kmv_set_ops": q_kmv_set_ops,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -10497,4 +10524,58 @@ ORACLE_SQL["mutual_nn"] = """
     FROM top1 a
     JOIN top1 b ON a.ib = b.ia AND b.ib = a.ia AND a.ia < a.ib
     ORDER BY id_a, id_b
+"""
+
+ORACLE_SQL["kmv_set_ops"] = """
+    WITH sa AS (
+        SELECT DISTINCT md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+        FROM events
+        WHERE event_type = 'click' AND user_id % 4 != 0
+          AND user_id IS NOT NULL
+    ),
+    ka AS (SELECT hv FROM sa ORDER BY hv LIMIT 64),
+    sb AS (
+        SELECT DISTINCT md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+        FROM events
+        WHERE event_type = 'purchase' AND user_id % 3 != 0
+          AND user_id IS NOT NULL
+    ),
+    kb AS (SELECT hv FROM sb ORDER BY hv LIMIT 64),
+    ku AS (
+        SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+        ORDER BY hv LIMIT 64
+    ),
+    ea AS (
+        SELECT CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS BIGINT)
+                    ELSE CAST((COUNT(*) - 1) *
+                              CAST(18446744073709551616 AS HUGEINT)
+                              // CAST(MAX(hv) AS HUGEINT) AS BIGINT)
+               END AS est FROM ka
+    ),
+    eu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_u,
+               CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS BIGINT)
+                    ELSE CAST((COUNT(*) - 1) *
+                              CAST(18446744073709551616 AS HUGEINT)
+                              // CAST(MAX(hv) AS HUGEINT) AS BIGINT)
+               END AS est FROM ku
+    ),
+    eb2 AS (
+        SELECT CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS BIGINT)
+                    ELSE CAST((COUNT(*) - 1) *
+                              CAST(18446744073709551616 AS HUGEINT)
+                              // CAST(MAX(hv) AS HUGEINT) AS BIGINT)
+               END AS est FROM kb
+    ),
+    r AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS rho FROM ku
+        WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb)
+    )
+    SELECT ea.est AS n_a_est,
+           eb2.est AS n_b_est,
+           eu.est AS n_union_est,
+           r.rho AS inter_members,
+           CASE WHEN eu.n_u < 64 THEN r.rho
+                ELSE r.rho * eu.est // 64 END AS n_inter_est
+    FROM ea, eb2, eu, r
 """

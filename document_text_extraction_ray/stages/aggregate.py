@@ -1385,3 +1385,65 @@ def kmv_distinct(ds, value_col: str, k: int = 32):
     return ds.select_columns([value_col]).map_batches(
         partial, batch_format="pyarrow").repartition(1).map_batches(
         fold, batch_format="pyarrow")
+
+
+def kmv_set_ops(ds, side_col: str, value_col: str, k: int = 64):
+    """KMV sketch SET OPERATIONS over two tagged sides (``side_col`` in
+    {0, 1}): distinct-cardinality estimates for each side, their UNION
+    and their INTERSECTION from k-minimum-value sketches — the
+    audience-overlap / cross-corpus-contamination estimator that never
+    shuffles the raw sets.  Deterministic md5 hashing makes every output
+    integer SQL-replayable (``kmv_distinct``'s exactness rule per
+    sketch: below k distinct hashes the sketch IS the set).
+
+    The union sketch is the k smallest of the two side sketches' union
+    (KMV's mergeable-semigroup property); the intersection estimate is
+    the classic rho-scaling: rho = |{h in union sketch: h in BOTH side
+    sketches}|, est = rho * est_union // k — exact (= rho) when the
+    union sketch is not saturated.
+
+    Per-batch partials keep k hashes per side; one single-block fold.
+    Returns ONE row of integer estimates."""
+    import pyarrow as pa
+
+    from ..functions.textstats import md5_u64
+
+    def partial(t: pa.Table) -> pa.Table:
+        sides = np.asarray(t.column(side_col), dtype=np.int64)
+        vals = t.column(value_col).to_pylist()
+        out_s, out_h = [], []
+        for s in (0, 1):
+            vs = {v for v, sd in zip(vals, sides) if sd == s
+                  if v is not None}
+            hs = sorted(md5_u64(str(v)) for v in vs)[:k]
+            out_s.extend([s] * len(hs))
+            out_h.extend(hs)
+        return pa.table({"side": pa.array(out_s, pa.int8()),
+                         "h": pa.array(out_h, pa.uint64())})
+
+    def est_of(hs: np.ndarray) -> int:
+        kk = len(hs)
+        if kk < k:
+            return kk
+        return int((kk - 1) * (1 << 64) // int(hs[-1]))
+
+    def fold(t: pa.Table) -> pa.Table:
+        sides = np.asarray(t.column("side"), dtype=np.int64)
+        hs = np.asarray(t.column("h"), dtype=np.uint64)
+        a = np.unique(hs[sides == 0])[:k]
+        b = np.unique(hs[sides == 1])[:k]
+        u = np.unique(np.concatenate([a, b]))[:k]
+        rho = int(np.isin(u, a[np.isin(a, b)]).sum())
+        est_u = est_of(u)
+        inter = rho if len(u) < k else rho * est_u // k
+        return pa.table({
+            "n_a_est": pa.array([est_of(a)], pa.int64()),
+            "n_b_est": pa.array([est_of(b)], pa.int64()),
+            "n_union_est": pa.array([est_u], pa.int64()),
+            "inter_members": pa.array([rho], pa.int64()),
+            "n_inter_est": pa.array([inter], pa.int64()),
+        })
+
+    return ds.select_columns([side_col, value_col]).map_batches(
+        partial, batch_format="pyarrow").repartition(1).map_batches(
+        fold, batch_format="pyarrow", batch_size=None)

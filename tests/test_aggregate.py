@@ -899,3 +899,57 @@ def test_kmv_distinct_accuracy_and_merge_stability():
 
     small = kmv_distinct(rd.from_items(rows[:10]), "v", k=64).to_pandas()
     assert small["est"].iloc[0] == 10                     # exact below k
+
+
+def test_kmv_set_ops_exact_below_k(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import kmv_set_ops
+
+    # both sides far below k=64 -> every estimate must be EXACT
+    rows = [{"side": 0, "v": f"a{i}"} for i in range(20)] + \
+        [{"side": 1, "v": f"a{i}"} for i in range(10, 35)] + \
+        [{"side": 0, "v": "a3"}]  # duplicate row, must not count twice
+    out = kmv_set_ops(rd.from_items(rows), "side", "v", k=64) \
+        .to_pandas().iloc[0]
+    assert out["n_a_est"] == 20
+    assert out["n_b_est"] == 25
+    assert out["n_union_est"] == 35
+    assert out["inter_members"] == 10
+    assert out["n_inter_est"] == 10
+
+
+def test_kmv_set_ops_estimator_rule_reference(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.functions.textstats import md5_u64
+    from document_text_extraction_ray.stages.aggregate import kmv_set_ops
+
+    k = 16
+    va = [f"x{i}" for i in range(200)]
+    vb = [f"x{i}" for i in range(100, 400)]
+    rows = [{"side": 0, "v": v} for v in va] + \
+        [{"side": 1, "v": v} for v in vb]
+    out = kmv_set_ops(rd.from_items(rows), "side", "v", k=k) \
+        .to_pandas().iloc[0]
+
+    def est(hs):
+        return len(hs) if len(hs) < k else \
+            (len(hs) - 1) * (1 << 64) // int(hs[-1])
+
+    a = np.unique(np.array([md5_u64(v) for v in set(va)],
+                           dtype=np.uint64))[:k]
+    b = np.unique(np.array([md5_u64(v) for v in set(vb)],
+                           dtype=np.uint64))[:k]
+    u = np.unique(np.concatenate([a, b]))[:k]
+    rho = int(np.isin(u, a[np.isin(a, b)]).sum())
+    est_u = est(u)
+    assert out["n_a_est"] == est(a)
+    assert out["n_b_est"] == est(b)
+    assert out["n_union_est"] == est_u
+    assert out["inter_members"] == rho
+    assert out["n_inter_est"] == rho * est_u // k
+    # sanity: estimates in the right ballpark of the true cardinalities
+    assert 100 < out["n_a_est"] < 400
+    assert 200 < out["n_union_est"] < 800
