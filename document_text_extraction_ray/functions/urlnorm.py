@@ -168,3 +168,48 @@ def template_sql(url_expr: str) -> str:
     for _ in range(2):
         x = f"regexp_replace({x}, '/[0-9a-f]{{8,}}/', '/<h>/', 'g')"
     return f"regexp_replace({x}, '/+$', '')"
+
+
+def url_prefix_levels(urls, max_depth: int = 2) -> pa.Table:
+    """Explode URLs into hierarchical path prefixes (depth 0 = host,
+    depth 1 = host/seg1, ...): the crawl-analytics rollup key — traffic
+    per site section without an N-way GROUPING SETS pass.  One row per
+    (url, depth) where the path is deep enough.
+
+    Pure vectorized arrow regex: scheme and query/fragment stripped, one
+    anchored extract per depth — every pass RE2-replayable in DuckDB
+    (``prefix_sql``)."""
+    import numpy as np
+    stripped = pc.replace_substring_regex(
+        urls, pattern=r"^[A-Za-z][A-Za-z0-9+.-]*://", replacement="")
+    stripped = pc.replace_substring_regex(
+        stripped, pattern=r"[?#].*$", replacement="")
+    depths, prefixes = [], []
+    pat = r"^(?P<p>[^/]+"
+    for depth in range(max_depth + 1):
+        ext = pc.extract_regex(stripped, pattern=pat + r")")
+        pref = pc.struct_field(ext, [0])
+        kept = pc.drop_null(pref)
+        depths.append(pa.array(
+            np.full(len(kept), depth, np.int64), pa.int64()))
+        prefixes.append(kept.combine_chunks()
+                        if isinstance(kept, pa.ChunkedArray) else kept)
+        pat += r"/[^/]+"
+    arrs = []
+    for p in prefixes:
+        arrs.extend(p.chunks if isinstance(p, pa.ChunkedArray) else [p])
+    dep = []
+    for d in depths:
+        dep.extend(d.chunks if isinstance(d, pa.ChunkedArray) else [d])
+    return pa.table({"depth": pa.concat_arrays(dep),
+                     "prefix": pa.concat_arrays(arrs)})
+
+
+def prefix_sql(url_expr: str, depth: int) -> str:
+    """DuckDB replay of one ``url_prefix_levels`` depth: NULL when the
+    path is not deep enough (regexp_extract returns '' on no-match, so
+    the emptiness check mirrors arrow's null)."""
+    pat = "^([^/]+" + "/[^/]+" * depth + ")"
+    base = (f"regexp_replace(regexp_replace({url_expr}, "
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://', ''), '[?#].*$', '')")
+    return (f"NULLIF(regexp_extract({base}, '{pat}', 1), '')")

@@ -6305,6 +6305,127 @@ def q_kmv_set_ops(sf_dir: str):
                        "side", "v", k=64)
 
 
+def q_json_key_profile(sf_dir: str):
+    """Semi-structured schema inference: top-level JSON key presence and
+    type-distribution counts over a synthesized payload column (keys
+    appear/vanish and change JSON type by doc_id residue; every 101st
+    row is invalid JSON and lands under ``__invalid__``) — the
+    schema-drift gate.  Closed-form oracle replays the synthesis
+    formulas, so a parsing bug hash-mismatches."""
+    from ..stages.validate import json_key_profile
+
+    def synth(t: pa.Table) -> pa.Table:
+        out = []
+        for d in t.column("doc_id").to_pylist():
+            if d % 101 == 0:
+                out.append("{not json")
+                continue
+            parts = ['"a": ' + str(d % 97)]
+            if d % 2 == 0:
+                parts.append('"b": "s' + str(d % 7) + '"')
+            if d % 3 == 0:
+                parts.append('"c": ' + ("true" if d % 6 == 0 else "false"))
+            if d % 5 == 0:
+                parts.append('"d": null')
+            if d % 7 == 0:
+                parts.append('"e": [1, 2]')
+            out.append("{" + ", ".join(parts) + "}")
+        return pa.table({"payload": pa.array(out, pa.string())})
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return json_key_profile(docs, "payload").sort("key")
+
+
+def q_basket_association(sf_dir: str):
+    """Market-basket association over (user, day) baskets of event
+    types: per unordered type pair, baskets containing both + per-item
+    and total basket counts — the support/confidence/lift integers.
+    Distinct partials, one basket-bucketed pair fold, bounded final
+    block."""
+    from ..stages.aggregate import basket_association
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        return pa.table({"user_id": t.column("user_id"),
+                         "day": pc.divide(us, 86_400_000_000),
+                         "event_type": t.column("event_type")})
+
+    b = ev.map_batches(to_day, batch_format="pyarrow")
+    return basket_association(b, ["user_id", "day"], "event_type") \
+        .sort(["item_a", "item_b"])
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Hybrid-search rank fusion: reciprocal-rank fusion (fixed-point
+    1e6 // (60 + rank)) of two top-100 rankers over documents — length
+    ranking (n_chars DESC) and a deterministic md5 pseudo-relevance
+    ranking — top-50 fused.  Two global row numbers, row-local
+    contribution map, ONE id-bucketed sum."""
+    from ..functions.textstats import md5_u64
+    from ..stages.windows import global_row_number, rrf_fuse
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    ra = global_row_number(docs, ["n_chars", "doc_id"],
+                           descending=[True, False], out_column="rank")
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "h": pa.array([md5_u64(str(i)) for i in ids], pa.uint64())})
+
+    rb = global_row_number(
+        docs.select_columns(["doc_id"]).map_batches(
+            hashed, batch_format="pyarrow"),
+        ["h", "doc_id"], out_column="rank")
+
+    def top100(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("rank"), 100))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "rank": pc.cast(t.column("rank"), pa.int64())})
+
+    lists = [r.map_batches(top100, batch_format="pyarrow")
+             for r in (ra, rb)]
+    fused = rrf_fuse(lists, id_col="doc_id", rank_col="rank")
+    return fused.sort(["rrf_q", "doc_id"],
+                      descending=[True, False]).limit(50)
+
+
+def q_url_hierarchy(sf_dir: str):
+    """Crawl-traffic hierarchy rollup: page counts per host, host/seg1
+    and host/seg1/seg2 prefix (depths 0-2) over the template-URL
+    fixture — the site-section analytics rollup without a GROUPING SETS
+    pass.  Vectorized RE2 prefix explode + one tuple-bucketed count."""
+    from ..functions.urlnorm import url_prefix_levels
+    from ..stages.aggregate import bucketed_fold
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        _synth_template_urls, batch_format="pandas")
+
+    def explode(t: pa.Table) -> pa.Table:
+        lv = url_prefix_levels(t.column("url"), max_depth=2)
+        g = lv.group_by(["depth", "prefix"]).aggregate([([], "count_all")])
+        return pa.table({"depth": g.column("depth"),
+                         "prefix": g.column("prefix"),
+                         "pn": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = docs.map_batches(explode, batch_format="pyarrow")
+
+    def combine(g):
+        out = g.groupby(["depth", "prefix"], sort=False)["pn"].sum() \
+            .reset_index(name="n_pages")
+        out["n_pages"] = out["n_pages"].astype("int64")
+        return out
+
+    return bucketed_fold(partials, ["depth", "prefix"], combine,
+                         n_buckets=8).sort(["depth", "prefix"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6544,6 +6665,10 @@ QUERIES = {
     "mv_maintenance": q_mv_maintenance,
     "mutual_nn": q_mutual_nn,
     "kmv_set_ops": q_kmv_set_ops,
+    "json_key_profile": q_json_key_profile,
+    "basket_association": q_basket_association,
+    "rrf_fusion": q_rrf_fusion,
+    "url_hierarchy": q_url_hierarchy,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -10578,4 +10703,117 @@ ORACLE_SQL["kmv_set_ops"] = """
            CASE WHEN eu.n_u < 64 THEN r.rho
                 ELSE r.rho * eu.est // 64 END AS n_inter_est
     FROM ea, eb2, eu, r
+"""
+
+ORACLE_SQL["json_key_profile"] = """
+    WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 101 != 0)
+    SELECT * FROM (
+        SELECT '__invalid__' AS key,
+               CAST(COUNT(*) AS BIGINT) AS n_present,
+               CAST(0 AS BIGINT) AS n_number,
+               CAST(0 AS BIGINT) AS n_string,
+               CAST(0 AS BIGINT) AS n_bool,
+               CAST(0 AS BIGINT) AS n_null,
+               CAST(0 AS BIGINT) AS n_container
+        FROM documents WHERE doc_id % 101 = 0
+        UNION ALL
+        SELECT 'a', COUNT(*), COUNT(*), 0, 0, 0, 0 FROM v
+        UNION ALL
+        SELECT 'b', COUNT(*), 0, COUNT(*), 0, 0, 0 FROM v
+        WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 'c', COUNT(*), 0, 0, COUNT(*), 0, 0 FROM v
+        WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT 'd', COUNT(*), 0, 0, 0, COUNT(*), 0 FROM v
+        WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT 'e', COUNT(*), 0, 0, 0, 0, COUNT(*) FROM v
+        WHERE doc_id % 7 = 0
+    ) ORDER BY key
+"""
+
+ORACLE_SQL["basket_association"] = """
+    WITH b AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+               event_type
+        FROM events
+    ),
+    p AS (
+        SELECT b1.event_type AS item_a, b2.event_type AS item_b,
+               COUNT(*) AS n_both
+        FROM b b1
+        JOIN b b2 ON b1.user_id = b2.user_id AND b1.day = b2.day
+                 AND b1.event_type < b2.event_type
+        GROUP BY 1, 2
+    ),
+    s AS (SELECT event_type, COUNT(*) AS n FROM b GROUP BY 1),
+    t AS (SELECT COUNT(*) AS n FROM
+          (SELECT DISTINCT user_id, day FROM b))
+    SELECT p.item_a, p.item_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(t.n AS BIGINT) AS n_baskets
+    FROM p JOIN s sa ON sa.event_type = p.item_a
+           JOIN s sb ON sb.event_type = p.item_b, t
+    ORDER BY p.item_a, p.item_b
+"""
+
+def _sql_url_hierarchy():
+    from ..functions.urlnorm import prefix_sql
+
+    return f"""
+    WITH u AS (
+        SELECT 'https://site' || CAST((doc_id // 5) % 40 AS VARCHAR) || '.com' ||
+            CASE doc_id % 5
+                WHEN 0 THEN '/article/' || CAST(doc_id AS VARCHAR) || '/view'
+                WHEN 1 THEN '/u/a' || printf('%08x',
+                    (doc_id * 2654435761) % 4294967296) || '/profile'
+                WHEN 2 THEN '/p/' || CAST(doc_id AS VARCHAR)
+                WHEN 3 THEN '/a/' || CAST(doc_id AS VARCHAR) || '/' ||
+                    CAST(doc_id + 1 AS VARCHAR) || '/x'
+                ELSE '/static/css/main.css'
+            END ||
+            CASE WHEN doc_id % 3 = 0 THEN '?q=1' ELSE '' END AS url
+        FROM documents
+    ),
+    lv AS (
+        SELECT 0 AS depth, {prefix_sql('url', 0)} AS prefix FROM u
+        UNION ALL SELECT 1, {prefix_sql('url', 1)} FROM u
+        UNION ALL SELECT 2, {prefix_sql('url', 2)} FROM u
+    )
+    SELECT CAST(depth AS BIGINT) AS depth, prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_pages
+    FROM lv WHERE prefix IS NOT NULL
+    GROUP BY 1, 2 ORDER BY depth, prefix
+"""
+
+
+ORACLE_SQL["url_hierarchy"] = _sql_url_hierarchy()
+
+ORACLE_SQL["rrf_fusion"] = """
+    WITH ra AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents
+    ),
+    rb AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                            doc_id) AS rank
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, rank FROM ra WHERE rank <= 100
+        UNION ALL
+        SELECT doc_id, rank FROM rb WHERE rank <= 100
+    )
+    SELECT doc_id,
+           CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_q,
+           CAST(COUNT(*) AS BIGINT) AS n_lists
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_q DESC, doc_id LIMIT 50
 """

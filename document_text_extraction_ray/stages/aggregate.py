@@ -1447,3 +1447,69 @@ def kmv_set_ops(ds, side_col: str, value_col: str, k: int = 64):
     return ds.select_columns([side_col, value_col]).map_batches(
         partial, batch_format="pyarrow").repartition(1).map_batches(
         fold, batch_format="pyarrow", batch_size=None)
+
+
+def basket_association(ds, basket_cols, item_col: str,
+                       n_buckets: int = 32):
+    """Market-basket association mining (the support/confidence/lift
+    statistic family): for every unordered item pair (a < b), the number
+    of BASKETS containing both, alongside per-item basket counts and the
+    total basket count — confidence(a=>b) = n_both/n_a and lift =
+    n_both*n_baskets/(n_a*n_b) are ratios of these integers, so
+    consumers rank and threshold without floats.
+
+    Contract: the ITEM domain is small (event types, categories — not
+    open vocabularies); pair cardinality is items^2-bounded so the final
+    fold runs on one block.  Baskets are unbounded: per-batch distinct
+    (basket, item) partials, ONE basket-bucketed exchange whose fold
+    re-distincts, emits per-basket item pairs (diagonal = per-item
+    counts) and one basket-count row per bucket."""
+    import pandas as pd
+
+    basket_cols = [basket_cols] if isinstance(basket_cols, str) \
+        else list(basket_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(basket_cols + [item_col]) \
+            .group_by(basket_cols + [item_col]).aggregate([])
+        return g
+
+    partials = ds.select_columns(basket_cols + [item_col]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.drop_duplicates(basket_cols + [item_col])
+        j = m.merge(m, on=basket_cols, suffixes=("_a", "_b"))
+        a, b = f"{item_col}_a", f"{item_col}_b"
+        j = j[j[a] <= j[b]]
+        out = (j.groupby([a, b], sort=False).size()
+               .reset_index(name="pn"))
+        out = out.rename(columns={a: "item_a", b: "item_b"})
+        n_baskets = len(m.drop_duplicates(basket_cols))
+        out = pd.concat([out, pd.DataFrame(
+            {"item_a": ["__total__"], "item_b": ["__total__"],
+             "pn": [n_baskets]})], ignore_index=True)
+        out["pn"] = out["pn"].astype("int64")
+        return out
+
+    pair_partials = bucketed_fold(partials, basket_cols, pairs,
+                                  n_buckets=n_buckets)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["item_a", "item_b"], sort=False)["pn"].sum() \
+            .reset_index(name="n")
+        total = int(c.loc[(c["item_a"] == "__total__"), "n"].sum())
+        c = c[c["item_a"] != "__total__"]
+        sizes = dict(zip(c.loc[c["item_a"] == c["item_b"], "item_a"],
+                         c.loc[c["item_a"] == c["item_b"], "n"]
+                         .astype(int)))
+        off = c[c["item_a"] != c["item_b"]].copy()
+        off["n_both"] = off["n"].astype("int64")
+        off["n_a"] = off["item_a"].map(sizes).astype("int64")
+        off["n_b"] = off["item_b"].map(sizes).astype("int64")
+        off["n_baskets"] = np.int64(total)
+        return off[["item_a", "item_b", "n_both", "n_a", "n_b",
+                    "n_baskets"]]
+
+    return pair_partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

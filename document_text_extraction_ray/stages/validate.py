@@ -223,3 +223,71 @@ def k_anonymity_stats(ds, quasi_cols, k: int = 5, n_buckets: int = 32):
 
     return per_bucket.repartition(1).map_batches(
         total, batch_format="pyarrow")
+
+
+def json_key_profile(ds, json_col: str, n_buckets: int = 8):
+    """Top-level JSON key profiling (semi-structured schema inference):
+    for every key appearing in any document of a JSON string column,
+    count presence and the JSON TYPE distribution of its values —
+    number / string / bool / null / container (object or array) — plus
+    unparseable rows under the reserved key ``__invalid__``.  The
+    schema-drift gate for event/props ingestion: a key whose type mix
+    shifts between snapshots is a producer bug.
+
+    JSON parsing is inherently per-row (stdlib ``json``); the wire cost
+    is per-batch per-key COUNT partials (keys x 6 integers per batch),
+    combined in one key-bucketed exchange.  Integer counts, replayable
+    in SQL either via json_each or a closed-form fixture."""
+    import json as _json
+
+    import pandas as pd
+
+    from .aggregate import bucketed_fold
+
+    COLS = ("n_present", "n_number", "n_string", "n_bool", "n_null",
+            "n_container")
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = {}
+
+        def bump(key, slot):
+            row = counts.setdefault(key, [0] * 6)
+            row[0] += 1
+            row[slot] += 1
+
+        for raw in t.column(json_col).to_pylist():
+            try:
+                obj = _json.loads(raw)
+                if not isinstance(obj, dict):
+                    raise ValueError
+            except Exception:
+                row = counts.setdefault("__invalid__", [0] * 6)
+                row[0] += 1
+                continue
+            for key, v in obj.items():
+                if isinstance(v, bool):      # before int: bool is int
+                    bump(key, 3)
+                elif isinstance(v, (int, float)):
+                    bump(key, 1)
+                elif isinstance(v, str):
+                    bump(key, 2)
+                elif v is None:
+                    bump(key, 4)
+                else:
+                    bump(key, 5)
+        ks = list(counts)
+        cols = {"key": pa.array(ks, pa.string())}
+        for i, c in enumerate(COLS):
+            cols[c] = pa.array([counts[k][i] for k in ks], pa.int64())
+        return pa.table(cols)
+
+    partials = ds.select_columns([json_col]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("key", sort=False)[list(COLS)].sum().reset_index()
+        for c in COLS:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_fold(partials, "key", combine, n_buckets=n_buckets)

@@ -766,3 +766,37 @@ def scd2_history(ds, key_col: str, ts_col: str, state_col: str,
 
     thin = ds.select_columns([key_col, ts_col, state_col, id_col])
     return bucketed_map_groups(thin, key_col, fold)
+
+
+def rrf_fuse(rank_tables, id_col: str = "id", rank_col: str = "rank",
+             k_const: int = 60, scale: int = 10**6, n_buckets: int = 16):
+    """Reciprocal-rank fusion of N ranked lists (Cormack & Clarke's RRF
+    — the standard hybrid-search combiner for lexical + vector
+    retrieval): fused score = Σ_lists 1/(k + rank), computed in FIXED
+    POINT as ``scale // (k_const + rank)`` so the sum is an exact
+    integer — order-independent, hash-replayable, and rank-identical to
+    the float formula for any corpus smaller than ``scale`` ranks.
+
+    Input: Datasets of (id, rank) with rank 1-based; a document absent
+    from a list simply contributes nothing (standard RRF).  Plan: each
+    list maps row-locally to integer contributions, one union, ONE
+    id-bucketed pre-aggregated sum — returns (id, rrf_q, n_lists)."""
+    from .aggregate import pre_aggregated_sum
+
+    def to_contrib(t: pa.Table) -> pa.Table:
+        r = np.asarray(pc.cast(t.column(rank_col), pa.int64()))
+        return pa.table({
+            id_col: t.column(id_col),
+            "contrib": pa.array(scale // (k_const + r), pa.int64())})
+
+    parts = [t.map_batches(to_contrib, batch_format="pyarrow")
+             for t in rank_tables]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    s = pre_aggregated_sum(u, id_col, "contrib", n_buckets=n_buckets)
+    return s.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col),
+                            "rrf_q": t.column("sum_contrib"),
+                            "n_lists": t.column("n_rows")}),
+        batch_format="pyarrow")

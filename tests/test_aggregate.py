@@ -953,3 +953,53 @@ def test_kmv_set_ops_estimator_rule_reference(ray_session):
     # sanity: estimates in the right ballpark of the true cardinalities
     assert 100 < out["n_a_est"] < 400
     assert 200 < out["n_union_est"] < 800
+
+
+def test_basket_association_matches_brute_force(ray_session):
+    from itertools import combinations
+
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import (
+        basket_association,
+    )
+
+    rows = [{"u": i % 7, "d": i % 3, "item": f"t{(i * 5 + j) % 4}"}
+            for i in range(40) for j in range(3)]
+    out = basket_association(
+        rd.from_items(rows), ["u", "d"], "item", n_buckets=4).to_pandas()
+
+    baskets = {}
+    for r in rows:
+        baskets.setdefault((r["u"], r["d"]), set()).add(r["item"])
+    from collections import Counter
+    both = Counter()
+    single = Counter()
+    for items in baskets.values():
+        for it in items:
+            single[it] += 1
+        for a, b in combinations(sorted(items), 2):
+            both[(a, b)] += 1
+    got = {(r.item_a, r.item_b): (int(r.n_both), int(r.n_a), int(r.n_b),
+                                  int(r.n_baskets))
+           for r in out.itertuples()}
+    assert got == {(a, b): (n, single[a], single[b], len(baskets))
+                   for (a, b), n in both.items()}
+
+
+def test_rrf_fuse_matches_reference(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.windows import rrf_fuse
+
+    la = [{"id": i, "rank": r + 1} for r, i in enumerate([3, 1, 4, 5])]
+    lb = [{"id": i, "rank": r + 1} for r, i in enumerate([1, 5, 9])]
+    out = rrf_fuse([rd.from_items(la), rd.from_items(lb)]).to_pandas() \
+        .set_index("id").sort_index()
+    ref = {}
+    for lst in (la, lb):
+        for row in lst:
+            s, n = ref.get(row["id"], (0, 0))
+            ref[row["id"]] = (s + 10**6 // (60 + row["rank"]), n + 1)
+    assert {int(i): (int(r["rrf_q"]), int(r["n_lists"]))
+            for i, r in out.iterrows()} == ref

@@ -444,3 +444,29 @@ def test_fd_discovery_holds_and_violations_with_nulls():
     # a->c: a=1 maps to {None, p} -> fails; null dep is a value
     assert out.loc[("a", "c"), "n_pairs"] == 4
     assert out.loc[("a", "c"), "holds"] == 0
+
+
+def test_json_key_profile_types_and_invalid(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.validate import (
+        json_key_profile,
+    )
+
+    rows = [
+        {"j": '{"a": 1, "b": "x", "c": true, "d": null, "e": [1]}'},
+        {"j": '{"a": 2.5, "f": {"g": 1}}'},
+        {"j": 'broken'},
+        {"j": '[1, 2]'},  # non-object -> invalid
+    ]
+    out = json_key_profile(rd.from_items(rows), "j", n_buckets=2) \
+        .to_pandas().set_index("key")
+    assert out.loc["a", "n_present"] == 2
+    assert out.loc["a", "n_number"] == 2  # int AND float are numbers
+    assert out.loc["b", "n_string"] == 1
+    assert out.loc["c", "n_bool"] == 1    # bool NOT counted as number
+    assert out.loc["c", "n_number"] == 0
+    assert out.loc["d", "n_null"] == 1
+    assert out.loc["e", "n_container"] == 1
+    assert out.loc["f", "n_container"] == 1
+    assert out.loc["__invalid__", "n_present"] == 2

@@ -94,3 +94,22 @@ def test_url_template_kernel_adjacent_and_hex_segments():
         "h.com/u/ab12/x",
         "h.com/<n>/x",
     ]
+
+
+def test_url_prefix_levels_edges():
+    import pyarrow as pa
+
+    from document_text_extraction_ray.functions.urlnorm import (
+        url_prefix_levels,
+    )
+
+    t = url_prefix_levels(pa.chunked_array([pa.array([
+        "https://a.com/x/y/z?q=1",   # deep path + query
+        "http://b.com",               # host only
+        "https://c.com/only#frag",    # one segment + fragment
+    ])]), max_depth=2)
+    rows = set(zip(t.column("depth").to_pylist(),
+                   t.column("prefix").to_pylist()))
+    assert rows == {(0, "a.com"), (0, "b.com"), (0, "c.com"),
+                    (1, "a.com/x"), (1, "c.com/only"),
+                    (2, "a.com/x/y")}
