@@ -6426,6 +6426,103 @@ def q_url_hierarchy(sf_dir: str):
                          n_buckets=8).sort(["depth", "prefix"])
 
 
+def q_image_neardup(sf_dir: str):
+    """Perceptual image near-dup pairs: dHash fingerprints (the oracled
+    resize + gradient-bit kernel) -> banded hamming LSH (7 chunks
+    guarantee recall at hamming <= 6) -> exact hamming verify.  Fixture
+    plants byte-identical re-uploads (vec_id % 10 == 0 re-encoded under
+    id+10000) among the 500 synthetic images; the oracle recomputes
+    every pixel, hash and pairwise bit_count(xor) in SQL."""
+    from ..stages.dedup import fingerprint_neardup_pairs
+    from ..stages.multimodal import encode_fake_image, image_dhash
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    ).column("vec_id").to_pylist()
+    rows = []
+    for i in ids[:500]:
+        i = int(i)
+        rows.append({"img_id": i,
+                     "payload": encode_fake_image(32 + i % 64, 24 + i % 48,
+                                                  seed=i)})
+        if i % 10 == 0:
+            rows.append({"img_id": i + 10000,
+                         "payload": encode_fake_image(
+                             32 + i % 64, 24 + i % 48, seed=i)})
+    t = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("img_id", pa.int64()), ("payload", pa.large_binary())]))
+    hashes = image_dhash(rd.from_arrow(t))
+
+    def pack(t: pa.Table) -> pa.Table:
+        lo = np.asarray(t.column("hash_lo"), dtype=np.int64)
+        hi = np.asarray(t.column("hash_hi"), dtype=np.int64)
+        fp = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+        return pa.table({"img_id": t.column("img_id"),
+                         "fp": pa.array(fp, pa.uint64())})
+
+    fps = hashes.map_batches(pack, batch_format="pyarrow")
+    return fingerprint_neardup_pairs(fps, "fp", "img_id",
+                                     max_hamming=6, chunks=7) \
+        .sort(["id_a", "id_b"])
+
+
+def q_scd2_lookup(sf_dir: str):
+    """Point-in-time dimension lookup: SCD2 state history built from the
+    event_id%3==0 substream (per-user event_type validity intervals),
+    probed by every OTHER event at its own timestamp — the warehouse
+    "as of" join.  One key-bucketed exchange, per-key searchsorted fold;
+    probes before a user's first interval get '__none__'."""
+    from ..stages.windows import scd2_history, scd2_lookup
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+
+    def split(keep_states: bool):
+        def f(t: pa.Table) -> pa.Table:
+            eid = np.asarray(t.column("event_id"), dtype=np.int64)
+            mask = (eid % 3 == 0) if keep_states else (eid % 3 != 0)
+            t = t.filter(pa.array(mask))
+            if keep_states:
+                return t
+            us = pc.cast(t.column("ts"), pa.int64())
+            return pa.table({"user_id": t.column("user_id"),
+                             "us": us,
+                             "event_id": t.column("event_id")})
+        return f
+
+    states = ev.map_batches(split(True), batch_format="pyarrow")
+    probes = ev.map_batches(split(False), batch_format="pyarrow")
+    hist = scd2_history(states, "user_id", "ts", "event_type")
+    out = scd2_lookup(probes, hist, "user_id", "us", "event_id")
+    return out.sort("event_id")
+
+
+def q_l_diversity(sf_dir: str):
+    """L-diversity audit: distinct sensitive values (account-balance
+    band) per (nation, market-segment) equivalence class — the
+    homogeneity-attack check k-anonymity misses.  Distinct-pair
+    partials, one QI-bucketed fold."""
+    from ..stages.validate import l_diversity_stats
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def band(t: pa.Table) -> pa.Table:
+        bal = np.asarray(pc.cast(t.column("c_acctbal"), pa.float64()))
+        return pa.table({
+            "c_nationkey": t.column("c_nationkey"),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "bal_band": pa.array(np.floor(bal / 1000).astype(np.int64)),
+        })
+
+    return l_diversity_stats(
+        cust.map_batches(band, batch_format="pyarrow"),
+        ["c_nationkey", "c_mktsegment"], "bal_band") \
+        .sort(["c_nationkey", "c_mktsegment"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6669,6 +6766,9 @@ QUERIES = {
     "basket_association": q_basket_association,
     "rrf_fusion": q_rrf_fusion,
     "url_hierarchy": q_url_hierarchy,
+    "image_neardup": q_image_neardup,
+    "scd2_lookup": q_scd2_lookup,
+    "l_diversity": q_l_diversity,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -10816,4 +10916,108 @@ ORACLE_SQL["rrf_fusion"] = """
            CAST(COUNT(*) AS BIGINT) AS n_lists
     FROM u GROUP BY doc_id
     ORDER BY rrf_q DESC, doc_id LIMIT 50
+"""
+
+ORACLE_SQL["image_neardup"] = """
+    WITH img AS (
+        SELECT vec_id AS img_id, vec_id AS seed,
+               32 + vec_id % 64 AS w, 24 + vec_id % 48 AS h
+        FROM embeddings WHERE vec_id < 500
+        UNION ALL
+        SELECT vec_id + 10000, vec_id, 32 + vec_id % 64, 24 + vec_id % 48
+        FROM embeddings WHERE vec_id < 500 AND vec_id % 10 = 0
+    ),
+    grid AS (
+        SELECT y.range AS yi, x.range AS xi FROM range(8) y, range(9) x
+    ),
+    px AS (
+        SELECT img.img_id, yi, xi,
+               (seed * 2654435761 +
+                ((CASE WHEN yi = 7 THEN h - 1
+                       ELSE CAST(FLOOR(yi * ((h - 1) / 7.0)) AS BIGINT)
+                  END) * w +
+                 (CASE WHEN xi = 8 THEN w - 1
+                       ELSE CAST(FLOOR(xi * ((w - 1) / 8.0)) AS BIGINT)
+                  END)) * 2246822519) % 256 AS p
+        FROM img, grid
+    ),
+    bits AS (
+        SELECT a.img_id, a.yi * 8 + a.xi AS idx,
+               CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px b
+          ON a.img_id = b.img_id AND a.yi = b.yi AND b.xi = a.xi + 1
+        WHERE a.xi < 8
+    ),
+    d AS (
+        SELECT img_id,
+               CAST(SUM(CASE WHEN idx < 32
+                             THEN bit * (CAST(1 AS BIGINT) << idx)
+                             ELSE 0 END) AS BIGINT) AS lo,
+               CAST(SUM(CASE WHEN idx >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (idx - 32))
+                             ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY img_id
+    ),
+    p AS (
+        SELECT a.img_id AS id_a, b.img_id AS id_b,
+               bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                   AS hamming
+        FROM d a JOIN d b ON a.img_id < b.img_id
+    )
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM p WHERE hamming <= 6 ORDER BY id_a, id_b
+"""
+
+ORACLE_SQL["scd2_lookup"] = """
+    WITH se AS (SELECT * FROM events WHERE event_id % 3 = 0),
+    o AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM se
+    ),
+    g AS (
+        SELECT *,
+               SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY rn) AS run_id
+        FROM o
+    ),
+    runs AS (
+        SELECT user_id, event_type AS state, run_id,
+               MIN(epoch_us(ts)) AS valid_from_us
+        FROM g GROUP BY user_id, event_type, run_id
+    ),
+    h AS (
+        SELECT user_id, state, valid_from_us,
+               COALESCE(LEAD(valid_from_us) OVER (
+                   PARTITION BY user_id ORDER BY run_id), -1)
+                   AS valid_to_us
+        FROM runs
+    ),
+    probe AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us
+        FROM events WHERE event_id % 3 != 0
+    )
+    SELECT p.event_id, p.user_id, CAST(p.us AS BIGINT) AS us,
+           COALESCE(h.state, '__none__') AS state
+    FROM probe p
+    LEFT JOIN h ON h.user_id = p.user_id
+               AND h.valid_from_us <= p.us
+               AND (h.valid_to_us = -1 OR p.us < h.valid_to_us)
+    ORDER BY p.event_id
+"""
+
+ORACLE_SQL["l_diversity"] = """
+    WITH c AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+        FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS n_sensitive
+    FROM c GROUP BY 1, 2 ORDER BY 1, 2
 """

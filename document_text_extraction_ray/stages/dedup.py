@@ -1882,3 +1882,74 @@ def cdc_restore(manifest, chunks, id_column: str = "doc_id",
                              "text": ["".join(g["chunk"])]})
 
     return bucketed_map_groups(joined, id_column, fold)
+
+
+def fingerprint_neardup_pairs(ds, fp_column: str, id_column: str,
+                              max_hamming: int = 6, chunks: int = 7):
+    """Near-duplicate pairs over PRECOMPUTED 64-bit fingerprints
+    (perceptual image dHash, audio fingerprints, any simhash-shaped
+    signature): band LSH + exact hamming verification — the
+    fingerprint-agnostic generalization of ``simhash_pairs`` (which
+    fuses text hashing into the explode).  Pigeonhole recall guarantee:
+    ``chunks`` >= max_hamming + 1 makes a shared band certain for every
+    true pair (bits above chunks*(64//chunks) don't weaken it — a
+    difference there leaves fewer banded differences, never more).
+
+    One band-bucketed exchange; candidate dups (one per agreeing band)
+    die in a vectorized Min fold.  Returns (id_a, id_b, hamming)."""
+    from ray.data.aggregate import Min
+
+    from .aggregate import bucketed_map_groups
+
+    if chunks < max_hamming + 1:
+        raise ValueError(
+            f"chunks={chunks} cannot guarantee recall for "
+            f"max_hamming={max_hamming} (need >= max_hamming + 1)")
+    width = 64 // chunks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        c_keys, ids, vals = [], [], []
+        for iid, fp in zip(batch.column(id_column).to_pylist(),
+                           batch.column(fp_column).to_pylist()):
+            if fp is None:
+                continue
+            for chunk, key in D.simhash_band_keys(int(fp), chunks):
+                c_keys.append((chunk << width) | key)
+                ids.append(iid)
+                vals.append(int(fp))
+        return pa.table({
+            "chunk_key": pa.array(c_keys, pa.uint64()),
+            id_column: pa.array(ids),
+            "fp": pa.array(vals, pa.uint64()),
+        })
+
+    exploded = ds.select_columns([id_column, fp_column]).map_batches(
+        explode, batch_format="pyarrow")
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.drop_duplicates(id_column).sort_values(id_column)
+        ids = g[id_column].tolist()
+        vals = g["fp"].tolist()
+        a_out, b_out, h_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                h = D.hamming64(int(vals[i]), int(vals[j]))
+                if h <= max_hamming:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    h_out.append(h)
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out,
+                             "hamming": h_out})
+
+    pairs = bucketed_map_groups(
+        exploded, "chunk_key", pairs_of_group,
+        empty_result=lambda g: pd.DataFrame({
+            "id_a": pd.Series(dtype=g[id_column].dtype),
+            "id_b": pd.Series(dtype=g[id_column].dtype),
+            "hamming": pd.Series(dtype="int64"),
+        }),
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))

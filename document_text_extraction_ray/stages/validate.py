@@ -291,3 +291,43 @@ def json_key_profile(ds, json_col: str, n_buckets: int = 8):
         return out
 
     return bucketed_fold(partials, "key", combine, n_buckets=n_buckets)
+
+
+def l_diversity_stats(ds, quasi_cols, sensitive_col: str,
+                      n_buckets: int = 32):
+    """L-diversity audit: per quasi-identifier equivalence class, the
+    row count and the number of DISTINCT sensitive values — a class
+    with few distinct sensitive values leaks the attribute even when
+    k-anonymous (the homogeneity attack ``k_anonymity_stats`` cannot
+    see).  Per-batch distinct (QI, sensitive) + count partials, ONE
+    QI-tuple-bucketed fold.  Returns (quasi..., n_rows,
+    n_sensitive)."""
+    import pandas as pd
+
+    from .aggregate import bucketed_fold
+
+    quasi_cols = [quasi_cols] if isinstance(quasi_cols, str) \
+        else list(quasi_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(quasi_cols + [sensitive_col]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            **{c: g.column(c) for c in quasi_cols},
+            sensitive_col: g.column(sensitive_col),
+            "pn": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = ds.select_columns(quasi_cols + [sensitive_col]) \
+        .map_batches(partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(quasi_cols + [sensitive_col], sort=False)["pn"] \
+            .sum().reset_index()
+        out = c.groupby(quasi_cols, sort=False).agg(
+            n_rows=("pn", "sum"),
+            n_sensitive=(sensitive_col, "nunique")).reset_index()
+        out["n_rows"] = out["n_rows"].astype("int64")
+        out["n_sensitive"] = out["n_sensitive"].astype("int64")
+        return out
+
+    return bucketed_fold(partials, quasi_cols, fold, n_buckets=n_buckets)

@@ -800,3 +800,81 @@ def rrf_fuse(rank_tables, id_col: str = "id", rank_col: str = "rank",
                             "rrf_q": t.column("sum_contrib"),
                             "n_lists": t.column("n_rows")}),
         batch_format="pyarrow")
+
+
+def scd2_lookup(probes, history, key_col: str, ts_col: str, id_col: str,
+                state_col: str = "state",
+                valid_from: str = "valid_from_us",
+                valid_to: str = "valid_to_us",
+                missing: str = "__none__", n_buckets: int = 32):
+    """Point-in-time dimension lookup against an SCD Type-2 history: for
+    every probe (key, ts) return the state whose validity interval
+    covers ts (``valid_from <= ts < valid_to``; -1 = open tail) — the
+    warehouse "as of" join ``fill_forward`` cannot express when the
+    state table and the probe stream are DIFFERENT datasets.  Probes
+    before the key's first interval (or inside a gap, for non-contiguous
+    histories) get ``missing``.
+
+    Both timestamp columns are int64 microseconds.  Plan: union-tag the
+    thin projections, ONE key-bucketed exchange, per-key vectorized
+    searchsorted fold.  Empty intervals (valid_from == valid_to, from
+    same-timestamp state flaps) sort BEFORE their covering sibling and
+    are skipped by the right-edge searchsorted, matching the SQL
+    interval predicate."""
+    from .aggregate import bucketed_map_groups
+
+    INF = np.int64(2**62)
+
+    def tag_hist(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            key_col: t.column(key_col),
+            "us": pc.cast(t.column(valid_from), pa.int64()),
+            "to": pc.cast(t.column(valid_to), pa.int64()),
+            state_col: t.column(state_col),
+            id_col: pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    def tag_probe(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            key_col: t.column(key_col),
+            "us": pc.cast(t.column(ts_col), pa.int64()),
+            "to": pa.array(np.zeros(n, np.int64), pa.int64()),
+            state_col: pa.nulls(n, pa.string()),
+            id_col: pc.cast(t.column(id_col), pa.int64()),
+            "side": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    tagged = history.select_columns(
+        [key_col, valid_from, valid_to, state_col]).map_batches(
+        tag_hist, batch_format="pyarrow").union(
+        probes.select_columns([key_col, ts_col, id_col]).map_batches(
+            tag_probe, batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        h = g[g["side"] == 0].copy()
+        p = g[g["side"] == 1]
+        out = pd.DataFrame({
+            id_col: p[id_col].to_numpy().astype(np.int64),
+            key_col: p[key_col],
+            "us": p["us"].to_numpy().astype(np.int64)})
+        if h.empty:
+            out[state_col] = missing
+            return out.sort_values(id_col)
+        to = h["to"].to_numpy().astype(np.int64)
+        h["_to_inf"] = np.where(to == -1, INF, to)
+        h = h.sort_values(["us", "_to_inf"], kind="mergesort")
+        hus = h["us"].to_numpy().astype(np.int64)
+        hto = h["_to_inf"].to_numpy().astype(np.int64)
+        hstate = h[state_col].to_numpy()
+        idx = np.searchsorted(hus, out["us"].to_numpy(), side="right") - 1
+        ok = idx >= 0
+        safe = np.maximum(idx, 0)
+        covered = ok & (out["us"].to_numpy() < hto[safe])
+        out[state_col] = np.where(covered, hstate[safe], missing)
+        return out.sort_values(id_col)
+
+    return bucketed_map_groups(tagged, key_col, fold,
+                               n_buckets=n_buckets)

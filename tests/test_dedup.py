@@ -542,3 +542,36 @@ def test_cdc_chunk_stats_dedup_ratio():
     assert r["n_unique"] == len(c)
     assert r["bytes_total"] == sum(n * sizes[ch] for ch, n in c.items())
     assert r["bytes_unique"] == sum(sizes.values())
+
+
+def test_fingerprint_neardup_pairs_matches_brute_force(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.functions.dedup import hamming64
+    from document_text_extraction_ray.stages.dedup import (
+        fingerprint_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    fps = rng.randint(0, 2**63, size=60, dtype=np.int64).astype(np.uint64)
+    # plant near-dups: flip <= 3 bits of earlier fingerprints
+    fps[40] = fps[0] ^ np.uint64(1 << 5)
+    fps[41] = fps[1] ^ np.uint64((1 << 10) | (1 << 63))
+    fps[42] = fps[2]  # exact dup
+    rows = [{"img_id": i, "fp": int(f)} for i, f in enumerate(fps)]
+
+    ref = {}
+    for i in range(60):
+        for j in range(i + 1, 60):
+            h = hamming64(int(fps[i]), int(fps[j]))
+            if h <= 6:
+                ref[(i, j)] = h
+
+    ds = rd.from_items(rows)
+    out = fingerprint_neardup_pairs(ds, "fp", "img_id",
+                                    max_hamming=6).to_pandas()
+    got = {(int(r.id_a), int(r.id_b)): int(r.hamming)
+           for r in out.itertuples()}
+    assert got == ref
+    assert (0, 40) in got and (1, 41) in got and got[(2, 42)] == 0

@@ -655,3 +655,35 @@ def test_nearest_event_join_direction_and_ties():
     assert list(out["event_id"]) == [0, 1, 2]
     assert list(out["nearest_id"]) == [11, 12, 13]
     assert list(out["delta_us"]) == [-2_000_000, 5_000_000, 15_000_000]
+
+
+def test_scd2_lookup_interval_semantics(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.windows import scd2_lookup
+
+    history = rd.from_items([
+        # key 1: contiguous intervals + open tail
+        {"k": 1, "valid_from_us": 10, "valid_to_us": 20, "state": "a"},
+        {"k": 1, "valid_from_us": 20, "valid_to_us": 30, "state": "b"},
+        {"k": 1, "valid_from_us": 30, "valid_to_us": -1, "state": "c"},
+        # key 2: a GAP [20, 40) and an empty flap at 10
+        {"k": 2, "valid_from_us": 10, "valid_to_us": 10, "state": "x"},
+        {"k": 2, "valid_from_us": 10, "valid_to_us": 20, "state": "y"},
+        {"k": 2, "valid_from_us": 40, "valid_to_us": -1, "state": "z"},
+    ])
+    probes = rd.from_items([
+        {"k": 1, "us": 5, "pid": 1},    # before first -> missing
+        {"k": 1, "us": 10, "pid": 2},   # boundary start -> a
+        {"k": 1, "us": 20, "pid": 3},   # boundary handoff -> b
+        {"k": 1, "us": 99, "pid": 4},   # open tail -> c
+        {"k": 2, "us": 10, "pid": 5},   # empty flap skipped -> y
+        {"k": 2, "us": 25, "pid": 6},   # inside the gap -> missing
+        {"k": 2, "us": 40, "pid": 7},   # after gap -> z
+        {"k": 3, "us": 1, "pid": 8},    # key with no history -> missing
+    ])
+    out = scd2_lookup(probes, history, "k", "us", "pid",
+                      n_buckets=2).to_pandas().set_index("pid")
+    expect = {1: "__none__", 2: "a", 3: "b", 4: "c",
+              5: "y", 6: "__none__", 7: "z", 8: "__none__"}
+    assert {int(i): s for i, s in out["state"].items()} == expect

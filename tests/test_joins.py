@@ -470,3 +470,24 @@ def test_json_key_profile_types_and_invalid(ray_session):
     assert out.loc["e", "n_container"] == 1
     assert out.loc["f", "n_container"] == 1
     assert out.loc["__invalid__", "n_present"] == 2
+
+
+def test_l_diversity_stats_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.validate import (
+        l_diversity_stats,
+    )
+
+    rows = [{"qa": i % 4, "qb": f"g{i % 2}", "s": (i * 3) % 5}
+            for i in range(50)]
+    out = l_diversity_stats(rd.from_items(rows), ["qa", "qb"], "s",
+                            n_buckets=4).to_pandas()
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    ref = df.groupby(["qa", "qb"]).agg(
+        n_rows=("s", "size"), n_sensitive=("s", "nunique")).reset_index()
+    got = {(int(r.qa), r.qb): (int(r.n_rows), int(r.n_sensitive))
+           for r in out.itertuples()}
+    assert got == {(int(r.qa), r.qb): (int(r.n_rows), int(r.n_sensitive))
+                   for r in ref.itertuples()}
