@@ -6523,6 +6523,47 @@ def q_l_diversity(sf_dir: str):
         .sort(["c_nationkey", "c_mktsegment"])
 
 
+def q_shortest_paths(sf_dir: str):
+    """Bounded-round weighted shortest paths (Bellman-Ford, 4
+    relaxations) from the doc_id % 250 == 0 seed set over a chain+chord
+    graph with formula integer weights — the weighted companion of
+    bfs_hops.  One join + one min-fold per round, node-bounded state
+    materialized per round; the oracle unrolls the same 4 rounds as
+    MATERIALIZED CTEs."""
+    from ..stages.graph import bellman_ford_int
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    meta = pq.ParquetFile(path)
+    idx = meta.schema_arrow.get_field_index("doc_id")
+    mx = max(meta.metadata.row_group(i).column(idx).statistics.max
+             for i in range(meta.metadata.num_row_groups))
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        a = d[(d % 100 < 99) & (d + 1 <= mx)]
+        b = d[d + 7 <= mx]
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([a + 1, b + 7])),
+            "w": pa.array(np.concatenate([1 + a % 5, 3 + b % 4]))})
+
+    e = rd.read_parquet(path, columns=["doc_id"]).map_batches(
+        edges, batch_format="pyarrow")
+    seeds = [int(i) for i in range(0, int(mx) + 1, 250)]
+    return bellman_ford_int(e, seeds, n_rounds=4).sort("node")
+
+
+def q_orc_roundtrip(sf_dir: str):
+    """ORC shard round trip (the Hive/Trino-ecosystem columnar bridge):
+    documents -> one .orc shard per block -> parallel read with REAL
+    column pruning at the ORC reader.  Identity oracle."""
+    from ..sources.textfiles import read_orc, write_orc
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    path = write_orc(docs, "/tmp/dte_orc_rt")
+    return read_orc(path, ["doc_id", "text", "lang"]).sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6769,6 +6810,8 @@ QUERIES = {
     "image_neardup": q_image_neardup,
     "scd2_lookup": q_scd2_lookup,
     "l_diversity": q_l_diversity,
+    "shortest_paths": q_shortest_paths,
+    "orc_roundtrip": q_orc_roundtrip,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -11020,4 +11063,54 @@ ORACLE_SQL["l_diversity"] = """
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS n_sensitive
     FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["shortest_paths"] = """
+    WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+    e AS MATERIALIZED (
+        SELECT doc_id AS src, doc_id + 1 AS dst,
+               1 + doc_id % 5 AS w
+        FROM documents, m
+        WHERE doc_id % 100 < 99 AND doc_id + 1 <= mx
+        UNION ALL
+        SELECT doc_id, doc_id + 7, 3 + doc_id % 4
+        FROM documents, m WHERE doc_id + 7 <= mx
+    ),
+    d0 AS MATERIALIZED (
+        SELECT doc_id AS node, 0 AS dist FROM documents
+        WHERE doc_id % 250 = 0
+    ),
+    d1 AS MATERIALIZED (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d0
+            UNION ALL
+            SELECT e.dst, d0.dist + e.w FROM d0 JOIN e ON e.src = d0.node
+        ) GROUP BY node
+    ),
+    d2 AS MATERIALIZED (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d1
+            UNION ALL
+            SELECT e.dst, d1.dist + e.w FROM d1 JOIN e ON e.src = d1.node
+        ) GROUP BY node
+    ),
+    d3 AS MATERIALIZED (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d2
+            UNION ALL
+            SELECT e.dst, d2.dist + e.w FROM d2 JOIN e ON e.src = d2.node
+        ) GROUP BY node
+    ),
+    d4 AS MATERIALIZED (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d3
+            UNION ALL
+            SELECT e.dst, d3.dist + e.w FROM d3 JOIN e ON e.src = d3.node
+        ) GROUP BY node
+    )
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node
+"""
+
+ORACLE_SQL["orc_roundtrip"] = """
+    SELECT doc_id, text, lang FROM documents ORDER BY doc_id
 """

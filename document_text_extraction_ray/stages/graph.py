@@ -722,3 +722,68 @@ def common_neighbor_pairs(edges, min_common: int = 2,
     out = anti_join(cands, ek, on="pair_key",
                     n_buckets=min(n_buckets, 16), left_schema=cand_schema)
     return out.drop_columns(["pair_key"])
+
+
+def bellman_ford_int(edges, seeds, n_rounds: int = 4,
+                     src_col: str = "src", dst_col: str = "dst",
+                     w_col: str = "w", n_buckets: int = 16):
+    """Bounded-round single-source(-set) WEIGHTED shortest paths:
+    ``n_rounds`` Bellman-Ford relaxations over integer edge weights —
+    dist(node) = cheapest path cost from any seed using at most
+    ``n_rounds`` edges.  The weighted companion of ``bfs_hops`` (hop
+    counts) and ``earliest_arrival`` (temporal constraint): crawl-cost /
+    latency / routing analysis where edges are NOT unit cost.
+
+    Per round: the standing distances join the edge list on src (one
+    distributed join), every edge proposes dist(src) + w for its dst,
+    ONE bucketed min-fold merges proposals with the standing table (min
+    is idempotent — no frontier bookkeeping needed; a round without
+    improvements is a no-op, exactly what the unrolled SQL replays).
+    Negative weights are rejected (bounded-round semantics would expose
+    order dependence on negative cycles).  State is node-bounded,
+    coalesced + materialized per round (the bfs_hops block-count
+    lesson).  Returns (node, dist)."""
+    import ray.data as rd
+
+    from .aggregate import bucketed_fold
+    from .join import partitioned_hash_join
+
+    def check_w(t: pa.Table) -> pa.Table:
+        w = np.asarray(pc.cast(t.column(w_col), pa.int64()))
+        if (w < 0).any():
+            raise ValueError("bellman_ford_int requires non-negative "
+                             "integer weights")
+        return pa.table({src_col: t.column(src_col),
+                         dst_col: t.column(dst_col),
+                         w_col: pa.array(w, pa.int64())})
+
+    edges = edges.select_columns([src_col, dst_col, w_col]).map_batches(
+        check_w, batch_format="pyarrow").materialize()
+    dists = rd.from_items(
+        [{"node": s, "dist": 0} for s in seeds]).materialize()
+
+    ls = pa.schema([(src_col, pa.int64()), (dst_col, pa.int64()),
+                    (w_col, pa.int64())])
+    rs = pa.schema([(src_col, pa.int64()), ("dist", pa.int64())])
+
+    def min_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False, as_index=False)["dist"].min()
+
+    for _ in range(n_rounds):
+        d_src = dists.map_batches(
+            lambda t: t if t.num_columns == 0 else t.rename_columns(
+                [src_col, "dist"]),
+            batch_format="pyarrow")
+        cand = partitioned_hash_join(
+            edges, d_src, on=src_col, n_buckets=n_buckets,
+            left_schema=ls, right_schema=rs,
+        ).map_batches(
+            lambda t: t if t.num_columns == 0 else pa.table(
+                {"node": t.column(dst_col),
+                 "dist": pc.add(t.column("dist"), t.column(w_col))}),
+            batch_format="pyarrow").repartition(8).materialize()
+        dists = bucketed_fold(
+            cand.union(dists), "node", min_fold,
+            n_buckets=n_buckets).repartition(4).materialize()
+
+    return dists

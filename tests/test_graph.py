@@ -297,3 +297,39 @@ def test_common_neighbor_pairs_matches_brute_force():
            for r in out.itertuples()}
     assert got == ref
     assert len(ref) > 0
+
+
+def test_bellman_ford_matches_reference():
+    import heapq
+
+    from document_text_extraction_ray.stages.graph import bellman_ford_int
+
+    n = 40
+    edges = [(i, (i + 1) % n, 1 + i % 5) for i in range(n)] + \
+        [(i, (i + 7) % n, 3 + i % 4) for i in range(n)]
+    seeds = [0, 20]
+
+    # reference: Dijkstra truncated to <= 4 edges (Bellman-Ford rounds)
+    ref = {s: 0 for s in seeds}
+    frontier = dict(ref)
+    for _ in range(4):
+        nxt = dict(ref)
+        for (a, b, w) in edges:
+            if a in ref and ref[a] + w < nxt.get(b, 1 << 60):
+                nxt[b] = ref[a] + w
+        ref = nxt
+    ds = rd.from_items([{"src": a, "dst": b, "w": w}
+                        for a, b, w in edges])
+    out = bellman_ford_int(ds, seeds, n_rounds=4, n_buckets=4) \
+        .to_pandas().set_index("node")["dist"].to_dict()
+    assert {int(k): int(v) for k, v in out.items()} == ref
+
+
+def test_bellman_ford_rejects_negative_weights():
+    import pytest
+
+    from document_text_extraction_ray.stages.graph import bellman_ford_int
+
+    ds = rd.from_items([{"src": 0, "dst": 1, "w": -2}])
+    with pytest.raises(Exception, match="non-negative"):
+        bellman_ford_int(ds, [0], n_rounds=1).to_pandas()

@@ -96,3 +96,21 @@ def test_jsonl_gzip_roundtrip(tmp_path):
     back = (read_jsonl(path, ["id", "s"], compression="gzip")
             .to_pandas().sort_values("id").reset_index(drop=True))
     assert back["s"].tolist() == ["plain", 'unié and "quotes"', ""]
+
+
+def test_orc_roundtrip_identity_and_pruning(ray_session, tmp_path):
+    import ray.data as rd
+
+    from document_text_extraction_ray.sources.textfiles import (
+        read_orc, write_orc,
+    )
+
+    rows = [{"a": i, "b": f"s{i}", "c": float(i) / 4} for i in range(100)]
+    ds = rd.from_items(rows)
+    path = write_orc(ds, str(tmp_path / "orc"))
+    back = read_orc(path).to_pandas().sort_values("a").reset_index(drop=True)
+    import pandas as pd
+    assert back.equals(pd.DataFrame(rows))
+    pruned = read_orc(path, columns=["a"]).to_pandas()
+    assert list(pruned.columns) == ["a"]
+    assert sorted(pruned["a"]) == list(range(100))
