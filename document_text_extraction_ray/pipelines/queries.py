@@ -6564,6 +6564,38 @@ def q_orc_roundtrip(sf_dir: str):
     return read_orc(path, ["doc_id", "text", "lang"]).sort("doc_id")
 
 
+def q_audio_neardup(sf_dir: str):
+    """Audio near-dup pairs: frame-energy fingerprints (32 gradient
+    bits) -> banded hamming LSH over the MEANINGFUL 32 bits (4 chunks
+    guarantee recall at hamming <= 3) -> exact verify.  Re-uploaded
+    clips (vec_id % 10 == 0 under id+10000) are planted hamming-0
+    pairs; the oracle replays samples, energies, bits and pairwise
+    bit_count(xor)."""
+    from ..stages.dedup import fingerprint_neardup_pairs
+    from ..stages.multimodal import audio_fingerprint, encode_fake_audio
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    ).column("vec_id").to_pylist()
+    rows = []
+    for i in ids[:500]:
+        i = int(i)
+        rows.append({"clip_id": i,
+                     "payload": encode_fake_audio(3000 + i % 2000, 16000,
+                                                  seed=i)})
+        if i % 10 == 0:
+            rows.append({"clip_id": i + 10000,
+                         "payload": encode_fake_audio(
+                             3000 + i % 2000, 16000, seed=i)})
+    t = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("clip_id", pa.int64()), ("payload", pa.large_binary())]))
+    fps = audio_fingerprint(rd.from_arrow(t)).select_columns(
+        ["clip_id", "fingerprint"])
+    return fingerprint_neardup_pairs(fps, "fingerprint", "clip_id",
+                                     max_hamming=3, chunks=4, bits=32) \
+        .sort(["id_a", "id_b"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6812,6 +6844,7 @@ QUERIES = {
     "l_diversity": q_l_diversity,
     "shortest_paths": q_shortest_paths,
     "orc_roundtrip": q_orc_roundtrip,
+    "audio_neardup": q_audio_neardup,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -11113,4 +11146,46 @@ ORACLE_SQL["shortest_paths"] = """
 
 ORACLE_SQL["orc_roundtrip"] = """
     SELECT doc_id, text, lang FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["audio_neardup"] = """
+    WITH clip AS (
+        SELECT vec_id AS clip_id, vec_id AS seed,
+               3000 + vec_id % 2000 AS n,
+               (3000 + vec_id % 2000) // 33 AS L
+        FROM embeddings WHERE vec_id < 500
+        UNION ALL
+        SELECT vec_id + 10000, vec_id, 3000 + vec_id % 2000,
+               (3000 + vec_id % 2000) // 33
+        FROM embeddings WHERE vec_id < 500 AND vec_id % 10 = 0
+    ),
+    s AS (
+        SELECT clip.clip_id, j.range // clip.L AS f,
+               ABS((clip.seed * 2654435761 + j.range * 2246822519)
+                   % 4001 - 2000) AS a
+        FROM clip, range(5000) AS j
+        WHERE j.range < clip.L * 33
+    ),
+    e AS (
+        SELECT clip_id, f, SUM(a) AS energy
+        FROM s GROUP BY clip_id, f
+    ),
+    bits AS (
+        SELECT a.clip_id, a.f,
+               CASE WHEN a.energy < b.energy THEN 1 ELSE 0 END AS bit
+        FROM e a JOIN e b ON a.clip_id = b.clip_id AND b.f = a.f + 1
+        WHERE a.f < 32
+    ),
+    d AS (
+        SELECT clip_id,
+               CAST(SUM(bit * (CAST(1 AS BIGINT) << f)) AS BIGINT) AS fp
+        FROM bits GROUP BY clip_id
+    ),
+    p AS (
+        SELECT a.clip_id AS id_a, b.clip_id AS id_b,
+               bit_count(xor(a.fp, b.fp)) AS hamming
+        FROM d a JOIN d b ON a.clip_id < b.clip_id
+    )
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM p WHERE hamming <= 3 ORDER BY id_a, id_b
 """

@@ -1885,7 +1885,8 @@ def cdc_restore(manifest, chunks, id_column: str = "doc_id",
 
 
 def fingerprint_neardup_pairs(ds, fp_column: str, id_column: str,
-                              max_hamming: int = 6, chunks: int = 7):
+                              max_hamming: int = 6, chunks: int = 7,
+                              bits: int = 64):
     """Near-duplicate pairs over PRECOMPUTED 64-bit fingerprints
     (perceptual image dHash, audio fingerprints, any simhash-shaped
     signature): band LSH + exact hamming verification — the
@@ -1894,6 +1895,11 @@ def fingerprint_neardup_pairs(ds, fp_column: str, id_column: str,
     ``chunks`` >= max_hamming + 1 makes a shared band certain for every
     true pair (bits above chunks*(64//chunks) don't weaken it — a
     difference there leaves fewer banded differences, never more).
+
+    ``bits`` is the MEANINGFUL fingerprint width: a 32-bit fingerprint
+    banded as 64 bits would share its always-zero high bands across the
+    whole corpus and regress to all-pairs — bands must tile the bits
+    that actually vary.
 
     One band-bucketed exchange; candidate dups (one per agreeing band)
     die in a vectorized Min fold.  Returns (id_a, id_b, hamming)."""
@@ -1905,7 +1911,8 @@ def fingerprint_neardup_pairs(ds, fp_column: str, id_column: str,
         raise ValueError(
             f"chunks={chunks} cannot guarantee recall for "
             f"max_hamming={max_hamming} (need >= max_hamming + 1)")
-    width = 64 // chunks
+    width = bits // chunks
+    mask = (1 << width) - 1
 
     def explode(batch: pa.Table) -> pa.Table:
         c_keys, ids, vals = [], [], []
@@ -1913,7 +1920,8 @@ def fingerprint_neardup_pairs(ds, fp_column: str, id_column: str,
                            batch.column(fp_column).to_pylist()):
             if fp is None:
                 continue
-            for chunk, key in D.simhash_band_keys(int(fp), chunks):
+            for chunk in range(chunks):
+                key = (int(fp) >> (chunk * width)) & mask
                 c_keys.append((chunk << width) | key)
                 ids.append(iid)
                 vals.append(int(fp))
