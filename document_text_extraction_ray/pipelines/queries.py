@@ -6596,6 +6596,18 @@ def q_audio_neardup(sf_dir: str):
         .sort(["id_a", "id_b"])
 
 
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve over documents: corpus tokens covered
+    by the top-{100, 1000, 10000} terms by frequency (alphabetical
+    ties) — the tokenizer-budget / OOV-rate curve.  Exact term counts
+    via one bucketed combine, global frequency ranking via the
+    one-sort block-offset row number, fixed-width coverage partials."""
+    from ..stages.lexicon import vocab_coverage
+
+    return vocab_coverage(_docs(sf_dir, ["text"]),
+                          sizes=(100, 1000, 10000)).sort("vocab_size")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6845,6 +6857,7 @@ QUERIES = {
     "shortest_paths": q_shortest_paths,
     "orc_roundtrip": q_orc_roundtrip,
     "audio_neardup": q_audio_neardup,
+    "vocab_coverage": q_vocab_coverage,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -11188,4 +11201,25 @@ ORACLE_SQL["audio_neardup"] = """
     )
     SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
     FROM p WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+ORACLE_SQL["vocab_coverage"] = """
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    c AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1),
+    r AS (
+        SELECT term, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank
+        FROM c
+    ),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT k.v AS vocab_size,
+           CAST((SELECT COALESCE(SUM(n), 0) FROM r WHERE rank <= k.v)
+                AS BIGINT) AS covered_tokens,
+           CAST(t.total AS BIGINT) AS total_tokens
+    FROM (VALUES (100), (1000), (10000)) AS k(v), t
+    ORDER BY vocab_size
 """

@@ -847,3 +847,72 @@ def vocab_overlap(docs, group_col: str = "source",
 
     return pair_partials.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def vocab_coverage(docs, sizes=(100, 1000, 10000),
+                   text_column: str = "text", n_buckets: int = 32):
+    """Vocabulary coverage curve: for each candidate vocab size K, how
+    many corpus TOKENS are covered by the top-K terms by frequency
+    (ties broken alphabetically) — the tokenizer-budget / OOV-rate
+    curve that decides how large a wordpiece vocab a corpus needs.
+    Exact integers: (vocab_size, covered_tokens, total_tokens).
+
+    Plan: per-batch term-count partials, one bucketed combine to exact
+    term counts, a GLOBAL row number over (count DESC, term) — the
+    one-sort-plus-block-offsets pattern, driver holds one row per
+    block — then fixed-width per-batch partial sums per K (|sizes|
+    rows per batch) and a single-block final fold."""
+    from .aggregate import bucketed_fold
+    from .windows import global_row_number
+
+    sizes = sorted(sizes)
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = {}
+        for text in t.column(text_column).to_pylist():
+            for tok in _tokens(text):
+                counts[tok] = counts.get(tok, 0) + 1
+        ks = list(counts)
+        return pa.table({"term": pa.array(ks, pa.string()),
+                         "pn": pa.array([counts[k] for k in ks],
+                                        pa.int64())})
+
+    partials = docs.select_columns([text_column]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", sort=False)["pn"].sum() \
+            .reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    tf = bucketed_fold(partials, "term", combine, n_buckets=n_buckets)
+    ranked = global_row_number(tf, ["n", "term"],
+                               descending=[True, False],
+                               out_column="rank")
+
+    def cover_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        r = np.asarray(pc.cast(t.column("rank"), pa.int64()))
+        n = np.asarray(pc.cast(t.column("n"), pa.int64()))
+        rows = {"vocab_size": [], "pc_": [], "pt": []}
+        for k in sizes:
+            rows["vocab_size"].append(k)
+            rows["pc_"].append(int(n[r <= k].sum()))
+            rows["pt"].append(int(n.sum()))
+        return pa.table({c: pa.array(v, pa.int64())
+                         for c, v in rows.items()})
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by("vocab_size").aggregate(
+            [("pc_", "sum"), ("pt", "sum")])
+        out = pa.table({
+            "vocab_size": g.column("vocab_size"),
+            "covered_tokens": g.column("pc__sum"),
+            "total_tokens": g.column("pt_sum")})
+        return out
+
+    return ranked.map_batches(cover_partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(final, batch_format="pyarrow",
+                                    batch_size=None)

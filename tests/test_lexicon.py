@@ -396,3 +396,28 @@ def test_vocab_overlap_matches_brute_force(ray_session):
             assert got[(a, b)] == (inter, len(vocab[a]), len(vocab[b]),
                                    len(vocab[a] | vocab[b]))
     assert len(got) == 3
+
+
+def test_vocab_coverage_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.lexicon import (
+        _tokens, vocab_coverage,
+    )
+
+    rows = [{"text": f"common w{i % 9} rare{i} w{i % 3}"}
+            for i in range(60)]
+    out = vocab_coverage(rd.from_items(rows), sizes=(2, 10, 50),
+                         n_buckets=4).to_pandas() \
+        .set_index("vocab_size").sort_index()
+
+    from collections import Counter
+    c = Counter()
+    for r in rows:
+        c.update(_tokens(r["text"]))
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    for k in (2, 10, 50):
+        cov = sum(n for _, n in ranked[:k])
+        assert out.loc[k, "covered_tokens"] == cov
+        assert out.loc[k, "total_tokens"] == total
