@@ -6608,6 +6608,38 @@ def q_vocab_coverage(sf_dir: str):
                           sizes=(100, 1000, 10000)).sort("vocab_size")
 
 
+def q_running_distinct(sf_dir: str):
+    """Per-user running distinct-props count over the event stream (the
+    catalog-growth curve): the COUNT(DISTINCT) OVER window engines
+    refuse, replayed as SUM() OVER a first-occurrence flag.  One
+    key-bucketed shuffle, vectorized duplicated+cumsum fold."""
+    from ..stages.windows import running_distinct
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id", "props"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "us": pc.cast(t.column("ts"), pa.int64()),
+                         "event_id": t.column("event_id"),
+                         "props": t.column("props")})
+
+    out = running_distinct(ev.map_batches(to_us, batch_format="pyarrow"),
+                           "user_id", ["us", "event_id"], "props")
+    return out.sort("event_id")
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension embedding moments (count / sum / sum-of-squares of
+    the 1e4-quantized values) — the normalization pre-pass, exact
+    integers, O(d) wire cost per batch."""
+    from ..stages.similarity import embedding_dim_stats
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["embedding"])
+    return embedding_dim_stats(emb).sort("dim")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6858,6 +6890,8 @@ QUERIES = {
     "orc_roundtrip": q_orc_roundtrip,
     "audio_neardup": q_audio_neardup,
     "vocab_coverage": q_vocab_coverage,
+    "running_distinct": q_running_distinct,
+    "embedding_dim_stats": q_embedding_dim_stats,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -11222,4 +11256,34 @@ ORACLE_SQL["vocab_coverage"] = """
            CAST(t.total AS BIGINT) AS total_tokens
     FROM (VALUES (100), (1000), (10000)) AS k(v), t
     ORDER BY vocab_size
+"""
+
+ORACLE_SQL["running_distinct"] = """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id, props,
+               ROW_NUMBER() OVER (PARTITION BY user_id, props
+                                  ORDER BY epoch_us(ts), event_id) AS occ
+        FROM events
+    )
+    SELECT user_id, CAST(us AS BIGINT) AS us, event_id, props,
+           CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_so_far
+    FROM e ORDER BY event_id
+"""
+
+ORACLE_SQL["embedding_dim_stats"] = """
+    WITH x AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    u AS (
+        SELECT generate_subscripts(v, 1) - 1 AS dim,
+               CAST(ROUND(unnest(v) * 10000) AS BIGINT) AS q
+        FROM x
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(q) AS BIGINT) AS sum_q,
+           CAST(SUM(q * q) AS BIGINT) AS sum_sq
+    FROM u GROUP BY dim ORDER BY dim
 """

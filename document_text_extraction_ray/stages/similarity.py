@@ -968,3 +968,53 @@ def mutual_top1_pairs(ds, quant_scale: int = 10**4,
                          "sim_q": t.column("sim")})
 
     return joined.map_batches(mutual, batch_format="pyarrow")
+
+
+def embedding_dim_stats(ds, embedding_column: str = "embedding",
+                        quant_scale: int = 10**4):
+    """Per-DIMENSION corpus statistics over an embedding column: count,
+    sum and sum-of-squares of the integer-quantized values (ROUND
+    half-away of value * ``quant_scale``) for every dimension — the
+    normalization / whitening pre-pass (mean = s/n, variance from the
+    exact integer moments), exact and order-independent.
+
+    Wire cost is O(d x n_batches): each batch collapses to ONE d-row
+    partial (dim, n, s, ss); a tiny dim-keyed combine finishes.  The
+    diagonal complement of ``embedding_gram`` (which carries cross
+    moments but not per-dim firsts)."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    from .aggregate import bucketed_fold
+
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(embedding_column).to_pylist(),
+                       dtype=np.float64)
+        if v.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "pn": pa.array([], pa.int64()),
+                             "ps": pa.array([], pa.int64()),
+                             "pss": pa.array([], pa.int64())})
+        x = v * quant_scale
+        q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)) \
+            .astype(np.int64)
+        d = q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "pn": pa.array(np.full(d, q.shape[0], np.int64)),
+            "ps": pa.array(q.sum(axis=0), pa.int64()),
+            "pss": pa.array((q * q).sum(axis=0), pa.int64())})
+
+    partials = ds.select_columns([embedding_column]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("dim", sort=False).agg(
+            n_rows=("pn", "sum"), sum_q=("ps", "sum"),
+            sum_sq=("pss", "sum")).reset_index()
+        for c in ("n_rows", "sum_q", "sum_sq"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_fold(partials, "dim", combine, n_buckets=4)

@@ -878,3 +878,31 @@ def scd2_lookup(probes, history, key_col: str, ts_col: str, id_col: str,
 
     return bucketed_map_groups(tagged, key_col, fold,
                                n_buckets=n_buckets)
+
+
+def running_distinct(ds, key_col: str, order_cols, value_col: str,
+                     id_col: str = None, n_buckets: int = 32):
+    """Per-key RUNNING DISTINCT COUNT ordered by ``order_cols``: after
+    each event, how many distinct values the key has seen so far — the
+    catalog-growth / unique-pages-per-host-over-time curve.  The window
+    form engines refuse (COUNT(DISTINCT) OVER is unsupported SQL almost
+    everywhere); the replay is SUM() OVER a first-occurrence flag.
+
+    One bucketed shuffle on the key; per-key sorted vectorized
+    ``duplicated`` + cumsum fold.  ``order_cols`` must totally order
+    each key's rows (append an id tie-break)."""
+    from .aggregate import bucketed_map_groups
+
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_cols), kind="mergesort").copy()
+        first = (~g.duplicated(value_col)).astype(np.int64)
+        g["n_distinct_so_far"] = first.cumsum()
+        return g
+
+    cols = [key_col, value_col] + list(order_cols) + \
+        ([id_col] if id_col and id_col not in order_cols else [])
+    return bucketed_map_groups(ds.select_columns(list(dict.fromkeys(cols))),
+                               key_col, fold, n_buckets=n_buckets)

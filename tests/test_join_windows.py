@@ -687,3 +687,22 @@ def test_scd2_lookup_interval_semantics(ray_session):
     expect = {1: "__none__", 2: "a", 3: "b", 4: "c",
               5: "y", 6: "__none__", 7: "z", 8: "__none__"}
     assert {int(i): s for i, s in out["state"].items()} == expect
+
+
+def test_running_distinct_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.windows import running_distinct
+
+    rows = [{"k": i % 3, "ord": i, "v": f"x{(i * i) % 7}"}
+            for i in range(60)]
+    out = running_distinct(rd.from_items(rows), "k", "ord", "v",
+                           n_buckets=4).to_pandas()
+    seen = {}
+    ref = {}
+    for r in rows:
+        s = seen.setdefault(r["k"], set())
+        s.add(r["v"])
+        ref[r["ord"]] = len(s)
+    got = dict(zip(out["ord"].astype(int), out["n_distinct_so_far"].astype(int)))
+    assert got == ref

@@ -368,3 +368,24 @@ def test_mutual_top1_pairs_matches_brute_force(ray_session):
     got = {(int(r.id_a), int(r.id_b)): int(r.sim_q)
            for r in out.itertuples()}
     assert got == ref
+
+
+def test_embedding_dim_stats_matches_reference(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.similarity import (
+        embedding_dim_stats,
+    )
+
+    rng = np.random.RandomState(5)
+    v = rng.randn(50, 6)
+    rows = [{"vec_id": i, "embedding": v[i].tolist()} for i in range(50)]
+    out = embedding_dim_stats(rd.from_items(rows)).to_pandas() \
+        .set_index("dim").sort_index()
+    x = v * 10**4
+    q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+    for d in range(6):
+        assert out.loc[d, "n_rows"] == 50
+        assert out.loc[d, "sum_q"] == q[:, d].sum()
+        assert out.loc[d, "sum_sq"] == (q[:, d] ** 2).sum()
