@@ -6640,6 +6640,96 @@ def q_embedding_dim_stats(sf_dir: str):
     return embedding_dim_stats(emb).sort("dim")
 
 
+def q_graph_modularity(sf_dir: str):
+    """Community-partition quality: per-community Newman-modularity
+    sufficient statistics (in-community edges, member degree sums —
+    exact integers; Q derives from them plus m) on the deterministic
+    chain graph, with documents.source as the community labeling.
+    Labels are corpus-shaped, so they ATTACH by two bucketed hash joins
+    (never broadcast); one tiny comm-keyed combine finishes."""
+    from ..stages.graph import modularity_stats
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    meta = pq.ParquetFile(path)
+    idx = meta.schema_arrow.get_field_index("doc_id")
+    mx = max(meta.metadata.row_group(i).column(idx).statistics.max
+             for i in range(meta.metadata.num_row_groups))
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        a = d[(d % 100 < 99) & (d + 1 <= mx)]
+        b = d[(d % 100 < 98) & (d + 2 <= mx)]
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([a + 1, b + 2]))})
+
+    nodes = rd.read_parquet(path, columns=["doc_id"])
+    labels = rd.read_parquet(path, columns=["doc_id", "source"])
+    return modularity_stats(
+        nodes.map_batches(edges, batch_format="pyarrow"), labels,
+        node_col="doc_id", label_col="source").sort("comm")
+
+
+def q_containment_dups(sf_dir: str):
+    """Asymmetric partial-copy detection: word-3-gram max-containment
+    >= 1/2 pairs (|A∩B| / min size — the quotation/boilerplate-inclusion
+    signal Jaccard misses), df-capped shingles, hash-exact vs the SQL
+    replay of the identical cap."""
+    from ..stages.dedup import containment_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return containment_pairs(docs, "text", "doc_id", n=3,
+                             threshold=(1, 2), df_cap=64) \
+        .sort(["id_a", "id_b"])
+
+
+def q_t_closeness(sf_dir: str):
+    """T-closeness audit of customer quasi-identifiers: exact ordered-
+    domain EMD numerator between each (nation, segment) class's
+    account-balance-band distribution and the corpus-wide one — the
+    distribution-skew leak l-diversity cannot see.  Partials
+    materialized once, consumed by the tiny global fold AND the
+    QI-bucketed pivot fold."""
+    from ..stages.validate import t_closeness_stats
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def band(t: pa.Table) -> pa.Table:
+        bal = np.asarray(pc.cast(t.column("c_acctbal"), pa.float64()))
+        return pa.table({
+            "c_nationkey": t.column("c_nationkey"),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "v": pa.array(np.floor(bal / 1000).astype(np.int64)),
+        })
+
+    return t_closeness_stats(
+        cust.map_batches(band, batch_format="pyarrow"),
+        ["c_nationkey", "c_mktsegment"], "v") \
+        .sort(["c_nationkey", "c_mktsegment"])
+
+
+def q_readability(sf_dir: str):
+    """Per-doc Flesch sufficient statistics (word / sentence-break /
+    vowel-group-syllable counts — the readability curation signal) as
+    three vectorized Arrow re2 kernel passes, zero per-row Python."""
+
+    def count(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+
+        def c(pat):
+            return pc.cast(pc.coalesce(
+                pc.count_substring_regex(txt, pat), 0), pa.int64())
+
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_words": c(r"[A-Za-z]+"),
+                         "n_sentences": c(r"[.!?]+"),
+                         "n_syllables": c(r"[aeiouyAEIOUY]+")})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6892,6 +6982,10 @@ QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "running_distinct": q_running_distinct,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "graph_modularity": q_graph_modularity,
+    "containment_dups": q_containment_dups,
+    "t_closeness": q_t_closeness,
+    "readability": q_readability,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -11286,4 +11380,111 @@ ORACLE_SQL["embedding_dim_stats"] = """
            CAST(SUM(q) AS BIGINT) AS sum_q,
            CAST(SUM(q * q) AS BIGINT) AS sum_sq
     FROM u GROUP BY dim ORDER BY dim
+"""
+
+ORACLE_SQL["graph_modularity"] = """
+    WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+    e AS (
+        SELECT doc_id AS u, doc_id + 1 AS v FROM documents, m
+        WHERE doc_id % 100 < 99 AND doc_id + 1 <= mx
+        UNION ALL
+        SELECT doc_id, doc_id + 2 FROM documents, m
+        WHERE doc_id % 100 < 98 AND doc_id + 2 <= mx
+    ),
+    le AS (
+        SELECT a.source AS ca, b.source AS cb
+        FROM e JOIN documents a ON e.u = a.doc_id
+               JOIN documents b ON e.v = b.doc_id
+    ),
+    deg AS (
+        SELECT comm, COUNT(*) AS n FROM (
+            SELECT ca AS comm FROM le UNION ALL SELECT cb FROM le)
+        GROUP BY 1
+    ),
+    inn AS (SELECT ca AS comm, COUNT(*) AS n FROM le WHERE ca = cb
+            GROUP BY 1)
+    SELECT d.comm, CAST(COALESCE(i.n, 0) AS BIGINT) AS in_edges,
+           CAST(d.n AS BIGINT) AS deg_sum
+    FROM deg d LEFT JOIN inn i ON d.comm = i.comm
+    ORDER BY d.comm
+"""
+
+ORACLE_SQL["containment_dups"] = f"""
+    WITH norm AS (
+      SELECT doc_id, lower({_NORM.format(col="text")}) AS t FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(t, ' ') AS l FROM norm WHERE t <> ''
+    ), sh AS (
+      SELECT DISTINCT doc_id, md5_number_lower(unnest(
+        CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+             ELSE list_transform(range(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+        END)) AS h
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), keep AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 64
+    ), shf AS (
+      SELECT sh.* FROM sh JOIN keep USING (h)
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b
+    FROM shared JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared * 2 >= 1 * LEAST(sa.sz, sb.sz)
+    ORDER BY id_a, id_b
+"""
+
+ORACLE_SQL["t_closeness"] = """
+    WITH b AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS v
+        FROM customer
+    ),
+    tot AS (SELECT COUNT(*) AS nn FROM b),
+    dom AS (SELECT DISTINCT v FROM b),
+    gl AS (SELECT v, COUNT(*) AS gn FROM b GROUP BY 1),
+    cls AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM b),
+    cnt AS (
+        SELECT c_nationkey, c_mktsegment, v, COUNT(*) AS c
+        FROM b GROUP BY 1, 2, 3
+    ),
+    grid AS (
+        SELECT cls.c_nationkey, cls.c_mktsegment, dom.v,
+               COALESCE(cnt.c, 0) AS c, gl.gn
+        FROM cls CROSS JOIN dom
+        JOIN gl ON gl.v = dom.v
+        LEFT JOIN cnt ON cnt.c_nationkey = cls.c_nationkey
+                     AND cnt.c_mktsegment = cls.c_mktsegment
+                     AND cnt.v = dom.v
+    ),
+    cum AS (
+        SELECT c_nationkey, c_mktsegment, v,
+               SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY v) AS cc,
+               SUM(gn) OVER (PARTITION BY c_nationkey, c_mktsegment
+                             ORDER BY v) AS cg,
+               SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n_g
+        FROM grid
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(MAX(n_g) AS BIGINT) AS n_rows,
+           CAST(SUM(ABS(cc * (SELECT nn FROM tot) - cg * n_g)) AS BIGINT)
+               AS emd_num
+    FROM cum GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["readability"] = """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+               AS n_words,
+           CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+               AS n_sentences,
+           CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+               AS n_syllables
+    FROM documents ORDER BY doc_id
 """

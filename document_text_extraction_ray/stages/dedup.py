@@ -1961,3 +1961,100 @@ def fingerprint_neardup_pairs(ds, fp_column: str, id_column: str,
     )
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
+
+
+def containment_pairs(ds, text_column: str, id_column: str, n: int = 3,
+                      threshold=(1, 2), df_cap: int = 64,
+                      n_buckets: int = 32):
+    """ASYMMETRIC near-dup join: pairs whose word-n-gram-set max-
+    containment |A∩B| / min(|A|,|B|) clears a rational ``threshold`` —
+    the partial-copy / quotation / boilerplate-inclusion detector the
+    symmetric Jaccard family misses (a 100-line doc quoting a 10-line
+    doc verbatim has jaccard ~0.1 but containment 1.0).
+
+    Exactness contract: shingles with document frequency > ``df_cap``
+    are dropped BEFORE pairing (the standard stopword-shingle defusal —
+    an intersection undercount, so the join is conservative), while the
+    containment DENOMINATOR stays the full per-doc distinct-shingle
+    count; the SQL replay applies the identical cap, so the output is
+    hash-exact, not approximate.
+
+    Plan (two thin exchanges, no all-pairs scan):
+      1. explode per-doc DISTINCT shingle hashes (h, id, sz);
+      2. bucketed fold on h: groups sized 2..df_cap self-merge
+         vectorized into co-occurrence rows (id_a < id_b, sizes riding
+         along) — a group of size s emits C(s,2) rows, bounded by the
+         cap, so a hot shingle can never fan out quadratically;
+      3. bucketed fold on the pair: shared = row count, then the
+         integer filter shared * den >= num * min(size_a, size_b).
+
+    Hot-pair contract (shared with ``setsim_prefix_join``): byte-equal
+    duplicates pair on every shingle — exact-dedup upstream first."""
+    num, den = threshold
+
+    from .aggregate import bucketed_fold
+    from .join import _arrow_schema
+
+    id_type = _arrow_schema(ds.select_columns([id_column])).field(id_column).type
+    empty_out = pa.table({
+        "id_a": pa.array([], id_type),
+        "id_b": pa.array([], id_type),
+        "shared": pa.array([], pa.int64()),
+        "size_a": pa.array([], pa.int64()),
+        "size_b": pa.array([], pa.int64()),
+    })
+    empty_pair = pa.table({
+        "id_a": pa.array([], id_type),
+        "id_b": pa.array([], id_type),
+        "size_a": pa.array([], pa.int64()),
+        "size_b": pa.array([], pa.int64()),
+    }).to_pandas()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys, ids, szs = [], [], []
+        for doc_id, text in zip(batch.column(id_column).to_pylist(),
+                                batch.column(text_column).to_pylist()):
+            hashes = _setsim_doc_hashes(text, n)
+            if hashes is None:
+                continue
+            keys.extend(int(h) for h in hashes)
+            ids.extend([doc_id] * len(hashes))
+            szs.extend([len(hashes)] * len(hashes))
+        return pa.table({
+            "h": pa.array(keys, pa.uint64()),
+            id_column: pa.array(ids, type=batch.column(id_column).type),
+            "sz": pa.array(szs, pa.int64()),
+        })
+
+    exploded = ds.select_columns([id_column, text_column]).map_batches(
+        explode, batch_format="pyarrow")
+
+    def cooccur(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("h", sort=False)["h"].transform("size").to_numpy()
+        g = g[(cnt >= 2) & (cnt <= df_cap)]
+        if g.empty:
+            return empty_pair
+        m = g.merge(g, on="h", suffixes=("_a", "_b"))
+        m = m[m[id_column + "_a"] < m[id_column + "_b"]]
+        if m.empty:
+            return empty_pair
+        return pd.DataFrame({
+            "id_a": m[id_column + "_a"].to_numpy(),
+            "id_b": m[id_column + "_b"].to_numpy(),
+            "size_a": m["sz_a"].to_numpy().astype(np.int64),
+            "size_b": m["sz_b"].to_numpy().astype(np.int64)})
+
+    co = bucketed_fold(exploded, "h", cooccur, n_buckets=n_buckets)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["id_a", "id_b"], sort=False).agg(
+            shared=("size_a", "size"), size_a=("size_a", "first"),
+            size_b=("size_b", "first")).reset_index()
+        mn = np.minimum(out["size_a"].to_numpy(), out["size_b"].to_numpy())
+        out = out[out["shared"].to_numpy() * den >= num * mn]
+        out["shared"] = out["shared"].astype("int64")
+        return out[["id_a", "id_b", "shared", "size_a", "size_b"]]
+
+    verified = bucketed_fold(co, ["id_a", "id_b"], verify,
+                             n_buckets=n_buckets)
+    return ray.data.from_arrow(empty_out).union(verified)

@@ -787,3 +787,78 @@ def bellman_ford_int(edges, seeds, n_rounds: int = 4,
             n_buckets=n_buckets).repartition(4).materialize()
 
     return dists
+
+
+def modularity_stats(edges, labels, node_col: str = "node",
+                     label_col: str = "comm", src_col: str = "src",
+                     dst_col: str = "dst", node_type=None, comm_type=None,
+                     n_buckets: int = 32):
+    """Per-community Newman-modularity sufficient statistics over an
+    undirected edge list (each edge once) and a (node, community) label
+    table: ``in_edges`` = edges whose endpoints share the community,
+    ``deg_sum`` = sum of member degrees (endpoint incidences).  Newman
+    Q = sum_c [ in_c/m - (deg_c/(2m))^2 ] is a pure function of these
+    rows plus the global edge count m — everything here stays integer,
+    so the partition-quality report is hash-exact and a SQL replay
+    matches bit for bit (float modularity is order-dependent).
+
+    Plan: the label table is corpus-shaped (one row per node), so it is
+    JOINED, not broadcast — one bucketed hash join per endpoint (the
+    attribute-attach pattern pagerank/BFS use for state), then per-batch
+    community count partials and one tiny comm-bucketed combine.  Wire
+    cost after the two joins is O(#communities x n_batches).
+    Communities never touched by an edge do not appear (an all-isolated
+    community has in = deg = 0)."""
+    from .aggregate import bucketed_fold
+    from .join import partitioned_hash_join
+
+    node_type = node_type or pa.int64()
+    comm_type = comm_type or pa.string()
+
+    e = edges.select_columns([src_col, dst_col])
+    lsrc = labels.map_batches(
+        lambda t: pa.table({src_col: t.column(node_col),
+                            "comm_src": t.column(label_col)}),
+        batch_format="pyarrow")
+    ldst = labels.map_batches(
+        lambda t: pa.table({dst_col: t.column(node_col),
+                            "comm_dst": t.column(label_col)}),
+        batch_format="pyarrow")
+
+    j1 = partitioned_hash_join(
+        e, lsrc, on=src_col, n_buckets=n_buckets,
+        left_schema=pa.schema([(src_col, node_type), (dst_col, node_type)]),
+        right_schema=pa.schema([(src_col, node_type),
+                                ("comm_src", comm_type)]))
+    j2 = partitioned_hash_join(
+        j1, ldst, on=dst_col, n_buckets=n_buckets,
+        left_schema=pa.schema([(src_col, node_type), (dst_col, node_type),
+                               ("comm_src", comm_type)]),
+        right_schema=pa.schema([(dst_col, node_type),
+                                ("comm_dst", comm_type)]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"comm": pa.array([], comm_type),
+                             "p_in": pa.array([], pa.int64()),
+                             "p_deg": pa.array([], pa.int64())})
+        cs = t.column("comm_src").to_pandas()
+        cd = t.column("comm_dst").to_pandas()
+        deg = pd.concat([cs, cd], ignore_index=True).value_counts()
+        inn = cs[(cs == cd).to_numpy()].value_counts()
+        out = pd.DataFrame({"comm": deg.index.to_numpy(),
+                            "p_deg": deg.to_numpy().astype(np.int64)})
+        out["p_in"] = out["comm"].map(inn).fillna(0).astype(np.int64)
+        return pa.Table.from_pandas(out[["comm", "p_in", "p_deg"]],
+                                    preserve_index=False)
+
+    partials = j2.map_batches(partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("comm", sort=False).agg(
+            in_edges=("p_in", "sum"), deg_sum=("p_deg", "sum")).reset_index()
+        out["in_edges"] = out["in_edges"].astype("int64")
+        out["deg_sum"] = out["deg_sum"].astype("int64")
+        return out
+
+    return bucketed_fold(partials, "comm", fold, n_buckets=min(n_buckets, 8))

@@ -331,3 +331,69 @@ def l_diversity_stats(ds, quasi_cols, sensitive_col: str,
         return out
 
     return bucketed_fold(partials, quasi_cols, fold, n_buckets=n_buckets)
+
+
+def t_closeness_stats(ds, quasi_cols, sensitive_col: str,
+                      n_buckets: int = 32):
+    """T-closeness audit (the distribution-skew attack l-diversity
+    misses: a class can hold many distinct sensitive values yet still
+    leak because its MIX differs from the corpus): per quasi-identifier
+    equivalence class, the exact ordered-domain Earth-Mover's distance
+    between the class's sensitive-value distribution and the global one,
+    as an INTEGER numerator — emd_num = sum_i |cumc_i * N - cumg_i * n_g|
+    over the sorted value domain (t = emd_num / (n_g * N * (m - 1))).
+    Integer cum-count cross products keep the report hash-exact; at
+    corpus scale the products need n_g * N < 2^63 — band the sensitive
+    domain or sample classes beyond that.
+
+    Plan: per-batch (QI, value) count partials are materialized ONCE and
+    consumed twice — a domain-bounded global-distribution fold (tiny:
+    one row per sensitive value, driver-side by design, the broadcast
+    small side) and one QI-tuple-bucketed vectorized pivot fold.
+    Returns (quasi..., n_rows, emd_num)."""
+    import pandas as pd
+
+    from .aggregate import bucketed_fold
+
+    quasi_cols = [quasi_cols] if isinstance(quasi_cols, str) \
+        else list(quasi_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(quasi_cols + [sensitive_col]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            **{c: g.column(c) for c in quasi_cols},
+            sensitive_col: g.column(sensitive_col),
+            "pn": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = ds.select_columns(quasi_cols + [sensitive_col]) \
+        .map_batches(partial, batch_format="pyarrow").materialize()
+
+    def value_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([sensitive_col]).aggregate([("pn", "sum")])
+        return pa.table({sensitive_col: g.column(sensitive_col),
+                         "gn": g.column("pn_sum")})
+
+    glob = partials.map_batches(value_partial, batch_format="pyarrow") \
+        .to_pandas().groupby(sensitive_col, sort=True)["gn"].sum()
+    domain = glob.index.to_numpy()          # sorted ascending
+    cumg = glob.to_numpy().astype(np.int64).cumsum()
+    n_total = int(cumg[-1]) if len(cumg) else 0
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(quasi_cols + [sensitive_col], sort=False)["pn"] \
+            .sum().reset_index()
+        mat = c.pivot_table(index=quasi_cols, columns=sensitive_col,
+                            values="pn", aggfunc="sum", fill_value=0)
+        mat = mat.reindex(columns=domain, fill_value=0)
+        cnt = mat.to_numpy().astype(np.int64)
+        cumc = cnt.cumsum(axis=1)
+        n_g = cnt.sum(axis=1)
+        emd = np.abs(cumc * n_total
+                     - np.outer(n_g, cumg)).sum(axis=1)
+        out = mat.index.to_frame(index=False)
+        out["n_rows"] = n_g.astype(np.int64)
+        out["emd_num"] = emd.astype(np.int64)
+        return out
+
+    return bucketed_fold(partials, quasi_cols, fold, n_buckets=n_buckets)

@@ -575,3 +575,56 @@ def test_fingerprint_neardup_pairs_matches_brute_force(ray_session):
            for r in out.itertuples()}
     assert got == ref
     assert (0, 40) in got and (1, 41) in got and got[(2, 42)] == 0
+
+
+def test_containment_pairs_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.functions.dedup import word_ngrams
+    from document_text_extraction_ray.stages.dedup import containment_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = {
+        0: base,
+        1: base + " with a tail of extra words attached at the end here",
+        2: "totally different content about ray data streaming engines",
+        3: base,                        # exact duplicate of 0
+        4: "the quick brown fox jumps",  # short prefix: contained in 0
+    }
+    rows = [{"doc_id": i, "text": t} for i, t in docs.items()]
+    out = containment_pairs(rd.from_items(rows), "text", "doc_id",
+                            n=3, threshold=(1, 2), df_cap=64,
+                            n_buckets=4).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+
+    sets = {i: set(word_ngrams(t, 3)) for i, t in docs.items()}
+    ref = set()
+    for a in docs:
+        for b in docs:
+            if a >= b:
+                continue
+            shared = len(sets[a] & sets[b])
+            if shared * 2 >= min(len(sets[a]), len(sets[b])):
+                ref.add((a, b))
+    assert got == ref
+    assert (0, 4) in got  # containment pair invisible to jaccard >= 0.5
+    row = out[(out["id_a"] == 0) & (out["id_b"] == 4)].iloc[0]
+    assert int(row["shared"]) == len(sets[0] & sets[4])
+    assert int(row["size_a"]) == len(sets[0])
+    assert int(row["size_b"]) == len(sets[4])
+
+
+def test_containment_pairs_df_cap_drops_hot_shingles(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.dedup import containment_pairs
+
+    # every doc shares ONE hot shingle; with df_cap below the corpus size
+    # the hot shingle contributes nothing and no pair survives
+    rows = [{"doc_id": i, "text": f"common shared prefix unique{i} "
+                                  f"tail{i} word{i}"}
+            for i in range(10)]
+    out = containment_pairs(rd.from_items(rows), "text", "doc_id",
+                            n=3, threshold=(1, 4), df_cap=5,
+                            n_buckets=4).to_pandas()
+    assert len(out) == 0

@@ -333,3 +333,44 @@ def test_bellman_ford_rejects_negative_weights():
     ds = rd.from_items([{"src": 0, "dst": 1, "w": -2}])
     with pytest.raises(Exception, match="non-negative"):
         bellman_ford_int(ds, [0], n_rounds=1).to_pandas()
+
+
+def test_modularity_stats_matches_brute_force(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.graph import modularity_stats
+
+    rng = np.random.RandomState(11)
+    edges = set()
+    while len(edges) < 80:
+        a, b = rng.randint(0, 40), rng.randint(0, 40)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    label = {n: f"c{n % 5}" for n in range(40)}
+
+    e_ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+    l_ds = rd.from_items([{"node": n, "comm": label[n]}
+                          for n in range(40)])
+    out = modularity_stats(e_ds, l_ds, n_buckets=4).to_pandas() \
+        .set_index("comm").sort_index()
+
+    ref_in, ref_deg = {}, {}
+    for a, b in edges:
+        ca, cb = label[a], label[b]
+        ref_deg[ca] = ref_deg.get(ca, 0) + 1
+        ref_deg[cb] = ref_deg.get(cb, 0) + 1
+        if ca == cb:
+            ref_in[ca] = ref_in.get(ca, 0) + 1
+    for c in ref_deg:
+        assert out.loc[c, "deg_sum"] == ref_deg[c]
+        assert out.loc[c, "in_edges"] == ref_in.get(c, 0)
+    assert set(out.index) == set(ref_deg)
+    # modularity identity: the Q numerator reconstructs from the rows
+    m = len(edges)
+    q_num = sum(4 * m * out.loc[c, "in_edges"] - out.loc[c, "deg_sum"] ** 2
+                for c in out.index)
+    ref_q = sum(4 * m * ref_in.get(c, 0) - ref_deg[c] ** 2
+                for c in ref_deg)
+    assert q_num == ref_q

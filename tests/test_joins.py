@@ -491,3 +491,30 @@ def test_l_diversity_stats_matches_brute_force(ray_session):
            for r in out.itertuples()}
     assert got == {(int(r.qa), r.qb): (int(r.n_rows), int(r.n_sensitive))
                    for r in ref.itertuples()}
+
+
+def test_t_closeness_stats_matches_brute_force(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.validate import (
+        t_closeness_stats,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [{"qa": int(rng.randint(0, 3)), "v": int(rng.randint(0, 5))}
+            for _ in range(200)]
+    out = t_closeness_stats(rd.from_items(rows), ["qa"], "v",
+                            n_buckets=4).to_pandas().set_index("qa")
+
+    domain = sorted({r["v"] for r in rows})
+    n_total = len(rows)
+    glob = np.array([sum(1 for r in rows if r["v"] == d) for d in domain])
+    cumg = glob.cumsum()
+    for qa in {r["qa"] for r in rows}:
+        grp = [r["v"] for r in rows if r["qa"] == qa]
+        cnt = np.array([sum(1 for v in grp if v == d) for d in domain])
+        cumc = cnt.cumsum()
+        emd = int(np.abs(cumc * n_total - cumg * len(grp)).sum())
+        assert int(out.loc[qa, "n_rows"]) == len(grp)
+        assert int(out.loc[qa, "emd_num"]) == emd
