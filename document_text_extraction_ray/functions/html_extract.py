@@ -455,3 +455,85 @@ def extract_outlinks(
             if dropped:
                 drop_depth += 1
     return links
+
+
+def extract_tables(html_bytes: bytes) -> list:
+    """All ``<table>`` cell texts in document order as flat rows
+    ``(table_idx, row_idx, col_idx, text)`` — the structured-data
+    extraction surface (infoboxes, spec sheets, schedules) the
+    main-text pass deliberately flattens.
+
+    Contracts: ``table_idx`` numbers ``<table>`` opens per document;
+    a NESTED table gets its own index and its text stays OUT of the
+    enclosing cell (only text at the cell's own level accumulates);
+    ``row_idx``/``col_idx`` count ``<tr>`` and ``<td>``/``<th>`` opens
+    within their table (a cell before any ``<tr>`` lands in row 0).
+    Cell text is entity-unescaped and whitespace-normalized exactly
+    like ``extract_blocks`` (`" ".join(raw.split())`); empty cells
+    emit with text "".  Raw-text elements (script/style/...) are
+    skipped wholesale like everywhere else in this module."""
+    n = len(html_bytes)
+    pos = 0
+    lower = None
+    out: list = []
+    tstack: list = []     # [table_idx, row_idx, col_idx, parts|None]
+    next_idx = 0
+
+    def emit_cell(t):
+        if t[3] is not None:
+            raw = "".join(t[3])
+            out.append((t[0], max(t[1], 0), t[2], " ".join(raw.split())))
+            t[3] = None
+
+    while True:
+        lt = html_bytes.find(b"<", pos)
+        if lt < 0:
+            break
+        if tstack and tstack[-1][3] is not None and lt > pos:
+            tstack[-1][3].append(
+                _html.unescape(html_bytes[pos:lt].decode("utf-8", "replace")))
+        gt = html_bytes.find(b">", lt + 1)
+        if gt < 0:
+            break
+        body = html_bytes[lt + 1:gt]
+        pos = gt + 1
+        if body.startswith(b"!--"):
+            end = html_bytes.find(b"-->", lt)
+            pos = end + 3 if end >= 0 else n
+            continue
+        if body[:1] in (b"!", b"?"):
+            continue
+        if body.startswith(b"/"):
+            tag, _ = _tag_name(body[1:])
+            if not tstack:
+                continue
+            t = tstack[-1]
+            if tag in ("td", "th", "tr"):
+                emit_cell(t)
+            elif tag == "table":
+                emit_cell(t)
+                tstack.pop()
+            continue
+        tag, _attrs = _tag_name(body)
+        if tag in SKIP_CONTENT_TAGS:
+            if lower is None:
+                lower = html_bytes.lower()
+            end = lower.find(b"</" + tag.encode("ascii"), pos)
+            pos = end if end >= 0 else n
+            continue
+        if tag == "table":
+            tstack.append([next_idx, -1, -1, None])
+            next_idx += 1
+        elif tstack:
+            t = tstack[-1]
+            if tag == "tr":
+                emit_cell(t)
+                t[1] += 1
+                t[2] = -1
+            elif tag in ("td", "th"):
+                emit_cell(t)
+                t[2] += 1
+                t[3] = []
+    while tstack:
+        emit_cell(tstack.pop())
+    return out

@@ -6730,6 +6730,117 @@ def q_readability(sf_dir: str):
         count, batch_format="pyarrow")
 
 
+def q_html_tables(sf_dir: str):
+    """HTML TABLE extraction (the structured-data surface the main-text
+    pass flattens): deterministic CC-style pages are synthesized per doc
+    — two tables, a nested inner table on doc_id%5==0, boilerplate and
+    a script-embedded FAKE table the tokenizer must skip — and
+    ``extract_tables`` recovers every (table_idx, row, col, cell)
+    against the ground-truth oracle."""
+    from ..functions.html_extract import extract_tables
+
+    def synth_and_extract(t: pa.Table) -> pa.Table:
+        ids, tis, ris, cis, cells = [], [], [], [], []
+        for doc_id, lang, source, n_chars in zip(
+                t.column("doc_id").to_pylist(), t.column("lang").to_pylist(),
+                t.column("source").to_pylist(),
+                t.column("n_chars").to_pylist()):
+            nested = (f"<table><tr><td>inner-{doc_id}</td></tr></table>"
+                      if doc_id % 5 == 0 else "")
+            html = (
+                "<html><head><title>t</title></head><body><nav>menu</nav>"
+                "<p>lead &amp; noise</p>"
+                "<table><tr><th>lang</th><th>source</th></tr>"
+                f"<tr><td> {lang} </td><td>{source}</td></tr></table>"
+                f"<table><tr><td>chars {nested}</td>"
+                f"<td>{n_chars}</td></tr></table>"
+                "<script>var x = '<table><tr><td>fake</td></tr></table>';"
+                "</script></body></html>").encode()
+            for ti, ri, ci, cell in extract_tables(html):
+                ids.append(doc_id)
+                tis.append(ti)
+                ris.append(ri)
+                cis.append(ci)
+                cells.append(cell)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "table_idx": pa.array(tis, pa.int64()),
+            "row_idx": pa.array(ris, pa.int64()),
+            "col_idx": pa.array(cis, pa.int64()),
+            "cell": pa.array(cells, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"]) \
+        .map_batches(synth_and_extract, batch_format="pyarrow") \
+        .sort(["doc_id", "table_idx", "row_idx", "col_idx"])
+
+
+def q_vocab_growth(sf_dir: str):
+    """Per-source Heaps-law vocabulary-growth curve: cumulative distinct
+    terms after each doc_id-range quartile (first-occurrence statistic —
+    saturation reveals templated sources; the growth tail sizes
+    tokenizer budgets)."""
+    from ..stages.lexicon import vocab_growth
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    meta = pq.ParquetFile(path)
+    idx = meta.schema_arrow.get_field_index("doc_id")
+    mx = max(meta.metadata.row_group(i).column(idx).statistics.max
+             for i in range(meta.metadata.num_row_groups))
+    return vocab_growth(rd.read_parquet(
+        path, columns=["doc_id", "source", "text"]), id_max=int(mx)) \
+        .sort(["source", "checkpoint"])
+
+
+def q_minhash_recall(sf_dir: str):
+    """Dedup-approximation quality eval (the ann_recall analogue for the
+    near-dup family): ground truth = EXACT jaccard >= 4/5 pairs from the
+    prefix-filter join; candidates = MinHash-LSH pairs at a permissive
+    estimate threshold.  One distributed left join of truth against
+    candidates; single report row (n_true, n_candidates, n_hit) —
+    recall = n_hit / n_true.  Signatures are not SQL-expressible, so
+    this carries the rows-only contract.  Candidates run the bounded-
+    corpus driver plan (an eval harness samples; the production dedup
+    path stays scale="distributed")."""
+    from ..stages.dedup import minhash_candidates, setsim_prefix_join
+    from ..stages.join import partitioned_hash_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    truth = setsim_prefix_join(docs, "text", "doc_id", n=3,
+                               threshold=(4, 5)) \
+        .select_columns(["id_a", "id_b"])
+    cand = minhash_candidates(docs, "text", "doc_id",
+                              est_threshold=0.5, scale="driver") \
+        .select_columns(["id_a", "id_b"]) \
+        .map_batches(lambda t: t.append_column(
+            "hit", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow") \
+        .materialize()  # consumed twice: the join and the count
+    joined = partitioned_hash_join(
+        truth, cand, on=["id_a", "id_b"], how="left",
+        left_schema=pa.schema([("id_a", pa.int64()),
+                               ("id_b", pa.int64())]),
+        right_schema=pa.schema([("id_a", pa.int64()),
+                                ("id_b", pa.int64()),
+                                ("hit", pa.int64())]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        hit = t.column("hit").to_pandas().fillna(0).astype("int64")
+        return pa.table({"n_true": pa.array([t.num_rows], pa.int64()),
+                         "n_hit": pa.array([int(hit.sum())], pa.int64())})
+
+    def cand_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"n_candidates": pa.array([t.num_rows],
+                                                  pa.int64())})
+
+    tp = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    nc = cand.map_batches(cand_partial, batch_format="pyarrow").to_pandas()
+    import pandas as pd
+    return pd.DataFrame({
+        "n_true": [int(tp["n_true"].sum())],
+        "n_candidates": [int(nc["n_candidates"].sum())],
+        "n_hit": [int(tp["n_hit"].sum())]})
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -6986,6 +7097,9 @@ QUERIES = {
     "containment_dups": q_containment_dups,
     "t_closeness": q_t_closeness,
     "readability": q_readability,
+    "html_tables": q_html_tables,
+    "vocab_growth": q_vocab_growth,
+    "minhash_recall": q_minhash_recall,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -11487,4 +11601,41 @@ ORACLE_SQL["readability"] = """
            CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
                AS n_syllables
     FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["html_tables"] = """
+    WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+    cells AS (
+        SELECT doc_id, 0 AS table_idx, 0 AS row_idx, 0 AS col_idx,
+               'lang' AS cell FROM d
+        UNION ALL SELECT doc_id, 0, 0, 1, 'source' FROM d
+        UNION ALL SELECT doc_id, 0, 1, 0, lang FROM d
+        UNION ALL SELECT doc_id, 0, 1, 1, source FROM d
+        UNION ALL SELECT doc_id, 1, 0, 0, 'chars' FROM d
+        UNION ALL SELECT doc_id, 1, 0, 1, CAST(n_chars AS VARCHAR) FROM d
+        UNION ALL SELECT doc_id, 2, 0, 0,
+               'inner-' || CAST(doc_id AS VARCHAR) FROM d
+        WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, CAST(table_idx AS BIGINT) AS table_idx,
+           CAST(row_idx AS BIGINT) AS row_idx,
+           CAST(col_idx AS BIGINT) AS col_idx, cell
+    FROM cells ORDER BY doc_id, table_idx, row_idx, col_idx
+"""
+
+ORACLE_SQL["vocab_growth"] = """
+    WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+    tok AS (
+        SELECT doc_id, source,
+               unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    fo AS (SELECT source, term, MIN(doc_id) AS fid FROM tok GROUP BY 1, 2),
+    q AS (SELECT source, fid * 4 // (mx + 1) AS checkpoint FROM fo, m)
+    SELECT source, CAST(checkpoint AS BIGINT) AS checkpoint,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY source ORDER BY checkpoint)
+                AS BIGINT) AS vocab_size
+    FROM q GROUP BY source, checkpoint
+    ORDER BY source, checkpoint
 """

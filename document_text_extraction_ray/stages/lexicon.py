@@ -916,3 +916,66 @@ def vocab_coverage(docs, sizes=(100, 1000, 10000),
     return ranked.map_batches(cover_partial, batch_format="pyarrow") \
         .repartition(1).map_batches(final, batch_format="pyarrow",
                                     batch_size=None)
+
+
+def vocab_growth(docs, id_max: int, group_col: str = "source",
+                 id_column: str = "doc_id", text_column: str = "text",
+                 n_checkpoints: int = 4, n_buckets: int = 32):
+    """Heaps-law vocabulary-growth curve per group: cumulative distinct-
+    term counts at ``n_checkpoints`` equal id-range checkpoints — the
+    "is this source's vocabulary saturating or still growing" corpus
+    statistic (sublinear growth = templated/repetitive source; the
+    flattening point sizes tokenizer vocab budgets).
+
+    A term's checkpoint is where it FIRST occurs: checkpoint =
+    first_id * n_checkpoints // (id_max + 1).  Plan: per-batch
+    (group, term) min-id partials (term strings ride the exchange
+    once), ONE (group, term)-bucketed min fold that collapses straight
+    to (group, checkpoint) counts — output is O(groups x checkpoints)
+    — then one tiny group-keyed cumsum fold.  Same tokenizer as the
+    whole lexicon family (``[a-z0-9]+`` on lowered text, DuckDB-RE2
+    replayable)."""
+    import pandas as pd
+
+    from .aggregate import bucketed_fold
+
+    def partial(t: pa.Table) -> pa.Table:
+        gs, ws, ids = [], [], []
+        for g, doc_id, text in zip(t.column(group_col).to_pylist(),
+                                   t.column(id_column).to_pylist(),
+                                   t.column(text_column).to_pylist()):
+            for w in set(_tokens(text)):
+                gs.append(g)
+                ws.append(w)
+                ids.append(doc_id)
+        df = pd.DataFrame({"g": gs, "term": ws, "fid": ids})
+        df = df.groupby(["g", "term"], sort=False, as_index=False)["fid"] \
+            .min()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = docs.select_columns(
+        [group_col, id_column, text_column]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def first_fold(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby(["g", "term"], sort=False, as_index=False)["fid"].min()
+        f["checkpoint"] = (f["fid"].to_numpy().astype(np.int64)
+                           * n_checkpoints // (id_max + 1))
+        out = f.groupby(["g", "checkpoint"], sort=False).size() \
+            .reset_index(name="pn")
+        out["pn"] = out["pn"].astype("int64")
+        return out
+
+    counts = bucketed_fold(partials, ["g", "term"], first_fold,
+                           n_buckets=n_buckets)
+
+    def cum_fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["g", "checkpoint"], sort=False, as_index=False)["pn"] \
+            .sum().sort_values(["g", "checkpoint"], kind="mergesort")
+        c["vocab_size"] = c.groupby("g", sort=False)["pn"].cumsum() \
+            .astype("int64")
+        out = c.rename(columns={"g": group_col})
+        out["checkpoint"] = out["checkpoint"].astype("int64")
+        return out[[group_col, "checkpoint", "vocab_size"]]
+
+    return bucketed_fold(counts, "g", cum_fold, n_buckets=4)

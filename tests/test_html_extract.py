@@ -201,3 +201,34 @@ def test_extract_outlinks_boilerplate_and_rawtext_exclusion():
     h2 = (b"<body><p><a name=\"anchor\">no-href</a><br>"
           b"<img src=\"i.png\"/><a href=\"/ok\">k</a></p></body>")
     assert extract_outlinks(h2) == ["/ok"]
+
+
+def test_extract_tables_cells_nesting_and_script():
+    from document_text_extraction_ray.functions.html_extract import (
+        extract_tables,
+    )
+
+    html = (b"<html><body><p>noise</p>"
+            b"<table><tr><th>a&amp;b</th><th> c  d </th></tr>"
+            b"<tr><td>1</td><td></td></tr></table>"
+            b"<table><tr><td>outer <table><tr><td>inner</td></tr></table>"
+            b"</td><td>2</td></tr></table>"
+            b"<script>var x = '<table><tr><td>fake</td></tr></table>';"
+            b"</script></body></html>")
+    rows = sorted(extract_tables(html))
+    assert rows == [
+        (0, 0, 0, "a&b"), (0, 0, 1, "c d"),
+        (0, 1, 0, "1"), (0, 1, 1, ""),
+        (1, 0, 0, "outer"), (1, 0, 1, "2"),
+        (2, 0, 0, "inner"),
+    ]
+
+
+def test_extract_tables_unclosed_and_rowless():
+    from document_text_extraction_ray.functions.html_extract import (
+        extract_tables,
+    )
+
+    # cell before any <tr> lands in row 0; unclosed table still emits
+    assert extract_tables(b"<table><td>x</td>") == [(0, 0, 0, "x")]
+    assert extract_tables(b"no tables here") == []

@@ -421,3 +421,37 @@ def test_vocab_coverage_matches_brute_force(ray_session):
         cov = sum(n for _, n in ranked[:k])
         assert out.loc[k, "covered_tokens"] == cov
         assert out.loc[k, "total_tokens"] == total
+
+
+def test_vocab_growth_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.lexicon import (
+        _tokens,
+        vocab_growth,
+    )
+
+    rows = [{"doc_id": i, "source": f"s{i % 2}",
+             "text": f"alpha beta{i % 7} gamma{i % 3} delta{i}"}
+            for i in range(40)]
+    id_max = 39
+    out = vocab_growth(rd.from_items(rows), id_max=id_max,
+                       n_checkpoints=4, n_buckets=4).to_pandas()
+
+    first = {}
+    for r in rows:
+        for w in set(_tokens(r["text"])):
+            k = (r["source"], w)
+            first[k] = min(first.get(k, r["doc_id"]), r["doc_id"])
+    ref = {}
+    for (src, _w), fid in first.items():
+        ck = fid * 4 // (id_max + 1)
+        ref.setdefault(src, {})[ck] = ref.get(src, {}).get(ck, 0) + 1
+    for src, per in ref.items():
+        cum = 0
+        for ck in sorted(per):
+            cum += per[ck]
+            got = out[(out["source"] == src)
+                      & (out["checkpoint"] == ck)]["vocab_size"]
+            assert int(got.iloc[0]) == cum
+    assert len(out) == sum(len(v) for v in ref.values())
