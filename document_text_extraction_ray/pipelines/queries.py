@@ -6841,6 +6841,86 @@ def q_minhash_recall(sf_dir: str):
         "n_hit": [int(tp["n_hit"].sum())]})
 
 
+def q_split_docs(sf_dir: str):
+    """Split-document detection (chunking artifacts: one logical page
+    serialized as two crawl records): pairs where >= 4 of A's last-8
+    word-3-gram hashes appear among B's first-8 — directional boundary
+    overlap whole-doc similarity misses.  df-capped, hash-exact vs the
+    SQL replay."""
+    from ..stages.dedup import split_doc_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return split_doc_pairs(docs, "text", "doc_id", n=3, k=8,
+                           min_common=4, df_cap=64) \
+        .sort(["id_a", "id_b"])
+
+
+def q_cross_source_dups(sf_dir: str):
+    """Cross-source duplication matrix (which sources copy from which):
+    exact jaccard >= 4/5 near-dup pairs attributed to their source pair
+    — two thin hash joins of the pair table against (doc_id, source),
+    one unordered-pair count.  The provenance report that prices each
+    source's marginal value for training-data curation."""
+    from ..stages.aggregate import bucketed_fold
+    from ..stages.dedup import setsim_prefix_join
+    from ..stages.join import partitioned_hash_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = setsim_prefix_join(docs, "text", "doc_id", n=3,
+                               threshold=(4, 5)) \
+        .select_columns(["id_a", "id_b"])
+
+    src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "source"])
+    la = src.map_batches(lambda t: pa.table(
+        {"id_a": t.column("doc_id"), "source_a": t.column("source")}),
+        batch_format="pyarrow")
+    lb = src.map_batches(lambda t: pa.table(
+        {"id_b": t.column("doc_id"), "source_b": t.column("source")}),
+        batch_format="pyarrow")
+    ids = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    j1 = partitioned_hash_join(
+        pairs, la, on="id_a", left_schema=ids,
+        right_schema=pa.schema([("id_a", pa.int64()),
+                                ("source_a", pa.string())]))
+    j2 = partitioned_hash_join(
+        j1, lb, on="id_b",
+        left_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                               ("source_a", pa.string())]),
+        right_schema=pa.schema([("id_b", pa.int64()),
+                                ("source_b", pa.string())]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source_lo": pa.array([], pa.string()),
+                          "source_hi": pa.array([], pa.string()),
+                          "pn": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        sa = t.column("source_a").to_pandas()
+        sb = t.column("source_b").to_pandas()
+        import pandas as pd
+        c = pd.DataFrame({"source_lo": sa.where(sa <= sb, sb),
+                          "source_hi": sb.where(sa <= sb, sa)}) \
+            .groupby(["source_lo", "source_hi"], sort=False) \
+            .size().reset_index(name="pn")
+        c["pn"] = c["pn"].astype("int64")
+        return pa.Table.from_pandas(c, preserve_index=False) \
+            .cast(empty.schema)
+
+    counts = j2.map_batches(partial, batch_format="pyarrow")
+
+    def fold(g):
+        out = g.groupby(["source_lo", "source_hi"], sort=False,
+                        as_index=False)["pn"].sum() \
+            .rename(columns={"pn": "n_pairs"})
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
+
+    return bucketed_fold(counts, ["source_lo", "source_hi"], fold,
+                         n_buckets=4).sort(["source_lo", "source_hi"])
+
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7100,6 +7180,8 @@ QUERIES = {
     "html_tables": q_html_tables,
     "vocab_growth": q_vocab_growth,
     "minhash_recall": q_minhash_recall,
+    "split_docs": q_split_docs,
+    "cross_source_dups": q_cross_source_dups,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -11638,4 +11720,68 @@ ORACLE_SQL["vocab_growth"] = """
                 AS BIGINT) AS vocab_size
     FROM q GROUP BY source, checkpoint
     ORDER BY source, checkpoint
+"""
+
+ORACLE_SQL["split_docs"] = f"""
+    WITH norm AS (
+      SELECT doc_id, lower({_NORM.format(col="text")}) AS t FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(t, ' ') AS l FROM norm WHERE t <> ''
+    ), g AS (
+      SELECT doc_id,
+        CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+             ELSE list_transform(range(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+        END AS gs
+      FROM toks
+    ), tails AS (
+      SELECT DISTINCT doc_id, md5_number_lower(unnest(
+        gs[greatest(len(gs) - 7, 1):len(gs)])) AS h FROM g
+    ), heads AS (
+      SELECT DISTINCT doc_id, md5_number_lower(unnest(
+        gs[1:least(8, len(gs))])) AS h FROM g
+    ), keep AS (
+      SELECT h FROM (
+        SELECT h FROM tails UNION ALL SELECT h FROM heads)
+      GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 64
+    ), pairs AS (
+      SELECT t.doc_id AS id_a, hd.doc_id AS id_b, COUNT(*) AS n_common
+      FROM tails t JOIN keep USING (h)
+      JOIN heads hd ON hd.h = t.h AND hd.doc_id <> t.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common FROM pairs
+    WHERE n_common >= 4 ORDER BY id_a, id_b
+"""
+
+ORACLE_SQL["cross_source_dups"] = f"""
+    WITH norm AS (
+      SELECT doc_id, lower({_NORM.format(col="text")}) AS t FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(t, ' ') AS l FROM norm WHERE t <> ''
+    ), sh AS (
+      SELECT DISTINCT doc_id, md5_number_lower(unnest(
+        CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+             ELSE list_transform(range(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+        END)) AS h
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT id_a, id_b
+      FROM shared JOIN sizes sa ON id_a = sa.doc_id
+                  JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 5 >= 4 * (sa.sz + sb.sz - shared)
+    )
+    SELECT LEAST(da.source, db.source) AS source_lo,
+           GREATEST(da.source, db.source) AS source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p JOIN documents da ON p.id_a = da.doc_id
+           JOIN documents db ON p.id_b = db.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
 """

@@ -2058,3 +2058,91 @@ def containment_pairs(ds, text_column: str, id_column: str, n: int = 3,
     verified = bucketed_fold(co, ["id_a", "id_b"], verify,
                              n_buckets=n_buckets)
     return ray.data.from_arrow(empty_out).union(verified)
+
+
+def split_doc_pairs(ds, text_column: str, id_column: str, n: int = 3,
+                    k: int = 8, min_common: int = 4, df_cap: int = 64,
+                    n_buckets: int = 32):
+    """Chunking-artifact detection: ordered pairs (id_a, id_b) where the
+    TAIL of A continues as the HEAD of B — at least ``min_common`` of
+    A's last-``k`` word-n-gram hashes appear among B's first-``k`` —
+    the split-document signal (one logical page serialized as two crawl
+    records) that symmetric whole-doc similarity misses entirely.
+
+    Same exactness contract as ``containment_pairs``: shingle-hash
+    groups with more than ``df_cap`` role rows are dropped before
+    pairing (replayed identically in SQL), so a corpus-wide hot shingle
+    can never fan out quadratically.  Plan: role-tagged boundary-
+    shingle explode (2k rows per doc, payload never moves), one
+    bucketed exchange on the hash pairing tails x heads, one pair-keyed
+    count fold."""
+    from .aggregate import bucketed_fold
+    from .join import _arrow_schema
+
+    id_type = _arrow_schema(ds.select_columns([id_column])).field(id_column).type
+    empty_out = pa.table({
+        "id_a": pa.array([], id_type),
+        "id_b": pa.array([], id_type),
+        "n_common": pa.array([], pa.int64()),
+    })
+    empty_pair = pa.table({
+        "id_a": pa.array([], id_type),
+        "id_b": pa.array([], id_type),
+    }).to_pandas()
+
+    def ordered_ngrams(text: str):
+        toks = (text or "").lower().split()
+        if not toks:
+            return []
+        if len(toks) < n:
+            return [" ".join(toks)]
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys, ids, roles = [], [], []
+        for doc_id, text in zip(batch.column(id_column).to_pylist(),
+                                batch.column(text_column).to_pylist()):
+            gs = ordered_ngrams(text)
+            if not gs:
+                continue
+            for role, seg in ((0, gs[-k:]), (1, gs[:k])):
+                for h in {T.md5_u64(s) for s in seg}:
+                    keys.append(h)
+                    ids.append(doc_id)
+                    roles.append(role)
+        return pa.table({
+            "h": pa.array(keys, pa.uint64()),
+            id_column: pa.array(ids, type=batch.column(id_column).type),
+            "role": pa.array(roles, pa.int8()),
+        })
+
+    exploded = ds.select_columns([id_column, text_column]).map_batches(
+        explode, batch_format="pyarrow")
+
+    def cooccur(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("h", sort=False)["h"].transform("size").to_numpy()
+        g = g[(cnt >= 2) & (cnt <= df_cap)]
+        if g.empty:
+            return empty_pair
+        tails = g[g["role"].to_numpy() == 0]
+        heads = g[g["role"].to_numpy() == 1]
+        m = tails.merge(heads, on="h", suffixes=("_a", "_b"))
+        m = m[m[id_column + "_a"] != m[id_column + "_b"]]
+        if m.empty:
+            return empty_pair
+        return pd.DataFrame({
+            "id_a": m[id_column + "_a"].to_numpy(),
+            "id_b": m[id_column + "_b"].to_numpy()})
+
+    co = bucketed_fold(exploded, "h", cooccur, n_buckets=n_buckets)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["id_a", "id_b"], sort=False).size() \
+            .reset_index(name="n_common")
+        out = out[out["n_common"].to_numpy() >= min_common]
+        out["n_common"] = out["n_common"].astype("int64")
+        return out
+
+    verified = bucketed_fold(co, ["id_a", "id_b"], verify,
+                             n_buckets=n_buckets)
+    return ray.data.from_arrow(empty_out).union(verified)

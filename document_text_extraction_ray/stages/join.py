@@ -105,8 +105,15 @@ def _typed_empty(names, arrow_types: dict) -> pd.DataFrame:
     unifies it with non-empty blocks (ADVICE r2/r3)."""
     cols = {}
     for name in names:
+        t = arrow_types[name]
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            # object-dtype empties trip Ray's block size estimator
+            # (np.vectorize on size-0 input logs an error per block);
+            # pandas' string dtype round-trips to Arrow string cleanly.
+            cols[name] = pd.Series(dtype="string")
+            continue
         try:
-            cols[name] = pd.Series(dtype=arrow_types[name].to_pandas_dtype())
+            cols[name] = pd.Series(dtype=t.to_pandas_dtype())
         except (NotImplementedError, TypeError):
             cols[name] = pd.Series(dtype=object)
     return pd.DataFrame(cols)
@@ -223,6 +230,10 @@ def partitioned_hash_join(
         if rhs.empty and how == "inner":
             return _typed_empty(out_names, all_fields)
         out = lhs.merge(rhs, on=on_cols, how=how)
+        if out.empty and (rhs_nullkey is None or not len(rhs_nullkey)):
+            # an empty MERGE RESULT carries object dtypes too (same
+            # size-estimator noise as untyped empties) — re-type it
+            return _typed_empty(out_names, all_fields)
         if how == "outer" and rhs_nullkey is not None and len(rhs_nullkey):
             # Right rows with a null key survive a FULL OUTER join
             # unmatched; re-append them with left columns null.

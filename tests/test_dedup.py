@@ -628,3 +628,38 @@ def test_containment_pairs_df_cap_drops_hot_shingles(ray_session):
                             n=3, threshold=(1, 4), df_cap=5,
                             n_buckets=4).to_pandas()
     assert len(out) == 0
+
+
+def test_split_doc_pairs_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.dedup import split_doc_pairs
+
+    words = [f"w{i}" for i in range(40)]
+    docs = {
+        0: " ".join(words[:20]),    # tail = head of doc 1
+        1: " ".join(words[12:32]),  # tail = head of doc 2
+        2: " ".join(words[24:40]),
+        3: "completely unrelated text about something else entirely",
+    }
+    rows = [{"doc_id": i, "text": t} for i, t in docs.items()]
+    out = split_doc_pairs(rd.from_items(rows), "text", "doc_id",
+                          n=3, k=8, min_common=4, n_buckets=4).to_pandas()
+    got = {(int(a), int(b)): int(c) for a, b, c in
+           zip(out["id_a"], out["id_b"], out["n_common"])}
+
+    def grams(t):
+        toks = t.lower().split()
+        return [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+
+    ref = {}
+    for a, ta in docs.items():
+        for b, tb in docs.items():
+            if a == b:
+                continue
+            common = len(set(grams(ta)[-8:]) & set(grams(tb)[:8]))
+            if common >= 4:
+                ref[(a, b)] = common
+    assert got == ref
+    assert (0, 1) in got and (1, 2) in got
+    assert (1, 0) not in got  # directional: head-of-A vs tail-of-B differs
