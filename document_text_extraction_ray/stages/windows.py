@@ -906,3 +906,36 @@ def running_distinct(ds, key_col: str, order_cols, value_col: str,
         ([id_col] if id_col and id_col not in order_cols else [])
     return bucketed_map_groups(ds.select_columns(list(dict.fromkeys(cols))),
                                key_col, fold, n_buckets=n_buckets)
+
+
+def streaks(ds, key_col: str, value_col: str, n_buckets: int = 32):
+    """Gaps-and-islands per key over an INTEGER value column (active
+    days, sequence numbers): distinct values are grouped into maximal
+    runs of consecutive integers; returns per key the distinct-value
+    count, the number of runs, and the longest run — the
+    engagement-streak / sequence-integrity statistic (n_runs > 1 means
+    gaps; max_streak is the longest unbroken stretch).
+
+    One key-bucketed exchange of thin (key, value) pairs; whole-bucket
+    vectorized fold: sort, drop_duplicates, then the value - rank trick
+    (consecutive values share value - cumcount, the SQL
+    DENSE_RANK-difference replay) — no per-key Python loop."""
+    from .aggregate import bucketed_fold
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[key_col, value_col]].drop_duplicates() \
+            .sort_values([key_col, value_col], kind="mergesort")
+        grp = g.groupby(key_col, sort=False)
+        island = g[value_col].to_numpy(np.int64) \
+            - grp.cumcount().to_numpy(np.int64)
+        runs = g.assign(__island=island).groupby(
+            [key_col, "__island"], sort=False).size().reset_index(name="ln")
+        out = runs.groupby(key_col, sort=False).agg(
+            n_values=("ln", "sum"), n_streaks=("ln", "size"),
+            max_streak=("ln", "max")).reset_index()
+        for c in ("n_values", "n_streaks", "max_streak"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_fold(ds.select_columns([key_col, value_col]),
+                         key_col, fold, n_buckets=n_buckets)

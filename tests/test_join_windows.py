@@ -706,3 +706,22 @@ def test_running_distinct_matches_brute_force(ray_session):
         ref[r["ord"]] = len(s)
     got = dict(zip(out["ord"].astype(int), out["n_distinct_so_far"].astype(int)))
     assert got == ref
+
+
+def test_streaks_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.windows import streaks
+
+    rows = [{"k": 1, "v": d} for d in [3, 4, 5, 9, 10, 5, 20]] + \
+           [{"k": 2, "v": d} for d in [7]] + \
+           [{"k": 3, "v": d} for d in [1, 2, 3, 4]]
+    out = streaks(rd.from_items(rows), "k", "v", n_buckets=4) \
+        .to_pandas().set_index("k")
+    # k=1: distinct {3,4,5,9,10,20} -> runs [3-5],[9-10],[20]
+    assert (int(out.loc[1, "n_values"]), int(out.loc[1, "n_streaks"]),
+            int(out.loc[1, "max_streak"])) == (6, 3, 3)
+    assert (int(out.loc[2, "n_values"]), int(out.loc[2, "n_streaks"]),
+            int(out.loc[2, "max_streak"])) == (1, 1, 1)
+    assert (int(out.loc[3, "n_values"]), int(out.loc[3, "n_streaks"]),
+            int(out.loc[3, "max_streak"])) == (4, 1, 4)
