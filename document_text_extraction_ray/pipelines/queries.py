@@ -6945,6 +6945,86 @@ def q_activity_streaks(sf_dir: str):
 
 
 
+def q_benford_digits(sf_dir: str):
+    """Benford first-significant-digit audit per source (the forensic
+    fabricated-data signal): counts of the leading digit of n_chars per
+    (source, digit).  Vectorized digit extraction (no string round
+    trip: d = x // 10^floor(log10 x)), tuple-bucketed count combine."""
+    from ..stages.aggregate import bucketed_fold
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = t.column("source").to_pandas()
+        m = x > 0
+        x = x[m]
+        src = src[np.asarray(m)]
+        digit = (x // np.power(
+            10, np.floor(np.log10(x)).astype(np.int64))).astype(np.int64)
+        import pandas as pd
+        c = pd.DataFrame({"source": src.to_numpy(), "digit": digit}) \
+            .groupby(["source", "digit"], sort=False) \
+            .size().reset_index(name="pn")
+        c["pn"] = c["pn"].astype("int64")
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    counts = docs.map_batches(partial, batch_format="pyarrow")
+
+    def fold(g):
+        out = g.groupby(["source", "digit"], sort=False,
+                        as_index=False)["pn"].sum() \
+            .rename(columns={"pn": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return bucketed_fold(counts, ["source", "digit"], fold,
+                         n_buckets=4).sort(["source", "digit"])
+
+
+
+def q_dict_encode(sf_dir: str):
+    """Global dictionary encoding of a categorical column (the
+    feature-engineering embedding-id step): codes assigned by corpus
+    frequency (count DESC, value ASC — code 0 = most common), built
+    from distributed count partials; the dictionary is domain-bounded,
+    so it broadcasts (ray.put) into a vectorized per-batch lookup —
+    never a row-wise join."""
+    import pandas as pd
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "props"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["props"]).aggregate([([], "count_all")])
+        return pa.table({"props": g.column("props"),
+                         "pn": pc.cast(g.column("count_all"), pa.int64())})
+
+    counts = ev.map_batches(count_partial, batch_format="pyarrow") \
+        .to_pandas().groupby("props", sort=False, as_index=False)["pn"].sum()
+    counts = counts.sort_values(["pn", "props"],
+                                ascending=[False, True],
+                                kind="mergesort").reset_index(drop=True)
+    import ray
+
+    code_of = {v: i for i, v in enumerate(counts["props"])}
+    code_ref = ray.put(code_of)
+
+    def encode(t: pa.Table) -> pa.Table:
+        import ray
+
+        codes = ray.get(code_ref)
+        vals = t.column("props").to_pandas().map(codes)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "code": pa.array(vals.to_numpy(np.int64), pa.int64())})
+
+    return ev.map_batches(encode, batch_format="pyarrow").sort("event_id")
+
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7207,6 +7287,8 @@ QUERIES = {
     "split_docs": q_split_docs,
     "cross_source_dups": q_cross_source_dups,
     "activity_streaks": q_activity_streaks,
+    "benford_digits": q_benford_digits,
+    "dict_encode": q_dict_encode,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -11832,4 +11914,27 @@ ORACLE_SQL["activity_streaks"] = """
            CAST(COUNT(*) AS BIGINT) AS n_streaks,
            CAST(MAX(ln) AS BIGINT) AS max_streak
     FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE_SQL["benford_digits"] = """
+    SELECT source,
+           CAST(n_chars // POWER(10, FLOOR(LOG10(n_chars)))::BIGINT
+                AS BIGINT) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents WHERE n_chars > 0
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["dict_encode"] = """
+    WITH c AS (
+        SELECT props, COUNT(*) AS pn FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT props,
+               ROW_NUMBER() OVER (ORDER BY pn DESC, props) - 1 AS code
+        FROM c
+    )
+    SELECT e.event_id, CAST(d.code AS BIGINT) AS code
+    FROM events e JOIN d ON e.props = d.props
+    ORDER BY e.event_id
 """
