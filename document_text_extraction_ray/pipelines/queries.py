@@ -7025,6 +7025,18 @@ def q_dict_encode(sf_dir: str):
 
 
 
+def q_coverage_select(sf_dir: str):
+    """Greedy maximum-coverage selection of 4 documents (submodular
+    diverse-subset curation): each round broadcasts the covered-term
+    set and reduces every batch to one candidate; deterministic ties
+    (gain DESC, doc_id ASC) make the greedy SQL-replayable as 4
+    unrolled rounds."""
+    from ..stages.curation import greedy_coverage_select
+
+    return greedy_coverage_select(_docs(sf_dir, ["doc_id", "text"]), k=4)
+
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7289,6 +7301,7 @@ QUERIES = {
     "activity_streaks": q_activity_streaks,
     "benford_digits": q_benford_digits,
     "dict_encode": q_dict_encode,
+    "coverage_select": q_coverage_select,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -11937,4 +11950,51 @@ ORACLE_SQL["dict_encode"] = """
     SELECT e.event_id, CAST(d.code AS BIGINT) AS code
     FROM events e JOIN d ON e.props = d.props
     ORDER BY e.event_id
+"""
+
+ORACLE_SQL["coverage_select"] = """
+    WITH tl AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(COALESCE(text, '')),
+                                  '[a-z0-9]+') AS l
+        FROM documents
+    ),
+    tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(l)),
+                                     i -> l[i] || ' ' || l[i + 1])) AS term
+        FROM tl
+    ),
+    g1 AS (SELECT doc_id, COUNT(*) AS gain FROM tok GROUP BY 1),
+    s1 AS (SELECT doc_id, gain FROM g1 WHERE gain > 0
+           ORDER BY gain DESC, doc_id LIMIT 1),
+    c1 AS (SELECT DISTINCT term FROM tok
+           WHERE doc_id IN (SELECT doc_id FROM s1)),
+    g2 AS (SELECT doc_id, COUNT(*) AS gain FROM tok
+           WHERE term NOT IN (SELECT term FROM c1) GROUP BY 1),
+    s2 AS (SELECT doc_id, gain FROM g2 WHERE gain > 0
+           ORDER BY gain DESC, doc_id LIMIT 1),
+    c2 AS (SELECT term FROM c1 UNION
+           SELECT DISTINCT term FROM tok
+           WHERE doc_id IN (SELECT doc_id FROM s2)),
+    g3 AS (SELECT doc_id, COUNT(*) AS gain FROM tok
+           WHERE term NOT IN (SELECT term FROM c2) GROUP BY 1),
+    s3 AS (SELECT doc_id, gain FROM g3 WHERE gain > 0
+           ORDER BY gain DESC, doc_id LIMIT 1),
+    c3 AS (SELECT term FROM c2 UNION
+           SELECT DISTINCT term FROM tok
+           WHERE doc_id IN (SELECT doc_id FROM s3)),
+    g4 AS (SELECT doc_id, COUNT(*) AS gain FROM tok
+           WHERE term NOT IN (SELECT term FROM c3) GROUP BY 1),
+    s4 AS (SELECT doc_id, gain FROM g4 WHERE gain > 0
+           ORDER BY gain DESC, doc_id LIMIT 1)
+    SELECT * FROM (
+        SELECT 1 AS rank, doc_id, CAST(gain AS BIGINT) AS new_terms FROM s1
+        UNION ALL
+        SELECT 2, doc_id, CAST(gain AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, doc_id, CAST(gain AS BIGINT) FROM s3
+        UNION ALL
+        SELECT 4, doc_id, CAST(gain AS BIGINT) FROM s4
+    ) ORDER BY rank
 """

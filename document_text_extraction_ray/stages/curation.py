@@ -626,3 +626,75 @@ def chunk_documents(ds, id_column: str = "doc_id",
 
     return ds.select_columns([id_column, text_column]).map_batches(
         explode, batch_format="pyarrow")
+
+
+def greedy_coverage_select(docs, k: int = 4, text_column: str = "text",
+                           id_column: str = "doc_id"):
+    """Greedy maximum-coverage corpus selection (the submodular
+    data-selection step: pick the k documents that together cover the
+    most distinct vocabulary — facility-location-style diverse-subset
+    curation).  Greedy is the canonical (1 - 1/e)-approximation; ties
+    break to the smallest doc_id, so the selection is deterministic and
+    SQL-replayable round by round.
+
+    Plan: k passes over the corpus.  Each pass broadcasts the covered
+    term set (ray.put — it grows by at most one doc's vocabulary per
+    round) into a map_batches that reduces every BATCH to its single
+    best candidate row (doc_id, gain, and that candidate's uncovered
+    terms — only per-batch winners carry a term payload); the driver
+    folds the tiny per-batch winner table.  Documents with zero
+    uncovered terms never become candidates, so selection stops early
+    on exhausted corpora.  Coverage units are word BIGRAMS over the
+    lexicon tokenizer (``[a-z0-9]+`` on lowered text) — unigram
+    vocabularies saturate after one template-heavy document.
+
+    Returns a pandas DataFrame (rank, doc_id, new_terms) — rank is
+    1-based selection order."""
+    import ray
+
+    from .lexicon import _tokens
+
+    thin = docs.select_columns([id_column, text_column]).materialize()
+    selected = []
+    covered: frozenset = frozenset()
+
+    for rank in range(1, k + 1):
+        covered_ref = ray.put(covered)
+
+        def best_of_batch(t: pa.Table) -> pa.Table:
+            cov = ray.get(covered_ref)
+            best = None
+            for doc_id, text in zip(t.column(id_column).to_pylist(),
+                                    t.column(text_column).to_pylist()):
+                toks = _tokens(text)
+                grams = (f"{a} {b}" for a, b in zip(toks, toks[1:]))
+                new = frozenset(grams) - cov
+                gain = len(new)
+                if gain == 0:
+                    continue
+                key = (-gain, doc_id)
+                if best is None or key < best[0]:
+                    best = (key, doc_id, gain, new)
+            if best is None:
+                return pa.table({id_column: pa.array([], pa.int64()),
+                                 "gain": pa.array([], pa.int64()),
+                                 "terms": pa.array([], pa.list_(pa.string()))})
+            return pa.table({
+                id_column: pa.array([best[1]], pa.int64()),
+                "gain": pa.array([best[2]], pa.int64()),
+                "terms": pa.array([sorted(best[3])],
+                                  pa.list_(pa.string()))})
+
+        winners = thin.map_batches(
+            best_of_batch, batch_format="pyarrow").to_pandas()
+        if winners.empty:
+            break
+        winners = winners.sort_values(
+            ["gain", id_column], ascending=[False, True],
+            kind="mergesort")
+        top = winners.iloc[0]
+        selected.append((rank, int(top[id_column]), int(top["gain"])))
+        covered = covered | frozenset(top["terms"])
+
+    return pd.DataFrame(selected,
+                        columns=["rank", id_column, "new_terms"])

@@ -310,3 +310,46 @@ def test_chunk_documents_windows_and_edges():
     with pytest.raises(ValueError):
         chunk_documents(rd.from_items(rows), chunk_tokens=4,
                         overlap_tokens=4)
+
+
+def test_greedy_coverage_select_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.curation import (
+        greedy_coverage_select,
+    )
+    from document_text_extraction_ray.stages.lexicon import _tokens
+
+    docs = {
+        0: "a b c d e f",          # 5 bigrams
+        1: "a b c d",              # subset of 0
+        2: "x y z w",              # 3 fresh bigrams
+        3: "e f g",                # 1 fresh after 0 picked
+        4: "",                     # no tokens
+    }
+    rows = [{"doc_id": i, "text": t} for i, t in docs.items()]
+    out = greedy_coverage_select(rd.from_items(rows), k=4)
+
+    def grams(t):
+        toks = _tokens(t)
+        return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+    covered, ref = set(), []
+    remaining = dict(docs)
+    for rank in range(1, 5):
+        best = None
+        for i, t in sorted(remaining.items()):
+            gain = len(grams(t) - covered)
+            if gain > 0 and (best is None or gain > best[1]):
+                best = (i, gain)
+        if best is None:
+            break
+        ref.append((rank, best[0], best[1]))
+        covered |= grams(docs[best[0]])
+        del remaining[best[0]]
+    got = [(int(r), int(d), int(g)) for r, d, g in
+           zip(out["rank"], out["doc_id"], out["new_terms"])]
+    assert got == ref
+    assert got[0] == (1, 0, 5)          # biggest doc first
+    assert (2, 2, 3) in got             # diverse doc beats subset doc
+    assert all(d != 1 for _, d, _ in got)  # subset doc never selected
