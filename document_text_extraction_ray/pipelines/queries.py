@@ -7037,6 +7037,37 @@ def q_coverage_select(sf_dir: str):
 
 
 
+def q_graph_walks(sf_dir: str):
+    """Walk-corpus generation (node2vec/DeepWalk input): 3-step walks
+    from every doc_id%50 seed over the symmetrized chain graph, next
+    step = neighbor with the smallest md5("cur:dst:step") — the
+    hash-seeded deterministic choice both engines replay bit-for-bit.
+    Two exchanges per step over node-bounded walk state."""
+    from ..stages.graph import deterministic_walks
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    meta = pq.ParquetFile(path)
+    idx = meta.schema_arrow.get_field_index("doc_id")
+    mx = int(max(meta.metadata.row_group(i).column(idx).statistics.max
+                 for i in range(meta.metadata.num_row_groups)))
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        a = d[(d % 100 < 99) & (d + 1 <= mx)]
+        b = d[(d % 100 < 98) & (d + 2 <= mx)]
+        u = np.concatenate([a, b])
+        v = np.concatenate([a + 1, b + 2])
+        return pa.table({"src": pa.array(np.concatenate([u, v])),
+                         "dst": pa.array(np.concatenate([v, u]))})
+
+    nodes = rd.read_parquet(path, columns=["doc_id"])
+    seeds = list(range(0, mx + 1, 50))
+    return deterministic_walks(
+        nodes.map_batches(edges, batch_format="pyarrow"), seeds,
+        n_steps=3)
+
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7302,6 +7333,7 @@ QUERIES = {
     "benford_digits": q_benford_digits,
     "dict_encode": q_dict_encode,
     "coverage_select": q_coverage_select,
+    "graph_walks": q_graph_walks,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -11997,4 +12029,47 @@ ORACLE_SQL["coverage_select"] = """
         UNION ALL
         SELECT 4, doc_id, CAST(gain AS BIGINT) FROM s4
     ) ORDER BY rank
+"""
+
+ORACLE_SQL["graph_walks"] = """
+    WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+    e0 AS (
+        SELECT doc_id AS u, doc_id + 1 AS v FROM documents, m
+        WHERE doc_id % 100 < 99 AND doc_id + 1 <= mx
+        UNION ALL
+        SELECT doc_id, doc_id + 2 FROM documents, m
+        WHERE doc_id % 100 < 98 AND doc_id + 2 <= mx
+    ),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    s0 AS (SELECT doc_id AS walk_id, doc_id AS cur FROM documents
+           WHERE doc_id % 50 = 0),
+    c1 AS (
+        SELECT s0.walk_id, e.v AS dst, ROW_NUMBER() OVER (
+            PARTITION BY s0.walk_id
+            ORDER BY md5_number_lower(CAST(s0.cur AS VARCHAR) || ':' ||
+                     CAST(e.v AS VARCHAR) || ':1'), e.v) AS rn
+        FROM s0 JOIN e ON e.u = s0.cur
+    ),
+    s1 AS (SELECT walk_id, dst AS cur FROM c1 WHERE rn = 1),
+    c2 AS (
+        SELECT s1.walk_id, e.v AS dst, ROW_NUMBER() OVER (
+            PARTITION BY s1.walk_id
+            ORDER BY md5_number_lower(CAST(s1.cur AS VARCHAR) || ':' ||
+                     CAST(e.v AS VARCHAR) || ':2'), e.v) AS rn
+        FROM s1 JOIN e ON e.u = s1.cur
+    ),
+    s2 AS (SELECT walk_id, dst AS cur FROM c2 WHERE rn = 1),
+    c3 AS (
+        SELECT s2.walk_id, e.v AS dst, ROW_NUMBER() OVER (
+            PARTITION BY s2.walk_id
+            ORDER BY md5_number_lower(CAST(s2.cur AS VARCHAR) || ':' ||
+                     CAST(e.v AS VARCHAR) || ':3'), e.v) AS rn
+        FROM s2 JOIN e ON e.u = s2.cur
+    ),
+    s3 AS (SELECT walk_id, dst AS cur FROM c3 WHERE rn = 1)
+    SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS node FROM s0
+    UNION ALL SELECT walk_id, 1, cur FROM s1
+    UNION ALL SELECT walk_id, 2, cur FROM s2
+    UNION ALL SELECT walk_id, 3, cur FROM s3
+    ORDER BY walk_id, step
 """

@@ -862,3 +862,81 @@ def modularity_stats(edges, labels, node_col: str = "node",
         return out
 
     return bucketed_fold(partials, "comm", fold, n_buckets=min(n_buckets, 8))
+
+
+def deterministic_walks(edges, seeds, n_steps: int = 3,
+                        src_col: str = "src", dst_col: str = "dst",
+                        n_buckets: int = 16):
+    """Walk-corpus generation (the node2vec/DeepWalk input step) with a
+    DETERMINISTIC next-step rule: from the current node the walk moves
+    to the neighbor minimizing md5_u64("cur:dst:step") — a hash-seeded
+    pseudo-random choice every engine replays bit-for-bit (DuckDB:
+    ``md5_number_lower`` over the same string; real pipelines swap in a
+    seeded RNG, the distributed plan is identical).  Input must carry
+    BOTH directions for undirected semantics; dead-end walks stop early.
+
+    Per step, TWO exchanges: the walk-state table (walk_id, cur — node-
+    bounded, materialized per step like every iterative op here) joins
+    the edge list on cur, then one walk-bucketed argmin fold picks the
+    next node.  Returns (walk_id, step, node) including step 0 = seed."""
+    import ray.data as rd
+
+    from ..functions import textstats as T
+    from .aggregate import bucketed_fold
+    from .join import partitioned_hash_join
+
+    edges = edges.select_columns([src_col, dst_col])
+    state = rd.from_items(
+        [{"walk_id": s, "cur": s} for s in seeds]).materialize()
+    out_frames = [pd.DataFrame(
+        {"walk_id": list(seeds), "step": 0, "node": list(seeds)})]
+
+    es = pa.schema([(src_col, pa.int64()), (dst_col, pa.int64())])
+
+    for step in range(1, n_steps + 1):
+        st = state.map_batches(
+            lambda t: t if t.num_columns == 0 else pa.table(
+                {src_col: t.column("cur"), "walk_id": t.column("walk_id")}),
+            batch_format="pyarrow")
+        cand = partitioned_hash_join(
+            edges, st, on=src_col, n_buckets=n_buckets,
+            left_schema=es,
+            right_schema=pa.schema([(src_col, pa.int64()),
+                                    ("walk_id", pa.int64())]))
+
+        def score(t: pa.Table, _step=step) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"walk_id": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64()),
+                                 "h": pa.array([], pa.uint64())})
+            cur = t.column(src_col).to_pylist()
+            dst = t.column(dst_col).to_pylist()
+            hs = [T.md5_u64(f"{c}:{d}:{_step}")
+                  for c, d in zip(cur, dst)]
+            return pa.table({"walk_id": t.column("walk_id"),
+                             "dst": t.column(dst_col),
+                             "h": pa.array(hs, pa.uint64())})
+
+        scored = cand.map_batches(score, batch_format="pyarrow")
+
+        def argmin_fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["walk_id", "h", "dst"], kind="mergesort")
+            best = g.drop_duplicates("walk_id", keep="first")
+            return pd.DataFrame({
+                "walk_id": best["walk_id"].to_numpy(np.int64),
+                "cur": best["dst"].to_numpy(np.int64)})
+
+        state = bucketed_fold(scored, "walk_id", argmin_fold,
+                              n_buckets=n_buckets).materialize()
+        step_df = state.to_pandas()
+        if step_df.empty:
+            break
+        out_frames.append(pd.DataFrame(
+            {"walk_id": step_df["walk_id"].astype("int64"),
+             "step": step,
+             "node": step_df["cur"].astype("int64")}))
+
+    res = pd.concat(out_frames, ignore_index=True)
+    res["step"] = res["step"].astype("int64")
+    return res.sort_values(["walk_id", "step"],
+                           kind="mergesort").reset_index(drop=True)

@@ -374,3 +374,39 @@ def test_modularity_stats_matches_brute_force(ray_session):
     ref_q = sum(4 * m * ref_in.get(c, 0) - ref_deg[c] ** 2
                 for c in ref_deg)
     assert q_num == ref_q
+
+
+def test_deterministic_walks_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.functions.textstats import md5_u64
+    from document_text_extraction_ray.stages.graph import (
+        deterministic_walks,
+    )
+
+    e0 = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 5), (5, 6), (7, 8)]
+    adj = {}
+    for a, b in e0:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    edges = rd.from_items(
+        [{"src": a, "dst": b} for a, b in e0] +
+        [{"src": b, "dst": a} for a, b in e0])
+
+    out = deterministic_walks(edges, [0, 7, 9], n_steps=3, n_buckets=4)
+
+    ref = []
+    for seed in [0, 7, 9]:
+        cur = seed
+        ref.append((seed, 0, seed))
+        for step in range(1, 4):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(nbrs, key=lambda d: (md5_u64(f"{cur}:{d}:{step}"), d))
+            ref.append((seed, step, cur))
+    got = [(int(w), int(s), int(n)) for w, s, n in
+           zip(out["walk_id"], out["step"], out["node"])]
+    assert sorted(got) == sorted(ref)
+    # isolated seed 9 emits only its step-0 row
+    assert [r for r in got if r[0] == 9] == [(9, 0, 9)]
