@@ -7068,6 +7068,64 @@ def q_graph_walks(sf_dir: str):
 
 
 
+def q_mojibake_stats(sf_dir: str):
+    """Encoding-damage curation signals per doc: U+FFFD replacement
+    chars (decode failures), C1 control bytes (cp1252-as-latin1
+    mojibake), and glued digit-letter tokens (tokenizer hazard) — three
+    vectorized Arrow re2 kernels, zero per-row Python."""
+
+    def count(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+
+        def c(pat):
+            return pc.cast(pc.coalesce(
+                pc.count_substring_regex(txt, pat), 0), pa.int64())
+
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_replacement": c("\uFFFD"),
+            "n_c1_controls": c(r"[\x80-\x9F]"),
+            "n_glued_tokens": c(r"[0-9][A-Za-z]|[A-Za-z][0-9]")})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow")
+
+
+def q_dup_transitivity(sf_dir: str):
+    """Near-dup cluster-quality audit: among exact jaccard >= 4/5 pairs,
+    how many wedges (a~b, a~c) close into triangles (b~c) — low closure
+    means threshold clustering would merge dissimilar docs through
+    chains.  Pair table is tiny after the setsim join; the wedge build
+    is one self-join on the shared endpoint + one closure probe."""
+    import pandas as pd
+
+    from ..stages.dedup import setsim_prefix_join
+
+    pairs = setsim_prefix_join(_docs(sf_dir, ["doc_id", "text"]),
+                               "text", "doc_id", n=3, threshold=(4, 5)) \
+        .select_columns(["id_a", "id_b"]).to_pandas()
+    # pair graph is the tiny output of the distributed join; the
+    # triangle probe is driver-side by design (|pairs| << corpus)
+    n_pairs = len(pairs)
+    pset = set(zip(pairs["id_a"], pairs["id_b"]))
+    adj = {}
+    for a, b in pset:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n_wedges = n_closed = 0
+    for _v, nb in adj.items():
+        nbl = sorted(nb)
+        for i in range(len(nbl)):
+            for j in range(i + 1, len(nbl)):
+                n_wedges += 1
+                x, y = nbl[i], nbl[j]
+                if (min(x, y), max(x, y)) in pset:
+                    n_closed += 1
+    return pd.DataFrame({"n_pairs": [n_pairs], "n_wedges": [n_wedges],
+                         "n_closed": [n_closed]})
+
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7334,6 +7392,8 @@ QUERIES = {
     "dict_encode": q_dict_encode,
     "coverage_select": q_coverage_select,
     "graph_walks": q_graph_walks,
+    "mojibake_stats": q_mojibake_stats,
+    "dup_transitivity": q_dup_transitivity,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -12072,4 +12132,55 @@ ORACLE_SQL["graph_walks"] = """
     UNION ALL SELECT walk_id, 2, cur FROM s2
     UNION ALL SELECT walk_id, 3, cur FROM s3
     ORDER BY walk_id, step
+"""
+
+ORACLE_SQL["mojibake_stats"] = """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\xEF\\xBF\\xBD')) AS BIGINT)
+               AS n_replacement,
+           CAST(len(regexp_extract_all(text, '[\\x80-\\x9F]')) AS BIGINT)
+               AS n_c1_controls,
+           CAST(len(regexp_extract_all(
+               text, '[0-9][A-Za-z]|[A-Za-z][0-9]')) AS BIGINT)
+               AS n_glued_tokens
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["dup_transitivity"] = f"""
+    WITH norm AS (
+      SELECT doc_id, lower({_NORM.format(col="text")}) AS t FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(t, ' ') AS l FROM norm WHERE t <> ''
+    ), sh AS (
+      SELECT DISTINCT doc_id, md5_number_lower(unnest(
+        CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+             ELSE list_transform(range(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+        END)) AS h
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT id_a, id_b
+      FROM shared JOIN sizes sa ON id_a = sa.doc_id
+                  JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 5 >= 4 * (sa.sz + sb.sz - shared)
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM p
+      UNION ALL SELECT id_b, id_a FROM p
+    ), wedges AS (
+      SELECT w1.u AS pivot, w1.v AS x, w2.v AS y
+      FROM sym w1 JOIN sym w2 ON w1.u = w2.u AND w1.v < w2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_wedges,
+           CAST(COALESCE(SUM(CASE WHEN EXISTS (
+               SELECT 1 FROM p WHERE p.id_a = wedges.x
+                               AND p.id_b = wedges.y)
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_closed
+    FROM wedges
 """
