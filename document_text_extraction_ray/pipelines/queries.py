@@ -7126,6 +7126,24 @@ def q_dup_transitivity(sf_dir: str):
 
 
 
+def q_mmr_topk(sf_dir: str):
+    """Diversified top-3 retrieval (Maximal Marginal Relevance): greedy
+    argmax of 2*dot(q, v) - max-sim-to-selected over ROUND-quantized
+    integer dots, q = the min-vec_id embedding; each round is one
+    broadcast + one matmul pass reduced to a single winner per batch."""
+    from ..stages.similarity import mmr_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(path).to_table(columns=["vec_id", "embedding"],
+                                    filter=pads.field("vec_id") == 0)
+    qvec = t.column("embedding").to_pylist()[0]
+    return mmr_topk(emb, qvec, k=3)
+
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7394,6 +7412,7 @@ QUERIES = {
     "graph_walks": q_graph_walks,
     "mojibake_stats": q_mojibake_stats,
     "dup_transitivity": q_dup_transitivity,
+    "mmr_topk": q_mmr_topk,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -12183,4 +12202,53 @@ ORACLE_SQL["dup_transitivity"] = f"""
                                AND p.id_b = wedges.y)
                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_closed
     FROM wedges
+"""
+
+ORACLE_SQL["mmr_topk"] = """
+    WITH x AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    qe AS (
+        SELECT vec_id, list_transform(v, e -> ROUND(e * 10000)) AS qv
+        FROM x
+    ),
+    rel AS (
+        SELECT vec_id, CAST(list_dot_product(
+            qv, (SELECT qv FROM qe WHERE vec_id = 0)) AS BIGINT) AS r
+        FROM qe
+    ),
+    s1 AS (SELECT vec_id, 2 * r AS score FROM rel
+           ORDER BY score DESC, vec_id LIMIT 1),
+    d1 AS (
+        SELECT qe.vec_id, CAST(list_dot_product(qe.qv,
+            (SELECT q2.qv FROM qe q2
+             WHERE q2.vec_id = (SELECT vec_id FROM s1))) AS BIGINT) AS d
+        FROM qe
+    ),
+    s2 AS (
+        SELECT rel.vec_id, 2 * rel.r - d1.d AS score
+        FROM rel JOIN d1 USING (vec_id)
+        WHERE rel.vec_id NOT IN (SELECT vec_id FROM s1)
+        ORDER BY score DESC, rel.vec_id LIMIT 1
+    ),
+    d2 AS (
+        SELECT qe.vec_id, CAST(list_dot_product(qe.qv,
+            (SELECT q2.qv FROM qe q2
+             WHERE q2.vec_id = (SELECT vec_id FROM s2))) AS BIGINT) AS d
+        FROM qe
+    ),
+    s3 AS (
+        SELECT rel.vec_id,
+               2 * rel.r - GREATEST(d1.d, d2.d) AS score
+        FROM rel JOIN d1 USING (vec_id) JOIN d2 USING (vec_id)
+        WHERE rel.vec_id NOT IN (SELECT vec_id FROM s1
+                                 UNION SELECT vec_id FROM s2)
+        ORDER BY score DESC, rel.vec_id LIMIT 1
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS rank, vec_id AS id,
+               CAST(score AS BIGINT) AS score FROM s1
+        UNION ALL SELECT 2, vec_id, CAST(score AS BIGINT) FROM s2
+        UNION ALL SELECT 3, vec_id, CAST(score AS BIGINT) FROM s3
+    ) ORDER BY rank
 """

@@ -1018,3 +1018,86 @@ def embedding_dim_stats(ds, embedding_column: str = "embedding",
         return out
 
     return bucketed_fold(partials, "dim", combine, n_buckets=4)
+
+
+def mmr_topk(ds, query_vec, k: int = 3, lambda_x2: int = 2,
+             id_column: str = "vec_id",
+             embedding_column: str = "embedding",
+             quant_scale: int = 10**4):
+    """Maximal-Marginal-Relevance diversified top-k retrieval: greedily
+    pick the vector maximizing ``lambda_x2 * dot(q, v) - max_sim(v,
+    selected)`` — relevance minus redundancy, the diversity re-rank
+    every retrieval stack bolts onto plain ANN top-k.  All similarities
+    are integer dot products of ROUND-quantized vectors, ties break to
+    the smaller id, so each greedy round is deterministic and
+    SQL-replayable (unrolled argmax rounds, the coverage-select
+    pattern).
+
+    Plan: k passes; each pass broadcasts the selected vectors (at most
+    k-1 rows) and reduces every batch to its single best candidate via
+    one numpy matmul — wire cost O(k x n_batches).
+
+    Returns a pandas DataFrame (rank, id, score) — score is the integer
+    MMR objective at selection time."""
+    import pandas as pd
+    import ray
+
+    def _quant(v):
+        x = np.asarray(v, dtype=np.float64) * quant_scale
+        return np.where(x >= 0, np.floor(x + 0.5),
+                        np.ceil(x - 0.5)).astype(np.int64)
+
+    q = _quant(query_vec)
+    thin = ds.select_columns([id_column, embedding_column]).materialize()
+    picked = []            # (rank, id, score)
+    sel_vecs: list = []    # quantized selected vectors
+    sel_ids: set = set()
+
+    for rank in range(1, k + 1):
+        sel_ref = ray.put((np.asarray(sel_vecs, dtype=np.int64)
+                           if sel_vecs else None, frozenset(sel_ids)))
+
+        def best_of_batch(t: pa.Table) -> pa.Table:
+            sel_mat, taken = ray.get(sel_ref)
+            ids = np.asarray(t.column(id_column).to_pylist(),
+                             dtype=np.int64)
+            if ids.size == 0:
+                return pa.table({"id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.int64())})
+            v = np.asarray(t.column(embedding_column).to_pylist(),
+                           dtype=np.float64) * quant_scale
+            vq = np.where(v >= 0, np.floor(v + 0.5),
+                          np.ceil(v - 0.5)).astype(np.int64)
+            score = lambda_x2 * (vq @ q)
+            if sel_mat is not None:
+                score = score - (vq @ sel_mat.T).max(axis=1)
+            mask = np.fromiter((i not in taken for i in ids),
+                               dtype=bool, count=len(ids))
+            if not mask.any():
+                return pa.table({"id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.int64())})
+            ids, score = ids[mask], score[mask]
+            order = np.lexsort((ids, -score))
+            b = order[0]
+            return pa.table({"id": pa.array([ids[b]], pa.int64()),
+                             "score": pa.array([score[b]], pa.int64())})
+
+        winners = thin.map_batches(
+            best_of_batch, batch_format="pyarrow").to_pandas()
+        if winners.empty:
+            break
+        winners = winners.sort_values(["score", "id"],
+                                      ascending=[False, True],
+                                      kind="mergesort")
+        top = winners.iloc[0]
+        picked.append((rank, int(top["id"]), int(top["score"])))
+        sel_ids.add(int(top["id"]))
+
+        # fetch the winner's quantized vector from the tiny winner row's
+        # source batch — one filtered pass (predicate pushdown keeps it
+        # cheap relative to the scoring pass)
+        row = thin.filter(
+            lambda r, _w=int(top["id"]): r[id_column] == _w).take(1)[0]
+        sel_vecs.append(_quant(row[embedding_column]))
+
+    return pd.DataFrame(picked, columns=["rank", "id", "score"])

@@ -389,3 +389,43 @@ def test_embedding_dim_stats_matches_reference(ray_session):
         assert out.loc[d, "n_rows"] == 50
         assert out.loc[d, "sum_q"] == q[:, d].sum()
         assert out.loc[d, "sum_sq"] == (q[:, d] ** 2).sum()
+
+
+def test_mmr_topk_matches_brute_force(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.similarity import mmr_topk
+
+    rng = np.random.RandomState(3)
+    v = rng.randn(30, 8)
+    v[7] = v[0] * 0.95          # near-duplicate of the most relevant
+    rows = [{"vec_id": i, "embedding": v[i].tolist()} for i in range(30)]
+    out = mmr_topk(rd.from_items(rows), v[0].tolist(), k=3, lambda_x2=1)
+
+    def quant(a):
+        x = np.asarray(a) * 10**4
+        return np.where(x >= 0, np.floor(x + 0.5),
+                        np.ceil(x - 0.5)).astype(np.int64)
+
+    q = quant(v[0])
+    vq = np.stack([quant(v[i]) for i in range(30)])
+    sel, ref = [], []
+    for rank in range(1, 4):
+        score = vq @ q
+        if sel:
+            score = score - (vq @ vq[sel].T).max(axis=1)
+        best = None
+        for i in range(30):
+            if i in sel:
+                continue
+            key = (-int(score[i]), i)
+            if best is None or key < best:
+                best = key
+        ref.append((rank, best[1], -best[0]))
+        sel.append(best[1])
+    got = [(int(r), int(i), int(s)) for r, i, s in
+           zip(out["rank"], out["id"], out["score"])]
+    assert got == ref
+    assert got[0][1] == 0                      # query's own vector first
+    assert all(i != 7 for _, i, _ in got)      # near-dup suppressed
