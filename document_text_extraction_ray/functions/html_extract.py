@@ -457,6 +457,181 @@ def extract_outlinks(
     return links
 
 
+def extract_outlinks_text(
+    html_bytes: bytes,
+    drop_subtree_tags: frozenset = DROP_SUBTREE_TAGS,
+    blocklist_class_tokens: frozenset = BLOCKLIST_CLASS_TOKENS,
+) -> list:
+    """MAIN-CONTENT ``(href, anchor_text)`` pairs in document order — the
+    anchor-text feed (per-target anchor aggregation is the classic web
+    ranking / training-caption signal the bare link graph cannot give).
+    Same boilerplate judgment as ``extract_outlinks`` (nav/header/footer
+    and class-blocklisted subtrees never contribute), same tag
+    primitives; anchor text is entity-unescaped and whitespace-normalized
+    (inner markup like ``<b>`` contributes its text).  A new ``<a>``
+    implicitly closes an unclosed one (HTML5 parser behaviour)."""
+    n = len(html_bytes)
+    pos = 0
+    stack: list = []                    # (tag, dropped)
+    drop_depth = 0
+    lower = None
+    out: list = []
+    cur_href = None
+    cur_parts: list = []
+
+    def flush():
+        nonlocal cur_href, cur_parts
+        if cur_href is not None:
+            text = " ".join(
+                _html.unescape(b"".join(cur_parts)
+                               .decode("utf-8", "replace")).split())
+            out.append((cur_href, text))
+        cur_href = None
+        cur_parts = []
+
+    while True:
+        lt = html_bytes.find(b"<", pos)
+        if lt < 0:
+            break
+        if cur_href is not None and drop_depth == 0 and lt > pos:
+            cur_parts.append(html_bytes[pos:lt])
+        gt = html_bytes.find(b">", lt + 1)
+        if gt < 0:
+            break
+        body = html_bytes[lt + 1:gt]
+        pos = gt + 1
+        if body.startswith(b"!--"):
+            end = html_bytes.find(b"-->", lt)
+            pos = end + 3 if end >= 0 else n
+            continue
+        if body[:1] in (b"!", b"?"):
+            continue
+        if body.startswith(b"/"):
+            tag, _ = _tag_name(body[1:])
+            if tag == "a":
+                flush()
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i][0] == tag:
+                    while len(stack) > i:
+                        _t, dropped = stack.pop()
+                        if dropped:
+                            drop_depth -= 1
+                    break
+            continue
+        tag, _attrs = _tag_name(body)
+        if tag in SKIP_CONTENT_TAGS:
+            if lower is None:
+                lower = html_bytes.lower()
+            end = lower.find(b"</" + tag.encode("ascii"), pos)
+            if end < 0:
+                break
+            close_gt = lower.find(b">", end)
+            pos = close_gt + 1 if close_gt >= 0 else n
+            continue
+        if tag == "a":
+            flush()
+            if drop_depth == 0:
+                m = _HREF_RE.search(body)
+                if m:
+                    href = next(g for g in m.groups() if g is not None)
+                    cur_href = _html.unescape(
+                        href.decode("utf-8", "replace"))
+        if tag and tag not in VOID_TAGS and not body.endswith(b"/"):
+            dropped = (tag in drop_subtree_tags
+                       or bool(_parse_class_attr(body)
+                               & blocklist_class_tokens))
+            stack.append((tag, dropped))
+            if dropped:
+                drop_depth += 1
+    flush()
+    return out
+
+
+_ATTR_RE = _re.compile(
+    rb"""([a-zA-Z][a-zA-Z0-9_:-]*)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""")
+
+
+def _parse_attrs(body: bytes) -> dict:
+    """All ``name="value"`` attributes of a tag body, names lowercased,
+    values entity-unescaped."""
+    attrs = {}
+    for m in _ATTR_RE.finditer(body):
+        name = m.group(1).decode("ascii", "replace").lower()
+        val = next(g for g in m.groups()[1:] if g is not None)
+        attrs[name] = _html.unescape(val.decode("utf-8", "replace"))
+    return attrs
+
+
+def extract_head_meta(html_bytes: bytes) -> dict:
+    """Document ``<head>`` metadata: ``title`` (text content,
+    whitespace-normalized), ``description`` / ``robots`` (``<meta
+    name=...>``), ``og_title`` / ``og_description`` (``<meta
+    property="og:...">``), and ``canonical`` (``<link rel="canonical"
+    href>``) — the SEO/provenance block a web-corpus pipeline reads
+    before dedup (canonical-URL clustering) and curation (noindex
+    filtering).  Missing entries are None; the FIRST occurrence wins
+    (browser behaviour); scanning stops at ``</head>`` or the first
+    ``<body>``."""
+    meta = {"title": None, "description": None, "robots": None,
+            "og_title": None, "og_description": None, "canonical": None}
+    n = len(html_bytes)
+    pos = 0
+    while True:
+        lt = html_bytes.find(b"<", pos)
+        if lt < 0:
+            break
+        gt = html_bytes.find(b">", lt + 1)
+        if gt < 0:
+            break
+        body = html_bytes[lt + 1:gt]
+        pos = gt + 1
+        if body.startswith(b"!--"):
+            end = html_bytes.find(b"-->", lt)
+            pos = end + 3 if end >= 0 else n
+            continue
+        if body[:1] in (b"!", b"?"):
+            continue
+        closing = body.startswith(b"/")
+        tag, _ = _tag_name(body[1:] if closing else body)
+        if closing:
+            if tag == "head":
+                break
+            continue
+        if tag == "body":
+            break
+        if tag == "title":
+            end = html_bytes.lower().find(b"</title", pos)
+            if end >= 0 and meta["title"] is None:
+                meta["title"] = " ".join(
+                    _html.unescape(html_bytes[pos:end]
+                                   .decode("utf-8", "replace")).split())
+                close_gt = html_bytes.find(b">", end)
+                pos = close_gt + 1 if close_gt >= 0 else n
+            continue
+        if tag == "meta":
+            attrs = _parse_attrs(body)
+            content = attrs.get("content")
+            if content is None:
+                continue
+            name = (attrs.get("name") or "").lower()
+            prop = (attrs.get("property") or "").lower()
+            if name == "description" and meta["description"] is None:
+                meta["description"] = content
+            elif name == "robots" and meta["robots"] is None:
+                meta["robots"] = content
+            elif prop == "og:title" and meta["og_title"] is None:
+                meta["og_title"] = content
+            elif prop == "og:description" and meta["og_description"] is None:
+                meta["og_description"] = content
+            continue
+        if tag == "link":
+            attrs = _parse_attrs(body)
+            rel = (attrs.get("rel") or "").lower()
+            if rel == "canonical" and meta["canonical"] is None:
+                meta["canonical"] = attrs.get("href")
+    return meta
+
+
 def extract_tables(html_bytes: bytes) -> list:
     """All ``<table>`` cell texts in document order as flat rows
     ``(table_idx, row_idx, col_idx, text)`` — the structured-data

@@ -7144,6 +7144,128 @@ def q_mmr_topk(sf_dir: str):
 
 
 
+def q_anchor_text(sf_dir: str):
+    """Per-target anchor-text aggregation through the REAL extractor
+    (the classic web ranking / caption-training signal the bare link
+    graph cannot give): each doc's <main> carries formula links with
+    formula anchor texts while nav and footer carry decoys;
+    ``extract_outlinks_text`` must keep exactly the main-content
+    (href, anchor) pairs, then ONE bucketed exchange folds them into
+    per-target ordered anchor lists (capped at 64, ``n`` = true inlink
+    count — the hot-key cap pattern).  A nav leak, a lost anchor, or a
+    whitespace-normalization drift all hash-mismatch."""
+    from ..functions.html_extract import extract_outlinks_text
+    from ..stages.aggregate import grouped_concat
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def build_and_extract(t: pa.Table) -> pa.Table:
+        hrefs, anchors = [], []
+        for d in t.column("doc_id").to_pylist():
+            links = "".join(
+                f'<p>w <a href="https://site{(d * 7 + k) % 40}.com/p/{k}">'
+                f"read <b>doc</b> {d}\n   link {k}</a></p>"
+                for k in range(d % 3 + 1))
+            html = (
+                "<html><head><title>t</title></head><body>"
+                '<nav><a href="/menu">menu anchor</a></nav>'
+                f"<main>{links}</main>"
+                '<footer><a href="/foot">footer anchor</a></footer>'
+                "</body></html>").encode("utf-8")
+            for href, text in extract_outlinks_text(html):
+                hrefs.append(href)
+                anchors.append(text)
+        return pa.table({"outlink": pa.array(hrefs, pa.string()),
+                         "anchor": pa.array(anchors, pa.string())})
+
+    pairs = docs.map_batches(build_and_extract, batch_format="pyarrow")
+    return grouped_concat(pairs, "outlink", "anchor", ["anchor"],
+                          out_column="anchors", max_items=64) \
+        .sort("outlink")
+
+
+def q_canonical_meta(sf_dir: str):
+    """<head> metadata extraction + canonical-URL clustering (the SEO/
+    provenance dedup a web corpus runs before content dedup): each doc
+    gets a synthesized head (title, og tags, conditional description /
+    robots-noindex / rel=canonical); ``extract_head_meta`` parses it and
+    docs sharing a canonical target fold into one cluster row (n_docs,
+    min-doc representative, noindex and description counts).  Docs
+    without a canonical link cluster under their own URL.  Row-local
+    partials + one bucketed combine."""
+    from ..functions.html_extract import extract_head_meta
+    from ..stages.aggregate import bucketed_fold
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def build_and_extract(t: pa.Table) -> pa.Table:
+        rows = []
+        for d in t.column("doc_id").to_pylist():
+            desc = (f'<meta name="description" content="summary of doc {d}">'
+                    if d % 4 != 0 else "")
+            robots = ('<meta name="robots" content="noindex,follow">'
+                      if d % 7 == 0 else "")
+            canon = (f'<link rel="canonical" '
+                     f'href="https://docs.example/canon/{d % 50}">'
+                     if d % 5 != 4 else "")
+            html = (
+                f"<html><head><title>Doc {d} title</title>"
+                f'<meta property="og:title" content="OG {d}">'
+                f"{desc}{robots}{canon}</head>"
+                "<body><p>body text</p></body></html>").encode("utf-8")
+            m = extract_head_meta(html)
+            canonical = m["canonical"] or f"https://docs.example/{d}"
+            rows.append({
+                "canonical": canonical,
+                "doc_id": d,
+                "noindex": int(bool(m["robots"]
+                                    and "noindex" in m["robots"])),
+                "has_desc": int(m["description"] is not None),
+            })
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("canonical", pa.string()), ("doc_id", pa.int64()),
+             ("noindex", pa.int64()), ("has_desc", pa.int64())]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        agg = df.groupby("canonical").agg(
+            n_docs=("doc_id", "size"), rep_doc=("doc_id", "min"),
+            n_noindex=("noindex", "sum"), n_desc=("has_desc", "sum"))
+        return pa.Table.from_pandas(agg.reset_index(),
+                                    preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("canonical").agg(
+            n_docs=("n_docs", "sum"), rep_doc=("rep_doc", "min"),
+            n_noindex=("n_noindex", "sum"), n_desc=("n_desc", "sum"))
+        return agg.reset_index()
+
+    meta = docs.map_batches(build_and_extract, batch_format="pyarrow") \
+        .map_batches(partial, batch_format="pyarrow")
+    return bucketed_fold(meta, "canonical", fold).sort("canonical")
+
+
+def q_redirect_resolution(sf_dir: str):
+    """Redirect-chain resolution (HTTP 301 maps, URL alias tables): every
+    source resolves to the END of its chain with hop count via pointer
+    DOUBLING over map-bounded state — chains of length L take O(log2 L)
+    exchanges, and a cycle raises instead of looping.  Map: doc d
+    redirects to d-1 unless d % 8 == 0 (terminals), so chains reach
+    length 7; the oracle follows the same map with a recursive CTE."""
+    from ..stages.graph import resolve_pointers
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = d[d % 8 != 0]
+        return pa.table({"src": pa.array(src),
+                         "dst": pa.array(src - 1)})
+
+    redirects = docs.map_batches(build, batch_format="pyarrow")
+    return resolve_pointers(redirects).sort("src")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7413,6 +7535,9 @@ QUERIES = {
     "mojibake_stats": q_mojibake_stats,
     "dup_transitivity": q_dup_transitivity,
     "mmr_topk": q_mmr_topk,
+    "anchor_text": q_anchor_text,
+    "canonical_meta": q_canonical_meta,
+    "redirect_resolution": q_redirect_resolution,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -12251,4 +12376,61 @@ ORACLE_SQL["mmr_topk"] = """
         UNION ALL SELECT 2, vec_id, CAST(score AS BIGINT) FROM s2
         UNION ALL SELECT 3, vec_id, CAST(score AS BIGINT) FROM s3
     ) ORDER BY rank
+"""
+
+ORACLE_SQL["anchor_text"] = """
+    WITH links AS (
+        SELECT 'https://site' || CAST((doc_id * 7 + k.k) % 40 AS VARCHAR)
+                   || '.com/p/' || CAST(k.k AS VARCHAR) AS outlink,
+               'read doc ' || CAST(doc_id AS VARCHAR) || ' link '
+                   || CAST(k.k AS VARCHAR) AS anchor
+        FROM documents, (VALUES (0), (1), (2)) k(k)
+        WHERE k.k <= doc_id % 3
+    ), ranked AS (
+        SELECT outlink, anchor,
+               ROW_NUMBER() OVER (PARTITION BY outlink
+                                  ORDER BY anchor) AS rn,
+               COUNT(*) OVER (PARTITION BY outlink) AS n
+        FROM links
+    )
+    SELECT outlink,
+           string_agg(anchor, '|' ORDER BY anchor)
+               FILTER (WHERE rn <= 64) AS anchors,
+           MAX(n) AS n
+    FROM ranked GROUP BY outlink ORDER BY outlink
+"""
+
+ORACLE_SQL["canonical_meta"] = """
+    WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 <> 4
+                    THEN 'https://docs.example/canon/'
+                         || CAST(doc_id % 50 AS VARCHAR)
+                    ELSE 'https://docs.example/' || CAST(doc_id AS VARCHAR)
+               END AS canonical,
+               CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS noindex,
+               CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END AS has_desc
+        FROM documents
+    )
+    SELECT canonical,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS rep_doc,
+           CAST(SUM(noindex) AS BIGINT) AS n_noindex,
+           CAST(SUM(has_desc) AS BIGINT) AS n_desc
+    FROM m GROUP BY canonical ORDER BY canonical
+"""
+
+ORACLE_SQL["redirect_resolution"] = """
+    WITH RECURSIVE redir AS (
+        SELECT doc_id AS src, doc_id - 1 AS dst
+        FROM documents WHERE doc_id % 8 <> 0
+    ), walk AS (
+        SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops FROM redir
+        UNION ALL
+        SELECT w.src, r.dst, w.hops + 1
+        FROM walk w JOIN redir r ON w.cur = r.src
+    )
+    SELECT src, cur AS final, hops FROM walk w
+    WHERE NOT EXISTS (SELECT 1 FROM redir r WHERE r.src = w.cur)
+    ORDER BY src
 """

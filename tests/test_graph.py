@@ -410,3 +410,34 @@ def test_deterministic_walks_matches_brute_force(ray_session):
     assert sorted(got) == sorted(ref)
     # isolated seed 9 emits only its step-0 row
     assert [r for r in got if r[0] == 9] == [(9, 0, 9)]
+
+
+def test_resolve_pointers_chains_cycle_and_nonfunctional():
+    import pytest
+
+    from document_text_extraction_ray.stages.graph import resolve_pointers
+
+    # two chains with distinct terminals + one direct pointer
+    rows = ([{"src": i, "dst": i - 1} for i in range(1, 8)]
+            + [{"src": i, "dst": i - 1} for i in range(9, 16)]
+            + [{"src": 50, "dst": 8}])
+    out = resolve_pointers(rd.from_items(rows), n_buckets=4) \
+        .to_pandas().sort_values("src").reset_index(drop=True)
+    assert len(out) == 15
+    for _i, r in out.iterrows():
+        if r["src"] == 50:
+            assert (r["final"], r["hops"]) == (8, 1)
+        elif r["src"] < 8:
+            assert (r["final"], r["hops"]) == (0, r["src"])
+        else:
+            assert (r["final"], r["hops"]) == (8, r["src"] - 8)
+
+    # a cycle raises instead of looping forever
+    cyc = [{"src": 1, "dst": 2}, {"src": 2, "dst": 3}, {"src": 3, "dst": 1}]
+    with pytest.raises(ValueError, match="cycle"):
+        resolve_pointers(rd.from_items(cyc), max_rounds=4, n_buckets=2)
+
+    # a src with two outgoing pointers is rejected (non-functional map)
+    bad = [{"src": 1, "dst": 2}, {"src": 1, "dst": 3}]
+    with pytest.raises(ValueError, match="non-functional"):
+        resolve_pointers(rd.from_items(bad), n_buckets=2).to_pandas()

@@ -232,3 +232,66 @@ def test_extract_tables_unclosed_and_rowless():
     # cell before any <tr> lands in row 0; unclosed table still emits
     assert extract_tables(b"<table><td>x</td>") == [(0, 0, 0, "x")]
     assert extract_tables(b"no tables here") == []
+
+
+def test_extract_outlinks_text_anchors_and_boilerplate():
+    """(href, anchor) pairs: boilerplate judgment matches extract_outlinks;
+    inner markup contributes text; whitespace normalized; entities
+    unescaped; an unclosed <a> is implicitly closed by the next one."""
+    from document_text_extraction_ray.functions.html_extract import (
+        extract_outlinks,
+        extract_outlinks_text,
+    )
+
+    h = (b"<html><head><title>t</title></head><body>"
+         b'<nav><a href="/menu">menu text</a></nav>'
+         b"<main><p>x <a href=\"https://a.com/1\">First <b>bold</b>"
+         b" anchor</a> y <a href='/two'>two\n  lines &amp; more</a>"
+         b'<a href="/three">un-closed <a href="/four">four</a></p>'
+         b"<script>var s='<a href=\"/js\">j</a>';</script></main>"
+         b'<footer><a href="/foot">foot</a></footer></body></html>')
+    pairs = extract_outlinks_text(h)
+    assert pairs == [
+        ("https://a.com/1", "First bold anchor"),
+        ("/two", "two lines & more"),
+        ("/three", "un-closed"),
+        ("/four", "four"),
+    ]
+    # href list identical to the bare extractor's judgment
+    assert [p[0] for p in pairs] == extract_outlinks(h)
+    # anchor spanning a dropped subtree boundary never leaks nav text
+    assert extract_outlinks_text(
+        b'<body><div class="sidebar"><a href="/s">s</a></div>'
+        b'<p><a href="/k">keep</a></p></body>') == [("/k", "keep")]
+
+
+def test_extract_head_meta_fields_and_first_wins():
+    from document_text_extraction_ray.functions.html_extract import (
+        extract_head_meta,
+    )
+
+    h = (b"<html><head><title> A &amp; B </title>"
+         b'<meta name="description" content="first desc">'
+         b'<meta name="description" content="second desc">'
+         b'<meta property="og:title" content="OGT">'
+         b'<meta property="og:description" content="OGD">'
+         b'<meta name="robots" content="noindex, nofollow">'
+         b'<link rel="canonical" href="https://e.com/c?x=1&amp;y=2">'
+         b"</head><body>"
+         b'<meta name="description" content="body meta ignored? no - '
+         b'scanning stops at body">'
+         b"</body></html>")
+    m = extract_head_meta(h)
+    assert m == {
+        "title": "A & B",
+        "description": "first desc",
+        "robots": "noindex, nofollow",
+        "og_title": "OGT",
+        "og_description": "OGD",
+        "canonical": "https://e.com/c?x=1&y=2",
+    }
+    # everything optional; scanning stops at </head>
+    m2 = extract_head_meta(
+        b"<head><title>t</title></head>"
+        b'<meta name="description" content="after head">')
+    assert m2["title"] == "t" and m2["description"] is None
