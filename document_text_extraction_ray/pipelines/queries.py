@@ -7266,6 +7266,53 @@ def q_redirect_resolution(sf_dir: str):
     return resolve_pointers(redirects).sort("src")
 
 
+def q_countmin(sf_dir: str):
+    """Count-Min frequency estimates for the first 20 user ids against
+    their exact counts: the sketch is d=4 x w=64 (deliberately narrow so
+    collisions actually inflate estimates at this scale), built from
+    nonzero-cell partials + one bucketed combine, probed after collecting
+    the FIXED-SIZE combined sketch (bounded by construction).  est >=
+    exact always; the oracle replays every cell with md5_number_lower,
+    so the estimator itself is hash-checked, not just bounded."""
+    from ..stages.aggregate import countmin_freq, pre_aggregated_count
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    est = countmin_freq(ev, "user_id", probes=list(range(20)), d=4, w=64)
+
+    def low(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("user_id"), pa.scalar(20)))
+
+    exact = pre_aggregated_count(
+        ev.map_batches(low, batch_format="pyarrow"), "user_id",
+        alias="exact_n").to_pandas()
+    out = est.merge(exact, on="user_id", how="inner")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_gini_sources(sf_dir: str):
+    """Per-source Gini concentration of document length (is one source's
+    content mass dominated by a few huge docs?) as exact integer
+    sufficient statistics — rank-tie-invariant by construction, so the
+    ROW_NUMBER oracle needs no tiebreak.  One bucketed exchange."""
+    from ..stages.aggregate import grouped_gini
+
+    return grouped_gini(_docs(sf_dir, ["source", "n_chars"]),
+                        "source", "n_chars").sort("source")
+
+
+def q_novelty(sf_dir: str):
+    """Per-doc novelty: distinct word-trigram shingles owned (corpus-wide
+    first occurrence by min doc_id) vs carried — the dataset-freshness
+    signal for crawl-snapshot curation.  Exploded pairs materialized
+    once, consumed by a count exchange and a shingle-bucketed min fold,
+    stitched by one hash join."""
+    from ..stages.curation import novelty_scores
+
+    return novelty_scores(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7538,6 +7585,9 @@ QUERIES = {
     "anchor_text": q_anchor_text,
     "canonical_meta": q_canonical_meta,
     "redirect_resolution": q_redirect_resolution,
+    "countmin_freq": q_countmin,
+    "gini_sources": q_gini_sources,
+    "novelty": q_novelty,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -12433,4 +12483,59 @@ ORACLE_SQL["redirect_resolution"] = """
     SELECT src, cur AS final, hops FROM walk w
     WHERE NOT EXISTS (SELECT 1 FROM redir r WHERE r.src = w.cur)
     ORDER BY src
+"""
+
+ORACLE_SQL["countmin_freq"] = """
+    WITH keys AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), ri AS (SELECT unnest(range(4)) AS i),
+    cellmap AS (
+        SELECT i, user_id, n,
+               md5_number_lower(CAST(i AS VARCHAR) || ':'
+                                || CAST(user_id AS VARCHAR)) % 64 AS cell
+        FROM keys CROSS JOIN ri
+    ), cells AS (
+        SELECT i, cell, SUM(n) AS total FROM cellmap GROUP BY i, cell
+    ), est AS (
+        SELECT m.user_id, MIN(c.total) AS est
+        FROM cellmap m JOIN cells c ON m.i = c.i AND m.cell = c.cell
+        WHERE m.user_id BETWEEN 0 AND 19 GROUP BY m.user_id
+    )
+    SELECT e.user_id, CAST(e.est AS BIGINT) AS est,
+           CAST(k.n AS BIGINT) AS exact_n
+    FROM est e JOIN keys k USING (user_id) ORDER BY user_id
+"""
+
+ORACLE_SQL["gini_sources"] = """
+    WITH v AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars) AS r,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_value,
+           CAST(SUM((2 * r - n - 1) * n_chars) AS BIGINT) AS gini_num
+    FROM v GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["novelty"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               md5_number_lower(unnest(list_transform(
+                   range(1, len(l) - 1),
+                   i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS h
+        FROM toks WHERE len(l) >= 3
+    ), owner AS (
+        SELECT h, MIN(doc_id) AS owner FROM sh GROUP BY h
+    )
+    SELECT s.doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM sh s JOIN owner o USING (h)
+    GROUP BY s.doc_id ORDER BY s.doc_id
 """

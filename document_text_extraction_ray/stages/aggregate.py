@@ -1513,3 +1513,83 @@ def basket_association(ds, basket_cols, item_col: str,
 
     return pair_partials.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def countmin_freq(ds, key_col: str, probes, d: int = 4, w: int = 256,
+                  n_buckets: int = 8):
+    """Count-Min frequency sketch over a key stream, probed for a fixed
+    key list: per batch a d x w int64 count matrix (cell = md5_u64(
+    "i:key") % w — DuckDB ``md5_number_lower``, so the whole sketch is
+    SQL-replayable), emitted as nonzero (row_i, cell, n) partials; ONE
+    bucketed combine sums cells; the combined sketch is FIXED SIZE
+    (<= d*w rows regardless of corpus size) so collecting it to score the
+    probe list is bounded by construction — the broadcast-bounds pattern,
+    not a corpus materialization.
+
+    est(key) = min_i sketch[i, h_i(key)].  Classic CM guarantees:
+    est >= true always (counts only collide upward), and
+    est - true <= e/w * N with prob 1 - (1/2)^d over the hash draw.
+    Mergeable and deterministic: cell sums are order-independent.
+    Returns a pandas DataFrame (key_col, est) over ``probes``."""
+    import pyarrow as pa
+
+    from ..functions import textstats as T
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key_col]).group_by(key_col).aggregate(
+            [([], "count_all")])
+        keys = g.column(key_col).to_pylist()
+        cnts = g.column("count_all").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        mat = np.zeros((d, w), np.int64)
+        for key, c in zip(keys, cnts):
+            for i in range(d):
+                mat[i, T.md5_u64(f"{i}:{key}") % w] += c
+        rows, cells = np.nonzero(mat)
+        return pa.table({"row_i": pa.array(rows.astype(np.int64)),
+                         "cell": pa.array(cells.astype(np.int64)),
+                         "n": pa.array(mat[rows, cells])})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["row_i", "cell"], as_index=False)["n"].sum()
+
+    sketch = bucketed_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["row_i", "cell"], combine,
+                           n_buckets=n_buckets).to_pandas()
+    mat = np.zeros((d, w), np.int64)
+    mat[sketch["row_i"].to_numpy(np.int64),
+        sketch["cell"].to_numpy(np.int64)] = sketch["n"].to_numpy(np.int64)
+    ests = [int(min(mat[i, T.md5_u64(f"{i}:{key}") % w] for i in range(d)))
+            for key in probes]
+    return pd.DataFrame({key_col: list(probes),
+                         "est": np.asarray(ests, np.int64)})
+
+
+def grouped_gini(ds, key: str, value: str, n_buckets: int = 32):
+    """Per-key Gini concentration as EXACT INTEGER sufficient statistics
+    (the inequality / domain-concentration curation signal): with values
+    sorted ascending within a key, gini = num/den where
+    num = sum((2*rank - n - 1) * x) and den = n * sum(x) — rank ties
+    cannot matter (tied equal values contribute a rank-sum that is
+    permutation-invariant), so no tiebreak column is needed and the
+    integers are hash-exact against a ROW_NUMBER SQL replay.  ONE
+    bucketed exchange; whole-bucket vectorized fold (one sort + one
+    groupby per bucket).  Returns (key, n, sum_value, gini_num);
+    consumers divide gini_num / (n * sum_value) — kept as integers so
+    float division never enters the comparison hash."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, value], kind="mergesort")
+        grouped = g.groupby(key, sort=False)
+        rank = grouped.cumcount().to_numpy(np.int64) + 1
+        n = grouped[value].transform("size").to_numpy(np.int64)
+        x = g[value].to_numpy(np.int64)
+        g = g.assign(__term=(2 * rank - n - 1) * x)
+        agg = g.groupby(key, sort=False).agg(
+            n=(value, "size"), sum_value=(value, "sum"),
+            gini_num=("__term", "sum"))
+        agg["n"] = agg["n"].astype("int64")
+        return agg.reset_index()
+
+    return bucketed_fold(ds.select_columns([key, value]), key, fold,
+                         n_buckets=n_buckets)

@@ -698,3 +698,66 @@ def greedy_coverage_select(docs, k: int = 4, text_column: str = "text",
 
     return pd.DataFrame(selected,
                         columns=["rank", id_column, "new_terms"])
+
+
+def novelty_scores(ds, id_column: str = "doc_id", text_column: str = "text",
+                   n: int = 3, n_buckets: int = 32):
+    """Per-document NOVELTY: how many of a doc's distinct word-n-gram
+    shingles appear for the FIRST time in that doc (owner = corpus-wide
+    min doc id per shingle) — the dataset-freshness / redundancy signal a
+    training-data curator reads before adding a crawl snapshot (a doc
+    whose shingles all have earlier owners adds nothing the corpus lacks).
+
+    Plan: distinct (doc, shingle-hash) pairs exploded row-locally and
+    MATERIALIZED ONCE (two consumers — the diamond-dependency pattern);
+    totals per doc are one count exchange; owners are one shingle-bucketed
+    min fold whose output is (owner_doc) rows — shingle-bounded, never
+    wider than the explode — counted per doc; one final hash join stitches
+    (doc, n_shingles, n_novel), left side filling 0 for docs that own
+    nothing.  Tokenization is the curation convention ([a-z0-9]+ runs,
+    md5_u64 = DuckDB md5_number_lower) so the whole statistic is
+    SQL-replayable."""
+    import pyarrow.compute as pc
+
+    from ..functions import textstats as T
+    from .aggregate import bucketed_fold, pre_aggregated_count
+    from .join import partitioned_hash_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for d, txt in zip(t.column(id_column).to_pylist(),
+                          t.column(text_column).to_pylist()):
+            for g in set(word_ngrams(txt or "", n)):
+                ids.append(d)
+                hs.append(T.md5_u64(g))
+        return pa.table({id_column: pa.array(ids, pa.int64()),
+                         "h": pa.array(hs, pa.uint64())})
+
+    pairs = ds.select_columns([id_column, text_column]) \
+        .map_batches(explode, batch_format="pyarrow").materialize()
+
+    totals = pre_aggregated_count(pairs, id_column, n_buckets=n_buckets,
+                                  alias="n_shingles")
+
+    def owner_fold(g: pd.DataFrame) -> pd.DataFrame:
+        own = g.groupby("h", sort=False)[id_column].min()
+        return pd.DataFrame({id_column: own.to_numpy(np.int64)})
+
+    owners = bucketed_fold(pairs, "h", owner_fold, n_buckets=n_buckets)
+    novel = pre_aggregated_count(owners, id_column, n_buckets=n_buckets,
+                                 alias="n_novel")
+
+    id_t = pa.int64()
+    joined = partitioned_hash_join(
+        totals, novel, on=id_column, how="left", n_buckets=n_buckets,
+        left_schema=pa.schema([(id_column, id_t), ("n_shingles", id_t)]),
+        right_schema=pa.schema([(id_column, id_t), ("n_novel", id_t)]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nv = t.column("n_novel")
+        return pa.table({
+            id_column: t.column(id_column),
+            "n_shingles": pc.cast(t.column("n_shingles"), pa.int64()),
+            "n_novel": pc.cast(pc.coalesce(nv, pa.scalar(0)), pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -1003,3 +1003,61 @@ def test_rrf_fuse_matches_reference(ray_session):
             ref[row["id"]] = (s + 10**6 // (60 + row["rank"]), n + 1)
     assert {int(i): (int(r["rrf_q"]), int(r["n_lists"]))
             for i, r in out.iterrows()} == ref
+
+
+def test_countmin_freq_overestimates_and_matches_reference():
+    """CM invariants: est >= true for every probe; est equals the exact
+    d x w matrix reference built single-process; block layout cannot
+    matter (mergeable sums)."""
+    from collections import Counter
+
+    from document_text_extraction_ray.functions.textstats import md5_u64
+    from document_text_extraction_ray.stages.aggregate import countmin_freq
+
+    rng = np.random.RandomState(7)
+    keys = rng.zipf(1.5, 3000) % 97          # skewed, collisions certain
+    d, w = 3, 16
+    true = Counter(int(k) for k in keys)
+    mat = np.zeros((d, w), np.int64)
+    for k, c in true.items():
+        for i in range(d):
+            mat[i, md5_u64(f"{i}:{k}") % w] += c
+    probes = sorted(true)[:25]
+    ref = {k: min(int(mat[i, md5_u64(f"{i}:{k}") % w]) for i in range(d))
+           for k in probes}
+
+    for n_blocks in (1, 7):
+        ds = ray.data.from_items(
+            [{"user_id": int(k)} for k in keys]).repartition(n_blocks)
+        out = countmin_freq(ds, "user_id", probes, d=d, w=w, n_buckets=4)
+        got = dict(zip(out["user_id"], out["est"]))
+        assert got == ref
+        assert all(got[k] >= true[k] for k in probes)
+    assert any(ref[k] > true[k] for k in probes)  # collisions occurred
+
+
+def test_grouped_gini_matches_definition():
+    """gini_num/(n*sum) equals the classic mean-absolute-difference form
+    G = sum_ij |xi - xj| / (2 n^2 mu); extremes: all-equal -> 0,
+    one-owner -> (n-1)/n."""
+    from document_text_extraction_ray.stages.aggregate import grouped_gini
+
+    rng = np.random.RandomState(3)
+    rows = ([{"k": "a", "v": int(v)} for v in rng.randint(1, 50, 40)]
+            + [{"k": "eq", "v": 7} for _ in range(10)]
+            + [{"k": "one", "v": 0} for _ in range(9)]
+            + [{"k": "one", "v": 100}])
+    out = grouped_gini(ray.data.from_items(rows), "k", "v",
+                       n_buckets=4).to_pandas().set_index("k")
+
+    df = {"a": [r["v"] for r in rows if r["k"] == "a"]}
+    x = np.array(df["a"], np.int64)
+    n, s = len(x), x.sum()
+    mad = np.abs(x[:, None] - x[None, :]).sum()
+    row = out.loc["a"]
+    assert row["n"] == n and row["sum_value"] == s
+    # num = sum((2r-n-1)x) over sorted == MAD/... : G = num/(n*s) = mad/(2n*s)
+    assert 2 * row["gini_num"] == mad
+    assert out.loc["eq"]["gini_num"] == 0
+    one = out.loc["one"]
+    assert one["gini_num"] / (one["n"] * one["sum_value"]) == (10 - 1) / 10

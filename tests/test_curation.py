@@ -353,3 +353,34 @@ def test_greedy_coverage_select_matches_brute_force(ray_session):
     assert got[0] == (1, 0, 5)          # biggest doc first
     assert (2, 2, 3) in got             # diverse doc beats subset doc
     assert all(d != 1 for _, d, _ in got)  # subset doc never selected
+
+
+def test_novelty_scores_matches_brute_force():
+    from document_text_extraction_ray.stages.curation import (
+        novelty_scores,
+        word_ngrams,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma zeta eta theta",      # shares a prefix trigram
+        3: "alpha beta gamma delta epsilon",       # exact dup of 1: 0 novel
+        4: "totally fresh words appear here now",
+        5: "to by if",                             # 1 trigram
+        6: "xy",                                   # <3 tokens: no shingles
+    }
+    sh = {d: set(word_ngrams(t, 3)) for d, t in texts.items()}
+    owner = {}
+    for d in sorted(sh):
+        for g in sh[d]:
+            owner.setdefault(g, d)
+    exp = {d: (len(s), sum(1 for g in s if owner[g] == d))
+           for d, s in sh.items() if s}
+
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in texts.items()])
+    out = novelty_scores(ds, n_buckets=4).to_pandas()
+    got = {int(r["doc_id"]): (int(r["n_shingles"]), int(r["n_novel"]))
+           for _, r in out.iterrows()}
+    assert got == exp
+    assert got[3] == (3, 0)           # exact dup owns nothing
+    assert 6 not in got               # shingle-less doc absent by contract
