@@ -7313,6 +7313,67 @@ def q_novelty(sf_dir: str):
     return novelty_scores(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
 
 
+def q_robots_filter(sf_dir: str):
+    """Robots-exclusion crawl-policy enforcement over the template-URL
+    fixture: per-host allow/disallow path-prefix rules, longest matching
+    prefix wins, allow beats disallow on equal length, no-match = implicit
+    allow.  The rule set exercises every precedence case — a universal
+    /static/ disallow, a longer allow overriding a shorter disallow
+    (/p/1 over /p/), and an equal-length tie (/u/ allow + disallow).
+    Rules are policy-sized and ride the task closure; the corpus never
+    shuffles (pure row-local kernel)."""
+    from ..stages.curation import robots_filter
+
+    rules = []
+    for h in range(40):
+        host = f"site{h}.com"
+        rules.append((host, "/static/", 0))
+        if h % 2 == 0:
+            rules.append((host, "/p/", 0))
+        if h % 4 == 0:
+            rules.append((host, "/p/1", 1))
+        if h % 3 == 0:
+            rules.append((host, "/u/", 0))
+            rules.append((host, "/u/", 1))
+        if h % 5 == 0:
+            rules.append((host, "/article/", 0))
+
+    def with_urls(df):
+        out = _synth_template_urls(df)
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return out
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        with_urls, batch_format="pandas")
+    return robots_filter(docs, rules).sort("doc_id")
+
+
+def q_phrase_search(sf_dir: str):
+    """Positional phrase search ("data slow", exact consecutive tokens)
+    via the index-side plan: term-filtered postings pre-shifted by phrase
+    slot, ONE doc-bucketed exchange, vectorized all-slots-present fold —
+    the corpus text never crosses the wire, only thin postings for the
+    phrase's own terms.  Overlapping matches each count; the oracle
+    replays the sliding window over the tokenized list."""
+    from ..stages.lexicon import phrase_match
+
+    return phrase_match(_docs(sf_dir, ["doc_id", "text"]),
+                        ["data", "slow"]).sort("doc_id")
+
+
+def q_filter_calibration(sf_dir: str):
+    """Quality-filter calibration: exact confusion-matrix counts of the
+    rule "keep docs with >= t distinct tokens" against the lang=='en'
+    reference label, swept over candidate thresholds — the
+    precision/recall table read before freezing a filter cutoff.  One
+    vectorized pass, threshold-shaped partials, one tiny combine."""
+    from ..stages.curation import filter_threshold_sweep
+
+    return filter_threshold_sweep(
+        _docs(sf_dir, ["text", "lang"]),
+        thresholds=[10, 15, 20, 25, 30]).sort("threshold")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7588,6 +7649,9 @@ QUERIES = {
     "countmin_freq": q_countmin,
     "gini_sources": q_gini_sources,
     "novelty": q_novelty,
+    "robots_filter": q_robots_filter,
+    "phrase_search": q_phrase_search,
+    "filter_calibration": q_filter_calibration,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -12538,4 +12602,71 @@ ORACLE_SQL["novelty"] = """
                 AS BIGINT) AS n_novel
     FROM sh s JOIN owner o USING (h)
     GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+ORACLE_SQL["robots_filter"] = """
+    WITH u AS (
+        SELECT doc_id, (doc_id // 5) % 40 AS h,
+            CASE doc_id % 5
+                WHEN 0 THEN '/article/' || CAST(doc_id AS VARCHAR) || '/view'
+                WHEN 1 THEN '/u/a' || printf('%08x',
+                    (doc_id * 2654435761) % 4294967296) || '/profile'
+                WHEN 2 THEN '/p/' || CAST(doc_id AS VARCHAR)
+                WHEN 3 THEN '/a/' || CAST(doc_id AS VARCHAR) || '/' ||
+                    CAST(doc_id + 1 AS VARCHAR) || '/x'
+                ELSE '/static/css/main.css'
+            END AS path
+        FROM documents
+    ), hosts AS (SELECT unnest(range(40)) AS h),
+    rules AS (
+        SELECT h, '/static/' AS prefix, 0 AS allow_f FROM hosts
+        UNION ALL SELECT h, '/p/', 0 FROM hosts WHERE h % 2 = 0
+        UNION ALL SELECT h, '/p/1', 1 FROM hosts WHERE h % 4 = 0
+        UNION ALL SELECT h, '/u/', 0 FROM hosts WHERE h % 3 = 0
+        UNION ALL SELECT h, '/u/', 1 FROM hosts WHERE h % 3 = 0
+        UNION ALL SELECT h, '/article/', 0 FROM hosts WHERE h % 5 = 0
+    ), matched AS (
+        SELECT u.doc_id, r.prefix, r.allow_f,
+               ROW_NUMBER() OVER (PARTITION BY u.doc_id
+                   ORDER BY length(r.prefix) DESC, r.allow_f DESC) AS rn
+        FROM u JOIN rules r
+          ON u.h = r.h AND starts_with(u.path, r.prefix)
+    )
+    SELECT u.doc_id,
+           CAST(COALESCE(m.allow_f, 1) AS BIGINT) AS allowed,
+           CAST(COALESCE(length(m.prefix), 0) AS BIGINT) AS rule_len
+    FROM u LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
+      USING (doc_id)
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["phrase_search"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+        FROM documents
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM toks, unnest(range(1, len(l))) AS t(i)
+    WHERE l[i] = 'data' AND l[i + 1] = 'slow'
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLE_SQL["filter_calibration"] = """
+    WITH th AS (SELECT unnest([10, 15, 20, 25, 30]) AS threshold),
+    d AS (
+        SELECT lang = 'en' AS pos,
+               len(list_distinct(
+                   regexp_extract_all(lower(text), '[a-z0-9]+'))) AS score
+        FROM documents
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(SUM(CASE WHEN score >= threshold AND pos
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN score >= threshold AND NOT pos
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN score < threshold AND pos
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN score < threshold AND NOT pos
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM th CROSS JOIN d GROUP BY threshold ORDER BY threshold
 """

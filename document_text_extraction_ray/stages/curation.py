@@ -761,3 +761,107 @@ def novelty_scores(ds, id_column: str = "doc_id", text_column: str = "text",
             "n_novel": pc.cast(pc.coalesce(nv, pa.scalar(0)), pa.int64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- robots policy
+
+def robots_filter(ds, rules, url_column: str = "url",
+                  id_column: str = "doc_id"):
+    """Robots-exclusion-protocol crawl-policy filter: per-host
+    allow/disallow PATH-PREFIX rules, resolved per URL with the REP
+    precedence Google documents — the LONGEST matching prefix wins, and
+    on equal length ``allow`` beats ``disallow``; a URL whose host has no
+    matching rule is allowed (the implicit ``Allow: /``).
+
+    ``rules`` is a list of ``(host, prefix, allow)`` triples.  A robots
+    rule set is POLICY-shaped (O(hosts), kilobytes against a 100-TB
+    corpus), so it is captured once in the task closure — the canonical
+    broadcast-small-side plan; the corpus never shuffles.  Matching is
+    one vectorized numpy pass PER RULE over each batch (rules iterate,
+    rows never do): rules are pre-sorted ascending by ``(len(prefix),
+    allow)`` and each pass overwrites the running best where it matches,
+    so the final value is the max-precedence rule without any per-row
+    argmax.
+
+    Output: ``(id, allowed, rule_len)`` — ``rule_len`` is the matched
+    prefix length (0 = no rule matched, implicit allow).  Extends the
+    reference's per-document in-band guards (approach4_v1.py:199-200) to
+    crawl-policy enforcement; no reference counterpart."""
+    # Precedence sort: later passes overwrite earlier ones, so ascending
+    # (len, allow) leaves the longest prefix — allow on ties — in place.
+    ordered = sorted(rules, key=lambda r: (len(r[1]), r[2]))
+    _URL = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]+)([^?#]*)")
+
+    def match(t: pa.Table) -> pa.Table:
+        urls = t.column(url_column).to_pylist()
+        hosts = np.empty(len(urls), dtype=object)
+        paths = np.empty(len(urls), dtype=object)
+        for i, u in enumerate(urls):
+            m = _URL.match(u or "")
+            hosts[i] = m.group(1) if m else ""
+            paths[i] = (m.group(2) or "/") if m else ""
+        allowed = np.ones(len(urls), dtype=np.int64)
+        rule_len = np.zeros(len(urls), dtype=np.int64)
+        for host, prefix, allow in ordered:
+            hm = hosts == host
+            if not hm.any():
+                continue
+            pm = np.array([p.startswith(prefix) for p in paths],
+                          dtype=bool) & hm
+            allowed[pm] = int(allow)
+            rule_len[pm] = len(prefix)
+        return pa.table({id_column: t.column(id_column),
+                         "allowed": pa.array(allowed, pa.int64()),
+                         "rule_len": pa.array(rule_len, pa.int64())})
+
+    return ds.select_columns([id_column, url_column]) \
+        .map_batches(match, batch_format="pyarrow")
+
+
+def filter_threshold_sweep(ds, thresholds, text_column: str = "text",
+                           label_column: str = "lang",
+                           pos_label: str = "en", n_buckets: int = 4):
+    """Quality-filter calibration sweep: confusion-matrix counts
+    (tp/fp/fn/tn) of the rule "keep documents with >= t distinct tokens"
+    against a reference label, for every candidate threshold t — the
+    precision/recall table a curator reads before freezing a filter
+    cutoff.  All counts are exact integers (ratios are the consumer's
+    division, so the statistic stays hash-checkable).
+
+    One vectorized pass computes the score and label per batch; the
+    partial is ``len(thresholds)`` rows per batch (never row-shaped on
+    the wire), combined by one tiny bucketed exchange on threshold."""
+    from .aggregate import bucketed_combine
+
+    ths = np.asarray(sorted(thresholds), dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pos = (t.column(label_column).to_pandas()
+               .fillna("").to_numpy() == pos_label)
+        score = np.fromiter(
+            (len(set(WORD_RE.findall((txt or "").lower())))
+             for txt in t.column(text_column).to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        keep = score[None, :] >= ths[:, None]
+        tp = (keep & pos[None, :]).sum(axis=1)
+        fp = (keep & ~pos[None, :]).sum(axis=1)
+        fn = (~keep & pos[None, :]).sum(axis=1)
+        tn = (~keep & ~pos[None, :]).sum(axis=1)
+        return pa.table({"threshold": pa.array(ths, pa.int64()),
+                         "tp": pa.array(tp, pa.int64()),
+                         "fp": pa.array(fp, pa.int64()),
+                         "fn": pa.array(fn, pa.int64()),
+                         "tn": pa.array(tn, pa.int64())})
+
+    partials = ds.select_columns([text_column, label_column]) \
+        .map_batches(partial, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("threshold").aggregate(
+            [("tp", "sum"), ("fp", "sum"), ("fn", "sum"), ("tn", "sum")])
+        return pa.table({"threshold": g.column("threshold"),
+                         "tp": g.column("tp_sum"), "fp": g.column("fp_sum"),
+                         "fn": g.column("fn_sum"), "tn": g.column("tn_sum")})
+
+    return bucketed_combine(partials, "threshold", combine,
+                            n_buckets=n_buckets)

@@ -979,3 +979,60 @@ def vocab_growth(docs, id_max: int, group_col: str = "source",
         return out[[group_col, "checkpoint", "vocab_size"]]
 
     return bucketed_fold(counts, "g", cum_fold, n_buckets=4)
+
+
+# ----------------------------------------------------------- phrase search
+
+def phrase_match(docs, phrase, id_column: str = "doc_id",
+                 text_column: str = "text", n_buckets: int = 32):
+    """Positional phrase search over the corpus: per-document count of
+    EXACT k-term phrase occurrences (consecutive token positions), the
+    query an inverted positional index answers without re-reading text.
+
+    Plan mirrors index-side search: the explode emits ONLY postings for
+    the phrase's terms (term-filter pushdown — the wire carries a thin
+    ``(doc, adjusted_pos, slot)`` stream, not the tokenized corpus), each
+    posting pre-shifted by its phrase slot so a complete occurrence is
+    simply "all k slots present at one adjusted position".  One
+    doc-bucketed exchange, then a whole-bucket vectorized fold: nunique
+    slots per (doc, adj) == k marks a hit — no per-position loops, no
+    per-doc Python.  Repeated terms in the phrase are handled by
+    emitting one posting per slot the term occupies.
+
+    Output: ``(id, n_matches)`` for documents with >= 1 occurrence.
+    Overlapping occurrences each count (the sliding-window convention the
+    SQL oracle replays)."""
+    terms = [t.lower() for t in phrase]
+    k = len(terms)
+    slot_of: dict = {}
+    for i, t in enumerate(terms):
+        slot_of.setdefault(t, []).append(i)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, adj, slot = [], [], []
+        for d, txt in zip(t.column(id_column).to_pylist(),
+                          t.column(text_column).to_pylist()):
+            for p, w in enumerate(_tokens(txt)):
+                for s in slot_of.get(w, ()):
+                    ids.append(d)
+                    adj.append(p - s)
+                    slot.append(s)
+        return pa.table({id_column: pa.array(ids, pa.int64()),
+                         "adj": pa.array(adj, pa.int64()),
+                         "slot": pa.array(slot, pa.int32())})
+
+    postings = docs.select_columns([id_column, text_column]) \
+        .map_batches(explode, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({id_column: pd.Series(dtype="int64"),
+                                 "n_matches": pd.Series(dtype="int64")})
+        per_pos = g.groupby([id_column, "adj"], sort=False)["slot"].nunique()
+        hits = per_pos[per_pos == k].reset_index()
+        out = hits.groupby(id_column, sort=False).size() \
+            .reset_index(name="n_matches")
+        out["n_matches"] = out["n_matches"].astype("int64")
+        return out[[id_column, "n_matches"]]
+
+    return bucketed_fold(postings, id_column, fold, n_buckets=n_buckets)

@@ -384,3 +384,47 @@ def test_novelty_scores_matches_brute_force():
     assert got == exp
     assert got[3] == (3, 0)           # exact dup owns nothing
     assert 6 not in got               # shingle-less doc absent by contract
+
+
+def test_robots_filter_precedence():
+    from document_text_extraction_ray.stages.curation import robots_filter
+
+    rules = [
+        ("a.com", "/static/", 0),
+        ("a.com", "/p/", 0),
+        ("a.com", "/p/1", 1),        # longer allow overrides /p/ disallow
+        ("a.com", "/u/", 0),
+        ("a.com", "/u/", 1),         # equal length: allow wins the tie
+    ]
+    ds = rd.from_items([
+        {"doc_id": 0, "url": "https://a.com/static/x.css"},
+        {"doc_id": 1, "url": "https://a.com/p/2"},
+        {"doc_id": 2, "url": "https://a.com/p/15?q=1"},   # query stripped
+        {"doc_id": 3, "url": "https://a.com/u/alice"},
+        {"doc_id": 4, "url": "https://a.com/open/page"},  # implicit allow
+        {"doc_id": 5, "url": "https://b.com/static/x"},   # host unruled
+    ])
+    out = robots_filter(ds, rules).to_pandas().sort_values("doc_id")
+    assert list(out["allowed"]) == [0, 0, 1, 1, 1, 1]
+    assert list(out["rule_len"]) == [8, 3, 4, 3, 0, 0]
+
+
+def test_filter_threshold_sweep_counts():
+    from document_text_extraction_ray.stages.curation import (
+        filter_threshold_sweep,
+    )
+
+    ds = rd.from_items([
+        {"text": "a b c d", "lang": "en"},    # score 4, pos
+        {"text": "a a a a", "lang": "en"},    # score 1, pos
+        {"text": "x y z",   "lang": "de"},    # score 3, neg
+        {"text": "",        "lang": None},    # score 0, neg
+    ])
+    out = filter_threshold_sweep(ds, [2, 4], label_column="lang") \
+        .to_pandas().sort_values("threshold").reset_index(drop=True)
+    assert list(out["threshold"]) == [2, 4]
+    # t=2: keep scores >=2 -> docs 1,3 kept; tp=1 fp=1 fn=1 tn=1
+    assert list(out.loc[0, ["tp", "fp", "fn", "tn"]]) == [1, 1, 1, 1]
+    # t=4: keep score>=4 -> doc 1 only; tp=1 fp=0 fn=1 tn=2
+    assert list(out.loc[1, ["tp", "fp", "fn", "tn"]]) == [1, 0, 1, 2]
+    assert (out[["tp", "fp", "fn", "tn"]].sum(axis=1) == 4).all()

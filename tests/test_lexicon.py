@@ -455,3 +455,46 @@ def test_vocab_growth_matches_brute_force(ray_session):
                       & (out["checkpoint"] == ck)]["vocab_size"]
             assert int(got.iloc[0]) == cum
     assert len(out) == sum(len(v) for v in ref.values())
+
+
+def test_phrase_match_counts_and_overlaps():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.lexicon import phrase_match
+
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "data slow data slow join"},   # 2 matches
+        {"doc_id": 1, "text": "slow data"},                  # 0 (order)
+        {"doc_id": 2, "text": "the data slow end"},          # 1
+        {"doc_id": 3, "text": "nothing here"},               # absent
+    ])
+    out = phrase_match(ds, ["data", "slow"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [0, 2]
+    assert list(out["n_matches"]) == [2, 1]
+
+
+def test_phrase_match_repeated_terms_overlapping():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.lexicon import phrase_match
+
+    # "b b b b" contains "b b b" at positions 0 and 1 (overlap counts)
+    ds = rd.from_items([{"doc_id": 0, "text": "b b b b"},
+                        {"doc_id": 1, "text": "b b"}])
+    out = phrase_match(ds, ["b", "b", "b"]).to_pandas()
+    assert list(out["doc_id"]) == [0]
+    assert list(out["n_matches"]) == [2]
+
+
+def test_phrase_match_trigram_mixed():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.lexicon import phrase_match
+
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "Merge SLOW join, merge slow join"},
+        {"doc_id": 1, "text": "merge slow sort join"},
+    ])
+    out = phrase_match(ds, ["merge", "slow", "join"]).to_pandas()
+    assert list(out["doc_id"]) == [0] and list(out["n_matches"]) == [2]
