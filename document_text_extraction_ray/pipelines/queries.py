@@ -7374,6 +7374,34 @@ def q_filter_calibration(sf_dir: str):
         thresholds=[10, 15, 20, 25, 30]).sort("threshold")
 
 
+# Shared suffix appended to every doc for the CDC fixture: content-defined
+# boundaries re-synchronize inside it despite per-doc differing prefixes, so
+# its chunks dedup corpus-wide — the property fixed-size blocking lacks.
+_CDC_BOILER = (" contact us at example dot com for more information"
+               " about this page and our terms of service")
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Content-defined chunking storage-dedup audit over documents with a
+    shared boilerplate suffix: per-doc chunk count + how many chunk
+    instances duplicate an earlier (corpus-order) instance.  Rolling-hash
+    boundaries re-synchronize inside the shared suffix, so boilerplate
+    chunks dedup across every document regardless of each doc's distinct
+    prefix — the CDC property under test.  Two thin exchanges, join-free
+    (the line_dedup shape); every integer SQL-replayed including the
+    polynomial window hash."""
+    from ..stages.dedup import content_defined_chunks
+
+    def add_boiler(t: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(
+            t.column("text"), pa.scalar(_CDC_BOILER), "")
+        return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_boiler, batch_format="pyarrow")
+    return content_defined_chunks(docs).sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7652,6 +7680,7 @@ QUERIES = {
     "robots_filter": q_robots_filter,
     "phrase_search": q_phrase_search,
     "filter_calibration": q_filter_calibration,
+    "chunk_dedup": q_chunk_dedup,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -12669,4 +12698,48 @@ ORACLE_SQL["filter_calibration"] = """
            CAST(SUM(CASE WHEN score < threshold AND NOT pos
                     THEN 1 ELSE 0 END) AS BIGINT) AS tn
     FROM th CROSS JOIN d GROUP BY threshold ORDER BY threshold
+"""
+
+ORACLE_SQL["chunk_dedup"] = """
+    WITH d AS (
+        SELECT doc_id,
+               text || ' contact us at example dot com for more information'
+                    || ' about this page and our terms of service' AS text
+        FROM documents
+    ), dn AS (SELECT doc_id, text, length(text) AS n FROM d),
+    pos AS (
+        SELECT doc_id, i
+        FROM dn, unnest(range(8, n + 1)) AS t(i)
+        WHERE (CAST(ascii(substr(text, i, 1)) AS BIGINT)
+             + CAST(ascii(substr(text, i - 1, 1)) AS BIGINT) * 31
+             + CAST(ascii(substr(text, i - 2, 1)) AS BIGINT) * 961
+             + CAST(ascii(substr(text, i - 3, 1)) AS BIGINT) * 29791
+             + CAST(ascii(substr(text, i - 4, 1)) AS BIGINT) * 923521
+             + CAST(ascii(substr(text, i - 5, 1)) AS BIGINT) * 28629151
+             + CAST(ascii(substr(text, i - 6, 1)) AS BIGINT) * 887503681
+             + CAST(ascii(substr(text, i - 7, 1)) AS BIGINT) * 27512614111) % 32 = 0
+    ), b AS (
+        SELECT doc_id, i AS e,
+               COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s
+        FROM pos
+        UNION ALL
+        SELECT dn.doc_id, dn.n, COALESCE(mx.m, 0)
+        FROM dn LEFT JOIN (SELECT doc_id, MAX(i) AS m
+                           FROM pos GROUP BY doc_id) mx USING (doc_id)
+        WHERE COALESCE(mx.m, 0) < dn.n
+    ), chunks AS (
+        SELECT b.doc_id,
+               b.doc_id * 1048576
+                   + ROW_NUMBER() OVER (PARTITION BY b.doc_id
+                                        ORDER BY b.e) - 1 AS ikey,
+               md5_number_lower(substr(dn.text, b.s + 1, b.e - b.s)) AS h
+        FROM b JOIN dn USING (doc_id)
+    ), firsts AS (
+        SELECT h, MIN(ikey) AS fkey FROM chunks GROUP BY h
+    )
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN c.ikey <> f.fkey THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup
+    FROM chunks c JOIN firsts f USING (h)
+    GROUP BY c.doc_id ORDER BY c.doc_id
 """

@@ -2146,3 +2146,98 @@ def split_doc_pairs(ds, text_column: str, id_column: str, n: int = 3,
     verified = bucketed_fold(co, ["id_a", "id_b"], verify,
                              n_buckets=n_buckets)
     return ray.data.from_arrow(empty_out).union(verified)
+
+
+# ------------------------------------------------- content-defined chunking
+
+def content_defined_chunks(ds, id_column: str = "doc_id",
+                           text_column: str = "text", window: int = 8,
+                           base: int = 31, divisor: int = 32,
+                           n_buckets: int = 32):
+    """Content-defined chunking (CDC) storage-dedup audit: split every
+    document at ROLLING-HASH boundaries (the rsync/casync/LBFS plan) and
+    count, per document, how many chunk INSTANCES are duplicates of a
+    chunk seen earlier in corpus order — the dedupable-bytes signal a
+    storage layer reads before enabling chunk-level dedup.
+
+    The boundary rule is position-local (a window-``window`` polynomial
+    hash ``sum(code[p-j] * base**j) % divisor == 0``), so chunking
+    RE-SYNCHRONIZES inside shared content regardless of differing
+    prefixes — the property that makes CDC find shared boilerplate where
+    fixed-size blocks cannot.  The hash is vectorized as one numpy
+    convolution per document; chunk identity is ``md5_u64`` (= DuckDB
+    ``md5_number_lower``), so the whole statistic is SQL-replayable
+    (ASCII corpus assumed: SQL ``ascii(substr(..))`` is per CHARACTER,
+    the kernel is per byte).
+
+    Plan (the ``line_dedup`` two-exchange shape, join-free): explode to
+    thin ``(id, instance_key, h)`` rows; ONE h-bucketed fold marks every
+    instance that is not its hash's corpus-global first (min instance
+    key) — key-complete buckets make the min exact; ONE per-doc combine
+    folds ``(n_chunks, n_dup)``.  A hot chunk (boilerplate shared by
+    every doc) concentrates at its own reducer as thin rows, never
+    payload bytes."""
+    from .aggregate import bucketed_combine, bucketed_fold
+
+    weights = (base ** np.arange(window, dtype=np.int64))
+
+    def chunk_hashes(text: str) -> list:
+        codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8) \
+            .astype(np.int64)
+        n = codes.size
+        if n == 0:
+            return []
+        cuts = []
+        if n >= window:
+            h = np.convolve(codes, weights)[window - 1:n]
+            cuts = list((np.nonzero(h % divisor == 0)[0] + window).astype(int))
+        if not cuts or cuts[-1] != n:
+            cuts.append(n)
+        out, prev = [], 0
+        for c in cuts:
+            out.append(T.md5_u64(text[prev:c]))
+            prev = c
+        return out
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, keys, hs = [], [], []
+        for d, txt in zip(t.column(id_column).to_pylist(),
+                          t.column(text_column).to_pylist()):
+            for idx, h in enumerate(chunk_hashes(txt or "")):
+                ids.append(d)
+                keys.append((d << 20) | idx)
+                hs.append(h)
+        return pa.table({id_column: pa.array(ids, pa.int64()),
+                         "ikey": pa.array(keys, pa.int64()),
+                         "h": pa.array(hs, pa.uint64())})
+
+    pairs = ds.select_columns([id_column, text_column]) \
+        .map_batches(explode, batch_format="pyarrow")
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("h", sort=False)["ikey"].transform("min")
+        return pd.DataFrame({
+            id_column: g[id_column].to_numpy(np.int64),
+            "dup": (g["ikey"].to_numpy() != first.to_numpy())
+                   .astype(np.int64)})
+
+    marked = bucketed_fold(pairs, "h", mark, n_buckets=n_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(id_column).aggregate([("dup", "sum"),
+                                             ("dup", "count")])
+        return pa.table({id_column: g.column(id_column),
+                         "pd_": g.column("dup_sum"),
+                         "pn_": g.column("dup_count")})
+
+    partials = marked.map_batches(partial, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(id_column).aggregate([("pd_", "sum"), ("pn_", "sum")])
+        return pa.table({
+            id_column: g.column(id_column),
+            "n_chunks": pc.cast(g.column("pn__sum"), pa.int64()),
+            "n_dup": pc.cast(g.column("pd__sum"), pa.int64())})
+
+    return bucketed_combine(partials, id_column, combine,
+                            n_buckets=n_buckets)

@@ -663,3 +663,52 @@ def test_split_doc_pairs_matches_brute_force(ray_session):
     assert got == ref
     assert (0, 1) in got and (1, 2) in got
     assert (1, 0) not in got  # directional: head-of-A vs tail-of-B differs
+
+
+def test_content_defined_chunks_resync_and_counts():
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.functions.textstats import md5_u64
+    from document_text_extraction_ray.stages.dedup import (
+        content_defined_chunks,
+    )
+
+    boiler = (" shared boilerplate tail that is long enough to span chunks"
+              " and then some more words to force multiple interior content"
+              " defined boundaries inside the shared suffix region of every"
+              " document in the corpus")
+    docs = [(0, "alpha beta gamma delta epsilon zeta" + boiler),
+            (1, "completely different prefix words here" + boiler),
+            (2, "third prefix" + boiler)]
+
+    def ref_chunks(text, w=8, b=31, d=32):
+        codes = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+        cuts = [p + 1 for p in range(w - 1, len(codes))
+                if sum(int(codes[p - j]) * b ** j for j in range(w)) % d == 0]
+        if not cuts or cuts[-1] != len(codes):
+            cuts.append(len(codes))
+        out, prev = [], 0
+        for c in cuts:
+            out.append(md5_u64(text[prev:c]))
+            prev = c
+        return out
+
+    seen, expect = set(), {}
+    for did, txt in docs:
+        hs = ref_chunks(txt)
+        dup = 0
+        for h in hs:
+            if h in seen:
+                dup += 1
+            seen.add(h)
+        expect[did] = (len(hs), dup)
+
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs])
+    out = content_defined_chunks(ds).to_pandas().sort_values("doc_id")
+    got = {int(r.doc_id): (int(r.n_chunks), int(r.n_dup))
+           for r in out.itertuples()}
+    assert got == expect
+    # re-synchronization: later docs must dedup at least one boilerplate
+    # chunk despite fully different prefixes
+    assert expect[1][1] >= 1 and expect[2][1] >= 1
