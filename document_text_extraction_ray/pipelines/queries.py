@@ -7402,6 +7402,31 @@ def q_chunk_dedup(sf_dir: str):
     return content_defined_chunks(docs).sort("doc_id")
 
 
+def q_trustrank(sf_dir: str):
+    """TrustRank (seed-personalized integer PageRank, 3 iterations) over
+    the same deterministic doc-id graph as ``pagerank``: teleport mass
+    and initial rank go ONLY to the vetted seed set (doc_id % 10 == 0) —
+    trust flows outward, spam-like pages far from seeds decay toward 0.
+    Seed set is policy-sized and rides the task closure; per-iteration
+    plan is identical to pagerank (thin share attach + bucketed fold)."""
+    from ..stages.graph import pagerank_int
+
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([d, d]), pa.int64()),
+            "dst": pa.array(np.concatenate(
+                [(7 * d + 3) % n, (d * d + 1) % n]), pa.int64()),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank_int(edges, n_iters=3, n_buckets=8,
+                        seeds=range(0, n, 10)).sort("node")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7681,6 +7706,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "filter_calibration": q_filter_calibration,
     "chunk_dedup": q_chunk_dedup,
+    "trustrank": q_trustrank,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -12742,4 +12768,53 @@ ORACLE_SQL["chunk_dedup"] = """
                 AS BIGINT) AS n_dup
     FROM chunks c JOIN firsts f USING (h)
     GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+ORACLE_SQL["trustrank"] = """
+    WITH params AS (SELECT COUNT(*) AS n FROM documents),
+    nodes AS (SELECT doc_id AS node FROM documents),
+    edges AS (
+        SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst
+        FROM documents, params
+        UNION ALL
+        SELECT doc_id, (doc_id * doc_id + 1) % n FROM documents, params
+    ),
+    deg AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src),
+    ns AS (SELECT COUNT(*) AS k FROM nodes WHERE node % 10 = 0),
+    c AS (SELECT
+              (1000000000000 - (85 * 1000000000000) // 100) // k AS tele,
+              1000000000000 // k AS r0
+          FROM ns),
+    rk0 AS (SELECT node,
+                   CASE WHEN node % 10 = 0
+                        THEN (SELECT r0 FROM c) ELSE 0 END AS rank
+            FROM nodes),
+    s1 AS (SELECT e.dst AS node, SUM(r.rank // d.outd) AS s
+           FROM edges e JOIN rk0 r ON r.node = e.src
+                        JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    rk1 AS (SELECT n.node,
+                   CASE WHEN n.node % 10 = 0
+                        THEN (SELECT tele FROM c) ELSE 0 END
+                   + (85 * COALESCE(s1.s, 0)) // 100 AS rank
+            FROM nodes n LEFT JOIN s1 ON s1.node = n.node),
+    s2 AS (SELECT e.dst AS node, SUM(r.rank // d.outd) AS s
+           FROM edges e JOIN rk1 r ON r.node = e.src
+                        JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    rk2 AS (SELECT n.node,
+                   CASE WHEN n.node % 10 = 0
+                        THEN (SELECT tele FROM c) ELSE 0 END
+                   + (85 * COALESCE(s2.s, 0)) // 100 AS rank
+            FROM nodes n LEFT JOIN s2 ON s2.node = n.node),
+    s3 AS (SELECT e.dst AS node, SUM(r.rank // d.outd) AS s
+           FROM edges e JOIN rk2 r ON r.node = e.src
+                        JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    rk3 AS (SELECT n.node,
+                   CASE WHEN n.node % 10 = 0
+                        THEN (SELECT tele FROM c) ELSE 0 END
+                   + (85 * COALESCE(s3.s, 0)) // 100 AS rank
+            FROM nodes n LEFT JOIN s3 ON s3.node = n.node)
+    SELECT node, CAST(rank AS BIGINT) AS rank FROM rk3 ORDER BY node
 """

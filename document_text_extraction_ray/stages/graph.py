@@ -36,14 +36,22 @@ SCALE = 10**12  # fixed point: rank 1.0 == 10^12
 
 def pagerank_int(edges, n_iters: int = 3, damping_pct: int = 85,
                  n_buckets: int = 16, src_col: str = "src",
-                 dst_col: str = "dst"):
+                 dst_col: str = "dst", seeds=None):
     """Integer fixed-point PageRank over an edge Dataset (multi-edges
     count once per row).  Returns (node, rank) with rank in SCALE units;
     total rank <= SCALE (floor-division loss is deterministic).
 
+    ``seeds`` turns this into TRUSTRANK (Gyongyi et al.): teleport mass
+    goes ONLY to the seed nodes (uniformly), initial rank likewise — the
+    canonical web-spam demotion ranking, where trust flows outward from
+    a vetted seed set and pages unreachable from it converge to 0.  The
+    seed set is POLICY-shaped (thousands of ids against a web-scale
+    graph), so it rides the task closure as a sorted numpy array probed
+    with np.isin per fold — never a shuffle side.
+
     Every node must appear as a src (no dangling-mass redistribution —
     synthesize self-loops upstream if the graph has sinks); nodes with no
-    in-edges receive teleport only."""
+    in-edges receive teleport only (seeds only, under TrustRank)."""
     from .aggregate import bucketed_fold, pre_aggregated_count
     from .join import attach_column, coalesce_aggregate_blocks
 
@@ -52,13 +60,27 @@ def pagerank_int(edges, n_iters: int = 3, damping_pct: int = 85,
                                n_buckets=n_buckets)
     deg = coalesce_aggregate_blocks(deg, 4).materialize()
     n_nodes = deg.count()
-    tele = (SCALE - damping_pct * SCALE // 100) // n_nodes
-    r0 = SCALE // n_nodes
+    seed_arr = None
+    if seeds is None:
+        tele = (SCALE - damping_pct * SCALE // 100) // n_nodes
+        r0 = SCALE // n_nodes
+    else:
+        seed_arr = np.asarray(sorted(set(int(s) for s in seeds)), np.int64)
+        if seed_arr.size == 0:
+            raise ValueError("TrustRank needs a non-empty seed set")
+        tele = (SCALE - damping_pct * SCALE // 100) // seed_arr.size
+        r0 = SCALE // seed_arr.size
 
     def init_state(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
             return t
-        ranks = np.full(t.num_rows, r0, np.int64)
+        nodes = t.column(src_col).to_numpy(zero_copy_only=False) \
+                 .astype(np.int64)
+        if seed_arr is None:
+            ranks = np.full(t.num_rows, r0, np.int64)
+        else:
+            ranks = np.where(np.isin(nodes, seed_arr), r0, 0) \
+                      .astype(np.int64)
         outd = t.column("out_deg").to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
         return pa.table({
@@ -106,7 +128,13 @@ def pagerank_int(edges, n_iters: int = 3, damping_pct: int = 85,
                 s=("share", "sum"), out_deg=("out_deg", "max")).reset_index()
             s = a["s"].to_numpy().astype(np.int64)
             outd = a["out_deg"].to_numpy().astype(np.int64)
-            rank = tele + (damping_pct * s) // 100
+            if seed_arr is None:
+                node_tele = tele
+            else:
+                node_tele = np.where(
+                    np.isin(a["node"].to_numpy().astype(np.int64), seed_arr),
+                    tele, 0).astype(np.int64)
+            rank = node_tele + (damping_pct * s) // 100
             a["rank"] = rank
             a["share"] = rank // outd
             a["out_deg"] = outd

@@ -441,3 +441,40 @@ def test_resolve_pointers_chains_cycle_and_nonfunctional():
     bad = [{"src": 1, "dst": 2}, {"src": 1, "dst": 3}]
     with pytest.raises(ValueError, match="non-functional"):
         resolve_pointers(rd.from_items(bad), n_buckets=2).to_pandas()
+
+
+def _ref_trustrank(edges, seeds, iters=3, dpct=85):
+    from collections import defaultdict
+
+    outd = defaultdict(int)
+    for s, d in edges:
+        outd[s] += 1
+    k = len(seeds)
+    tele = (SCALE - dpct * SCALE // 100) // k
+    rank = {v: (SCALE // k if v in seeds else 0) for v in outd}
+    for _ in range(iters):
+        s = defaultdict(int)
+        for a, b in edges:
+            s[b] += rank[a] // outd[a]
+        rank = {v: (tele if v in seeds else 0) + (dpct * s.get(v, 0)) // 100
+                for v in outd}
+    return rank
+
+
+def test_trustrank_seed_teleport_and_decay():
+    # Two components: 0-4 reachable from seed 0; 5-9 a ring with no seed
+    # and no path from the seeded side -> their trust decays to 0.
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)] \
+        + [(5 + i, 5 + (i + 1) % 5) for i in range(5)]
+    seeds = {0}
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+    out = pagerank_int(ds, n_iters=3, n_buckets=4, seeds=seeds) \
+        .to_pandas().set_index("node")["rank"].to_dict()
+    assert out == _ref_trustrank(edges, seeds)
+    assert all(out[v] == 0 for v in range(5, 10))
+    # trust reaches exactly the <=3-hop frontier after 3 iterations
+    assert all(out[v] > 0 for v in range(0, 4))
+    assert out[4] == 0
+    # seedless pagerank on the same graph gives everyone teleport mass
+    base = pagerank_int(ds, n_iters=3, n_buckets=4).to_pandas()
+    assert (base["rank"] > 0).all()
