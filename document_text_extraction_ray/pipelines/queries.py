@@ -7427,6 +7427,20 @@ def q_trustrank(sf_dir: str):
                         seeds=range(0, n, 10)).sort("node")
 
 
+def q_weighted_containment(sf_dir: str):
+    """TF-weighted containment near-dup pairs: shared word-trigram MASS
+    (sum of min term frequencies) >= 8% of the smaller doc's total
+    shingle instances — the multiplicity-aware template-stuffing /
+    repeated-quotation detector set containment undercounts.  df>64
+    shingles dropped before pairing (replayed in SQL, so hash-exact);
+    denominators stay full.  Two thin exchanges, no all-pairs scan."""
+    from ..stages.dedup import weighted_containment_pairs
+
+    return weighted_containment_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), "text", "doc_id",
+        n=3, threshold=(2, 25), df_cap=64).sort(["id_a", "id_b"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7707,6 +7721,7 @@ QUERIES = {
     "filter_calibration": q_filter_calibration,
     "chunk_dedup": q_chunk_dedup,
     "trustrank": q_trustrank,
+    "weighted_containment": q_weighted_containment,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -12817,4 +12832,36 @@ ORACLE_SQL["trustrank"] = """
                    + (85 * COALESCE(s3.s, 0)) // 100 AS rank
             FROM nodes n LEFT JOIN s3 ON s3.node = n.node)
     SELECT node, CAST(rank AS BIGINT) AS rank FROM rk3 ORDER BY node
+"""
+
+ORACLE_SQL["weighted_containment"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               md5_number_lower(l[i] || ' ' || l[i + 1] || ' '
+                                || l[i + 2]) AS h,
+               COUNT(*) AS tf
+        FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+        WHERE len(l) >= 3
+        GROUP BY doc_id, h
+    ), tot AS (SELECT doc_id, SUM(tf) AS total FROM sh GROUP BY doc_id),
+    df AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h),
+    capped AS (
+        SELECT s.* FROM sh s JOIN df USING (h) WHERE df BETWEEN 2 AND 64
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               SUM(LEAST(a.tf, b.tf)) AS inter
+        FROM capped a JOIN capped b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b, CAST(p.inter AS BIGINT) AS inter,
+           CAST(ta.total AS BIGINT) AS total_a,
+           CAST(tb.total AS BIGINT) AS total_b
+    FROM pairs p JOIN tot ta ON ta.doc_id = p.id_a
+                 JOIN tot tb ON tb.doc_id = p.id_b
+    WHERE p.inter * 25 >= 2 * LEAST(ta.total, tb.total)
+    ORDER BY p.id_a, p.id_b
 """

@@ -2241,3 +2241,107 @@ def content_defined_chunks(ds, id_column: str = "doc_id",
 
     return bucketed_combine(partials, id_column, combine,
                             n_buckets=n_buckets)
+
+
+def weighted_containment_pairs(ds, text_column: str, id_column: str,
+                               n: int = 3, threshold=(2, 25),
+                               df_cap: int = 64, n_buckets: int = 32):
+    """TF-WEIGHTED containment near-dup join: pairs whose shared
+    word-n-gram MASS ``sum_g min(tf_A(g), tf_B(g))`` clears a rational
+    fraction of the smaller doc's TOTAL shingle mass.  The multiplicity-
+    aware refinement of ``containment_pairs``: set containment counts a
+    boilerplate block once however often it repeats, weighted containment
+    counts the repeated MASS — the detector for template stuffing and
+    repeated-quotation duplication.
+
+    Exactness contract mirrors ``containment_pairs``: shingles whose
+    DOCUMENT frequency exceeds ``df_cap`` are dropped before pairing
+    (conservative undercount, replayed identically in SQL); the
+    denominator stays each doc's FULL shingle-instance total
+    (len(tokens) - n + 1), uncapped.
+
+    Plan (two thin exchanges): explode per-doc (h, tf, total) rows —
+    (doc, h) pre-aggregated batch-locally so the wire carries distinct
+    shingles, not instances; h-bucketed fold self-merges groups of
+    2..df_cap docs into pair rows carrying min(tf_a, tf_b); pair-bucketed
+    fold sums the mass and applies the integer filter
+    ``inter * den >= num * min(total_a, total_b)``."""
+    num, den = threshold
+
+    from collections import Counter
+
+    from .aggregate import bucketed_fold
+    from .curation import word_ngrams as _list_ngrams
+    from .join import _arrow_schema
+
+    id_type = _arrow_schema(ds.select_columns([id_column])) \
+        .field(id_column).type
+    empty_pair = pa.table({
+        "id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+        "mshared": pa.array([], pa.int64()),
+        "total_a": pa.array([], pa.int64()),
+        "total_b": pa.array([], pa.int64()),
+    }).to_pandas()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys, ids, tfs, tots = [], [], [], []
+        for doc_id, text in zip(batch.column(id_column).to_pylist(),
+                                batch.column(text_column).to_pylist()):
+            sh = _list_ngrams(text or "", n)
+            if not sh:
+                continue
+            c = Counter(T.md5_u64(s) for s in sh)
+            keys.extend(c.keys())
+            tfs.extend(c.values())
+            ids.extend([doc_id] * len(c))
+            tots.extend([len(sh)] * len(c))
+        return pa.table({
+            "h": pa.array(keys, pa.uint64()),
+            id_column: pa.array(ids, id_type),
+            "tf": pa.array(tfs, pa.int64()),
+            "total": pa.array(tots, pa.int64()),
+        })
+
+    exploded = ds.select_columns([id_column, text_column]).map_batches(
+        explode, batch_format="pyarrow")
+
+    def cooccur(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("h", sort=False)["h"].transform("size").to_numpy()
+        g = g[(cnt >= 2) & (cnt <= df_cap)]
+        if g.empty:
+            return empty_pair
+        m = g.merge(g, on="h", suffixes=("_a", "_b"))
+        m = m[m[id_column + "_a"] < m[id_column + "_b"]]
+        if m.empty:
+            return empty_pair
+        return pd.DataFrame({
+            "id_a": m[id_column + "_a"].to_numpy(),
+            "id_b": m[id_column + "_b"].to_numpy(),
+            "mshared": np.minimum(m["tf_a"].to_numpy(),
+                                  m["tf_b"].to_numpy()).astype(np.int64),
+            "total_a": m["total_a"].to_numpy().astype(np.int64),
+            "total_b": m["total_b"].to_numpy().astype(np.int64)})
+
+    co = bucketed_fold(exploded, "h", cooccur, n_buckets=n_buckets)
+
+    empty_verify = pa.table({
+        "id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+        "inter": pa.array([], pa.int64()),
+        "total_a": pa.array([], pa.int64()),
+        "total_b": pa.array([], pa.int64()),
+    }).to_pandas()
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty_verify
+        out = g.groupby(["id_a", "id_b"], sort=False).agg(
+            inter=("mshared", "sum"), total_a=("total_a", "first"),
+            total_b=("total_b", "first")).reset_index()
+        keep = (out["inter"].to_numpy() * den
+                >= num * np.minimum(out["total_a"].to_numpy(),
+                                    out["total_b"].to_numpy()))
+        out = out[keep]
+        out["inter"] = out["inter"].astype("int64")
+        return out[["id_a", "id_b", "inter", "total_a", "total_b"]]
+
+    return bucketed_fold(co, ["id_a", "id_b"], verify, n_buckets=n_buckets)

@@ -712,3 +712,48 @@ def test_content_defined_chunks_resync_and_counts():
     # re-synchronization: later docs must dedup at least one boilerplate
     # chunk despite fully different prefixes
     assert expect[1][1] >= 1 and expect[2][1] >= 1
+
+
+def test_weighted_containment_counts_mass_not_sets():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.dedup import (
+        weighted_containment_pairs,
+    )
+
+    # doc 1 repeats doc 0's trigram block 3x inside filler; set
+    # containment sees 1 shared shingle type, weighted sees the mass.
+    block = "alpha beta gamma"
+    docs = [
+        {"doc_id": 0, "text": block},                       # 1 instance
+        {"doc_id": 1, "text": " ".join([block] * 3)},       # 3x block
+        {"doc_id": 2, "text": "unrelated words only here"},
+    ]
+    out = weighted_containment_pairs(
+        rd.from_items(docs), "text", "doc_id", n=3,
+        threshold=(1, 1), df_cap=64).to_pandas()
+    # pair (0,1): doc0 has 1 shingle 'alpha beta gamma' (tf 1); doc1's
+    # tokens = block*3 -> 7 trigrams, 'alpha beta gamma' tf 3 -> min 1.
+    # inter=1+cross-boundary overlaps? only exact type matches count.
+    row = out[(out.id_a == 0) & (out.id_b == 1)]
+    assert len(row) == 1
+    assert int(row.inter.iloc[0]) == 1          # min(1, 3)
+    assert int(row.total_a.iloc[0]) == 1
+    assert int(row.total_b.iloc[0]) == 7
+    # threshold filter: inter*1 >= 1*min(1,7) -> kept
+    assert not ((out.id_a == 0) & (out.id_b == 2)).any()
+
+
+def test_weighted_containment_df_cap_drops_stopword_shingles():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.dedup import (
+        weighted_containment_pairs,
+    )
+
+    # the shared shingle appears in 3 docs; df_cap=2 drops it entirely
+    docs = [{"doc_id": i, "text": "common shared phrase"} for i in range(3)]
+    out = weighted_containment_pairs(
+        rd.from_items(docs), "text", "doc_id", n=3,
+        threshold=(1, 100), df_cap=2).to_pandas()
+    assert len(out) == 0
