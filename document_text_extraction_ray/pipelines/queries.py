@@ -7441,6 +7441,24 @@ def q_weighted_containment(sf_dir: str):
         n=3, threshold=(2, 25), df_cap=64).sort(["id_a", "id_b"])
 
 
+def q_budget_allocation(sf_dir: str):
+    """Crawl-budget apportionment: a global budget of 997 fetch slots
+    split across the 40 fixture hosts proportionally to page count by
+    the LARGEST-REMAINDER method — quotas sum to the budget EXACTLY
+    (no proportional-rounding leak), remainder ties broken by host.
+    One count exchange + two scalar reductions + one remainder-rank
+    sort; 997 is prime so floor quotas genuinely under-fill and the
+    remainder pass is exercised."""
+    from ..stages.sampling import budget_allocation
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda t: pa.table({"host": pa.array(
+            (t.column("doc_id").to_numpy(zero_copy_only=False) // 5) % 40,
+            pa.int64())}),
+        batch_format="pyarrow")
+    return budget_allocation(docs, "host", budget=997).sort("host")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7722,6 +7740,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "trustrank": q_trustrank,
     "weighted_containment": q_weighted_containment,
+    "budget_allocation": q_budget_allocation,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -12864,4 +12883,25 @@ ORACLE_SQL["weighted_containment"] = """
                  JOIN tot tb ON tb.doc_id = p.id_b
     WHERE p.inter * 25 >= 2 * LEAST(ta.total, tb.total)
     ORDER BY p.id_a, p.id_b
+"""
+
+ORACLE_SQL["budget_allocation"] = """
+    WITH w AS (
+        SELECT (doc_id // 5) % 40 AS host, COUNT(*) AS weight
+        FROM documents GROUP BY 1
+    ), tot AS (SELECT SUM(weight) AS W FROM w),
+    calc AS (
+        SELECT host, weight,
+               (997 * weight) // W AS base,
+               (997 * weight) % W AS rem
+        FROM w, tot
+    ), l AS (SELECT 997 - SUM(base) AS leftover FROM calc),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) AS rn
+        FROM calc
+    )
+    SELECT host, CAST(weight AS BIGINT) AS weight,
+           CAST(base + CASE WHEN rn <= (SELECT leftover FROM l)
+                            THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM r ORDER BY host
 """

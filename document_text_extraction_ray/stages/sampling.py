@@ -296,3 +296,72 @@ def rendezvous_rebalance_stats(ds, key_col: str, n_old: int, n_new: int,
         ds.select_columns([key_col]).map_batches(
             partial, batch_format="pyarrow"),
         "worker", combine, n_buckets)
+
+
+def budget_allocation(ds, key_col: str, budget: int, weight_col=None,
+                      n_buckets: int = 32):
+    """Exact integer apportionment of a global budget across keys by the
+    LARGEST-REMAINDER method (Hamilton apportionment): quota_k =
+    floor(budget * w_k / W) plus +1 for the ``budget - sum(floor)`` keys
+    with the largest remainders (ties broken by key ascending).  Quotas
+    sum to ``budget`` EXACTLY — the crawl-budget / sampling-quota
+    allocator where proportional rounding must not leak or overshoot.
+
+    ``weight_col`` None counts rows per key; otherwise weights are summed
+    per key.  Plan: one bucketed count/sum exchange builds the key-shaped
+    weight table; two SCALAR driver reductions (W and the floor-sum —
+    single numbers, never row data); one dataset sort ranks remainders
+    via ``global_row_number`` (driver holds one row per BLOCK).  The
+    quota table is key-bounded; all arithmetic is int64 — ``budget * W``
+    must fit (documented overflow contract).
+
+    Output: (key, weight, quota)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .aggregate import pre_aggregated_count, pre_aggregated_sum
+    from .windows import global_row_number
+
+    if weight_col is None:
+        w = pre_aggregated_count(ds, key_col, n_buckets=n_buckets,
+                                 alias="weight")
+    else:
+        w = pre_aggregated_sum(ds, key_col, weight_col,
+                               n_buckets=n_buckets)
+        w = w.map_batches(
+            lambda t: pa.table({key_col: t.column(key_col),
+                                "weight": pc.cast(
+                                    t.column(f"sum_{weight_col}"),
+                                    pa.int64())}),
+            batch_format="pyarrow")
+    w = w.materialize()
+    total = int(w.sum("weight"))
+    if total <= 0:
+        raise ValueError("budget_allocation: total weight must be > 0")
+
+    def floors(t: pa.Table) -> pa.Table:
+        wt = t.column("weight").to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        base = budget * wt // total
+        rem = budget * wt % total
+        return pa.table({key_col: t.column(key_col),
+                         "weight": pa.array(wt, pa.int64()),
+                         "base": pa.array(base, pa.int64()),
+                         "rem": pa.array(rem, pa.int64())})
+
+    fl = w.map_batches(floors, batch_format="pyarrow").materialize()
+    leftover = budget - int(fl.sum("base"))
+
+    ranked = global_row_number(fl, ["rem", key_col],
+                               descending=[True, False], out_column="rn")
+
+    def finish(t: pa.Table) -> pa.Table:
+        rn = t.column("rn").to_numpy(zero_copy_only=False).astype(np.int64)
+        base = t.column("base").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        return pa.table({
+            key_col: t.column(key_col),
+            "weight": t.column("weight"),
+            "quota": pa.array(base + (rn <= leftover), pa.int64())})
+
+    return ranked.map_batches(finish, batch_format="pyarrow")

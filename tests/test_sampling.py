@@ -182,3 +182,37 @@ def test_rendezvous_minimal_movement_property():
     moved = 3000 - out["n_stayed"].sum()
     assert moved == out.loc[8, "n_new_keys"]
     assert 3000 // 9 * 0.5 < moved < 3000 // 9 * 1.6   # ~1/9 expected
+
+
+def test_budget_allocation_exact_sum_and_proportionality():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.sampling import (
+        budget_allocation,
+    )
+
+    # weights 5/3/2 over budget 17 -> floors 8/5/3 (sum 16), one
+    # leftover goes to the largest remainder
+    rows = [{"k": "a"}] * 5 + [{"k": "b"}] * 3 + [{"k": "c"}] * 2
+    out = budget_allocation(rd.from_items(rows), "k", budget=17) \
+        .to_pandas().set_index("k")
+    assert int(out["quota"].sum()) == 17
+    ref = {"a": 17 * 5 // 10, "b": 17 * 3 // 10, "c": 17 * 2 // 10}
+    rems = {"a": 17 * 5 % 10, "b": 17 * 3 % 10, "c": 17 * 2 % 10}
+    leftover = 17 - sum(ref.values())
+    for k in sorted(rems, key=lambda k: (-rems[k], k))[:leftover]:
+        ref[k] += 1
+    assert {k: int(v) for k, v in out["quota"].items()} == ref
+
+
+def test_budget_allocation_weight_col_and_zero_leftover():
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.sampling import (
+        budget_allocation,
+    )
+
+    # weights 1/1 over budget 10 -> exact halves, leftover 0
+    ds = rd.from_items([{"k": "x", "w": 1}, {"k": "y", "w": 1}])
+    out = budget_allocation(ds, "k", budget=10, weight_col="w").to_pandas()
+    assert sorted(out["quota"]) == [5, 5]
