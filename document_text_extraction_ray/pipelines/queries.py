@@ -7485,6 +7485,37 @@ def q_neardup_clusters(sf_dir: str):
     return hist.sort("cluster_size")
 
 
+def q_scc(sf_dir: str):
+    """Strongly connected components (the web bow-tie decomposition) by
+    distributed coloring: 4-cycles (ring per doc-id block) stitched by a
+    hub star from node 0 — two condensation layers, so the outer loop
+    genuinely peels (round 1 assigns the hub's SCC, round 2 the rings).
+    Exact SCC partition, label = min member; the oracle computes the
+    full recursive-CTE reachability closure and takes each node's
+    minimum MUTUALLY-reachable peer — round-free, so it checks the
+    engine's fixpoint, not its iteration schedule.  The heavy tail of
+    the registry by design: ~2 directed min-reach fixpoints per outer
+    round, each a pointer-jumped iterative join (the pagerank cost
+    model times ~8)."""
+    from ..stages.graph import scc_labels
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ring_dst = 4 * (d // 4) + (d + 1) % 4
+        heads = d[(d % 4 == 0) & (d > 0)]
+        return pa.table({
+            "src": pa.array(np.concatenate([d, np.zeros(len(heads),
+                                                        np.int64)])),
+            "dst": pa.array(np.concatenate([ring_dst, heads])),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return scc_labels(edges, n_buckets=8).sort("node")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7768,6 +7799,7 @@ QUERIES = {
     "weighted_containment": q_weighted_containment,
     "budget_allocation": q_budget_allocation,
     "neardup_clusters": q_neardup_clusters,
+    "scc": q_scc,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -12965,4 +12997,28 @@ ORACLE_SQL["neardup_clusters"] = """
     SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
            CAST(COUNT(*) AS BIGINT) AS n_clusters
     FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+ORACLE_SQL["scc"] = """
+    WITH RECURSIVE e AS (
+        SELECT doc_id AS src,
+               4 * (doc_id // 4) + (doc_id + 1) % 4 AS dst
+        FROM documents
+        UNION ALL
+        SELECT 0, doc_id FROM documents WHERE doc_id % 4 = 0 AND doc_id > 0
+    ), nodes AS (
+        SELECT DISTINCT v FROM (
+            SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+    ), r(v, u) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.v, e.dst FROM r JOIN e ON r.u = e.src
+    ), mutual AS (
+        SELECT a.v, a.u FROM r a JOIN r b ON a.v = b.u AND a.u = b.v
+    )
+    SELECT n.v AS node,
+           CAST(LEAST(n.v, COALESCE(m.mn, n.v)) AS BIGINT) AS scc
+    FROM nodes n LEFT JOIN (SELECT v, MIN(u) AS mn
+                            FROM mutual GROUP BY v) m ON m.v = n.v
+    ORDER BY node
 """

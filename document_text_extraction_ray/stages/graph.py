@@ -1064,3 +1064,309 @@ def resolve_pointers(redirects, src_col: str = "src", dst_col: str = "dst",
                          "hops": t.column("d")})
 
     return state.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------- strongly connected comps
+
+def directed_min_reach(edges, nodes, src_col: str = "src",
+                       dst_col: str = "dst", n_buckets: int = 16,
+                       max_iters: int = 64, jump_start: int = 3):
+    """Fixpoint of ``label(v) = min({v} U {label(u) : u -> v})`` — i.e.
+    the MINIMUM node id that can REACH v along edge direction.
+
+    Round structure follows the ``cluster_pairs_distributed`` lazy-jump
+    lesson: rounds 1..jump_start-1 are PROPAGATE-ONLY (one edge join +
+    one bucketed min fold — web-shaped graphs with shallow diameter
+    converge here and never pay a jump join); from ``jump_start`` on,
+    each round adds a pointer jump (label <- label of label) so long
+    chains still converge in O(log chain) rounds.  When jumping, the
+    folded state is MATERIALIZED before the jump join — both jump sides
+    derive from it, and lazy it would re-execute the propagate join +
+    fold lineage twice per round (measured on the scc fixture: the lazy
+    double-lineage + always-jump variant ran 276 s at sf0.001; this
+    plan cuts the per-round executions ~3x).
+
+    Convergence probe is one SCALAR per round (labels only decrease, so
+    the label SUM is strictly monotone until fixpoint — no row-wise
+    diff join).  State is node-bounded and repartitioned per round (the
+    pagerank block-growth lesson).  Chaining rounds lazily inside one
+    execution is known-bad on this Ray version (two chained groupby
+    exchanges over map_groups output stall pathologically: 9 s -> 280 s
+    on a 4-node graph).  Raises if ``max_iters`` rounds don't
+    converge."""
+    from .aggregate import bucketed_fold
+    from .join import attach_column
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "label": t.column("node")})
+
+    state = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    prev = state.sum("label")
+    # clamp block count to node count: empty state blocks skip the
+    # rename UDFs and poison the attach unions with their old schema
+    # (see _trim_trivial) — node count is fixed across rounds, and
+    # count() on a materialized dataset is a metadata read.
+    n_blocks = max(1, min(n_buckets, state.count()))
+    edge_schema = pa.schema([(src_col, pa.int64()), (dst_col, pa.int64())])
+    e = edges.select_columns([src_col, dst_col])
+    int2 = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("node", sort=False)["label"].min().reset_index()
+        a["label"] = a["label"].astype("int64")
+        return a
+
+    def shrink(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        pl = t.column("plabel").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t.column("node"),
+            "label": pa.array(np.minimum(lab, pl), pa.int64())})
+
+    for rnd in range(1, max_iters + 1):
+        slim = state.map_batches(
+            lambda t: pa.table({src_col: t.column("node"),
+                                "label": t.column("label")}),
+            batch_format="pyarrow")
+        cand = attach_column(e, slim, on=src_col, value_col="label",
+                             n_buckets=n_buckets,
+                             big_schema=edge_schema) \
+            .map_batches(
+                lambda t: pa.table({"node": t.column(dst_col),
+                                    "label": t.column("label")}),
+                batch_format="pyarrow")
+        merged = bucketed_fold(cand.union(state), "node", fold,
+                               n_buckets=n_buckets) \
+            .repartition(n_blocks)
+        if rnd >= jump_start:
+            merged = merged.materialize()
+            parents = merged.map_batches(
+                lambda t: pa.table({"label": t.column("node"),
+                                    "plabel": t.column("label")}),
+                batch_format="pyarrow")
+            state = attach_column(
+                merged, parents, on="label", value_col="plabel",
+                n_buckets=n_buckets, big_schema=int2) \
+                .map_batches(shrink, batch_format="pyarrow") \
+                .repartition(n_blocks).materialize()
+        else:
+            state = merged.materialize()
+        cur = state.sum("label")
+        if cur == prev:
+            return state
+        prev = cur
+    raise RuntimeError("directed_min_reach did not converge within "
+                       f"{max_iters} rounds")
+
+
+def _filter_edges_to(active_nodes, edges, src_col, dst_col, n_buckets,
+                     edge_schema):
+    """Keep only edges whose BOTH endpoints appear in ``active_nodes``
+    (thin node table).  Two attach semi-joins; result materialized."""
+    from .join import attach_column
+
+    keep_s = active_nodes.map_batches(
+        lambda t: pa.table({src_col: t.column("node"),
+                            "k1": pa.nulls(t.num_rows, pa.int8())}),
+        batch_format="pyarrow")
+    keep_d = active_nodes.map_batches(
+        lambda t: pa.table({dst_col: t.column("node"),
+                            "k2": pa.nulls(t.num_rows, pa.int8())}),
+        batch_format="pyarrow")
+    out = attach_column(edges, keep_s, on=src_col, value_col="k1",
+                        n_buckets=n_buckets, big_schema=edge_schema)
+    out = attach_column(out, keep_d, on=dst_col, value_col="k2",
+                        n_buckets=n_buckets,
+                        big_schema=edge_schema.append(
+                            pa.field("k1", pa.int8())))
+    return out.select_columns([src_col, dst_col]).materialize()
+
+
+def _trim_trivial(active_nodes, active_edges, src_col, dst_col,
+                  n_buckets, edge_schema):
+    """FW-BW-Trim: an active node with NO in-edge or NO out-edge among
+    active edges cannot sit on a cycle — it is its own SCC.  Peel such
+    nodes iteratively (removing a layer exposes the next) with ONE
+    cheap degree fold per iteration instead of a full coloring round.
+    On web-shaped graphs this is the dominant win: the bow-tie's IN/OUT
+    tendrils are almost entirely trivial SCCs.  Returns
+    (trimmed_parts, active_nodes, active_edges)."""
+    from .aggregate import bucketed_fold
+    from .join import anti_join
+
+    parts = []
+    while True:
+        def tag(t: pa.Table) -> pa.Table:
+            n_src = t.num_rows
+            node = pa.concat_arrays([
+                t.column(src_col).combine_chunks().cast(pa.int64()),
+                t.column(dst_col).combine_chunks().cast(pa.int64())])
+            has_out = np.zeros(len(node), np.int8)
+            has_out[:n_src] = 1
+            return pa.table({"node": node,
+                             "has_out": pa.array(has_out),
+                             "has_in": pa.array(1 - has_out)})
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            a = g.groupby("node", sort=False)[["has_out", "has_in"]] \
+                .max().reset_index()
+            return a[(a["has_out"] == 1) & (a["has_in"] == 1)][["node"]]
+
+        keep = bucketed_fold(
+            active_edges.map_batches(tag, batch_format="pyarrow"),
+            "node", fold, n_buckets=n_buckets).materialize()
+        # clamp the block count to the row count: an EMPTY pandas block
+        # skips every downstream rename UDF (Ray never calls a UDF on an
+        # empty block), enters attach_column's union wearing its OLD
+        # 'node' schema, and the exchange's pandas concat then promotes
+        # the missing int columns to double — after which index_in
+        # silently drops type-mismatched rows (measured: lost edges ->
+        # wrong SCCs).  With blocks <= rows the even split leaves no
+        # empty block.
+        n_keep = keep.count()
+        if n_keep == 0:
+            # no node has both an in- and an out-edge: everything left
+            # is trivial (e.g. the edge set emptied out entirely)
+            parts.append(active_nodes.map_batches(
+                lambda t: pa.table({"node": t.column("node"),
+                                    "scc": t.column("node")}),
+                batch_format="pyarrow").materialize())
+            return parts, keep, active_edges
+        keep = keep.repartition(min(n_buckets, n_keep)).materialize()
+        singles = anti_join(active_nodes, keep, on="node",
+                            n_buckets=n_buckets).materialize()
+        n_singles = singles.count()
+        if n_singles == 0:
+            return parts, active_nodes, active_edges
+        parts.append(
+            singles.repartition(min(n_buckets, n_singles))
+            .map_batches(
+                lambda t: pa.table({"node": t.column("node"),
+                                    "scc": t.column("node")}),
+                batch_format="pyarrow").materialize())
+        active_nodes = keep
+        active_edges = _filter_edges_to(active_nodes, active_edges,
+                                        src_col, dst_col, n_buckets,
+                                        edge_schema)
+
+
+def scc_labels(edges, src_col: str = "src", dst_col: str = "dst",
+               n_buckets: int = 16, max_outer: int = 8):
+    """Strongly connected components by the distributed COLORING
+    algorithm with trivial-SCC trimming (Orzan / the FW-BW-Trim
+    family): per outer round, (0) TRIM — nodes with no in- or no
+    out-edge among active nodes are their own SCC and peel via a cheap
+    degree fold, iterated until stable (this absorbs DAG chains and the
+    web bow-tie's tendrils, the coloring family's classical weakness);
+    (1) a forward min-reach fixpoint colors every surviving node with
+    the minimum node that reaches it, (2) a backward min-reach fixpoint
+    over the SAME-color edge subgraph finds which nodes reach their
+    color's root, and (3) nodes with ``backward == forward == root``
+    form that root's SCC — correctness rests on the classical lemma
+    that every path between two SCC members stays inside the SCC, so
+    the same-color restriction loses nothing.  Assigned SCCs leave the
+    graph; remaining nodes (later condensation layers) resolve in
+    following rounds.
+
+    Returns (node, scc) with scc = MIN member id — the exact SCC
+    partition (labels match Tarjan; equivalence-tested).
+
+    Scale contract: state is node-bounded, every step is a thin join or
+    bucketed fold, nothing driver-side but per-round scalars.  Outer
+    rounds = condensation root layers whose SCCs are non-trivial —
+    shallow for web-shaped graphs; trim handles the trivial layers."""
+    from .aggregate import pre_aggregated_count
+    from .join import attach_column, partitioned_hash_join
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            t.column(src_col).combine_chunks().cast(pa.int64()),
+            t.column(dst_col).combine_chunks().cast(pa.int64())])})
+
+    e = edges.select_columns([src_col, dst_col])
+    nodes = pre_aggregated_count(
+        e.map_batches(both, batch_format="pyarrow"), "node",
+        n_buckets=n_buckets).select_columns(["node"]).materialize()
+    active_nodes, active_edges = nodes, e.materialize()
+    parts = []
+    int2 = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    edge_schema = pa.schema([(src_col, pa.int64()), (dst_col, pa.int64())])
+
+    def finish():
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    for _ in range(max_outer):
+        trimmed, active_nodes, active_edges = _trim_trivial(
+            active_nodes, active_edges, src_col, dst_col, n_buckets,
+            edge_schema)
+        parts.extend(trimmed)
+        if active_nodes.count() == 0:
+            return finish()
+        color = directed_min_reach(active_edges, active_nodes,
+                                   src_col, dst_col, n_buckets)
+        # same-color edge subgraph: attach color at both endpoints
+        cs = color.map_batches(
+            lambda t: pa.table({src_col: t.column("node"),
+                                "c_s": t.column("label")}),
+            batch_format="pyarrow")
+        cd = color.map_batches(
+            lambda t: pa.table({dst_col: t.column("node"),
+                                "c_d": t.column("label")}),
+            batch_format="pyarrow")
+        ec = attach_column(active_edges, cs, on=src_col, value_col="c_s",
+                           n_buckets=n_buckets, big_schema=edge_schema)
+        ec = attach_column(ec, cd, on=dst_col, value_col="c_d",
+                           n_buckets=n_buckets,
+                           big_schema=edge_schema.append(
+                               pa.field("c_s", pa.int64())))
+
+        def same(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t.column("c_s"), t.column("c_d"))
+            f = t.filter(keep)
+            # reversed: backward reach = forward reach on flipped edges
+            return pa.table({src_col: f.column(dst_col),
+                             dst_col: f.column(src_col)})
+
+        # materialize: the reversed same-color edge list feeds EVERY
+        # backward round's attach — lazy, it would re-run the two color
+        # attaches per round (measured 3x outer-round wall)
+        rev = ec.map_batches(same, batch_format="pyarrow").materialize()
+        bwd = directed_min_reach(rev, active_nodes, src_col, dst_col,
+                                 n_buckets)
+        joined = partitioned_hash_join(
+            color, bwd.map_batches(
+                lambda t: pa.table({"node": t.column("node"),
+                                    "b": t.column("label")}),
+                batch_format="pyarrow"),
+            on="node", n_buckets=n_buckets,
+            left_schema=int2,
+            right_schema=pa.schema([("node", pa.int64()),
+                                    ("b", pa.int64())]))
+
+        def members(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.equal(t.column("label"), t.column("b")))
+            return pa.table({"node": f.column("node"),
+                             "scc": f.column("label")})
+
+        part = joined.map_batches(members, batch_format="pyarrow") \
+            .materialize()
+        parts.append(part)
+        from .join import anti_join
+        active_nodes = anti_join(active_nodes, part, on="node",
+                                 n_buckets=n_buckets).materialize()
+        n_active = active_nodes.count()
+        if n_active == 0:
+            return finish()
+        # clamped re-block: anti_join can leave empty blocks that would
+        # skip the rename UDFs downstream (see _trim_trivial)
+        active_nodes = active_nodes.repartition(
+            min(n_buckets, n_active)).materialize()
+        active_edges = _filter_edges_to(active_nodes, active_edges,
+                                        src_col, dst_col, n_buckets,
+                                        edge_schema)
+    raise RuntimeError(f"scc_labels did not finish in {max_outer} rounds "
+                       "(deep condensation — raise max_outer)")

@@ -478,3 +478,83 @@ def test_trustrank_seed_teleport_and_decay():
     # seedless pagerank on the same graph gives everyone teleport mass
     base = pagerank_int(ds, n_iters=3, n_buckets=4).to_pandas()
     assert (base["rank"] > 0).all()
+
+
+def _ref_scc_min_labels(edges, nodes):
+    """Iterative Tarjan; label = min member of each SCC."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    label = {}
+    counter = [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    return label
+
+
+def test_scc_labels_match_tarjan():
+    from document_text_extraction_ray.stages.graph import scc_labels
+
+    # Two 3-cycles merged by cross edges plus pure tendrils (only-in /
+    # only-out): trim genuinely fires (layered — peeling 50 exposes
+    # nothing, but 51's removal is needed before the coloring round)
+    # and the back edges genuinely merge two cycles into one SCC.  The
+    # registered `scc` query's hub+rings fixture (comparator-verified
+    # at two SFs against the recursive-CTE oracle) covers multi-layer
+    # condensation peeling; this unit test pins label exactness.
+    edges = (
+        [(10 + i, 10 + (i + 1) % 3) for i in range(3)]       # {10,11,12}
+        + [(20 + i, 20 + (i + 1) % 3) for i in range(3)]     # {20,21,22}
+        + [(12, 20), (21, 10)]   # cross edges merge the two cycles
+        + [(22, 50), (51, 10)]   # tendrils: 50 only-in, 51 only-out
+    )
+    nodes = sorted({v for e in edges for v in e})
+    got = scc_labels(
+        rd.from_items([{"src": s, "dst": d} for s, d in edges]),
+        n_buckets=4, max_outer=8,
+    ).to_pandas().set_index("node")["scc"].to_dict()
+    assert got == _ref_scc_min_labels(edges, nodes)
+    # the back edge really merged the two 3-cycles
+    assert got[22] == got[10] == 10
+    # tendrils are their own (trimmed) SCCs
+    assert got[50] == 50 and got[51] == 51
