@@ -7516,6 +7516,75 @@ def q_scc(sf_dir: str):
     return scc_labels(edges, n_buckets=8).sort("node")
 
 
+def q_topo_layers(sf_dir: str):
+    """DAG dependency-depth layering (build scheduling / lineage depth /
+    curriculum ordering): layer(v) = longest path length ending at v.
+    Fixture: a 5-layer DAG over doc_ids (v -> v+B ladder plus v%7==0
+    skip edges v -> v+2B that propose COMPETING shorter paths, so the
+    max-fold genuinely arbitrates).  Iterative join + max-fold with a
+    scalar convergence probe; cyclic input raises (cycle detection as
+    the failure contract).  Oracle: recursive-CTE longest path (UNION
+    keeps it bounded by distinct (node, depth) pairs)."""
+    from ..stages.graph import topo_layers
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    meta = pq.ParquetFile(path)
+    idx = meta.schema_arrow.get_field_index("doc_id")
+    mx = max(meta.metadata.row_group(i).column(idx).statistics.max
+             for i in range(meta.metadata.num_row_groups))
+    b = mx // 4 + 1
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        a = d[d + b <= mx]
+        s = d[(d % 7 == 0) & (d + 2 * b <= mx)]
+        return pa.table({
+            "src": pa.array(np.concatenate([a, s])),
+            "dst": pa.array(np.concatenate([a + b, s + 2 * b]))})
+
+    e = rd.read_parquet(path, columns=["doc_id"]).map_batches(
+        mk_edges, batch_format="pyarrow")
+    return topo_layers(e, n_buckets=8).sort("node")
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: per query vector
+    (vec_id < 5), the top-10 highest-integer-dot corpus vectors that are
+    NOT positives — excluding self, same-label vectors (positives), and
+    near-identical vectors (dot >= 0.9 * scale^2: suspected duplicates
+    of the positive, the classical false-negative trap).  Query matrix
+    rides the task closure (KB-sized broadcast side); one integer
+    matmul per batch emits per-query PARTIAL top-10s, one small
+    query-bucketed fold finishes.  Quantization follows the mutual_nn
+    convention, so DuckDB list_dot_product replays the dots exactly."""
+    from ..stages.similarity import hard_negative_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, filters=[("vec_id", "<", 5)])
+    q = np.asarray(head.column("embedding").to_pylist(), dtype=np.float64)
+    emb = rd.read_parquet(path,
+                          columns=["vec_id", "embedding", "label"])
+    out = hard_negative_topk(
+        emb, q, head.column("vec_id").to_pylist(),
+        head.column("label").to_pylist(), k=10, hi_dot=90_000_000)
+    return out.sort(["query_id", "rnk"])
+
+
+def q_window_ntile(sf_dir: str):
+    """NTILE(4) quantile buckets + CUME_DIST integer sufficient
+    statistics per order status over the unique o_orderkey order — the
+    percentile-position window pair (price-band assignment, decile
+    reporting).  One bucketed exchange; vectorized in-bucket position
+    arithmetic replays SQL NTILE's uneven-split rule exactly."""
+    from ..stages.windows import ntile_cume
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderstatus", "o_orderkey"])
+    return ntile_cume(orders, "o_orderstatus", "o_orderkey",
+                      n_tiles=4).sort(["o_orderstatus", "o_orderkey"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7800,6 +7869,9 @@ QUERIES = {
     "budget_allocation": q_budget_allocation,
     "neardup_clusters": q_neardup_clusters,
     "scc": q_scc,
+    "topo_layers": q_topo_layers,
+    "hard_negatives": q_hard_negatives,
+    "window_ntile": q_window_ntile,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -13021,4 +13093,60 @@ ORACLE_SQL["scc"] = """
     FROM nodes n LEFT JOIN (SELECT v, MIN(u) AS mn
                             FROM mutual GROUP BY v) m ON m.v = n.v
     ORDER BY node
+"""
+
+ORACLE_SQL["topo_layers"] = """
+    WITH RECURSIVE mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    e AS (
+        SELECT doc_id AS src, doc_id + (m // 4 + 1) AS dst
+        FROM documents, mx WHERE doc_id + (m // 4 + 1) <= m
+        UNION ALL
+        SELECT doc_id, doc_id + 2 * (m // 4 + 1)
+        FROM documents, mx
+        WHERE doc_id % 7 = 0 AND doc_id + 2 * (m // 4 + 1) <= m
+    ), nodes AS (
+        SELECT DISTINCT v FROM (
+            SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+    ), r(v, d) AS (
+        SELECT v, 0 FROM nodes
+        UNION
+        SELECT e.dst, r.d + 1 FROM r JOIN e ON r.v = e.src
+    )
+    SELECT v AS node, CAST(MAX(d) AS BIGINT) AS layer
+    FROM r GROUP BY v ORDER BY node
+"""
+
+ORACLE_SQL["hard_negatives"] = """
+    WITH x AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              e -> ROUND(e * 10000)) AS qv
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM x WHERE vec_id < 5),
+    p AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS dot_q
+        FROM q JOIN x c
+          ON c.vec_id != q.vec_id AND c.label != q.label
+    ),
+    t AS (
+        SELECT query_id, neighbor_id, dot_q,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot_q DESC, neighbor_id) AS rn
+        FROM p WHERE dot_q < 90000000
+    )
+    SELECT query_id, neighbor_id, dot_q, CAST(rn AS BIGINT) AS rnk
+    FROM t WHERE rn <= 10 ORDER BY query_id, rnk
+"""
+
+ORACLE_SQL["window_ntile"] = """
+    SELECT o_orderstatus, o_orderkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS tile,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS cume_num,
+           CAST(COUNT(*) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+               AS cume_den
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+    ORDER BY o_orderstatus, o_orderkey
 """

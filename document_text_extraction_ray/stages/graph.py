@@ -1370,3 +1370,78 @@ def scc_labels(edges, src_col: str = "src", dst_col: str = "dst",
                                         edge_schema)
     raise RuntimeError(f"scc_labels did not finish in {max_outer} rounds "
                        "(deep condensation — raise max_outer)")
+
+
+# ---------------------------------------------------------- DAG layering
+
+def topo_layers(edges, src_col: str = "src", dst_col: str = "dst",
+                n_buckets: int = 16, max_rounds: int = 64):
+    """Topological layering of a DAG: ``layer(v)`` = length of the
+    LONGEST path ending at v (roots = 0) — the stage-scheduling /
+    dependency-depth operator (build planners, lineage depth, curriculum
+    ordering).  The max-path dual of ``bellman_ford_int``'s min fold.
+
+    Per round: standing layers join the edge list on src (one
+    distributed join), each edge proposes ``layer(src) + 1`` for its
+    dst, one bucketed MAX-fold merges proposals with the standing table
+    (max is idempotent, so no frontier bookkeeping).  Layers only
+    increase and are bounded by the longest path, so the layer SUM is
+    strictly monotone until fixpoint — one scalar probe per round.  On
+    CYCLIC input the sum never stabilises; exceeding ``max_rounds``
+    raises, which doubles as distributed cycle detection (use
+    ``scc_labels`` to locate the cycles).  State is node-bounded,
+    coalesced + materialized per round (the bfs_hops block-count
+    lesson).  Returns (node, layer)."""
+    from .aggregate import bucketed_fold, pre_aggregated_count
+    from .join import partitioned_hash_join
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            t.column(src_col).combine_chunks().cast(pa.int64()),
+            t.column(dst_col).combine_chunks().cast(pa.int64())])})
+
+    e = edges.select_columns([src_col, dst_col]).materialize()
+    layers = pre_aggregated_count(
+        e.map_batches(both, batch_format="pyarrow"), "node",
+        n_buckets=n_buckets) \
+        .map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "layer": pa.array(np.zeros(t.num_rows, np.int64))}),
+            batch_format="pyarrow").materialize()
+    n_blocks = max(1, min(n_buckets, layers.count()))
+    layers = layers.repartition(n_blocks).materialize()
+    prev = layers.sum("layer")
+
+    ls = pa.schema([(src_col, pa.int64()), (dst_col, pa.int64())])
+    rs = pa.schema([(src_col, pa.int64()), ("layer", pa.int64())])
+
+    def max_fold(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("node", sort=False, as_index=False)["layer"].max()
+        a["layer"] = a["layer"].astype("int64")
+        return a
+
+    for _ in range(max_rounds):
+        l_src = layers.map_batches(
+            lambda t: t if t.num_columns == 0 else t.rename_columns(
+                [src_col, "layer"]),
+            batch_format="pyarrow")
+        cand = partitioned_hash_join(
+            e, l_src, on=src_col, n_buckets=n_buckets,
+            left_schema=ls, right_schema=rs,
+        ).map_batches(
+            lambda t: t if t.num_columns == 0 else pa.table(
+                {"node": t.column(dst_col),
+                 "layer": pc.add(t.column("layer"), pa.scalar(1))}),
+            batch_format="pyarrow").repartition(n_blocks).materialize()
+        layers = bucketed_fold(
+            cand.union(layers), "node", max_fold,
+            n_buckets=n_buckets).repartition(n_blocks).materialize()
+        cur = layers.sum("layer")
+        if cur == prev:
+            return layers
+        prev = cur
+    raise RuntimeError(
+        f"topo_layers did not converge in {max_rounds} rounds — the "
+        "input has a cycle (or a longer longest-path); run scc_labels "
+        "to locate cycles")

@@ -1101,3 +1101,88 @@ def mmr_topk(ds, query_vec, k: int = 3, lambda_x2: int = 2,
         sel_vecs.append(_quant(row[embedding_column]))
 
     return pd.DataFrame(picked, columns=["rank", "id", "score"])
+
+
+def hard_negative_topk(ds, queries: np.ndarray, query_ids,
+                       query_labels, k: int = 10,
+                       hi_dot: int | None = None,
+                       quant_scale: int = 10**4,
+                       id_column: str = "vec_id",
+                       embedding_column: str = "embedding",
+                       label_column: str = "label",
+                       n_buckets: int = 8):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k HIGHEST-dot-product corpus vectors that are NOT
+    positives — excluding the query itself, every vector sharing the
+    query's label (those are positives), and anything with dot >=
+    ``hi_dot`` (near-identical vectors are suspected duplicates of the
+    positive, the classical false-negative trap in contrastive mining).
+
+    Exactness: the ``mutual_top1_pairs`` convention — vectors quantized
+    once (ROUND half-away of value * quant_scale), INT64 dots, ranking
+    by (dot DESC, neighbor_id ASC); quantized products fit doubles so
+    DuckDB ``list_dot_product`` replays them bit for bit.
+
+    Plan: the query matrix rides the task closure (KB-sized — the side
+    that SHOULD broadcast, never shuffled); each batch computes one
+    integer matmul against it and emits at most ``len(queries) * k``
+    PARTIAL rows (top-k per query within the batch — the grouped_topk
+    semigroup pushdown), so the single exchange carries partials, not
+    dots.  One small query-bucketed fold takes the global top-k.
+    Returns (query_id, neighbor_id, dot_q, rnk)."""
+    import pandas as pd
+
+    from .aggregate import bucketed_fold
+
+    qm = np.asarray(queries, dtype=np.float64) * quant_scale
+    qq = np.where(qm >= 0, np.floor(qm + 0.5), np.ceil(qm - 0.5)) \
+        .astype(np.int64)
+    qids = np.asarray(list(query_ids), dtype=np.int64)
+    qlab = np.asarray(list(query_labels), dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(embedding_column).to_pylist(),
+                       dtype=np.float64) * quant_scale
+        cq = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)) \
+            .astype(np.int64)
+        ids = batch.column(id_column).combine_chunks() \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lab = batch.column(label_column).combine_chunks() \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dots = qq @ cq.T                      # (n_queries, n_rows) int64
+        out_q, out_n, out_d = [], [], []
+        for i in range(len(qids)):
+            d = dots[i]
+            mask = (ids != qids[i]) & (lab != qlab[i])
+            if hi_dot is not None:
+                mask &= d < hi_dot
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            # top-k by (dot DESC, id ASC): lexsort on (-dot, id)
+            order = idx[np.lexsort((ids[idx], -d[idx]))][:k]
+            out_q.append(np.full(len(order), qids[i], np.int64))
+            out_n.append(ids[order])
+            out_d.append(d[order])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "dot_q": pa.array([], pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "dot_q": pa.array(np.concatenate(out_d), pa.int64())})
+
+    partials = ds.select_columns(
+        [id_column, embedding_column, label_column]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["query_id", "dot_q", "neighbor_id"],
+                          ascending=[True, False, True])
+        g = g.groupby("query_id", sort=False).head(k).copy()
+        g["rnk"] = g.groupby("query_id", sort=False).cumcount() + 1
+        g["rnk"] = g["rnk"].astype("int64")
+        return g
+
+    return bucketed_fold(partials, "query_id", fold, n_buckets=n_buckets)

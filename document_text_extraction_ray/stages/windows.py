@@ -939,3 +939,59 @@ def streaks(ds, key_col: str, value_col: str, n_buckets: int = 32):
 
     return bucketed_fold(ds.select_columns([key_col, value_col]),
                          key_col, fold, n_buckets=n_buckets)
+
+
+def ntile_cume(ds, key_col: str, order_col: str, n_tiles: int = 4,
+               n_buckets: int = 32):
+    """NTILE(n) and CUME_DIST per key ordered by a UNIQUE order column —
+    the quantile-bucket / percentile-position window pair (``NTILE(n)
+    OVER (PARTITION BY key ORDER BY v)`` and ``CUME_DIST() OVER ...``).
+    CUME_DIST is emitted as exact INTEGER sufficient statistics
+    (``cume_num`` = rows with value <= current, ``cume_den`` = partition
+    size): the ratio is a float, the numerator/denominator pair is
+    hash-exact.  ``order_col`` must be unique per key (SQL's NTILE is
+    nondeterministic under ties; requiring a total order keeps both
+    engines bit-identical).
+
+    One bucketed exchange on the key; in-bucket fold fully vectorized
+    (sort + per-key position arithmetic; NTILE's uneven-split rule —
+    first ``n_rows %% n`` tiles get the extra row — replayed with
+    integer division, no per-group Python).  Returns
+    (key, order_col, tile, cume_num, cume_den)."""
+    from .aggregate import bucketed_fold
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort")
+        n = len(g)
+        if n == 0:
+            out = g.copy()
+            for c in ("tile", "cume_num", "cume_den"):
+                out[c] = pd.Series([], dtype="int64")
+            return out
+        keys = g[key_col].to_numpy()
+        idx = np.arange(n, dtype=np.int64)
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        key_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        pos = idx - key_start                      # 0-based within key
+        starts = idx[new_key]
+        sizes = np.diff(np.r_[starts, n])
+        size_of = np.repeat(sizes, sizes)          # partition size per row
+        # NTILE: first (size % n) tiles have ceil(size/n) rows
+        base = size_of // n_tiles
+        extra = size_of % n_tiles
+        cut = extra * (base + 1)                   # rows in the big tiles
+        big = pos < cut
+        tile = np.where(
+            big,
+            pos // np.maximum(base + 1, 1),
+            np.where(base > 0, extra + (pos - cut) // np.maximum(base, 1),
+                     0),
+        ) + 1
+        out = g.copy()
+        out["tile"] = tile.astype("int64")
+        out["cume_num"] = (pos + 1).astype("int64")
+        out["cume_den"] = size_of.astype("int64")
+        return out
+
+    return bucketed_fold(ds.select_columns([key_col, order_col]),
+                         key_col, fold, n_buckets=n_buckets)

@@ -558,3 +558,23 @@ def test_scc_labels_match_tarjan():
     assert got[22] == got[10] == 10
     # tendrils are their own (trimmed) SCCs
     assert got[50] == 50 and got[51] == 51
+
+
+def test_topo_layers_longest_path_and_cycle_guard():
+    import pytest
+
+    from document_text_extraction_ray.stages.graph import topo_layers
+
+    # diamond + skip edge: longest path wins (0->1->2->3 beats 0->3)
+    edges = [(0, 1), (1, 2), (2, 3), (0, 3), (1, 3), (5, 6)]
+    out = topo_layers(
+        rd.from_items([{"src": s, "dst": d} for s, d in edges]),
+        n_buckets=4,
+    ).to_pandas().set_index("node")["layer"].to_dict()
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 5: 0, 6: 1}
+
+    with pytest.raises(RuntimeError, match="cycle"):
+        topo_layers(
+            rd.from_items([{"src": s, "dst": d}
+                           for s, d in [(0, 1), (1, 0)]]),
+            n_buckets=4, max_rounds=6)

@@ -725,3 +725,38 @@ def test_streaks_matches_brute_force(ray_session):
             int(out.loc[2, "max_streak"])) == (1, 1, 1)
     assert (int(out.loc[3, "n_values"]), int(out.loc[3, "n_streaks"]),
             int(out.loc[3, "max_streak"])) == (4, 1, 4)
+
+
+def test_ntile_cume_matches_sql_split_rule():
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.windows import ntile_cume
+
+    # uneven partitions: sizes 7, 4, 1 -> NTILE(3) exercises the
+    # first-(n%k)-tiles-get-the-extra-row rule and the size<k corner
+    rows = [{"k": "a", "v": i * 3 % 50} for i in range(7)] \
+        + [{"k": "b", "v": i * 7 % 50} for i in range(4)] \
+        + [{"k": "c", "v": 5}]
+    got = ntile_cume(rd.from_items(rows), "k", "v", n_tiles=3,
+                     n_buckets=4).to_pandas() \
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    ref = duckdb.sql("""
+        SELECT k, v,
+               CAST(NTILE(3) OVER w AS BIGINT) AS tile,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS cume_num,
+               CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS cume_den
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY v)
+        ORDER BY k, v
+    """.replace("df", "(SELECT * FROM rows_df)")).df() \
+        if False else duckdb.query_df(
+            pd.DataFrame(rows), "rows_df", """
+        SELECT k, v,
+               CAST(NTILE(3) OVER w AS BIGINT) AS tile,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS cume_num,
+               CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS cume_den
+        FROM rows_df WINDOW w AS (PARTITION BY k ORDER BY v)
+        ORDER BY k, v
+    """).df()
+    pd.testing.assert_frame_equal(got, ref)

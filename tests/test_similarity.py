@@ -429,3 +429,34 @@ def test_mmr_topk_matches_brute_force(ray_session):
     assert got == ref
     assert got[0][1] == 0                      # query's own vector first
     assert all(i != 7 for _, i, _ in got)      # near-dup suppressed
+
+
+def test_hard_negative_topk_exclusion_rules():
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.similarity import (
+        hard_negative_topk,
+    )
+
+    # query 0 (label 0); corpus: 1 = near-identical (excluded by hi_dot),
+    # 2 = same label (excluded as positive), 3/4/5 = genuine negatives
+    # with descending dots.
+    vecs = {
+        0: [1.0, 0.0], 1: [0.999, 0.04], 2: [0.9, 0.1],
+        3: [0.8, 0.6], 4: [0.6, 0.8], 5: [0.1, 0.9],
+    }
+    labels = {0: 0, 1: 1, 2: 0, 3: 1, 4: 2, 5: 1}
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": v, "label": labels[i]}
+        for i, v in vecs.items()
+    ])
+    out = hard_negative_topk(
+        ds, np.array([vecs[0]]), [0], [0], k=2,
+        hi_dot=int(0.99 * 10**8), n_buckets=2,
+    ).to_pandas().sort_values("rnk")
+    # 1 excluded (dot ~0.999e8 >= hi), 2 excluded (same label),
+    # top-2 negatives by dot: 3 then 4
+    assert out["neighbor_id"].tolist() == [3, 4]
+    assert out["rnk"].tolist() == [1, 2]
+    assert (out["dot_q"] < 0.99 * 10**8).all()
