@@ -6866,9 +6866,13 @@ def q_cross_source_dups(sf_dir: str):
     from ..stages.join import partitioned_hash_join
 
     docs = _docs(sf_dir, ["doc_id", "text"])
+    # materialize the (tiny, output-bounded) pair table: chaining the
+    # setsim plan straight into two more join exchanges stalled the
+    # executor (measured 29.8 s -> 16.7 s at sf0.1/32 cpus with the
+    # break + 8-bucket joins; pairs are thin (id, id) rows)
     pairs = setsim_prefix_join(docs, "text", "doc_id", n=3,
                                threshold=(4, 5)) \
-        .select_columns(["id_a", "id_b"])
+        .select_columns(["id_a", "id_b"]).materialize()
 
     src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                           columns=["doc_id", "source"])
@@ -6880,11 +6884,11 @@ def q_cross_source_dups(sf_dir: str):
         batch_format="pyarrow")
     ids = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
     j1 = partitioned_hash_join(
-        pairs, la, on="id_a", left_schema=ids,
+        pairs, la, on="id_a", left_schema=ids, n_buckets=8,
         right_schema=pa.schema([("id_a", pa.int64()),
                                 ("source_a", pa.string())]))
     j2 = partitioned_hash_join(
-        j1, lb, on="id_b",
+        j1, lb, on="id_b", n_buckets=8,
         left_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                                ("source_a", pa.string())]),
         right_schema=pa.schema([("id_b", pa.int64()),
@@ -7042,7 +7046,8 @@ def q_graph_walks(sf_dir: str):
     from every doc_id%50 seed over the symmetrized chain graph, next
     step = neighbor with the smallest md5("cur:dst:step") — the
     hash-seeded deterministic choice both engines replay bit-for-bit.
-    Two exchanges per step over node-bounded walk state."""
+    Seed-bounded walk state broadcast per step (ray.put), one
+    exchange-free edge scan with per-batch partial argmins."""
     from ..stages.graph import deterministic_walks
 
     path = os.path.join(sf_dir, "documents.parquet")

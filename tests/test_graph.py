@@ -411,6 +411,13 @@ def test_deterministic_walks_matches_brute_force(ray_session):
     # isolated seed 9 emits only its step-0 row
     assert [r for r in got if r[0] == 9] == [(9, 0, 9)]
 
+    # the two-exchange join plan is equivalent to the broadcast plan
+    outj = deterministic_walks(edges, [0, 7, 9], n_steps=3, n_buckets=4,
+                               plan="join")
+    gotj = [(int(w), int(s), int(n)) for w, s, n in
+            zip(outj["walk_id"], outj["step"], outj["node"])]
+    assert sorted(gotj) == sorted(ref)
+
 
 def test_resolve_pointers_chains_cycle_and_nonfunctional():
     import pytest
