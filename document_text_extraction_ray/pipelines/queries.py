@@ -6805,9 +6805,12 @@ def q_minhash_recall(sf_dir: str):
     from ..stages.join import partitioned_hash_join
 
     docs = _docs(sf_dir, ["doc_id", "text"])
+    # materialize the thin truth pairs: chaining the setsim plan into
+    # the recall join's exchange stalls the executor (the
+    # cross_source_dups lesson); pairs are output-bounded (id, id) rows
     truth = setsim_prefix_join(docs, "text", "doc_id", n=3,
                                threshold=(4, 5)) \
-        .select_columns(["id_a", "id_b"])
+        .select_columns(["id_a", "id_b"]).materialize()
     cand = minhash_candidates(docs, "text", "doc_id",
                               est_threshold=0.5, scale="driver") \
         .select_columns(["id_a", "id_b"]) \
@@ -6816,7 +6819,7 @@ def q_minhash_recall(sf_dir: str):
             batch_format="pyarrow") \
         .materialize()  # consumed twice: the join and the count
     joined = partitioned_hash_join(
-        truth, cand, on=["id_a", "id_b"], how="left",
+        truth, cand, on=["id_a", "id_b"], how="left", n_buckets=8,
         left_schema=pa.schema([("id_a", pa.int64()),
                                ("id_b", pa.int64())]),
         right_schema=pa.schema([("id_a", pa.int64()),
