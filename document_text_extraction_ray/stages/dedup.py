@@ -352,7 +352,8 @@ def exact_substring_dedup(ds, text_column: str, id_column: str, k: int = 8,
 # ------------------------------------------------------------- MinHash + LSH
 
 def cluster_pairs_distributed(pairs_ds, max_iters: int = 32,
-                              n_partitions: int = 4):
+                              n_partitions: int = 4,
+                              local_contract: bool = True):
     """Connected components over the candidate-pair graph, dataset-native:
     iterative min-label propagation PLUS pointer jumping (label <- label of
     label), so chains converge in O(log diameter) rounds, not O(diameter).
@@ -375,7 +376,18 @@ def cluster_pairs_distributed(pairs_ds, max_iters: int = 32,
         an extra column (identity rows carry old=label, message rows
         old=null; Min ignores nulls) — so the converged test is a cheap
         filter-count on the just-materialized label table instead of a
-        separate old-vs-new join execution."""
+        separate old-vs-new join execution.
+      * ``local_contract`` (default on) runs a BATCH-LOCAL union-find
+        inside the edge-building map: each input block's pairs contract
+        to depth-1 stars (node -> block-local min root) before anything
+        shuffles.  Pure contraction — connectivity across blocks rides
+        the shared nodes — so global semantics are unchanged
+        (equivalence-tested), but any component that fits inside one
+        input block converges in round 1 + confirmation instead of
+        O(log diameter) rounds.  Near-dup and entity-resolution pair
+        streams arrive key-clustered (upstream folds emit pairs grouped
+        by band/identifier), so this is the common case; measured
+        identity_resolution 20.2 s -> see NOTES (sf0.1, 32 cpus)."""
     import ray.data as _rd
     from ray.data.aggregate import Min, Sum
 
@@ -383,6 +395,45 @@ def cluster_pairs_distributed(pairs_ds, max_iters: int = 32,
 
     def to_edges(t: pa.Table) -> pa.Table:
         a, b = t.column("id_a"), t.column("id_b")
+        if local_contract and t.num_rows:
+            av = a.to_pylist()
+            bv = b.to_pylist()
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for x, y in zip(av, bv):
+                rx, ry = find(x), find(y)
+                if rx == ry:
+                    continue
+                # union by VALUE: smaller id becomes the root, so the
+                # local root IS the block-local min label.
+                if ry < rx:
+                    rx, ry = ry, rx
+                parent[ry] = rx
+            nodes = list({*av, *bv})
+            roots = [find(n) for n in nodes]
+            typ = a.type
+            keep = [i for i, (n, r) in enumerate(zip(nodes, roots))
+                    if n != r]
+            # Singleton roots (nodes seen only in self-pairs) must stay
+            # visible to the label fold: ride a self-edge, as the
+            # uncontracted plan would have emitted.
+            rooted = {roots[i] for i in keep}
+            na = [nodes[i] for i in keep]
+            nb = [roots[i] for i in keep]
+            for n, r in zip(nodes, roots):
+                if n == r and n not in rooted:
+                    na.append(n)
+                    nb.append(n)
+            a = pa.chunked_array([pa.array(na, typ)])
+            b = pa.chunked_array([pa.array(nb, typ)])
         return pa.table(
             {"src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
              "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])}

@@ -169,11 +169,13 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
     composite-key join closes them against the edge set (v,w).  Returns
     (node, n_triangles) counting each triangle at its MINIMUM node, via a
     thin pre-aggregated count.  Two join exchanges + one tiny combine;
-    nothing materializes on the driver."""
+    nothing materializes on the driver.  The edge table is MATERIALIZED
+    once up front — three consumers (both wedge sides + the close) would
+    each re-execute a lazy lineage."""
     from .aggregate import pre_aggregated_count
     from .join import partitioned_hash_join
 
-    e = edges.select_columns([src_col, dst_col])
+    e = edges.select_columns([src_col, dst_col]).materialize()
 
     wedges = partitioned_hash_join(e, e, on=src_col, n_buckets=n_buckets,
                                    suffix="_w")
@@ -277,7 +279,8 @@ def hits_int(edges, n_iters: int = 2, src_col: str = "src",
 
 
 def kcore_int(edges, k: int, src_col: str = "src", dst_col: str = "dst",
-              n_buckets: int = 16, max_iters: int = 32):
+              n_buckets: int = 16, max_iters: int = 32,
+              local_finish_edges: int = 2_000_000):
     """k-CORE decomposition by iterative peeling: repeatedly delete nodes
     of degree < k (and their incident edges) until fixpoint; returns the
     surviving (node, degree) table — degree measured INSIDE the core.
@@ -296,7 +299,16 @@ def kcore_int(edges, k: int, src_col: str = "src", dst_col: str = "dst",
     two-semi-join plan: 4 executions/round collapsed into 1).  Rounds are
     bounded by the peeling cascade depth, NOT node count (each round
     peels a whole shell vectorized); the node set is never
-    driver-collected (survivors can be corpus-sized)."""
+    driver-collected (survivors can be corpus-sized).
+
+    Size-adaptive tail (``local_finish_edges``): once the surviving edge
+    table fits one task's heap (count is free post-materialize), the
+    remaining cascade peels to FIXPOINT inside a single map task — deep
+    pendant-path cascades stop paying one distributed exchange per shell.
+    The k-core is peel-order-unique, so the local fixpoint equals the
+    distributed one (equivalence-tested with the threshold forced to 0).
+    At 100 TB the early distributed rounds shed the leaf mass; the tail
+    fires only when survivors are genuinely small.  Set to 0 to disable."""
     from .aggregate import bucketed_fold, pre_aggregated_count
 
     def peel_pass(ds, key_col):
@@ -305,10 +317,28 @@ def kcore_int(edges, k: int, src_col: str = "src", dst_col: str = "dst",
 
         return bucketed_fold(ds, key_col, fold, n_buckets=n_buckets)
 
+    def local_peel(g: pd.DataFrame) -> pd.DataFrame:
+        while len(g):
+            nxt = g[g.groupby(src_col)[src_col].transform("size") >= k]
+            nxt = nxt[nxt.groupby(dst_col)[dst_col].transform("size") >= k]
+            if len(nxt) == len(g):
+                break
+            g = nxt
+        return g
+
     cur = edges.select_columns([src_col, dst_col]).materialize()
     n_edges = cur.count()
     for _ in range(max_iters):
         if n_edges == 0:
+            break
+        if local_finish_edges and n_edges <= local_finish_edges:
+            cur = bucketed_fold(
+                cur.map_batches(
+                    lambda t: t.append_column(
+                        "__one", pa.array(np.zeros(t.num_rows, np.int8))),
+                    batch_format="pyarrow"),
+                "__one", lambda g: local_peel(g[[src_col, dst_col]]),
+                n_buckets=1).materialize()
             break
         nxt = peel_pass(peel_pass(cur, src_col), dst_col).materialize()
         n_next = nxt.count()
@@ -615,11 +645,16 @@ def clustering_coefficient(edges, src_col: str = "src",
     pre-aggregated count; degrees from an endpoint explode + count; one
     final bucketed fold merges the two node-bounded count tables.
     Isolated coefficients for degree-1 nodes are undefined — they emit
-    ``cc_denom`` 0 (callers must not divide)."""
+    ``cc_denom`` 0 (callers must not divide).
+
+    The edge table is MATERIALIZED once up front: it feeds FOUR consumers
+    (both wedge-join sides, the closing join, the degree count) and a
+    lazy lineage would re-execute its upstream per consumer (the
+    pagerank/HITS/walks lesson)."""
     from .aggregate import bucketed_fold, pre_aggregated_count
     from .join import partitioned_hash_join
 
-    e = edges.select_columns([src_col, dst_col])
+    e = edges.select_columns([src_col, dst_col]).materialize()
 
     wedges = partitioned_hash_join(e, e, on=src_col, n_buckets=n_buckets,
                                    suffix="_w")
@@ -703,7 +738,9 @@ def common_neighbor_pairs(edges, min_common: int = 2,
     from .aggregate import bucketed_fold
     from .join import anti_join, partitioned_hash_join
 
-    e = edges.select_columns([src_col, dst_col])
+    # Materialized: consumed by the adjacency build AND the edge-key
+    # anti-join side.
+    e = edges.select_columns([src_col, dst_col]).materialize()
 
     def sym(t: pa.Table) -> pa.Table:
         a = _as_arrays(pc.cast(t.column(src_col), pa.int64()))
@@ -711,7 +748,8 @@ def common_neighbor_pairs(edges, min_common: int = 2,
         return pa.table({"u": pa.concat_arrays(a + b),
                          "nb": pa.concat_arrays(b + a)})
 
-    adj = e.map_batches(sym, batch_format="pyarrow")
+    # Materialized: both wedge sides consume it (lazy would re-execute).
+    adj = e.map_batches(sym, batch_format="pyarrow").materialize()
     wedges = partitioned_hash_join(adj, adj, on="u", n_buckets=n_buckets,
                                    suffix="_w")
 

@@ -362,3 +362,28 @@ def test_boilerplate_removal_random_vs_brute_force():
             assert (row["clean_text"], row["n_lines_total"],
                     row["n_lines_kept"]) == (txt, tot, kept), \
                 f"trial {trial} doc {did}"
+
+
+def test_cluster_pairs_local_contract_equivalence():
+    """The batch-local union-find contraction prepass must not change
+    labels on any graph — including self-pairs (isolated nodes must stay
+    visible) and components split across input blocks."""
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages import dedup as SD
+
+    rng = np.random.RandomState(23)
+    for trial in range(3):
+        n = 40
+        pairs = [tuple(sorted(rng.choice(n, size=2, replace=False)))
+                 for _ in range(rng.randint(8, 30))]
+        pairs = sorted({(int(a), int(b)) for a, b in pairs})
+        pairs.append((n + 5, n + 5))  # self-pair: isolated labeled node
+        ds = rd.from_items(
+            [{"id_a": a, "id_b": b} for a, b in pairs]).repartition(4)
+        lab = lambda d: {r["node"]: r["label"] for r in d.take_all()}
+        got_on = lab(SD.cluster_pairs_distributed(ds, local_contract=True))
+        got_off = lab(SD.cluster_pairs_distributed(ds, local_contract=False))
+        assert got_on == got_off, (trial, pairs)
+        assert got_on[n + 5] == n + 5

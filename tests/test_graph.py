@@ -585,3 +585,25 @@ def test_topo_layers_longest_path_and_cycle_guard():
             rd.from_items([{"src": s, "dst": d}
                            for s, d in [(0, 1), (1, 0)]]),
             n_buckets=4, max_rounds=6)
+
+
+def test_kcore_local_finish_equals_distributed():
+    """The size-adaptive local-finish tail must reach the same (unique)
+    k-core as pure distributed peeling."""
+    from document_text_extraction_ray.stages.graph import kcore_int
+
+    base = set()
+    for i in range(1, 36):
+        base.add((i, i // 6))
+    for a in range(6):
+        for b in range(6):
+            if a != b:
+                base.add((200 + a, 200 + b))
+    base.add((205, 0))
+    edges = sorted(base | {(b, a) for a, b in base})
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+    as_dict = lambda d: d.to_pandas().set_index("node")["degree"].to_dict()
+    local = as_dict(kcore_int(ds, k=2, n_buckets=4))
+    dist = as_dict(kcore_int(ds, k=2, n_buckets=4, local_finish_edges=0))
+    assert local == dist
+    assert set(local) == set(range(200, 206))
