@@ -1354,8 +1354,75 @@ def _trim_trivial(active_nodes, active_edges, src_col, dst_col,
                                         edge_schema)
 
 
+def _local_scc_fold(g: pd.DataFrame, src_col: str, dst_col: str) \
+        -> pd.DataFrame:
+    """Iterative Tarjan over one in-task edge list: rows with null dst
+    are bare (possibly isolated) nodes.  Labels = min member id, matching
+    the distributed coloring's assignment."""
+    adj: dict = {}
+    nodes = set()
+    dst_null = g[dst_col].isna().to_numpy()
+    for u, v, nn in zip(g[src_col].to_numpy(), g[dst_col].to_numpy(),
+                        dst_null):
+        u = int(u)
+        nodes.add(u)
+        if nn:
+            continue
+        v = int(v)
+        nodes.add(v)
+        adj.setdefault(u, []).append(v)
+    index: dict = {}
+    low: dict = {}
+    on: set = set()
+    stack: list = []
+    out_n: list = []
+    out_s: list = []
+    counter = 0
+    for root in nodes:
+        if root in index:
+            continue
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        on.add(root)
+        work = [(root, iter(adj.get(root, ())))]
+        while work:
+            u, it = work[-1]
+            pushed = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    on.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    pushed = True
+                    break
+                if w in on and index[w] < low[u]:
+                    low[u] = index[w]
+            if pushed:
+                continue
+            work.pop()
+            if work and low[u] < low[work[-1][0]]:
+                low[work[-1][0]] = low[u]
+            if low[u] == index[u]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == u:
+                        break
+                m = min(comp)
+                out_n.extend(comp)
+                out_s.extend([m] * len(comp))
+    return pd.DataFrame({"node": np.asarray(out_n, np.int64),
+                         "scc": np.asarray(out_s, np.int64)})
+
+
 def scc_labels(edges, src_col: str = "src", dst_col: str = "dst",
-               n_buckets: int = 16, max_outer: int = 8):
+               n_buckets: int = 16, max_outer: int = 8,
+               local_finish_edges: int = 2_000_000):
     """Strongly connected components by the distributed COLORING
     algorithm with trivial-SCC trimming (Orzan / the FW-BW-Trim
     family): per outer round, (0) TRIM — nodes with no in- or no
@@ -1378,7 +1445,16 @@ def scc_labels(edges, src_col: str = "src", dst_col: str = "dst",
     Scale contract: state is node-bounded, every step is a thin join or
     bucketed fold, nothing driver-side but per-round scalars.  Outer
     rounds = condensation root layers whose SCCs are non-trivial —
-    shallow for web-shaped graphs; trim handles the trivial layers."""
+    shallow for web-shaped graphs; trim handles the trivial layers.
+
+    Size-adaptive tail (``local_finish_edges``, same pattern as
+    ``kcore_int``): when the ACTIVE subgraph fits one task (edge count is
+    free — the active edge table is materialized every round), the
+    remaining condensation resolves via iterative Tarjan inside a single
+    fold instead of trim loops + two reach fixpoints per layer.  Tarjan
+    labels by min member exactly like the coloring plan
+    (equivalence-tested with the threshold forced to 0).  Set 0 to
+    disable."""
     from .aggregate import pre_aggregated_count
     from .join import attach_column, partitioned_hash_join
 
@@ -1403,6 +1479,35 @@ def scc_labels(edges, src_col: str = "src", dst_col: str = "dst",
         return out
 
     for _ in range(max_outer):
+        if local_finish_edges and \
+                active_edges.count() <= local_finish_edges and \
+                active_nodes.count() <= local_finish_edges:
+            from .aggregate import bucketed_fold
+
+            def with_node_rows(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    src_col: t.column("node").combine_chunks()
+                    .cast(pa.int64()),
+                    dst_col: pa.nulls(t.num_rows, pa.int64()),
+                    "__one": pa.array(np.zeros(t.num_rows, np.int8))})
+
+            def edge_rows(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    src_col: t.column(src_col).combine_chunks()
+                    .cast(pa.int64()),
+                    dst_col: t.column(dst_col).combine_chunks()
+                    .cast(pa.int64()),
+                    "__one": pa.array(np.zeros(t.num_rows, np.int8))})
+
+            union = active_edges.map_batches(
+                edge_rows, batch_format="pyarrow").union(
+                active_nodes.map_batches(
+                    with_node_rows, batch_format="pyarrow"))
+            parts.append(bucketed_fold(
+                union, "__one",
+                lambda g: _local_scc_fold(g, src_col, dst_col),
+                n_buckets=1).materialize())
+            return finish()
         trimmed, active_nodes, active_edges = _trim_trivial(
             active_nodes, active_edges, src_col, dst_col, n_buckets,
             edge_schema)

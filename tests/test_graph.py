@@ -607,3 +607,28 @@ def test_kcore_local_finish_equals_distributed():
     dist = as_dict(kcore_int(ds, k=2, n_buckets=4, local_finish_edges=0))
     assert local == dist
     assert set(local) == set(range(200, 206))
+
+
+def test_scc_local_finish_equals_distributed():
+    """The Tarjan local-finish tail must produce exactly the coloring
+    plan's labels, on a graph with merged cycles, tendrils and isolated
+    condensation layers; fuzzed random digraphs included."""
+    import numpy as np
+
+    from document_text_extraction_ray.stages.graph import scc_labels
+
+    rng = np.random.RandomState(31)
+    for trial in range(3):
+        n = 25
+        m = rng.randint(15, 60)
+        edges = sorted({(int(rng.randint(n)), int(rng.randint(n)))
+                        for _ in range(m)})
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+        as_dict = lambda d: d.to_pandas().set_index("node")["scc"].to_dict()
+        local = as_dict(scc_labels(ds, n_buckets=4))
+        dist = as_dict(scc_labels(ds, n_buckets=4, max_outer=16,
+                                  local_finish_edges=0))
+        assert local == dist, (trial, edges)
