@@ -7593,6 +7593,21 @@ def q_window_ntile(sf_dir: str):
                       n_tiles=4).sort(["o_orderstatus", "o_orderkey"])
 
 
+def q_skipgram_pairs(sf_dir: str):
+    """Word2vec-style skip-gram training-pair counts over the document
+    corpus: every DIRECTIONAL (center, context) pair within a positional
+    window of 2, counted per occurrence, min_count 3 — the statistic an
+    embedding trainer consumes (``term_cooccurrence`` is the capped
+    unordered per-doc variant; this is the positional per-occurrence
+    one).  One bucketed exchange over the corpus-shaped pair vocabulary;
+    hash-exact list-slice window replay in SQL."""
+    from ..stages.lexicon import skipgram_pairs
+
+    docs = _docs(sf_dir, ["text"])
+    return skipgram_pairs(docs, window=2, min_count=3) \
+        .sort(["center", "context"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7880,6 +7895,7 @@ QUERIES = {
     "topo_layers": q_topo_layers,
     "hard_negatives": q_hard_negatives,
     "window_ntile": q_window_ntile,
+    "skipgram_pairs": q_skipgram_pairs,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -13157,4 +13173,21 @@ ORACLE_SQL["window_ntile"] = """
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
     ORDER BY o_orderstatus, o_orderkey
+"""
+
+ORACLE_SQL["skipgram_pairs"] = """
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      FROM documents
+    ), pos AS (
+      SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM toks
+    ), p AS (
+      SELECT ts[i] AS center,
+             unnest(ts[GREATEST(1, i - 2):i - 1]
+                    || ts[i + 1:LEAST(len(ts), i + 2)]) AS context
+      FROM pos
+    )
+    SELECT center, context, COUNT(*) AS n
+    FROM p GROUP BY center, context
+    HAVING COUNT(*) >= 3 ORDER BY center, context
 """

@@ -1036,3 +1036,51 @@ def phrase_match(docs, phrase, id_column: str = "doc_id",
         return out[[id_column, "n_matches"]]
 
     return bucketed_fold(postings, id_column, fold, n_buckets=n_buckets)
+
+
+# ------------------------------------------------------- skip-gram pairs
+
+def skipgram_pairs(docs, window: int = 2, min_count: int = 2,
+                   text_column: str = "text", n_buckets: int = 32):
+    """Word2vec-style skip-gram TRAINING-PAIR generation: for every token
+    position i, the directional (center, context) pairs for every context
+    position j in [i-window, i+window], j != i, counted corpus-wide; pairs
+    with count >= ``min_count`` survive.  The positional sibling of
+    ``term_cooccurrence`` (which caps per-doc DISTINCT terms alphabetically
+    and counts each unordered pair once per doc): here every OCCURRENCE
+    contributes, roles are ordered (center vs context), and adjacency is
+    positional — the statistic embedding trainers actually consume.
+
+    Plan: per-batch Counter partial (each window offset d is one
+    ``zip(w, w[d:])`` sweep — both directions ride the same sweep, so the
+    per-doc work is O(len * window) with no materialized pair list), ONE
+    bucketed exchange on the (center, context) tuple.  The pair vocabulary
+    is corpus-shaped — never broadcast, never collected.  Integer counts,
+    hash-exact oracle (DuckDB list-slice window replay)."""
+    from .aggregate import bucketed_fold
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for text in t.column(text_column).to_pylist():
+            w = _tokens(text)
+            for d in range(1, window + 1):
+                for a, b in zip(w, w[d:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+                    counts[(b, a)] = counts.get((b, a), 0) + 1
+        ks = list(counts)
+        return pa.table({
+            "center": pa.array([k[0] for k in ks], pa.string()),
+            "context": pa.array([k[1] for k in ks], pa.string()),
+            "pn": pa.array([counts[k] for k in ks], pa.int64())})
+
+    partials = docs.select_columns([text_column]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["center", "context"], sort=False)["pn"].sum() \
+            .reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out[out["n"] >= min_count]
+
+    return bucketed_fold(partials, ["center", "context"], combine,
+                         n_buckets=n_buckets)

@@ -498,3 +498,30 @@ def test_phrase_match_trigram_mixed():
     ])
     out = phrase_match(ds, ["merge", "slow", "join"]).to_pandas()
     assert list(out["doc_id"]) == [0] and list(out["n_matches"]) == [2]
+
+
+def test_skipgram_pairs_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.lexicon import (
+        _tokens, skipgram_pairs,
+    )
+
+    rows = [{"text": f"a b c w{i % 4} b a w{i % 3}"} for i in range(30)]
+    rows.append({"text": ""})
+    rows.append({"text": "solo"})
+    window, min_count = 2, 2
+    out = skipgram_pairs(rd.from_items(rows), window=window,
+                         min_count=min_count, n_buckets=4).to_pandas()
+    got = {(r.center, r.context): r.n for r in out.itertuples()}
+
+    from collections import Counter
+    ref: Counter = Counter()
+    for r in rows:
+        w = _tokens(r["text"])
+        for i, c in enumerate(w):
+            for j in range(max(0, i - window), min(len(w), i + window + 1)):
+                if j != i:
+                    ref[(c, w[j])] += 1
+    ref = {k: v for k, v in ref.items() if v >= min_count}
+    assert got == ref
