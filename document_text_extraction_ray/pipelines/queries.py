@@ -7608,6 +7608,43 @@ def q_skipgram_pairs(sf_dir: str):
         .sort(["center", "context"])
 
 
+def q_scene_changes(sf_dir: str):
+    """Video scene-change detection over deterministic two-scene FAKEVID
+    clips (one clip per document; the boundary frame varies with doc_id,
+    the second scene is brightness-shifted): frame-energy deltas, cut
+    where |dE| >= 64*w*h.  Payloads are synthesized INSIDE map_batches
+    (distributed, never driver-built) from a closed form, so the oracle
+    replays every pixel, frame sum and the boundary rule exactly."""
+    import struct as _struct
+
+    from ..stages.multimodal import FAKE_VID_MAGIC, scene_changes
+
+    docs = _docs(sf_dir, ["doc_id"])
+    W, H, NF = 8, 6, 10
+    wh = W * H
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for did in t.column("doc_id").to_pylist():
+            k = 3 + did % 5
+            j1 = np.arange(k * wh, dtype=np.int64)
+            a = ((did * 2 + 1) * 2654435761 + j1 * 2246822519) % 128
+            j2 = np.arange((NF - k) * wh, dtype=np.int64)
+            b = ((did * 3 + 7) * 2654435761 + j2 * 2246822519) % 128 + 128
+            plane = np.concatenate([a, b]).astype(np.uint8)
+            blobs.append(FAKE_VID_MAGIC
+                         + _struct.pack("<IIII", NF, 24, W, H)
+                         + plane.tobytes())
+            ids.append(did)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(blobs, pa.large_binary())})
+
+    vids = docs.map_batches(synth, batch_format="pyarrow")
+    return scene_changes(vids, id_column="doc_id", threshold=64 * wh) \
+        .select_columns(["doc_id", "n_frames", "n_scenes",
+                         "first_boundary", "max_delta"]).sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7896,6 +7933,7 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "window_ntile": q_window_ntile,
     "skipgram_pairs": q_skipgram_pairs,
+    "scene_changes": q_scene_changes,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -13190,4 +13228,34 @@ ORACLE_SQL["skipgram_pairs"] = """
     SELECT center, context, COUNT(*) AS n
     FROM p GROUP BY center, context
     HAVING COUNT(*) >= 3 ORDER BY center, context
+"""
+
+ORACLE_SQL["scene_changes"] = """
+    WITH px AS (
+      SELECT doc_id, unnest(range(0, 480)) AS g FROM documents
+    ), v AS (
+      SELECT doc_id, g // 48 AS fr,
+             CASE WHEN g // 48 < 3 + doc_id % 5
+                  THEN ((doc_id*2 + 1) * 2654435761
+                        + g * 2246822519) % 128
+                  ELSE ((doc_id*3 + 7) * 2654435761
+                        + (g - (3 + doc_id % 5) * 48) * 2246822519) % 128
+                       + 128
+             END AS val
+      FROM px
+    ), e AS (
+      SELECT doc_id, fr, SUM(val) AS en FROM v GROUP BY doc_id, fr
+    ), d AS (
+      SELECT doc_id, fr,
+             ABS(en - LAG(en) OVER (PARTITION BY doc_id ORDER BY fr)) AS dd
+      FROM e
+    )
+    SELECT doc_id,
+           CAST(10 AS BIGINT) AS n_frames,
+           CAST(1 + COUNT(CASE WHEN dd >= 3072 THEN 1 END) AS BIGINT)
+               AS n_scenes,
+           CAST(COALESCE(MIN(CASE WHEN dd >= 3072 THEN fr END), -1)
+                AS BIGINT) AS first_boundary,
+           CAST(MAX(dd) AS BIGINT) AS max_delta
+    FROM d GROUP BY doc_id ORDER BY doc_id
 """

@@ -385,3 +385,60 @@ def audio_fingerprint(ds, payload_column: str = "payload",
         })
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def scene_changes(ds, payload_column: str = "payload",
+                  id_column: str = "doc_id", threshold: int = 3072):
+    """Scene-change detection per video payload: frame energy E_f = exact
+    integer pixel sum per frame, boundary wherever the consecutive-frame
+    energy jump |E_f - E_{f-1}| >= ``threshold`` — the shot-boundary
+    heuristic real frame-diff detectors (ffmpeg ``select=gt(scene,..)``)
+    apply, over the deterministic FAKEVID container (real decoders are
+    absent; the plumbing — per-frame reduction, boundary scan, in-band
+    errors — is the real engine surface).
+
+    Output per clip: n_frames, n_scenes (boundaries + 1), first_boundary
+    (frame index of the first cut, -1 if none), max_delta — all exact
+    integers, so the oracle replays the closed-form frame sums and the
+    boundary rule bit for bit.  Row-local ``map_batches``, zero shuffles;
+    undecodable payloads emit in-band error rows."""
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, nfs, nsc, fb, mx, status = [], [], [], [], [], []
+        for did, blob in zip(t.column(id_column).to_pylist(),
+                             t.column(payload_column).to_pylist()):
+            ids.append(did)
+            try:
+                if not blob.startswith(FAKE_VID_MAGIC):
+                    raise ValueError("not a FAKEVID payload")
+                n, fps, w, h = struct.unpack_from(
+                    "<IIII", blob, len(FAKE_VID_MAGIC))
+                plane = np.frombuffer(
+                    blob, dtype=np.uint8,
+                    offset=len(FAKE_VID_MAGIC) + 16)[: n * w * h]
+                if plane.size != n * w * h:
+                    raise ValueError("truncated plane")
+                e = plane.reshape(n, w * h).sum(axis=1, dtype=np.int64)
+                d = np.abs(np.diff(e))
+                cuts = np.nonzero(d >= threshold)[0]
+                nfs.append(int(n))
+                nsc.append(int(len(cuts)) + 1)
+                fb.append(int(cuts[0]) + 1 if len(cuts) else -1)
+                mx.append(int(d.max()) if d.size else 0)
+                status.append("ok")
+            except Exception:
+                nfs.append(-1)
+                nsc.append(-1)
+                fb.append(-1)
+                mx.append(-1)
+                status.append("error")
+        return pa.table({
+            id_column: pa.array(ids, t.schema.field(id_column).type),
+            "n_frames": pa.array(nfs, pa.int64()),
+            "n_scenes": pa.array(nsc, pa.int64()),
+            "first_boundary": pa.array(fb, pa.int64()),
+            "max_delta": pa.array(mx, pa.int64()),
+            "status": pa.array(status, pa.string()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")

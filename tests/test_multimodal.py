@@ -143,3 +143,52 @@ def test_audio_fingerprint_identity_and_short_clip_error():
     assert out.loc[3, "status"] == "error"      # 10 samples < 33 frames
     assert out.loc[4, "status"] == "error"
     assert out.loc[0, "status"] == "ok" and out.loc[0, "n_samples"] == 4000
+
+
+def test_scene_changes_brute_force_and_errors(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.multimodal import (
+        encode_fake_video, scene_changes, FAKE_VID_MAGIC,
+    )
+    import struct
+
+    rows = []
+    expected = {}
+    rng_cases = [(1, 4, 4), (2, 5, 3), (7, 8, 6), (12, 3, 3)]
+    for i, (nf, w, h) in enumerate(rng_cases):
+        blob = encode_fake_video(nf, w, h, seed=i)
+        rows.append({"doc_id": i, "payload": blob})
+        plane = np.frombuffer(blob, dtype=np.uint8,
+                              offset=len(FAKE_VID_MAGIC) + 16)
+        e = plane.reshape(nf, w * h).sum(axis=1, dtype=np.int64)
+        d = np.abs(np.diff(e))
+        thr = 50
+        cuts = np.nonzero(d >= thr)[0]
+        expected[i] = (nf, len(cuts) + 1,
+                       int(cuts[0]) + 1 if len(cuts) else -1,
+                       int(d.max()) if d.size else 0)
+    # stitched two-scene clip: bright second half must be one cut
+    w, h, nf, k = 4, 4, 6, 3
+    a = (np.arange(k * w * h) * 7 % 100).astype(np.uint8)
+    b = (np.arange((nf - k) * w * h) * 7 % 100 + 150).astype(np.uint8)
+    blob = (FAKE_VID_MAGIC + struct.pack("<IIII", nf, 24, w, h)
+            + np.concatenate([a, b]).tobytes())
+    rows.append({"doc_id": 100, "payload": blob})
+    rows.append({"doc_id": 101, "payload": b"JUNK"})
+
+    t = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("doc_id", pa.int64()), ("payload", pa.large_binary())]))
+    out = scene_changes(rd.from_arrow(t), threshold=50).to_pandas() \
+        .set_index("doc_id")
+    for i, (nf_, ns, fb, mx) in expected.items():
+        r = out.loc[i]
+        assert (r.n_frames, r.n_scenes, r.first_boundary, r.max_delta) == \
+            (nf_, ns, fb, mx)
+        assert r.status == "ok"
+    r = out.loc[100]
+    # bright shift = 150*16 = 2400 >> within-scene deltas; exactly one cut
+    assert r.n_scenes == 2 and r.first_boundary == 3
+    assert out.loc[101].status == "error" and out.loc[101].n_scenes == -1
