@@ -7645,6 +7645,34 @@ def q_scene_changes(sf_dir: str):
                          "first_boundary", "max_delta"]).sort("doc_id")
 
 
+def q_crawl_schedule(sf_dir: str):
+    """Per-host crawl-politeness scheduling over a synthesized frontier
+    (host = doc_id % 37; priority = n_chars DESC, doc_id tie-break):
+    every fifth host carries an explicit robots Crawl-delay of 2000 ms
+    (policy-sized map in the task closure), the rest default to 500 ms.
+    ONE host-bucketed exchange, vectorized rank fold; hash-exact
+    ROW_NUMBER replay."""
+    from ..stages.curation import crawl_schedule
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def mk_hosts(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        hosts = pc.binary_join_element_wise(
+            pa.array(["h"] * len(d)),
+            pc.cast(pa.array(d % 37), pa.string()), "")
+        return t.append_column("host", hosts)
+
+    frontier = docs.map_batches(mk_hosts, batch_format="pyarrow")
+    delay_map = {f"h{i}": 2000 for i in range(0, 37, 5)}
+    out = crawl_schedule(frontier, host_col="host", delay_map=delay_map,
+                         default_delay_ms=500,
+                         order_cols=["n_chars", "doc_id"],
+                         descending=[True, False])
+    return out.select_columns(
+        ["doc_id", "host", "slot", "fetch_at_ms"]).sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7934,6 +7962,7 @@ QUERIES = {
     "window_ntile": q_window_ntile,
     "skipgram_pairs": q_skipgram_pairs,
     "scene_changes": q_scene_changes,
+    "crawl_schedule": q_crawl_schedule,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -13258,4 +13287,21 @@ ORACLE_SQL["scene_changes"] = """
                 AS BIGINT) AS first_boundary,
            CAST(MAX(dd) AS BIGINT) AS max_delta
     FROM d GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLE_SQL["crawl_schedule"] = """
+    WITH u AS (
+      SELECT doc_id, 'h' || CAST(doc_id % 37 AS VARCHAR) AS host, n_chars
+      FROM documents
+    ), r AS (
+      SELECT doc_id, host,
+             ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY n_chars DESC, doc_id) - 1 AS slot
+      FROM u
+    )
+    SELECT doc_id, host, CAST(slot AS BIGINT) AS slot,
+           CAST(slot * (CASE WHEN (doc_id % 37) % 5 = 0
+                             THEN 2000 ELSE 500 END) AS BIGINT)
+               AS fetch_at_ms
+    FROM r ORDER BY doc_id
 """

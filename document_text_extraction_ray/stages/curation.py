@@ -865,3 +865,42 @@ def filter_threshold_sweep(ds, thresholds, text_column: str = "text",
 
     return bucketed_combine(partials, "threshold", combine,
                             n_buckets=n_buckets)
+
+
+def crawl_schedule(ds, host_col: str = "host", delay_map=None,
+                   default_delay_ms: int = 500, order_cols=None,
+                   descending=None, n_buckets: int = 32):
+    """Per-host crawl-politeness scheduling: within each host, rows are
+    ranked by priority (``order_cols`` / ``descending``, with the LAST
+    order column as the deterministic tie-break) and fetch slot r is
+    dispatched at ``r * delay(host)`` ms — the frontier-scheduling step a
+    polite fetcher runs after URL dedup, honoring per-host Crawl-delay.
+
+    ``delay_map`` is the robots-policy side: policy-sized (hosts with an
+    explicit Crawl-delay), so it rides the task closure like
+    ``robots_filter``'s rule list — never a shuffle side; unknown hosts
+    fall back to ``default_delay_ms``.
+
+    Plan: ONE host-bucketed exchange; the whole-bucket fold is a single
+    vectorized sort + cumcount (no per-key Python).  Integer slots and
+    millisecond offsets — hash-exact ROW_NUMBER oracle."""
+    from .aggregate import bucketed_fold
+
+    delay_map = dict(delay_map or {})
+    order_cols = list(order_cols or [])
+    descending = list(descending if descending is not None
+                      else [True] * len(order_cols))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([host_col, *order_cols],
+                          ascending=[True, *[not d for d in descending]],
+                          kind="mergesort")
+        slot = g.groupby(host_col, sort=False).cumcount()
+        delays = g[host_col].map(
+            lambda h: delay_map.get(h, default_delay_ms))
+        out = g.copy()
+        out["slot"] = slot.astype("int64")
+        out["fetch_at_ms"] = (slot * delays).astype("int64")
+        return out
+
+    return bucketed_fold(ds, host_col, fold, n_buckets=n_buckets)

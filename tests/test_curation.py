@@ -428,3 +428,27 @@ def test_filter_threshold_sweep_counts():
     # t=4: keep score>=4 -> doc 1 only; tp=1 fp=0 fn=1 tn=2
     assert list(out.loc[1, ["tp", "fp", "fn", "tn"]]) == [1, 0, 1, 2]
     assert (out[["tp", "fp", "fn", "tn"]].sum(axis=1) == 4).all()
+
+
+def test_crawl_schedule_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.curation import crawl_schedule
+
+    rows = [{"url_id": i, "host": f"h{i % 3}", "prio": (i * 7) % 5}
+            for i in range(40)]
+    delay_map = {"h0": 1000}
+    out = crawl_schedule(rd.from_items(rows), host_col="host",
+                         delay_map=delay_map, default_delay_ms=200,
+                         order_cols=["prio", "url_id"],
+                         descending=[True, False], n_buckets=4) \
+        .to_pandas().set_index("url_id").sort_index()
+
+    ref = sorted(rows, key=lambda r: (r["host"], -r["prio"], r["url_id"]))
+    slot_of_host: dict = {}
+    for r in ref:
+        s = slot_of_host.get(r["host"], 0)
+        slot_of_host[r["host"]] = s + 1
+        d = delay_map.get(r["host"], 200)
+        assert out.loc[r["url_id"], "slot"] == s
+        assert out.loc[r["url_id"], "fetch_at_ms"] == s * d
