@@ -7673,6 +7673,23 @@ def q_crawl_schedule(sf_dir: str):
         ["doc_id", "host", "slot", "fetch_at_ms"]).sort("doc_id")
 
 
+def q_bootstrap_reps(sf_dir: str):
+    """Deterministic multiplier-bootstrap replicates of per-status order
+    revenue: 8 resamples whose per-row weights are md5(id:rep) % 3 —
+    reproducible under retries and resharding where RNG resampling is
+    not.  One row per (status, replicate) with exact integer weighted
+    sums; the spread across replicates is the group-mean sampling error
+    downstream CI estimators consume.  Hash-exact md5 replay oracle."""
+    from ..stages.aggregate import grouped_bootstrap
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_totalprice", "o_orderkey"])
+    return grouped_bootstrap(orders, "o_orderstatus", "o_totalprice",
+                             "o_orderkey", n_reps=8) \
+        .sort(["o_orderstatus", "rep"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7963,6 +7980,7 @@ QUERIES = {
     "skipgram_pairs": q_skipgram_pairs,
     "scene_changes": q_scene_changes,
     "crawl_schedule": q_crawl_schedule,
+    "bootstrap_reps": q_bootstrap_reps,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -13304,4 +13322,20 @@ ORACLE_SQL["crawl_schedule"] = """
                              THEN 2000 ELSE 500 END) AS BIGINT)
                AS fetch_at_ms
     FROM r ORDER BY doc_id
+"""
+
+ORACLE_SQL["bootstrap_reps"] = """
+    WITH reps AS (SELECT unnest(range(0, 8)) AS rep),
+    w AS (
+      SELECT o_orderstatus, rep,
+             CAST(md5_number_lower(CAST(o_orderkey AS VARCHAR) || ':'
+                                   || CAST(rep AS VARCHAR)) % 3
+                  AS BIGINT) AS wt,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders, reps
+    )
+    SELECT o_orderstatus, rep,
+           CAST(SUM(wt * cents) AS BIGINT) AS wsum,
+           CAST(SUM(wt) AS BIGINT) AS wn
+    FROM w GROUP BY o_orderstatus, rep ORDER BY o_orderstatus, rep
 """

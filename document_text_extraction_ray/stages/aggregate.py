@@ -1593,3 +1593,62 @@ def grouped_gini(ds, key: str, value: str, n_buckets: int = 32):
 
     return bucketed_fold(ds.select_columns([key, value]), key, fold,
                          n_buckets=n_buckets)
+
+
+def grouped_bootstrap(ds, key_col, value_col, id_col, n_reps: int = 8,
+                      scale: int = 100, n_buckets: int = 32):
+    """Deterministic MULTIPLIER bootstrap for grouped sums: each row gets,
+    per replicate r, an integer weight w = md5(id ':' r) % 3 (mean-1
+    multiplier; the hash is DuckDB ``md5_number_lower``, so weights are
+    reproducible under retries, resharding and cluster size — the
+    engine-wide replacement for RNG resampling, whose row order is not
+    retry-stable).  Output: one row per (key, replicate) with the exact
+    integer weighted value sum and weight total — the replicate
+    distribution downstream CI / stderr estimators consume (spread of
+    wsum/wn across replicates ~ sampling error of the group mean).
+
+    Plan: per-batch partial collapses to (key, rep) sums — n_keys x
+    n_reps rows per batch on the wire regardless of batch size — then ONE
+    bucketed combine.  Values are quantized to integers (``scale``) so
+    both engines sum exactly."""
+    import pyarrow as pa
+
+    from ..functions.textstats import md5_u64
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        ids = t.column(id_col).to_pylist()
+        vals = np.asarray(t.column(value_col).to_pylist(), dtype=np.float64)
+        cents = np.round(vals * scale).astype(np.int64)
+        acc: dict = {}
+        for k, i, c in zip(keys, ids, cents):
+            for r in range(n_reps):
+                w = md5_u64(f"{i}:{r}") % 3
+                if w:
+                    s = acc.get((k, r))
+                    if s is None:
+                        acc[(k, r)] = [w * c, w]
+                    else:
+                        s[0] += w * c
+                        s[1] += w
+                else:
+                    acc.setdefault((k, r), [0, 0])
+        ks = list(acc)
+        return pa.table({
+            key_col: pa.array([k[0] for k in ks]),
+            "rep": pa.array([k[1] for k in ks], pa.int64()),
+            "wsum": pa.array([acc[k][0] for k in ks], pa.int64()),
+            "wn": pa.array([acc[k][1] for k in ks], pa.int64())})
+
+    partials = ds.select_columns([key_col, value_col, id_col]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby([key_col, "rep"], sort=False)[["wsum", "wn"]] \
+            .sum().reset_index()
+        out["wsum"] = out["wsum"].astype("int64")
+        out["wn"] = out["wn"].astype("int64")
+        return out
+
+    return bucketed_fold(partials, [key_col, "rep"], combine,
+                         n_buckets=n_buckets)

@@ -1061,3 +1061,33 @@ def test_grouped_gini_matches_definition():
     assert out.loc["eq"]["gini_num"] == 0
     one = out.loc["one"]
     assert one["gini_num"] / (one["n"] * one["sum_value"]) == (10 - 1) / 10
+
+
+def test_grouped_bootstrap_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.functions.textstats import md5_u64
+    from document_text_extraction_ray.stages.aggregate import (
+        grouped_bootstrap,
+    )
+
+    rows = [{"k": f"g{i % 3}", "v": (i * 13 % 40) / 4.0, "id": i}
+            for i in range(60)]
+    n_reps = 4
+    out = grouped_bootstrap(rd.from_items(rows), "k", "v", "id",
+                            n_reps=n_reps, n_buckets=4).to_pandas()
+    got = {(r.k, r.rep): (r.wsum, r.wn) for r in out.itertuples()}
+
+    ref: dict = {}
+    for r in rows:
+        c = round(r["v"] * 100)
+        for rep in range(n_reps):
+            w = md5_u64(f"{r['id']}:{rep}") % 3
+            s = ref.setdefault((r["k"], rep), [0, 0])
+            s[0] += w * c
+            s[1] += w
+    assert got == {k: tuple(v) for k, v in ref.items()}
+    # mean-1 multiplier: replicate weight totals hover around group size
+    import numpy as np
+    wns = np.array([v[1] for v in ref.values()])
+    assert wns.min() > 0
