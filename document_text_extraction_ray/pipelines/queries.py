@@ -7690,6 +7690,20 @@ def q_bootstrap_reps(sf_dir: str):
         .sort(["o_orderstatus", "rep"])
 
 
+def q_textrank_keywords(sf_dir: str):
+    """TextRank keyword extraction over the document corpus: skip-gram
+    window-2 pairs (min_count 3) form the symmetric word co-occurrence
+    graph, integer fixed-point PageRank (3 iterations) ranks the terms,
+    top-20 by (rank DESC, term) is the keyword list.  A composition of
+    two registered primitives whose every intermediate is hash-exact, so
+    the full chain (tokenize -> graph -> PR -> top-k) carries one
+    oracle."""
+    from ..stages.lexicon import textrank_keywords
+
+    docs = _docs(sf_dir, ["text"])
+    return textrank_keywords(docs, window=2, min_count=3, k=20, n_iters=3)
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7981,6 +7995,7 @@ QUERIES = {
     "scene_changes": q_scene_changes,
     "crawl_schedule": q_crawl_schedule,
     "bootstrap_reps": q_bootstrap_reps,
+    "textrank_keywords": q_textrank_keywords,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -8792,13 +8807,13 @@ ORACLE_SQL["doc_fingerprints"] = r"""
                    WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
                    WHEN len(hs) < 8 THEN [CAST(
                        list_reduce(hs, (a, h) ->
-                           (a * 1000003 + h) % 2305843009213693951)
-                       % 2305843009213693951 AS BIGINT)]
+                           (a * 1000003 + h) % 4503599627370496)
+                       % 4503599627370496 AS BIGINT)]
                    ELSE list_transform(range(1, len(hs) - 6),
                        i -> CAST(
                            list_reduce(list_slice(hs, i, i + 7), (a, h) ->
-                               (a * 1000003 + h) % 2305843009213693951)
-                           % 2305843009213693951 AS BIGINT))
+                               (a * 1000003 + h) % 4503599627370496)
+                           % 4503599627370496 AS BIGINT))
                END AS rh
         FROM t
     ), f AS (
@@ -9515,7 +9530,7 @@ ORACLE_SQL["substring_dedup"] = r"""
                unnest(list_transform(range(1, len(hs) - 6), i -> {
                    's': i,
                    'wk': CAST(list_reduce(list_slice(hs, i, i + 7),
-                        (a, x) -> (a * 1000003 + x) % 2305843009213693951)
+                        (a, x) -> (a * 1000003 + x) % 4503599627370496)
                         AS BIGINT)})) AS u
         FROM h WHERE len(hs) >= 8
     ),
@@ -13338,4 +13353,67 @@ ORACLE_SQL["bootstrap_reps"] = """
            CAST(SUM(wt * cents) AS BIGINT) AS wsum,
            CAST(SUM(wt) AS BIGINT) AS wn
     FROM w GROUP BY o_orderstatus, rep ORDER BY o_orderstatus, rep
+"""
+
+ORACLE_SQL["textrank_keywords"] = """
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      FROM documents
+    ), pos AS (
+      SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM toks
+    ), pr AS (
+      SELECT ts[i] AS center,
+             unnest(ts[GREATEST(1, i - 2):i - 1]
+                    || ts[i + 1:LEAST(len(ts), i + 2)]) AS context
+      FROM pos
+    ), pairs AS (
+      SELECT center, context FROM pr
+      GROUP BY center, context HAVING COUNT(*) >= 3
+    ), edges AS (
+      SELECT CAST(md5_number_lower(center) % 4503599627370496
+                  AS BIGINT) AS src,
+             CAST(md5_number_lower(context) % 4503599627370496
+                  AS BIGINT) AS dst
+      FROM pairs
+    ), nodes AS (SELECT DISTINCT src AS node FROM edges),
+    params AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src),
+    c AS (SELECT
+              (1000000000000 - (85 * 1000000000000) // 100) // n AS tele,
+              1000000000000 // n AS r0
+          FROM params),
+    rk0 AS (SELECT node, (SELECT r0 FROM c) AS rank FROM nodes),
+    s1 AS (SELECT e.dst AS node, SUM(r.rank // d.outd) AS s
+           FROM edges e JOIN rk0 r ON r.node = e.src
+                        JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    rk1 AS (SELECT n.node,
+                   (SELECT tele FROM c) + (85 * COALESCE(s1.s, 0)) // 100
+                       AS rank
+            FROM nodes n LEFT JOIN s1 ON s1.node = n.node),
+    s2 AS (SELECT e.dst AS node, SUM(r.rank // d.outd) AS s
+           FROM edges e JOIN rk1 r ON r.node = e.src
+                        JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    rk2 AS (SELECT n.node,
+                   (SELECT tele FROM c) + (85 * COALESCE(s2.s, 0)) // 100
+                       AS rank
+            FROM nodes n LEFT JOIN s2 ON s2.node = n.node),
+    s3 AS (SELECT e.dst AS node, SUM(r.rank // d.outd) AS s
+           FROM edges e JOIN rk2 r ON r.node = e.src
+                        JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    rk3 AS (SELECT n.node,
+                   (SELECT tele FROM c) + (85 * COALESCE(s3.s, 0)) // 100
+                       AS rank
+            FROM nodes n LEFT JOIN s3 ON s3.node = n.node),
+    tm AS (
+      SELECT DISTINCT center AS term,
+             CAST(md5_number_lower(center) % 4503599627370496
+                  AS BIGINT) AS node
+      FROM pairs
+    )
+    SELECT t.term, CAST(r.rank AS BIGINT) AS rank
+    FROM rk3 r JOIN tm t ON t.node = r.node
+    ORDER BY rank DESC, term LIMIT 20
 """

@@ -63,7 +63,18 @@ def _key_hash(col) -> np.ndarray:
     """Deterministic per-row uint64 hash of one key column.  Integer keys
     hash via int64 two's-complement (negatives fine); null keys hash to 0
     instead of raising (they can never equi-match, so any deterministic
-    value is correct)."""
+    value is correct).
+
+    FLOAT columns whose values are all integral hash through the SAME
+    integer path.  This is a correctness requirement, not a convenience:
+    Ray's sort-shuffle reduce normalizes mixed pandas/arrow block sets to
+    the PREVALENT type (``TableBlockAccessor.normalize_block_types``), and
+    a pandas conversion turns typed-null int64 columns into NaN float64 —
+    promoting the whole column to double on that reduce partition.  An
+    int64 key and its double-promoted twin must land in the same bucket,
+    or the two sides of the next exchange silently split (measured: every
+    pagerank-loop node duplicated once the state block count exceeded the
+    edge block count, flipping the normalization to pandas)."""
     if pa.types.is_integer(col.type):
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         null_mask = np.asarray(arr.is_null())
@@ -77,6 +88,19 @@ def _key_hash(col) -> np.ndarray:
         if null_mask.any():
             out[null_mask] = 0
         return out
+    if pa.types.is_floating(col.type):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        null_mask = np.asarray(arr.is_null())
+        vals = arr.fill_null(0).to_numpy(zero_copy_only=False)
+        integral = np.isfinite(vals) & (vals == np.floor(vals)) \
+            & (np.abs(vals) < 2 ** 53)
+        if integral.all():
+            v = vals.astype(np.int64).view(np.uint64)
+            out = (v * np.uint64(2654435761)) % np.uint64(2 ** 32)
+            if null_mask.any():
+                out[null_mask] = 0
+            return out
+        # genuinely fractional float keys: fall through to the string path
     return np.fromiter(
         ((0 if v is None else zlib.crc32(str(v).encode()))
          for v in col.to_pylist()),

@@ -1084,3 +1084,75 @@ def skipgram_pairs(docs, window: int = 2, min_count: int = 2,
 
     return bucketed_fold(partials, ["center", "context"], combine,
                          n_buckets=n_buckets)
+
+
+# ------------------------------------------------------ TextRank keywords
+
+def textrank_keywords(docs, window: int = 2, min_count: int = 2, k: int = 20,
+                      n_iters: int = 3, text_column: str = "text",
+                      n_buckets: int = 32):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) as a
+    composition of this engine's primitives: the corpus-wide skip-gram
+    pair table IS the word co-occurrence graph (``skipgram_pairs`` counts
+    both directions per occurrence, so the surviving edge set is
+    symmetric and every node appears as a src — exactly what
+    ``pagerank_int`` requires), integer fixed-point PageRank ranks the
+    terms, and the global top-``k`` by (rank DESC, term ASC) is the
+    keyword list.
+
+    Term node ids are the low 52 bits of md5 (``md5_u64(term) %
+    2^52`` — float53-safe: Ray's sort merge promotes int64 blocks to
+    double when a pandas fold NaN-pads, and ids past 2^53 fail that
+    cast; a rare collision merges the same two terms in BOTH engines,
+    so exactness is unaffected).  DuckDB ``md5_number_lower`` replays
+    them, so the whole composition
+    (tokenize -> window pairs -> graph -> 3 PR iterations -> top-k)
+    stays hash-exact end to end.  The pair table is materialized once
+    (consumed by both the edge projection and the term-id map — the
+    engine-wide multi-consumer lesson); everything downstream is the
+    pagerank cost model over a vocabulary-bounded node set."""
+    from .graph import pagerank_int
+    from .join import partitioned_hash_join
+
+    from ..functions.textstats import md5_u64
+
+    MOD = 1 << 52
+    pairs = skipgram_pairs(docs, window=window, min_count=min_count,
+                           text_column=text_column,
+                           n_buckets=n_buckets).materialize()
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.array([md5_u64(s) % MOD
+                             for s in t.column("center").to_pylist()],
+                            pa.int64()),
+            "dst": pa.array([md5_u64(s) % MOD
+                             for s in t.column("context").to_pylist()],
+                            pa.int64())})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+
+    def to_terms(t: pa.Table) -> pa.Table:
+        terms = t.column("center").to_pylist()
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "node": pa.array([md5_u64(s) % MOD for s in terms],
+                             pa.int64())})
+
+    def dedup_terms(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("node")
+
+    from .aggregate import bucketed_fold
+    terms = bucketed_fold(pairs.map_batches(to_terms,
+                                            batch_format="pyarrow"),
+                          "node", dedup_terms, n_buckets=n_buckets)
+
+    ranks = pagerank_int(edges, n_iters=n_iters, n_buckets=n_buckets)
+    joined = partitioned_hash_join(
+        terms, ranks, on="node", n_buckets=n_buckets,
+        left_schema=pa.schema([("term", pa.string()),
+                               ("node", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()),
+                                ("rank", pa.int64())]))
+    return joined.select_columns(["term", "rank"]) \
+        .sort(["rank", "term"], descending=[True, False]).limit(k)

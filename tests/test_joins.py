@@ -518,3 +518,24 @@ def test_t_closeness_stats_matches_brute_force(ray_session):
         emd = int(np.abs(cumc * n_total - cumg * len(grp)).sum())
         assert int(out.loc[qa, "n_rows"]) == len(grp)
         assert int(out.loc[qa, "emd_num"]) == emd
+
+
+def test_key_hash_float_promoted_ints_match_int_path():
+    import numpy as np
+    import pyarrow as pa
+
+    from document_text_extraction_ray.stages.join import _key_hash
+
+    vals = [0, 5, -3, 2**52 - 1, 123456789012345]
+    hi = _key_hash(pa.chunked_array([pa.array(vals, pa.int64())]))
+    hf = _key_hash(pa.chunked_array([pa.array([float(v) for v in vals],
+                                              pa.float64())]))
+    assert (hi == hf).all()
+    # nulls hash to 0 on both paths (typed-null int64 -> NaN float64 twin)
+    hi_n = _key_hash(pa.chunked_array([pa.array([None, 7], pa.int64())]))
+    hf_n = _key_hash(pa.chunked_array([pa.array([None, 7.0], pa.float64())]))
+    assert (hi_n == hf_n).all() and hi_n[0] == 0
+    # genuinely fractional floats keep the (consistent) string path
+    hfr = _key_hash(pa.chunked_array([pa.array([1.5, 2.0], pa.float64())]))
+    import zlib
+    assert hfr[0] == zlib.crc32(b"1.5")

@@ -525,3 +525,45 @@ def test_skipgram_pairs_matches_brute_force(ray_session):
                     ref[(c, w[j])] += 1
     ref = {k: v for k, v in ref.items() if v >= min_count}
     assert got == ref
+
+
+def test_textrank_keywords_matches_local_reference(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.functions.textstats import md5_u64
+    from document_text_extraction_ray.stages.lexicon import (
+        _tokens, skipgram_pairs, textrank_keywords,
+    )
+
+    rows = [{"text": f"data {['join','sort','scan'][i % 3]} engine "
+                     f"w{i % 5} data engine"} for i in range(40)]
+    k, window, min_count, SCALE, damp = 6, 2, 2, 10**12, 85
+    out = textrank_keywords(rd.from_items(rows), window=window,
+                            min_count=min_count, k=k, n_iters=3,
+                            n_buckets=8).to_pandas()
+
+    # local reference: same pair rule, same integer PR arithmetic
+    from collections import Counter
+    pc_: Counter = Counter()
+    for r in rows:
+        w = _tokens(r["text"])
+        for d in range(1, window + 1):
+            for a, b in zip(w, w[d:]):
+                pc_[(a, b)] += 1
+                pc_[(b, a)] += 1
+    edges = sorted({p for p, n in pc_.items() if n >= min_count})
+    nodes = sorted({a for a, _ in edges})
+    outd = Counter(a for a, _ in edges)
+    n = len(nodes)
+    tele = (SCALE - damp * SCALE // 100) // n
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(3):
+        s: Counter = Counter()
+        for a, b in edges:
+            s[b] += rank[a] // outd[a]
+        rank = {v: tele + (damp * s[v]) // 100 for v in nodes}
+    ref = sorted(((r, t) for t, r in rank.items()),
+                 key=lambda x: (-x[0], x[1]))[:k]
+    got = list(zip(out["rank"], out["term"]))
+    assert got == ref
