@@ -7704,6 +7704,20 @@ def q_textrank_keywords(sf_dir: str):
     return textrank_keywords(docs, window=2, min_count=3, k=20, n_iters=3)
 
 
+def q_exact_percentiles(sf_dir: str):
+    """EXACT global PERCENTILE_DISC of order value by distributed
+    selection (iterative histogram narrowing — 3-4 counting passes, one
+    tiny combined histogram to the driver per pass, values never leave
+    the cluster): the exact sibling of the hist_quantiles SKETCH.  Rank
+    rule pinned to DuckDB quantile_disc (ceil(p*n), 1-based)."""
+    from ..stages.aggregate import exact_percentiles
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_totalprice"])
+    return exact_percentiles(orders, "o_totalprice",
+                             percents=(25, 50, 75, 90, 99)).sort("pct")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -7996,6 +8010,7 @@ QUERIES = {
     "crawl_schedule": q_crawl_schedule,
     "bootstrap_reps": q_bootstrap_reps,
     "textrank_keywords": q_textrank_keywords,
+    "exact_percentiles": q_exact_percentiles,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -13416,4 +13431,25 @@ ORACLE_SQL["textrank_keywords"] = """
     SELECT t.term, CAST(r.rank AS BIGINT) AS rank
     FROM rk3 r JOIN tm t ON t.node = r.node
     ORDER BY rank DESC, term LIMIT 20
+"""
+
+ORACLE_SQL["exact_percentiles"] = """
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM c)
+    SELECT 25 AS pct, CAST(quantile_disc(cents, 0.25) AS BIGINT) AS value,
+           (SELECT nr FROM n) AS n_rows FROM c
+    UNION ALL
+    SELECT 50, CAST(quantile_disc(cents, 0.50) AS BIGINT),
+           (SELECT nr FROM n) FROM c
+    UNION ALL
+    SELECT 75, CAST(quantile_disc(cents, 0.75) AS BIGINT),
+           (SELECT nr FROM n) FROM c
+    UNION ALL
+    SELECT 90, CAST(quantile_disc(cents, 0.90) AS BIGINT),
+           (SELECT nr FROM n) FROM c
+    UNION ALL
+    SELECT 99, CAST(quantile_disc(cents, 0.99) AS BIGINT),
+           (SELECT nr FROM n) FROM c
+    ORDER BY pct
 """

@@ -1652,3 +1652,137 @@ def grouped_bootstrap(ds, key_col, value_col, id_col, n_reps: int = 8,
 
     return bucketed_fold(partials, [key_col, "rep"], combine,
                          n_buckets=n_buckets)
+
+
+def exact_percentiles(ds, value_col, percents=(25, 50, 75, 90, 99),
+                      scale: int = 100, n_bins: int = 256,
+                      max_passes: int = 10):
+    """EXACT distributed PERCENTILE_DISC by iterative histogram narrowing
+    (the classic distributed-selection plan): quantize values to integers
+    once, then per pass count one ``n_bins``-bin histogram over each
+    percentile's surviving [lo, hi] interval, descend into the bin holding
+    the target rank, and stop when the interval is narrower than the bin
+    count (bin width 1 = the answer).  ceil(log_{n_bins}(range)) passes —
+    3-4 for cent-scale money columns — each pass ONE cheap counting
+    execution: per-batch partials collapse to <= n_intervals x n_bins
+    rows, one tiny bucketed combine, and the driver reads only the
+    combined histogram (never values).  Strictly stronger than the
+    histogram-quantile SKETCH (exact, not within-one-bin) at the price of
+    the extra passes; the thin quantized column is materialized once and
+    re-counted per pass.
+
+    Rank rule matches DuckDB ``quantile_disc``: the value at 1-based rank
+    ceil(p * n / 100) of the sorted column.  Integer percents only.
+    Returns one row per percent: (pct, value, n_rows)."""
+    import pyarrow as pa
+
+    def quantize(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(value_col).to_pylist(), dtype=np.float64)
+        return pa.table({"v": pa.array(np.round(v * scale).astype(np.int64))})
+
+    vals = ds.select_columns([value_col]).map_batches(
+        quantize, batch_format="pyarrow").materialize()
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"mn": pa.array([int(v.min())], pa.int64()),
+                         "mx": pa.array([int(v.max())], pa.int64()),
+                         "n": pa.array([len(v)], pa.int64())})
+
+    mm = vals.map_batches(minmax_partial, batch_format="pyarrow").take_all()
+    if not mm:
+        raise ValueError("exact_percentiles: empty input")
+    lo0 = min(r["mn"] for r in mm)
+    hi0 = max(r["mx"] for r in mm)
+    n_total = sum(r["n"] for r in mm)
+
+    # state per percent: (lo, hi, remaining 1-based rank within [lo, hi])
+    state = {int(p): [lo0, hi0, (int(p) * n_total + 99) // 100]
+             for p in percents}
+    result = {}
+
+    for _ in range(max_passes):
+        live = {p: s for p, s in state.items() if p not in result}
+        if not live:
+            break
+        # narrow-enough intervals resolve with one exact-value histogram
+        edges = {}
+        for p, (lo, hi, rank) in live.items():
+            width = hi - lo + 1
+            if width <= n_bins:
+                edges[p] = np.arange(lo, hi + 2, dtype=np.int64)
+            else:
+                edges[p] = np.linspace(lo, hi + 1, n_bins + 1).astype(np.int64)
+        plist = sorted(live)
+        edges_by_p = {p: edges[p] for p in plist}
+
+        def hist_partial(t: pa.Table, _edges=edges_by_p, _ps=plist) -> pa.Table:
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            pcol, bcol, ncol = [], [], []
+            for p in _ps:
+                e = _edges[p]
+                sel = v[(v >= e[0]) & (v < e[-1])]
+                if len(sel) == 0:
+                    continue
+                cnt, _ = np.histogram(sel, bins=e)
+                nz = np.nonzero(cnt)[0]
+                pcol.extend([p] * len(nz))
+                bcol.extend(nz.tolist())
+                ncol.extend(cnt[nz].tolist())
+            return pa.table({"p": pa.array(pcol, pa.int64()),
+                             "b": pa.array(bcol, pa.int64()),
+                             "pn": pa.array(ncol, pa.int64())})
+
+        partials = vals.map_batches(hist_partial, batch_format="pyarrow")
+
+        def combine(t: pa.Table) -> pa.Table:
+            g = t.group_by(["p", "b"]).aggregate([("pn", "sum")])
+            return pa.table({"p": g.column("p"), "b": g.column("b"),
+                             "n": g.column("pn_sum")})
+
+        hist = bucketed_combine(
+            partials.map_batches(
+                lambda t: t.append_column(
+                    "pb", pa.array(t.column("p").to_numpy(
+                        zero_copy_only=False) * 100000
+                        + t.column("b").to_numpy(zero_copy_only=False),
+                        pa.int64())),
+                batch_format="pyarrow"),
+            "pb",
+            lambda t: combine(t.drop_columns(["pb"])),
+            n_buckets=4,
+        ).take_all()
+        by_p: dict = {}
+        for r in hist:
+            by_p.setdefault(r["p"], []).append((r["b"], r["n"]))
+        for p in plist:
+            lo, hi, rank = live[p]
+            e = edges_by_p[p]
+            rows = sorted(by_p.get(p, []))
+            cum = 0
+            for b, cnt in rows:
+                if cum + cnt >= rank:
+                    if hi - lo + 1 <= n_bins:
+                        result[p] = int(e[b])
+                    else:
+                        state[p] = [int(e[b]), int(e[b + 1]) - 1, rank - cum]
+                    break
+                cum += cnt
+            else:
+                raise AssertionError(
+                    "exact_percentiles: rank not found in histogram")
+    missing = [p for p in state if p not in result]
+    if missing:
+        raise AssertionError(
+            f"exact_percentiles: {missing} unresolved after {max_passes} passes")
+    out = pa.table({
+        "pct": pa.array(sorted(result), pa.int64()),
+        "value": pa.array([result[p] for p in sorted(result)], pa.int64()),
+        "n_rows": pa.array([n_total] * len(result), pa.int64()),
+    })
+    import ray.data as _rd
+    return _rd.from_arrow(out)

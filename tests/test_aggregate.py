@@ -1091,3 +1091,27 @@ def test_grouped_bootstrap_matches_brute_force(ray_session):
     import numpy as np
     wns = np.array([v[1] for v in ref.values()])
     assert wns.min() > 0
+
+
+def test_exact_percentiles_matches_numpy(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import (
+        exact_percentiles,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([rng.randint(0, 10**7, 5000),
+                           np.full(100, 424242),   # heavy tie
+                           [0, 10**7 - 1]])        # extremes
+    rows = [{"v": float(x) / 100.0} for x in vals]
+    out = exact_percentiles(rd.from_items(rows), "v",
+                            percents=(1, 25, 50, 75, 99)).to_pandas() \
+        .set_index("pct")
+    sv = np.sort(vals)
+    n = len(sv)
+    for pct in (1, 25, 50, 75, 99):
+        rank = (pct * n + 99) // 100
+        assert out.loc[pct, "value"] == sv[rank - 1]
+        assert out.loc[pct, "n_rows"] == n
