@@ -567,3 +567,22 @@ def test_textrank_keywords_matches_local_reference(ray_session):
                  key=lambda x: (-x[0], x[1]))[:k]
     got = list(zip(out["rank"], out["term"]))
     assert got == ref
+
+
+def test_textrank_local_equals_distributed(ray_session):
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.lexicon import (
+        textrank_keywords,
+    )
+
+    rows = [{"text": f"alpha beta w{i % 7} gamma w{i % 3} alpha beta"}
+            for i in range(50)]
+    loc = textrank_keywords(rd.from_items(rows), window=2, min_count=2,
+                            k=10, n_iters=3, n_buckets=8,
+                            scale="local").to_pandas()
+    dist = textrank_keywords(rd.from_items(rows), window=2, min_count=2,
+                             k=10, n_iters=3, n_buckets=8,
+                             scale="distributed").to_pandas()
+    assert list(loc["term"]) == list(dist["term"])
+    assert list(loc["rank"]) == list(dist["rank"])
