@@ -7718,6 +7718,31 @@ def q_exact_percentiles(sf_dir: str):
                              percents=(25, 50, 75, 90, 99)).sort("pct")
 
 
+def q_image_patches(sf_dir: str):
+    """ViT-style patch-grid explode over per-doc fake images (variable
+    dims so remainder pixels genuinely exercise the floor-division grid):
+    one row per 4x4 grid cell with exact integer pixel sums.  Payloads
+    synthesized INSIDE map_batches from the closed-form codec; the
+    oracle replays every pixel, the grid bounds and the patch sums."""
+    from ..stages.multimodal import encode_fake_image, image_patches
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for did in t.column("doc_id").to_pylist():
+            ids.append(did)
+            blobs.append(encode_fake_image(10 + did % 7, 8 + did % 5,
+                                           seed=did))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(blobs, pa.large_binary())})
+
+    imgs = docs.map_batches(synth, batch_format="pyarrow")
+    return image_patches(imgs, grid=4, id_column="doc_id") \
+        .select_columns(["doc_id", "py", "px", "patch_h", "patch_w",
+                         "pixel_sum"]).sort(["doc_id", "py", "px"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -8011,6 +8036,7 @@ QUERIES = {
     "bootstrap_reps": q_bootstrap_reps,
     "textrank_keywords": q_textrank_keywords,
     "exact_percentiles": q_exact_percentiles,
+    "image_patches": q_image_patches,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -13452,4 +13478,29 @@ ORACLE_SQL["exact_percentiles"] = """
     SELECT 99, CAST(quantile_disc(cents, 0.99) AS BIGINT),
            (SELECT nr FROM n) FROM c
     ORDER BY pct
+"""
+
+ORACLE_SQL["image_patches"] = """
+    WITH d AS (
+      SELECT doc_id, 10 + doc_id % 7 AS w, 8 + doc_id % 5 AS h
+      FROM documents
+    ), pxl AS (
+      SELECT doc_id, w, h, unnest(range(0, w * h)) AS j FROM d
+    ), v AS (
+      SELECT doc_id, w, h, j // w AS y, j % w AS x,
+             (doc_id * 2654435761 + j * 2246822519) % 256 AS val
+      FROM pxl
+    ), g AS (SELECT unnest(range(0, 4)) AS gi)
+    SELECT v.doc_id,
+           gy.gi AS py, gx.gi AS px,
+           CAST(v.h * (gy.gi + 1) // 4 - v.h * gy.gi // 4 AS BIGINT)
+               AS patch_h,
+           CAST(v.w * (gx.gi + 1) // 4 - v.w * gx.gi // 4 AS BIGINT)
+               AS patch_w,
+           CAST(SUM(v.val) AS BIGINT) AS pixel_sum
+    FROM v
+    JOIN g gy ON v.y >= v.h * gy.gi // 4 AND v.y < v.h * (gy.gi + 1) // 4
+    JOIN g gx ON v.x >= v.w * gx.gi // 4 AND v.x < v.w * (gx.gi + 1) // 4
+    GROUP BY v.doc_id, gy.gi, gx.gi, v.h, v.w
+    ORDER BY doc_id, py, px
 """

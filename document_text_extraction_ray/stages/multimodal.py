@@ -442,3 +442,54 @@ def scene_changes(ds, payload_column: str = "payload",
         })
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def image_patches(ds, grid: int = 4, payload_column: str = "payload",
+                  id_column: str = "img_id"):
+    """ViT-style patch extraction: the image splits into a ``grid`` x
+    ``grid`` cell grid (cell = floor-division pixel ranges, remainders to
+    the last row/column — every pixel in exactly one patch) and each
+    patch emits one row with its exact integer pixel sum and dims — the
+    one-row-to-many-rows explode a vision-training pipeline runs before
+    patch-level filtering/embedding.  Row-local flat explode inside
+    ``map_batches`` (no flat_map-per-row Python), zero shuffles;
+    undecodable payloads emit one in-band error row (patch -1)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, pys, pxs, ws, hs, sums, status = [], [], [], [], [], [], []
+        for iid, blob in zip(t.column(id_column).to_pylist(),
+                             t.column(payload_column).to_pylist()):
+            try:
+                img = _decode_fake_image(blob).astype(np.int64)
+                h, w = img.shape
+                ye = [h * i // grid for i in range(grid + 1)]
+                xe = [w * i // grid for i in range(grid + 1)]
+                for gy in range(grid):
+                    for gx in range(grid):
+                        cell = img[ye[gy]:ye[gy + 1], xe[gx]:xe[gx + 1]]
+                        ids.append(iid)
+                        pys.append(gy)
+                        pxs.append(gx)
+                        hs.append(cell.shape[0])
+                        ws.append(cell.shape[1])
+                        sums.append(int(cell.sum()))
+                        status.append("ok")
+            except Exception:
+                ids.append(iid)
+                pys.append(-1)
+                pxs.append(-1)
+                hs.append(-1)
+                ws.append(-1)
+                sums.append(-1)
+                status.append("error")
+        return pa.table({
+            id_column: pa.array(ids, t.schema.field(id_column).type),
+            "py": pa.array(pys, pa.int64()),
+            "px": pa.array(pxs, pa.int64()),
+            "patch_h": pa.array(hs, pa.int64()),
+            "patch_w": pa.array(ws, pa.int64()),
+            "pixel_sum": pa.array(sums, pa.int64()),
+            "status": pa.array(status, pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -192,3 +192,35 @@ def test_scene_changes_brute_force_and_errors(ray_session):
     # bright shift = 150*16 = 2400 >> within-scene deltas; exactly one cut
     assert r.n_scenes == 2 and r.first_boundary == 3
     assert out.loc[101].status == "error" and out.loc[101].n_scenes == -1
+
+
+def test_image_patches_cover_exactly_and_errors(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.multimodal import (
+        encode_fake_image, image_patches, _decode_fake_image,
+    )
+
+    rows = [{"img_id": i, "payload": encode_fake_image(5 + i, 3 + i, seed=i)}
+            for i in range(4)]
+    rows.append({"img_id": 99, "payload": b"BAD"})
+    t = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("img_id", pa.int64()), ("payload", pa.large_binary())]))
+    out = image_patches(rd.from_arrow(t), grid=3).to_pandas()
+    for i in range(4):
+        img = _decode_fake_image(rows[i]["payload"]).astype(np.int64)
+        sub = out[out.img_id == i]
+        assert len(sub) == 9
+        # partition property: patch sums and dims add back to the image
+        assert sub.pixel_sum.sum() == img.sum()
+        assert sub[sub.px == 0].patch_h.sum() == img.shape[0]
+        assert sub[sub.py == 0].patch_w.sum() == img.shape[1]
+        # spot-check one interior cell against numpy
+        h, w = img.shape
+        r = sub[(sub.py == 1) & (sub.px == 1)].iloc[0]
+        assert r.pixel_sum == img[h // 3: h * 2 // 3,
+                                  w // 3: w * 2 // 3].sum()
+    err = out[out.img_id == 99]
+    assert len(err) == 1 and err.iloc[0].status == "error"
