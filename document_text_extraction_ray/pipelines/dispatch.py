@@ -12,6 +12,11 @@ expensive layout branch for the rows that need it.
       ├─ application/vnd...wordprocessingml.document
       │                        -> DocxExtractor (pure stdlib zip+XML,
       │                           approach4_v1.py:33-42 parity)
+      ├─ application/rss+xml \
+      │  application/atom+xml  -> FeedExtractor (stdlib ElementTree,
+      │                           per-item fold; entity/CDATA decode)
+      ├─ message/rfc822        -> EmlExtractor (stdlib email: MIME walk,
+      │                           QP/base64 decode, RFC 2047 subjects)
       └─ anything else         -> in-band error rows
     ... -> union -> one uniform output table
 
@@ -33,6 +38,9 @@ FAKEPDF_TYPE = "application/x-fakepdf"
 PDF_TYPE = "application/pdf"
 DOCX_TYPE = ("application/vnd.openxmlformats-officedocument"
              ".wordprocessingml.document")
+RSS_TYPE = "application/rss+xml"
+ATOM_TYPE = "application/atom+xml"
+EML_TYPE = "message/rfc822"
 
 try:  # pragma: no cover - PyMuPDF absent from this environment
     import fitz  # noqa: F401
@@ -207,6 +215,89 @@ def _docx_branch(ds, concurrency: int = 2) -> ray.data.Dataset:
     )
 
 
+class FeedExtractor:
+    """Syndication route (application/rss+xml, application/atom+xml):
+    stdlib ElementTree feed-item extraction folded to one text blob per
+    feed (title + summary per item) for the uniform dispatch schema.
+    Per-row failures (malformed XML, non-feed roots) stay in-band."""
+
+    def __init__(self):
+        from ..functions.feed_extract import feed_to_text
+
+        self._fold = feed_to_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts, statuses = [], []
+        for payload in batch.column("payload").to_pylist():
+            try:
+                texts.append(self._fold(bytes(payload or b"")))
+                statuses.append("ok")
+            except Exception as exc:
+                texts.append("")
+                statuses.append(f"error: {type(exc).__name__}: {exc}")
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "content_type": batch.column("content_type"),
+                "extracted_text": pa.array(texts, pa.large_string()),
+                "method": pa.array(["feed-xml"] * batch.num_rows),
+                "status": pa.array(statuses, pa.string()),
+            },
+            schema=DISPATCH_SCHEMA,
+        )
+
+
+class EmlExtractor:
+    """MIME email route (message/rfc822): stdlib ``email`` parse — RFC 2047
+    subject decode, multipart traversal preferring text/plain, CTE decode
+    (quoted-printable / base64).  extracted_text = subject + blank line +
+    plain body; failures stay in-band."""
+
+    def __init__(self):
+        from ..functions.eml_extract import extract_eml
+
+        self._extract = extract_eml
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts, statuses = [], []
+        for payload in batch.column("payload").to_pylist():
+            try:
+                subject, body, _n = self._extract(bytes(payload or b""))
+                texts.append(subject + "\n\n" + body)
+                statuses.append("ok")
+            except Exception as exc:
+                texts.append("")
+                statuses.append(f"error: {type(exc).__name__}: {exc}")
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "content_type": pa.array([EML_TYPE] * batch.num_rows),
+                "extracted_text": pa.array(texts, pa.large_string()),
+                "method": pa.array(["mime"] * batch.num_rows),
+                "status": pa.array(statuses, pa.string()),
+            },
+            schema=DISPATCH_SCHEMA,
+        )
+
+
+def _feed_branch(ds, concurrency: int = 2) -> ray.data.Dataset:
+    from ..util import pool_size
+
+    return ds.map_batches(
+        FeedExtractor, batch_format="pyarrow",
+        concurrency=pool_size(concurrency),
+    )
+
+
+def _eml_branch(ds, concurrency: int = 2) -> ray.data.Dataset:
+    from ..util import pool_size
+
+    return ds.map_batches(
+        EmlExtractor, batch_format="pyarrow",
+        concurrency=pool_size(concurrency),
+    )
+
+
 def _mark_unsupported(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
@@ -239,6 +330,8 @@ class DispatchExtractor:
         self._layout = LayoutExtractor(core=core)
         self._real_pdf = RealPdfExtractor()
         self._docx = DocxExtractor()
+        self._feed = FeedExtractor()
+        self._eml = EmlExtractor()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ct = batch.column("content_type")
@@ -265,7 +358,15 @@ class DispatchExtractor:
         docx = batch.filter(pc.equal(ct, DOCX_TYPE))
         if docx.num_rows:
             parts.append(self._docx(docx))
-        known = pa.array([HTML_TYPE, FAKEPDF_TYPE, PDF_TYPE, DOCX_TYPE])
+        feed = batch.filter(pc.is_in(ct, value_set=pa.array([RSS_TYPE,
+                                                             ATOM_TYPE])))
+        if feed.num_rows:
+            parts.append(self._feed(feed))
+        eml = batch.filter(pc.equal(ct, EML_TYPE))
+        if eml.num_rows:
+            parts.append(self._eml(eml))
+        known = pa.array([HTML_TYPE, FAKEPDF_TYPE, PDF_TYPE, DOCX_TYPE,
+                          RSS_TYPE, ATOM_TYPE, EML_TYPE])
         other = batch.filter(
             pc.invert(pc.is_in(ct, value_set=known))
         )
@@ -303,8 +404,15 @@ def extract_dispatch(corpus: ray.data.Dataset, concurrency: int | None = None,
 
         return f
 
+    def feed_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(
+            batch.column("content_type"),
+            value_set=pa.array([RSS_TYPE, ATOM_TYPE]),
+        ))
+
     def other_filter(batch: pa.Table) -> pa.Table:
-        known = pa.array([HTML_TYPE, FAKEPDF_TYPE, PDF_TYPE, DOCX_TYPE])
+        known = pa.array([HTML_TYPE, FAKEPDF_TYPE, PDF_TYPE, DOCX_TYPE,
+                          RSS_TYPE, ATOM_TYPE, EML_TYPE])
         return batch.filter(
             pc.invert(pc.is_in(batch.column("content_type"), value_set=known))
         )
@@ -313,11 +421,15 @@ def extract_dispatch(corpus: ray.data.Dataset, concurrency: int | None = None,
     pdf_ds = corpus.map_batches(type_filter(FAKEPDF_TYPE), batch_format="pyarrow")
     real_pdf_ds = corpus.map_batches(type_filter(PDF_TYPE), batch_format="pyarrow")
     docx_ds = corpus.map_batches(type_filter(DOCX_TYPE), batch_format="pyarrow")
+    feed_ds = corpus.map_batches(feed_filter, batch_format="pyarrow")
+    eml_ds = corpus.map_batches(type_filter(EML_TYPE), batch_format="pyarrow")
     other_ds = corpus.map_batches(other_filter, batch_format="pyarrow")
 
     return _html_branch(html_ds).union(
         _pdf_branch(pdf_ds, concurrency=concurrency),
         _real_pdf_branch(real_pdf_ds, concurrency=concurrency),
         _docx_branch(docx_ds, concurrency=concurrency),
+        _feed_branch(feed_ds, concurrency=concurrency),
+        _eml_branch(eml_ds, concurrency=concurrency),
         _unsupported_branch(other_ds),
     )

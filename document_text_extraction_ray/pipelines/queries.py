@@ -7743,6 +7743,75 @@ def q_image_patches(sf_dir: str):
                          "pixel_sum"]).sort(["doc_id", "py", "px"])
 
 
+def q_feed_extract(sf_dir: str):
+    """RSS/Atom feed-item extraction end-to-end: each document becomes a
+    REAL syndication payload (even doc_ids RSS 2.0 with CDATA descriptions
+    and an <image><title> channel decoy; odd doc_ids namespaced Atom with
+    href-attribute links), parsed back through the stdlib ElementTree
+    route and exploded to one row per item.  Entity decoding (&amp;,
+    &#8211;) and CDATA passthrough are in the synthesized titles, so a
+    tag-soup shortcut mismatches the oracle's closed-form replay."""
+    from ..functions.feed_extract import (build_atom, build_rss,
+                                          extract_feed_items)
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids, idxs, fmts, titles, links, summaries = [], [], [], [], [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            n = 1 + did % 3
+            payload = (build_rss(did, text or "", n) if did % 2 == 0
+                       else build_atom(did, text or "", n))
+            for i, (fmt, title, link, summary) in enumerate(
+                    extract_feed_items(payload)):
+                ids.append(did)
+                idxs.append(i)
+                fmts.append(fmt)
+                titles.append(title)
+                links.append(link)
+                summaries.append(summary)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "item_idx": pa.array(idxs, pa.int64()),
+            "fmt": pa.array(fmts, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "link": pa.array(links, pa.string()),
+            "summary": pa.array(summaries, pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        roundtrip, batch_format="pyarrow"
+    ).sort(["doc_id", "item_idx"])
+
+
+def q_eml_extract(sf_dir: str):
+    """MIME email extraction end-to-end: each document becomes a real
+    RFC-822 message (even doc_ids multipart/alternative with a
+    quoted-printable plain part and a decoy HTML part; odd doc_ids
+    single-part base64) with an RFC 2047-encoded subject, then parsed back
+    through the stdlib ``email`` route.  Transfer-encoding decode, subject
+    decode and the text/plain preference are all on the oracle path."""
+    from ..functions.eml_extract import build_eml, extract_eml
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        subjects, bodies, parts = [], [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            subject, body, n_parts = extract_eml(build_eml(did, text or ""))
+            subjects.append(subject)
+            bodies.append(body)
+            parts.append(n_parts)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "subject": pa.array(subjects, pa.string()),
+            "body": pa.array(bodies, pa.large_string()),
+            "n_parts": pa.array(parts, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        roundtrip, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -8037,6 +8106,8 @@ QUERIES = {
     "textrank_keywords": q_textrank_keywords,
     "exact_percentiles": q_exact_percentiles,
     "image_patches": q_image_patches,
+    "feed_extract": q_feed_extract,
+    "eml_extract": q_eml_extract,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -13503,4 +13574,37 @@ ORACLE_SQL["image_patches"] = """
     JOIN g gx ON v.x >= v.w * gx.gi // 4 AND v.x < v.w * (gx.gi + 1) // 4
     GROUP BY v.doc_id, gy.gi, gx.gi, v.h, v.w
     ORDER BY doc_id, py, px
+"""
+
+# feed_extract oracle: the builders are closed forms over (doc_id, text) —
+# entity-decoded titles ('&' and the en dash chr(8211)), per-item links,
+# 40-char text-prefix summaries, 1 + doc_id % 3 items, RSS/Atom by parity.
+# Any parse shortcut (skipping entity decode, CDATA, the href attribute, or
+# leaking the <image><title> decoy) breaks the hash.
+ORACLE_SQL["feed_extract"] = """
+    WITH k AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt,
+             unnest(range(0, 1 + doc_id % 3)) AS item_idx
+      FROM documents
+    )
+    SELECT doc_id, CAST(item_idx AS BIGINT) AS item_idx, fmt,
+           'Item ' || item_idx || ' & more ' || chr(8211) || ' feed '
+               || doc_id AS title,
+           'https://feeds.example/e/' || doc_id || '/' || item_idx AS link,
+           substr(text, 1, 40) AS summary
+    FROM k ORDER BY doc_id, item_idx
+"""
+
+# eml_extract oracle: subject decodes back from its RFC 2047 encoded word;
+# the plain body is text + chr(10) (set_content's final-newline contract,
+# same shape as the DOCX oracle); part count is 3 for multipart evens
+# (container + plain + html), 1 for single-part odds.
+ORACLE_SQL["eml_extract"] = """
+    SELECT doc_id,
+           'Re: doc ' || doc_id || ' ' || chr(8211) || ' update' AS subject,
+           text || chr(10) AS body,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT)
+               AS n_parts
+    FROM documents ORDER BY doc_id
 """

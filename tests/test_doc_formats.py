@@ -326,3 +326,98 @@ def test_pdf_png_predictor_roundtrip():
         for j in range(r0 + cols - 1, r0, -1):
             enc[j] = (raw[j] - raw[j - 1]) & 0xFF
     assert _apply_predictor(bytes(enc), 2, cols) == raw
+
+
+# ------------------------------------------------------------- feeds / eml
+
+
+def test_rss_items_decode_entities_cdata_and_skip_image_decoy():
+    from document_text_extraction_ray.functions.feed_extract import (
+        build_rss, extract_feed_items)
+
+    items = extract_feed_items(build_rss(4, "alpha beta gamma", 2))
+    assert len(items) == 2  # the <image><title> decoy is NOT an item
+    fmt, title, link, summary = items[0]
+    assert fmt == "rss"
+    assert title == "Item 0 & more – feed 4"  # entities decoded
+    assert link == "https://feeds.example/e/4/0"
+    assert summary == "alpha beta gamma"  # CDATA passthrough
+
+
+def test_atom_entries_read_href_attribute_links():
+    from document_text_extraction_ray.functions.feed_extract import (
+        build_atom, extract_feed_items)
+
+    items = extract_feed_items(build_atom(7, "x " * 40, 3))
+    assert [i[0] for i in items] == ["atom"] * 3
+    assert items[2][2] == "https://feeds.example/e/7/2"
+    assert items[1][3] == ("x " * 40)[:40]
+
+
+def test_feed_rejects_non_feed_xml():
+    import pytest
+
+    from document_text_extraction_ray.functions.feed_extract import (
+        extract_feed_items)
+
+    with pytest.raises(ValueError):
+        extract_feed_items(b"<html><body>nope</body></html>")
+
+
+def test_eml_multipart_prefers_plain_and_decodes_qp_and_subject():
+    from document_text_extraction_ray.functions.eml_extract import (
+        build_eml, extract_eml)
+
+    text = "line one\nline é two"  # non-ascii forces real QP work
+    subject, body, n_parts = extract_eml(build_eml(2, text))
+    assert subject == "Re: doc 2 – update"  # RFC 2047 round trip
+    assert body == text + "\n"
+    assert n_parts == 3  # container + plain + html
+
+
+def test_eml_base64_single_part():
+    from document_text_extraction_ray.functions.eml_extract import (
+        build_eml, extract_eml)
+
+    subject, body, n_parts = extract_eml(build_eml(3, "hello world"))
+    assert body == "hello world\n"
+    assert n_parts == 1
+    # base64 actually on the wire
+    assert b"Content-Transfer-Encoding: base64" in build_eml(3, "hello world")
+
+
+def test_dispatch_routes_feed_and_eml_rows():
+    import pyarrow as pa
+    import ray.data
+
+    from document_text_extraction_ray.functions.eml_extract import build_eml
+    from document_text_extraction_ray.functions.feed_extract import (
+        build_atom, build_rss)
+    from document_text_extraction_ray.pipelines.dispatch import (
+        ATOM_TYPE, EML_TYPE, RSS_TYPE, extract_dispatch)
+
+    rows = [
+        {"url": "u0", "content_type": RSS_TYPE,
+         "payload": build_rss(0, "alpha beta", 1)},
+        {"url": "u1", "content_type": ATOM_TYPE,
+         "payload": build_atom(1, "gamma delta", 2)},
+        {"url": "u2", "content_type": EML_TYPE,
+         "payload": build_eml(2, "body text")},
+        {"url": "u3", "content_type": RSS_TYPE, "payload": b"<notxml"},
+        {"url": "u4", "content_type": EML_TYPE, "payload": b""},
+    ]
+    schema = pa.schema([("url", pa.string()), ("content_type", pa.string()),
+                        ("payload", pa.large_binary())])
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+    df = extract_dispatch(ds, concurrency=1).to_pandas() \
+        .set_index("url").sort_index()
+    assert df.loc["u0", "method"] == "feed-xml"
+    assert df.loc["u0", "extracted_text"] == \
+        "Item 0 & more – feed 0\nalpha beta"
+    assert df.loc["u1", "extracted_text"].count("\n\n") == 1  # 2 entries
+    assert df.loc["u2", "method"] == "mime"
+    assert df.loc["u2", "extracted_text"] == \
+        "Re: doc 2 – update\n\nbody text\n"
+    assert df.loc["u3", "status"].startswith("error")
+    # empty eml parses to an empty message: subject/body empty, status ok
+    assert df.loc["u4", "method"] == "mime"
