@@ -156,6 +156,40 @@ def fingerprint(text: str, window: int = 8, keep: int = 16) -> list:
     return sorted(set(hashes))[:keep]
 
 
+def winnow(text: str, k: int = 8, w: int = 4) -> list:
+    """MOSS winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): character
+    k-gram hashes over ``lower(text)``; each length-``w`` window of
+    consecutive gram positions selects its MINIMUM hash, rightmost position
+    on ties; selections are deduplicated.  Unlike ``fingerprint`` (bottom-k
+    sketch, order-insensitive), this keeps POSITIONS and carries the MOSS
+    guarantee: any shared substring of length >= w + k - 1 between two
+    documents shares at least one selected fingerprint.
+
+    Returns sorted distinct ``(pos, fp)`` with 1-based gram-start positions.
+    Hashes are ``md5_u64 % 2^52`` so both engines compare identical int64s
+    (DuckDB HUGEINT-mod replay); documents shorter than ``k`` select
+    nothing; ``k <= len < k + w - 1`` selects from one truncated window."""
+    import numpy as np
+
+    s = text.lower()
+    m = len(s) - k + 1
+    if m < 1:
+        return []
+    mod = 1 << 52
+    arr = np.fromiter(
+        (md5_u64(s[i:i + k]) % mod for i in range(m)),
+        dtype=np.int64, count=m,
+    )
+    if m <= w:
+        mn = int(arr.min())
+        pos = int(np.flatnonzero(arr == mn).max())
+        return [(pos + 1, mn)]
+    wv = np.lib.stride_tricks.sliding_window_view(arr, w)
+    rev = wv[:, ::-1].argmin(axis=1)
+    sel = (w - 1 - rev) + np.arange(wv.shape[0])
+    return sorted({(int(p) + 1, int(arr[p])) for p in sel})
+
+
 def content_hash(text: str) -> int:
     """Stable 63-bit content hash of normalized text (exact-dedup key).
 

@@ -7812,6 +7812,33 @@ def q_eml_extract(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_winnowing(sf_dir: str):
+    """MOSS winnowing fingerprint selection (k=8 char grams, window 4):
+    positional window-min with rightmost tie-break — the plagiarism /
+    near-dup scheme with the guarantee that any shared substring of length
+    >= w+k-1 across documents shares a selected fingerprint
+    (``doc_fingerprints`` is the order-insensitive bottom-k sibling; this
+    keeps positions).  Row-local, zero shuffles; the oracle replays every
+    gram hash, window minimum and tie rule."""
+    from ..functions.textstats import winnow
+
+    def fp(t: pa.Table) -> pa.Table:
+        ids, poss, fps = [], [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            for pos, h in winnow(text or "", k=8, w=4):
+                ids.append(did)
+                poss.append(pos)
+                fps.append(h)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "pos": pa.array(poss, pa.int64()),
+                         "fp": pa.array(fps, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    ).sort(["doc_id", "pos"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -8108,6 +8135,7 @@ QUERIES = {
     "image_patches": q_image_patches,
     "feed_extract": q_feed_extract,
     "eml_extract": q_eml_extract,
+    "winnowing": q_winnowing,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -13607,4 +13635,38 @@ ORACLE_SQL["eml_extract"] = """
            CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT)
                AS n_parts
     FROM documents ORDER BY doc_id
+"""
+
+# winnowing oracle: gram hash = md5_number_lower % 2^52 (the shared int64
+# convention); per window start s the min hash over gram positions
+# [s, s+4); the selected position is the RIGHTMOST achieving the min; the
+# final set is DISTINCT (doc, pos, fp).  Docs shorter than k vanish; the
+# m <= w case degenerates to the single s=1 truncated window because the
+# window join is bounded by the gram table itself.
+ORACLE_SQL["winnowing"] = """
+    WITH g AS (
+      SELECT doc_id, i,
+             CAST(CAST(md5_number_lower(substr(lower(text), CAST(i AS INT), 8))
+                       AS HUGEINT) % 4503599627370496 AS BIGINT) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) - 8 + 2)) AS i
+            FROM documents WHERE length(text) >= 8)
+    ), m AS (
+      SELECT doc_id, MAX(i) AS mg FROM g GROUP BY doc_id
+    ), ws AS (
+      SELECT doc_id, unnest(range(1, GREATEST(mg - 4 + 1, 1) + 1)) AS s
+      FROM m
+    ), wmin AS (
+      SELECT ws.doc_id, ws.s, MIN(g.h) AS mh
+      FROM ws JOIN g ON g.doc_id = ws.doc_id
+                    AND g.i >= ws.s AND g.i < ws.s + 4
+      GROUP BY ws.doc_id, ws.s
+    ), sel AS (
+      SELECT w.doc_id, MAX(g.i) AS pos, w.mh AS fp
+      FROM wmin w JOIN g ON g.doc_id = w.doc_id
+                        AND g.i >= w.s AND g.i < w.s + 4 AND g.h = w.mh
+      GROUP BY w.doc_id, w.s, w.mh
+    )
+    SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+    FROM sel ORDER BY doc_id, pos, fp
 """

@@ -156,3 +156,35 @@ def test_lang_segments_run_collapse_and_und_lines():
     assert list(d0["n_chars"]) == [17 + 10, 19, 7]
     d1 = out[out["doc_id"] == 1]
     assert list(d1["lang"]) == ["und"] and list(d1["n_lines"]) == [1]
+
+
+def test_winnow_guarantee_and_tie_rule():
+    """MOSS guarantee: any shared substring of length >= w + k - 1 shares a
+    selected fingerprint; ties select the rightmost position."""
+    from document_text_extraction_ray.functions.textstats import winnow
+
+    k, w = 8, 4
+    shared = "abcdefghijk"  # len 11 == w + k - 1
+    a = dict(winnow("xxyyzz11 " + shared + " qq22ww33", k, w))
+    b = dict(winnow("totally other words " + shared + " more tail", k, w))
+    assert set(a.values()) & set(b.values())
+
+    # all-equal hashes: every window must pick its rightmost position
+    rep = winnow("aaaaaaaaaaaa", k, w)  # 12 chars -> 5 identical grams
+    # 2 windows ([1,4], [2,5]): each selects ITS rightmost position
+    assert [p for p, _ in rep] == [4, 5]
+    assert len({h for _, h in rep}) == 1
+
+    assert winnow("short", k, w) == []  # < k chars selects nothing
+    one = winnow("exactly8", k, w)  # m=1: single truncated window
+    assert len(one) == 1 and one[0][0] == 1
+
+
+def test_winnow_positions_are_gram_starts():
+    from document_text_extraction_ray.functions.textstats import md5_u64, winnow
+
+    text = "the quick brown fox jumps"
+    out = winnow(text, 8, 4)
+    mod = 1 << 52
+    for pos, fp in out:
+        assert md5_u64(text.lower()[pos - 1:pos - 1 + 8]) % mod == fp
