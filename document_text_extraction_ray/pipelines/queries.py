@@ -7839,6 +7839,27 @@ def q_winnowing(sf_dir: str):
     ).sort(["doc_id", "pos"])
 
 
+def q_dup_span_align(sf_dir: str):
+    """WHERE near-duplicates overlap, not just THAT they do: docs blocked
+    by a 32-char lead fingerprint (the dedup_keep_best clusters) pair up
+    and their word-3-gram positions align along diagonals (i - j constant,
+    the dotplot view) — per pair the total matches, the longest aligned
+    run and its offset.  One bucketed exchange; per-pair local alignment
+    in the key-complete fold; hash-exact gaps-and-islands replay."""
+    from ..stages.dedup import dup_span_align
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def add_lead(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "lead32", pc.utf8_slice_codeunits(t.column("text"), 0, 32))
+
+    return dup_span_align(
+        docs.map_batches(add_lead, batch_format="pyarrow"),
+        "lead32", id_column="doc_id", text_column="text", k=3,
+    ).sort(["a", "b"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -8136,6 +8157,7 @@ QUERIES = {
     "feed_extract": q_feed_extract,
     "eml_extract": q_eml_extract,
     "winnowing": q_winnowing,
+    "dup_span_align": q_dup_span_align,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -13669,4 +13691,50 @@ ORACLE_SQL["winnowing"] = """
     )
     SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
     FROM sel ORDER BY doc_id, pos, fp
+"""
+
+# dup_span_align oracle: pairs from the lead-32 blocking self-join; matched
+# 3-gram positions join on gram equality; runs = gaps-and-islands per
+# (a, b, diag) via i - ROW_NUMBER; best_diag = MIN diag among runs achieving
+# the pair max.  1-based SQL positions shift both i and j, so diagonals are
+# identical to the kernel's 0-based ones.
+ORACLE_SQL["dup_span_align"] = """
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 32) AS key,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id, key, i,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      FROM (SELECT doc_id, key, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM d WHERE len(ws) >= 3)
+    ), p AS (
+      SELECT ga.doc_id AS a, gb.doc_id AS b,
+             ga.i AS i, ga.i - gb.i AS diag
+      FROM g ga JOIN g gb
+        ON ga.key = gb.key AND ga.doc_id < gb.doc_id AND ga.gram = gb.gram
+    ), r AS (
+      SELECT a, b, diag, i,
+             i - ROW_NUMBER() OVER (PARTITION BY a, b, diag ORDER BY i)
+                 AS grp
+      FROM p
+    ), runs AS (
+      SELECT a, b, diag, COUNT(*) AS run FROM r GROUP BY a, b, diag, grp
+    ), agg AS (
+      SELECT a, b, MAX(run) AS max_run FROM runs GROUP BY a, b
+    ), bd AS (
+      SELECT runs.a, runs.b, MIN(runs.diag) AS best_diag
+      FROM runs JOIN agg ON runs.a = agg.a AND runs.b = agg.b
+                        AND runs.run = agg.max_run
+      GROUP BY runs.a, runs.b
+    ), nm AS (
+      SELECT a, b, COUNT(*) AS n_matches FROM p GROUP BY a, b
+    )
+    SELECT nm.a, nm.b, nm.n_matches,
+           CAST(agg.max_run AS BIGINT) AS max_run,
+           CAST(bd.best_diag AS BIGINT) AS best_diag
+    FROM nm
+    JOIN agg ON nm.a = agg.a AND nm.b = agg.b
+    JOIN bd ON nm.a = bd.a AND nm.b = bd.b
+    ORDER BY nm.a, nm.b
 """

@@ -2396,3 +2396,83 @@ def weighted_containment_pairs(ds, text_column: str, id_column: str,
         return out[["id_a", "id_b", "inter", "total_a", "total_b"]]
 
     return bucketed_fold(co, ["id_a", "id_b"], verify, n_buckets=n_buckets)
+
+
+# ------------------------------------------------------- span alignment
+
+def dup_span_align(docs, key_col: str, id_column: str = "doc_id",
+                   text_column: str = "text", k: int = 3,
+                   n_buckets: int = 32):
+    """Span-level ALIGNMENT of near-duplicate candidates: documents sharing
+    a blocking key pair up, their word ``k``-gram position lists match on
+    gram equality, and consecutive matches along each DIAGONAL
+    (``i - j`` constant — the dotplot / BLAST-seed view of local
+    alignment) form aligned runs.  Per pair: ``n_matches`` (all matched
+    position pairs), ``max_run`` (longest consecutive diagonal run, i.e.
+    the longest shared word window in gram units), ``best_diag`` (smallest
+    diagonal achieving ``max_run`` — the offset between the copies).
+
+    Near-dup detectors (MinHash, setsim) say THAT two docs overlap; this
+    says WHERE and HOW LONG — the quotation/partial-copy forensics step.
+
+    Plan: ONE bucketed exchange on the blocking key (full rows — the pair
+    fold needs both texts); alignment is per-pair local inside the
+    key-complete bucket.  Hot-key contract (the ``edit_distance_join``
+    clause): a blocking key with c members emits C(c,2) pairs — block on a
+    key tight enough that clusters are duplicate-cluster-sized."""
+    from ..stages.lexicon import _tokens
+    from .aggregate import bucketed_fold
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_n, out_run, out_diag = [], [], [], [], []
+        for _, grp in g.groupby(key_col, sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(id_column)
+            ids = grp[id_column].tolist()
+            grams = []
+            for t in grp[text_column].tolist():
+                ws = _tokens(t or "")
+                grams.append([" ".join(ws[i:i + k])
+                              for i in range(len(ws) - k + 1)])
+            for x in range(len(ids)):
+                pos_b: dict = {}
+                for y in range(x + 1, len(ids)):
+                    pos_b.clear()
+                    for j, gram in enumerate(grams[y]):
+                        pos_b.setdefault(gram, []).append(j)
+                    diag_is: dict = {}
+                    n_match = 0
+                    for i, gram in enumerate(grams[x]):
+                        for j in pos_b.get(gram, ()):
+                            diag_is.setdefault(i - j, []).append(i)
+                            n_match += 1
+                    if not n_match:
+                        continue
+                    best_run, best_diag = 0, None
+                    for diag in diag_is:
+                        iis = diag_is[diag]  # strictly increasing
+                        run = mx = 1
+                        for t in range(1, len(iis)):
+                            run = run + 1 if iis[t] == iis[t - 1] + 1 else 1
+                            if run > mx:
+                                mx = run
+                        if mx > best_run or (mx == best_run
+                                             and diag < best_diag):
+                            best_run, best_diag = mx, diag
+                    out_a.append(ids[x])
+                    out_b.append(ids[y])
+                    out_n.append(n_match)
+                    out_run.append(best_run)
+                    out_diag.append(best_diag)
+        return pd.DataFrame({
+            "a": pd.Series(out_a, dtype="int64"),
+            "b": pd.Series(out_b, dtype="int64"),
+            "n_matches": pd.Series(out_n, dtype="int64"),
+            "max_run": pd.Series(out_run, dtype="int64"),
+            "best_diag": pd.Series(out_diag, dtype="int64"),
+        })
+
+    return bucketed_fold(
+        docs.select_columns([key_col, id_column, text_column]),
+        key_col, fold, n_buckets=n_buckets)

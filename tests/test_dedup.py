@@ -757,3 +757,47 @@ def test_weighted_containment_df_cap_drops_stopword_shingles():
         rd.from_items(docs), "text", "doc_id", n=3,
         threshold=(1, 100), df_cap=2).to_pandas()
     assert len(out) == 0
+
+
+def test_dup_span_align_finds_copied_span(ray_session):
+    """A verbatim span shared between two blocked docs shows up as one
+    diagonal run of exactly (span_words - k + 1) grams at the offset
+    between the copies; unrelated docs in other blocks emit nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.dedup import dup_span_align
+
+    span = "alpha beta gamma delta epsilon zeta"  # 6 words -> 4 grams
+    rows = [
+        {"doc_id": 1, "key": "K", "text": "intro words here " + span},
+        {"doc_id": 2, "key": "K", "text": span + " closing remark words"},
+        {"doc_id": 3, "key": "other", "text": "nothing shared at all"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    df = dup_span_align(ds, "key", text_column="text", k=3).to_pandas()
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["max_run"] == 4          # 6-word span, k=3
+    assert r["best_diag"] == 3        # doc1 has 3 lead words before span
+    assert r["n_matches"] >= 4
+
+
+def test_dup_span_align_tie_breaks_smallest_diag(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.dedup import dup_span_align
+
+    # "a b c" appears twice in doc 9 -> two diagonals with equal run 1
+    rows = [
+        {"doc_id": 8, "key": "K", "text": "a b c x y z"},
+        {"doc_id": 9, "key": "K", "text": "q q q a b c r r r a b c"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    df = dup_span_align(ds, "key", text_column="text", k=3).to_pandas()
+    r = df.iloc[0]
+    assert r["n_matches"] == 2
+    assert r["max_run"] == 1
+    assert r["best_diag"] == -9  # i=0 matches j in {3, 9}: diags -3, -9
