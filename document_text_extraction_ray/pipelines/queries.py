@@ -7860,6 +7860,62 @@ def q_dup_span_align(sf_dir: str):
     ).sort(["a", "b"])
 
 
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-Neighborhood ER blocking over customers: one global total
+    order on (mktsegment, acctbal cents, custkey), every record pairs with
+    its 3 rank-successors — pairs-per-record is FIXED at the window size,
+    so hot attribute values cannot explode a block (the SNM advantage over
+    equality blocking).  One sort + banded contiguous-rank pairing;
+    ROW_NUMBER self-join replay."""
+    from ..stages.dedup import sorted_neighborhood_pairs
+
+    cust = _scale_int_ds(
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey", "c_acctbal", "c_mktsegment"]),
+        {"c_acctbal": 100})
+    pairs = sorted_neighborhood_pairs(
+        cust, ["c_mktsegment", "c_acctbal", "c_custkey"],
+        id_column="c_custkey", window=3, bucket_size=512)
+    return pairs.select_columns(["c_custkey_a", "c_custkey_b", "dist"]) \
+        .sort(["c_custkey_a", "c_custkey_b"])
+
+
+def q_record_linkage(sf_dir: str):
+    """Fellegi-Sunter-style record-linkage scoring over sorted-neighborhood
+    candidate pairs: integer agreement weights per field (same nation +2,
+    account balance within $50 +3, same market segment +1), threshold 4 —
+    the probabilistic-ER match step with deterministic integer weights.
+    Blocking is one sort; scoring is row-local on the pair table."""
+    from ..stages.dedup import sorted_neighborhood_pairs
+
+    cust = _scale_int_ds(
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey", "c_nationkey", "c_acctbal",
+                                 "c_mktsegment"]),
+        {"c_acctbal": 100})
+    pairs = sorted_neighborhood_pairs(
+        cust, ["c_mktsegment", "c_acctbal", "c_custkey"],
+        id_column="c_custkey", window=3, bucket_size=512,
+        carry_cols=["c_nationkey", "c_acctbal", "c_mktsegment"])
+
+    def score(t: pa.Table) -> pa.Table:
+        nat = pc.cast(pc.equal(t.column("c_nationkey_a"),
+                               t.column("c_nationkey_b")), pa.int64())
+        bal = pc.cast(pc.less_equal(
+            pc.abs(pc.subtract(t.column("c_acctbal_a"),
+                               t.column("c_acctbal_b"))),
+            5000), pa.int64())
+        seg = pc.cast(pc.equal(t.column("c_mktsegment_a"),
+                               t.column("c_mktsegment_b")), pa.int64())
+        s = pc.add(pc.add(pc.multiply(nat, 2), pc.multiply(bal, 3)), seg)
+        out = pa.table({"a": t.column("c_custkey_a"),
+                        "b": t.column("c_custkey_b"),
+                        "score": s})
+        return out.filter(pc.greater_equal(out.column("score"), 4))
+
+    return pairs.map_batches(score, batch_format="pyarrow").sort(["a", "b"])
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -8158,6 +8214,8 @@ QUERIES = {
     "eml_extract": q_eml_extract,
     "winnowing": q_winnowing,
     "dup_span_align": q_dup_span_align,
+    "sorted_neighborhood": q_sorted_neighborhood,
+    "record_linkage": q_record_linkage,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -13737,4 +13795,47 @@ ORACLE_SQL["dup_span_align"] = """
     JOIN agg ON nm.a = agg.a AND nm.b = agg.b
     JOIN bd ON nm.a = bd.a AND nm.b = bd.b
     ORDER BY nm.a, nm.b
+"""
+
+# sorted_neighborhood oracle: the same unique total order as the engine
+# (segment, cents, custkey), rank-gap self-join within the window.
+ORACLE_SQL["sorted_neighborhood"] = """
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ), r AS (
+      SELECT c_custkey,
+             ROW_NUMBER() OVER (ORDER BY c_mktsegment, cents, c_custkey)
+                 AS rn
+      FROM c
+    )
+    SELECT a.c_custkey AS c_custkey_a, b.c_custkey AS c_custkey_b,
+           CAST(b.rn - a.rn AS BIGINT) AS dist
+    FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+    ORDER BY c_custkey_a, c_custkey_b
+"""
+
+# record_linkage oracle: integer agreement weights over the same candidate
+# pairs (nation +2, |cents diff| <= 5000 +3, segment +1), threshold 4.
+ORACLE_SQL["record_linkage"] = """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ), r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY c_mktsegment, cents, c_custkey)
+                 AS rn
+      FROM c
+    ), p AS (
+      SELECT a.c_custkey AS a, b.c_custkey AS b,
+             CAST(CASE WHEN a.c_nationkey = b.c_nationkey THEN 2 ELSE 0 END
+                  + CASE WHEN ABS(a.cents - b.cents) <= 5000 THEN 3
+                         ELSE 0 END
+                  + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1
+                         ELSE 0 END AS BIGINT) AS score
+      FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+    )
+    SELECT a, b, score FROM p WHERE score >= 4 ORDER BY a, b
 """

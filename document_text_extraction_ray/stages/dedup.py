@@ -2476,3 +2476,81 @@ def dup_span_align(docs, key_col: str, id_column: str = "doc_id",
     return bucketed_fold(
         docs.select_columns([key_col, id_column, text_column]),
         key_col, fold, n_buckets=n_buckets)
+
+
+# --------------------------------------------- sorted-neighborhood blocking
+
+def sorted_neighborhood_pairs(ds, sort_cols, id_column: str,
+                              window: int = 3, carry_cols=(),
+                              bucket_size: int = 4096):
+    """Sorted-Neighborhood Method (Hernandez/Stolfo) entity-resolution
+    blocking: one global total order over ``sort_cols`` (must be per-row
+    UNIQUE — add an id tie-break), then every record pairs with its
+    ``window`` successors.  Output: one row per pair with ``dist`` (rank
+    gap 1..window) and each carried column suffixed ``_a`` / ``_b``.
+
+    Plan: ``global_row_number`` (one sort; driver holds one row per
+    block), then banded replication — bucket ``rn // bucket_size`` owns
+    each row, rows within ``window`` of a bucket's upper edge are ALSO
+    copied to the next bucket, and a pair is emitted exactly once, by the
+    bucket that OWNS its right element.  Row numbers are dense, so each
+    bucket's rows form a contiguous rank range and pairing is a vectorized
+    shift, never a scan.  Wire cost: one thin exchange of the carried
+    columns; pairs-per-record is fixed at ``window`` regardless of key
+    skew (the SNM advantage over equality blocking on hot keys)."""
+    from .windows import global_row_number
+
+    if bucket_size <= window:
+        raise ValueError("bucket_size must exceed window")
+    cols = list(dict.fromkeys(
+        list(sort_cols) + [id_column] + list(carry_cols)))
+    numbered = global_row_number(
+        ds.select_columns(cols), sort_cols, out_column="__rn")
+    B, w = bucket_size, window
+
+    def route(t: pa.Table) -> pa.Table:
+        rn = t.column("__rn").to_numpy()
+        owned = t.append_column("__bkt", pa.array(rn // B, pa.int64()))
+        tail = t.filter(pa.array((rn % B) >= B - w))
+        if tail.num_rows == 0:
+            return owned
+        trn = tail.column("__rn").to_numpy()
+        copies = tail.append_column("__bkt", pa.array(trn // B + 1, pa.int64()))
+        return pa.concat_tables([owned, copies])
+
+    exploded = numbered.map_batches(route, batch_format="pyarrow")
+    out_cols = [id_column] + [c for c in carry_cols if c != id_column]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        bkt = int(g["__bkt"].iloc[0]) if len(g) else 0
+        g = g.sort_values("__rn").reset_index(drop=True)
+        rn = g["__rn"].to_numpy()
+        if len(rn) > 1 and not (np.diff(rn) == 1).all():
+            raise AssertionError(
+                "sorted_neighborhood_pairs: non-contiguous rank range in "
+                "bucket (row numbers must be dense)")
+        frames = []
+        for d in range(1, w + 1):
+            if len(g) <= d:
+                break
+            left = g.iloc[:-d].reset_index(drop=True)
+            right = g.iloc[d:].reset_index(drop=True)
+            own = (right["__rn"].to_numpy() // B) == bkt
+            if not own.any():
+                continue
+            part = {}
+            for c in out_cols:
+                part[c + "_a"] = left[c].to_numpy()[own]
+                part[c + "_b"] = right[c].to_numpy()[own]
+            part["dist"] = np.full(int(own.sum()), d, dtype=np.int64)
+            frames.append(pd.DataFrame(part))
+        if not frames:
+            empty = {}
+            for c in out_cols:
+                empty[c + "_a"] = g[c].iloc[:0]
+                empty[c + "_b"] = g[c].iloc[:0]
+            empty["dist"] = pd.Series([], dtype="int64")
+            return pd.DataFrame(empty)
+        return pd.concat(frames, ignore_index=True)
+
+    return exploded.groupby("__bkt").map_groups(fold, batch_format="pandas")

@@ -801,3 +801,37 @@ def test_dup_span_align_tie_breaks_smallest_diag(ray_session):
     assert r["n_matches"] == 2
     assert r["max_run"] == 1
     assert r["best_diag"] == -9  # i=0 matches j in {3, 9}: diags -3, -9
+
+
+def test_sorted_neighborhood_exactly_once_across_buckets(ray_session):
+    """Tiny bucket_size forces pairs to straddle bucket edges; every
+    (i, i+d) pair for d <= window must appear exactly once."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.dedup import (
+        sorted_neighborhood_pairs)
+
+    n, w, B = 23, 3, 5
+    rows = [{"k": f"k{i:03d}", "rid": i} for i in range(n)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    df = sorted_neighborhood_pairs(ds, ["k"], id_column="rid",
+                                   window=w, bucket_size=B).to_pandas()
+    got = sorted(zip(df["rid_a"], df["rid_b"], df["dist"]))
+    want = sorted((i, i + d, d)
+                  for i in range(n) for d in range(1, w + 1) if i + d < n)
+    assert got == want
+
+
+def test_sorted_neighborhood_rejects_window_ge_bucket(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.dedup import (
+        sorted_neighborhood_pairs)
+
+    ds = rd.from_arrow(pa.Table.from_pylist([{"k": "a", "rid": 1}]))
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(ds, ["k"], id_column="rid",
+                                  window=8, bucket_size=8)
