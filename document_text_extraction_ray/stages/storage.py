@@ -420,3 +420,103 @@ def zorder_partition_stats(ds, x_col: str, y_col: str,
         ds.select_columns([x_col, y_col]).map_batches(
             partial, batch_format="pyarrow"),
         "part", combine, n_buckets)
+
+
+# ------------------------------------------------------- bloom file index
+
+def build_bloom_index(path: str, key: str, m_bits: int = 1 << 16,
+                      k: int = 4) -> str:
+    """Per-FILE Bloom index over ``key`` for a parquet directory — the
+    zone map's sibling for EQUALITY probes over unsorted data (Iceberg /
+    Delta file-skipping bloom, Parquet BloomFilter header).  One Ray task
+    per file reads ONLY the key column and scatters its hashes into an
+    ``m_bits`` bloom; the manifest (``_bloomindex.parquet``: file_name,
+    m_bits, k, bloom bytes) is m_bits/8 bytes per file — KB-scale driver
+    state no matter how big the data files are.
+
+    Hashing is ``dedup._hash64_column`` + splitmix double hashing — the
+    same family as the broadcast ``bloom_semi_filter``, so the index is
+    consistent with the live-probe path."""
+    from .dedup import _hash64_column
+
+    files = sorted(
+        f for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                             recursive=True)
+        if not os.path.basename(f).startswith("_"))
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+
+    from .dedup import _splitmix64
+
+    def per_file(t: pa.Table) -> pa.Table:
+        out_names, out_blooms = [], []
+        for fname in t.column("file").to_pylist():
+            col = pq.read_table(fname, columns=[key]).column(key)
+            h1 = _hash64_column(col)
+            h2 = _splitmix64(h1) | np.uint64(1)
+            bloom = np.zeros(m_bits // 8, dtype=np.uint8)
+            with np.errstate(over="ignore"):
+                for i in range(k):
+                    pos = ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)) \
+                        .astype(np.int64)
+                    np.bitwise_or.at(
+                        bloom, pos >> 3,
+                        (np.uint8(1) << (pos & 7).astype(np.uint8)))
+            out_names.append(os.path.basename(fname))
+            out_blooms.append(bloom.tobytes())
+        return pa.table({"file_name": pa.array(out_names, pa.string()),
+                         "bloom": pa.array(out_blooms, pa.binary())})
+
+    rows = rd.from_items([{"file": f} for f in files]) \
+        .map_batches(per_file, batch_format="pyarrow", batch_size=1) \
+        .take_all()
+    manifest = pa.table({
+        "file_name": pa.array([r["file_name"] for r in rows], pa.string()),
+        "m_bits": pa.array([m_bits] * len(rows), pa.int64()),
+        "k": pa.array([k] * len(rows), pa.int64()),
+        "bloom": pa.array([bytes(r["bloom"]) for r in rows], pa.binary()),
+    })
+    out = os.path.join(path, "_bloomindex.parquet")
+    pq.write_table(manifest, out)
+    return out
+
+
+def read_bloom_lookup(path: str, key: str, values):
+    """Point-IN lookup over a bloom-indexed directory: test the probe keys
+    against each file's bloom (manifest only — no data file opened for the
+    test), read ONLY candidate files, and apply the exact ``IN`` filter
+    inside the scan so false positives die row-locally.  Result is exactly
+    ``WHERE key IN (values)``; at 100 TB a point lookup touches the
+    handful of shards whose blooms fire."""
+    import pyarrow.compute as pc
+
+    from .dedup import _hash64_column, _splitmix64
+
+    zm = pq.read_table(os.path.join(path, "_bloomindex.parquet")).to_pandas()
+    m_bits = int(zm["m_bits"].iloc[0])
+    k = int(zm["k"].iloc[0])
+    probe = pa.array(list(values))
+    h1 = _hash64_column(probe)
+    h2 = _splitmix64(h1) | np.uint64(1)
+    with np.errstate(over="ignore"):
+        pos = np.stack([
+            ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+            for i in range(k)
+        ])  # (k, n_probe)
+    keep_files = []
+    for fname, blob in zip(zm["file_name"], zm["bloom"]):
+        bloom = np.frombuffer(bytes(blob), dtype=np.uint8)
+        hits = ((bloom[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1) \
+            .all(axis=0)  # per probe key: all k bits set?
+        if hits.any():
+            keep_files.append(os.path.join(path, fname))
+    n_candidates = len(keep_files)
+    if not keep_files:
+        keep_files = [os.path.join(path, zm["file_name"].iloc[0])]
+
+    def row_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(key), value_set=probe))
+
+    ds = rd.read_parquet(keep_files).map_batches(
+        row_filter, batch_format="pyarrow")
+    return ds, n_candidates

@@ -288,3 +288,28 @@ def test_zorder_locality_beats_single_dim_sort():
     # each partition's bounding box covers at most a quarter of each axis
     assert ((out["x_max"] - out["x_min"]) <= 31).all()
     assert ((out["y_max"] - out["y_min"]) <= 31).all()
+
+
+def test_bloom_index_prunes_files_and_result_is_exact(ray_session, tmp_path):
+    """A selective probe must open FEWER files than exist while the result
+    equals the exact IN filter; a missing key returns empty."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.storage import (
+        build_bloom_index, read_bloom_lookup)
+
+    path = str(tmp_path / "docs")
+    rows = [{"doc_id": i, "v": f"val{i}"} for i in range(4000)]
+    rd.from_arrow(pa.Table.from_pylist(rows)).repartition(16) \
+        .write_parquet(path)
+    build_bloom_index(path, "doc_id", m_bits=1 << 14)
+
+    ds, n_cand = read_bloom_lookup(path, "doc_id", [7, 3999])
+    df = ds.to_pandas().sort_values("doc_id")
+    assert df["doc_id"].tolist() == [7, 3999]
+    assert df["v"].tolist() == ["val7", "val3999"]
+    assert 1 <= n_cand < 16  # files actually pruned
+
+    miss, n_miss = read_bloom_lookup(path, "doc_id", [10_000_000])
+    assert len(miss.to_pandas()) == 0
