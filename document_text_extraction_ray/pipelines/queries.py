@@ -7944,6 +7944,21 @@ def q_bloom_index_lookup(sf_dir: str):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_decayed_counts(sf_dir: str):
+    """Exponentially time-decayed event counts per type (half-life one
+    day, horizon 40): the recency-weighted popularity statistic, in EXACT
+    integers — weight 2^(40 - age_days) anchored at the corpus max date,
+    so the SQL replay is a bit shift (never float POWER drift).  One
+    scalar max(ts) pass + row-local weights + one small combine."""
+    from ..stages.aggregate import time_decayed_counts
+
+    events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "ts"])
+    return time_decayed_counts(events, "event_type", "ts",
+                               half_life_days=1, horizon=40) \
+        .sort("event_type")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -8245,6 +8260,7 @@ QUERIES = {
     "sorted_neighborhood": q_sorted_neighborhood,
     "record_linkage": q_record_linkage,
     "bloom_index_lookup": q_bloom_index_lookup,
+    "decayed_counts": q_decayed_counts,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -13875,4 +13891,21 @@ ORACLE_SQL["bloom_index_lookup"] = """
     SELECT doc_id, source, lang, n_chars FROM documents
     WHERE doc_id IN (3, 31, 77, 123, 456, 999999999)
     ORDER BY doc_id
+"""
+
+# decayed_counts oracle: age in days from the corpus max DATE; weight is an
+# exact BIGINT shift 1 << (40 - age) within the horizon, 0 beyond.
+ORACLE_SQL["decayed_counts"] = """
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', CAST(ts AS DATE),
+                       (SELECT MAX(CAST(ts AS DATE)) FROM events)) AS age
+      FROM events
+    )
+    SELECT event_type,
+           SUM(CASE WHEN age <= 40
+                    THEN CAST(1 AS BIGINT) << (40 - age)
+                    ELSE 0 END) AS decayed,
+           COUNT(*) AS n
+    FROM d GROUP BY event_type ORDER BY event_type
 """

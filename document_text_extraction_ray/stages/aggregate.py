@@ -1786,3 +1786,58 @@ def exact_percentiles(ds, value_col, percents=(25, 50, 75, 90, 99),
     })
     import ray.data as _rd
     return _rd.from_arrow(out)
+
+
+# ----------------------------------------------------- time-decayed counts
+
+def time_decayed_counts(ds, key_col: str, ts_col: str,
+                        half_life_days: int = 1, horizon: int = 40,
+                        n_buckets: int = 16):
+    """Exponentially time-decayed counts per key — the trending/recency
+    statistic (recent activity dominates, each ``half_life_days`` back
+    halves the weight) in EXACT integers: weight = 2^(horizon - age_steps)
+    for ages within ``horizon`` steps of the corpus max date, 0 beyond
+    (the tail is below one quantum anyway).  Anchoring at the max date
+    keeps the exponent non-negative and bounded, so BIGINT sums are exact
+    and the SQL replay is a bit shift, not float POWER drift.
+
+    Overflow headroom: max weight 2^horizon; with horizon=40 a key needs
+    ~2^23 same-day rows to reach int64 — raise ``n`` awareness or lower
+    horizon for denser corpora.  Two passes: a scalar max(ts) (tiny), then
+    row-local weighting + one small bucketed combine."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    max_ts = ds.max(ts_col)
+    if hasattr(max_ts, "date"):
+        max_day = max_ts.date().toordinal()
+    else:  # date already
+        max_day = max_ts.toordinal()
+    epoch_ord = _dt.date(1970, 1, 1).toordinal()
+    max_day32 = max_day - epoch_ord  # date32 day index of the max date
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = pc.cast(pc.cast(t.column(ts_col), pa.date32()),
+                       pa.int32()).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        age = (max_day32 - days) // half_life_days
+        capped = np.minimum(age, horizon)
+        w = np.where(age <= horizon,
+                     np.int64(1) << (horizon - capped), np.int64(0))
+        df = pd.DataFrame({key_col: t.column(key_col).to_pandas(),
+                           "dw": w, "pn": np.ones(len(w), np.int64)})
+        g = df.groupby(key_col, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.select_columns([key_col, ts_col]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(key_col).aggregate([("dw", "sum"), ("pn", "sum")])
+        return pa.table({key_col: g.column(key_col),
+                         "decayed": g.column("dw_sum"),
+                         "n": g.column("pn_sum")})
+
+    return bucketed_combine(partials, key_col, combine, n_buckets=n_buckets)

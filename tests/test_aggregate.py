@@ -1115,3 +1115,32 @@ def test_exact_percentiles_matches_numpy(ray_session):
         rank = (pct * n + 99) // 100
         assert out.loc[pct, "value"] == sv[rank - 1]
         assert out.loc[pct, "n_rows"] == n
+
+
+def test_time_decayed_counts_halving_and_horizon(ray_session):
+    """Each day back halves the weight; rows past the horizon weigh 0 but
+    still count in n."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.aggregate import (
+        time_decayed_counts)
+
+    base = dt.datetime(2024, 3, 10, 12, 0, 0)
+    rows = [
+        {"k": "a", "ts": base},                            # age 0
+        {"k": "a", "ts": base - dt.timedelta(days=1)},     # age 1
+        {"k": "a", "ts": base - dt.timedelta(days=1)},     # age 1
+        {"k": "b", "ts": base - dt.timedelta(days=50)},    # past horizon
+        {"k": "b", "ts": base},                            # age 0
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    df = time_decayed_counts(ds, "k", "ts", horizon=40) \
+        .to_pandas().set_index("k")
+    w0 = 1 << 40
+    assert df.loc["a", "decayed"] == w0 + 2 * (w0 // 2)
+    assert df.loc["a", "n"] == 3
+    assert df.loc["b", "decayed"] == w0  # the 50-day-old row weighs 0
+    assert df.loc["b", "n"] == 2
