@@ -7959,6 +7959,19 @@ def q_decayed_counts(sf_dir: str):
         .sort("event_type")
 
 
+def q_posting_compression(sf_dir: str):
+    """Delta + LEB128-varint posting-list compression per term (the
+    Lucene/IR index storage layout): first doc id raw, then ascending
+    gaps, each value packed to 1 byte per started 7-bit group.  The
+    encoder really packs bytes and self-checks a decode round trip in the
+    fold; the oracle replays the byte-length arithmetic per gap, so the
+    (df, raw_bytes, packed_bytes) triple is hash-exact."""
+    from ..stages.lexicon import posting_compression
+
+    return posting_compression(_docs(sf_dir, ["doc_id", "text"])) \
+        .sort("term")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -8261,6 +8274,7 @@ QUERIES = {
     "record_linkage": q_record_linkage,
     "bloom_index_lookup": q_bloom_index_lookup,
     "decayed_counts": q_decayed_counts,
+    "posting_compression": q_posting_compression,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -13908,4 +13922,31 @@ ORACLE_SQL["decayed_counts"] = """
                     ELSE 0 END) AS decayed,
            COUNT(*) AS n
     FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+# posting_compression oracle: distinct (term, doc) postings; v = first id
+# raw, then the ascending gap; LEB128 length = 1 byte per started 7-bit
+# group (doc ids here stay far below 2^35, so 5 cases suffice).
+ORACLE_SQL["posting_compression"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT DISTINCT doc_id, term FROM toks
+    ), v AS (
+      SELECT term,
+             COALESCE(doc_id - LAG(doc_id) OVER (PARTITION BY term
+                                                 ORDER BY doc_id),
+                      doc_id) AS val
+      FROM tf
+    )
+    SELECT term, COUNT(*) AS df,
+           CAST(8 * COUNT(*) AS BIGINT) AS raw_bytes,
+           SUM(CASE WHEN val < 128 THEN 1
+                    WHEN val < 16384 THEN 2
+                    WHEN val < 2097152 THEN 3
+                    WHEN val < 268435456 THEN 4
+                    ELSE 5 END) AS packed_bytes
+    FROM v GROUP BY term ORDER BY term
 """

@@ -1193,3 +1193,67 @@ def textrank_keywords(docs, window: int = 2, min_count: int = 2, k: int = 20,
                                 ("rank", pa.int64())]))
     return joined.select_columns(["term", "rank"]) \
         .sort(["rank", "term"], descending=[True, False]).limit(k)
+
+
+# --------------------------------------------------- posting compression
+
+def posting_compression(docs, id_column: str = "doc_id",
+                        text_column: str = "text", n_buckets: int = 32):
+    """Inverted-index POSTING-LIST compression (the Lucene/IR storage
+    layout): per term, the ascending doc-id posting list is delta-encoded
+    (first id raw, then gaps) and LEB128-varint packed; output per term is
+    ``df``, ``raw_bytes`` (8 bytes/id uncompressed) and ``packed_bytes``.
+    The encoder REALLY packs bytes and self-checks a full decode
+    round-trip inside the fold — a size formula alone can't drift from
+    the codec.  One bucketed exchange on term (the inverted_index plan);
+    per-term work is vectorized delta + byte-length arithmetic."""
+    tf = doc_term_freq(docs, id_column, text_column)
+
+    def encode(ids: np.ndarray) -> bytes:
+        vals = np.concatenate([[ids[0]], np.diff(ids)])
+        out = bytearray()
+        for v in vals.tolist():
+            while True:
+                b = v & 0x7F
+                v >>= 7
+                if v:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    break
+        return bytes(out)
+
+    def decode(blob: bytes) -> np.ndarray:
+        vals, cur, shift = [], 0, 0
+        for b in blob:
+            cur |= (b & 0x7F) << shift
+            if b & 0x80:
+                shift += 7
+            else:
+                vals.append(cur)
+                cur, shift = 0, 0
+        return np.cumsum(np.asarray(vals, dtype=np.int64))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", id_column], kind="mergesort")
+        terms, dfs, raws, packs = [], [], [], []
+        for term, s in g.groupby("term", sort=False)[id_column]:
+            ids = s.to_numpy(dtype=np.int64)
+            blob = encode(ids)
+            back = decode(blob)
+            if len(back) != len(ids) or (back != ids).any():
+                raise AssertionError(
+                    f"posting round-trip failed for term {term!r}")
+            terms.append(term)
+            dfs.append(len(ids))
+            raws.append(8 * len(ids))
+            packs.append(len(blob))
+        return pd.DataFrame({
+            "term": pd.Series(terms, dtype=g["term"].dtype),
+            "df": pd.Series(dfs, dtype="int64"),
+            "raw_bytes": pd.Series(raws, dtype="int64"),
+            "packed_bytes": pd.Series(packs, dtype="int64"),
+        })
+
+    return bucketed_fold(tf.select_columns(["term", id_column]), "term",
+                         fold, n_buckets=n_buckets)

@@ -586,3 +586,28 @@ def test_textrank_local_equals_distributed(ray_session):
                              scale="distributed").to_pandas()
     assert list(loc["term"]) == list(dist["term"])
     assert list(loc["rank"]) == list(dist["rank"])
+
+
+def test_posting_compression_varint_boundaries(ray_session):
+    """Gap byte lengths straddle the 7-bit group boundaries (127 -> 1 byte,
+    128 -> 2, 16384 -> 3); round-trip is asserted inside the fold."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.lexicon import (
+        posting_compression)
+
+    rows = [
+        {"doc_id": 0, "text": "edge"},
+        {"doc_id": 127, "text": "edge"},      # gap 127 -> 1 byte
+        {"doc_id": 255, "text": "edge"},      # gap 128 -> 2 bytes
+        {"doc_id": 16639, "text": "edge"},    # gap 16384 -> 3 bytes
+        {"doc_id": 5, "text": "solo"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    df = posting_compression(ds).to_pandas().set_index("term")
+    # first id 0 -> 1 byte, then 1 + 2 + 3
+    assert df.loc["edge", "packed_bytes"] == 1 + 1 + 2 + 3
+    assert df.loc["edge", "df"] == 4
+    assert df.loc["edge", "raw_bytes"] == 32
+    assert df.loc["solo", "packed_bytes"] == 1
