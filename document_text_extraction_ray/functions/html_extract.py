@@ -712,3 +712,72 @@ def extract_tables(html_bytes: bytes) -> list:
     while tstack:
         emit_cell(tstack.pop())
     return out
+
+
+_META_DATE_PROPS = ("article:published_time", "og:article:published_time")
+_META_DATE_NAMES = ("date", "datepublished", "article.published")
+_ISO_DATE_RE = _re.compile(r"^(\d{4})-(\d{2})-(\d{2})")
+_URL_DATE_RE = _re.compile(r"/((?:19|20)\d{2})/(\d{1,2})/(\d{1,2})(?:/|$)")
+
+
+def _valid_date(y: int, m: int, d: int):
+    if 1 <= m <= 12 and 1 <= d <= 31:
+        return f"{y:04d}-{m:02d}-{d:02d}"
+    return None
+
+
+def extract_publish_date(html_bytes: bytes, url: str = "") -> tuple:
+    """Publish-date extraction, the trafilatura/htmldate priority ladder:
+    (1) ``<meta property="article:published_time">`` (or the common
+    name= variants), (2) the first ``<time datetime=...>`` element,
+    (3) a ``/YYYY/MM/DD/`` URL path segment.  Returns
+    ``(iso_date | None, method)`` with method in
+    ``meta | time | url | none``; month/day ranges are validated so junk
+    attributes fall through the ladder instead of poisoning the column."""
+    time_date = None
+    n = len(html_bytes)
+    pos = 0
+    while True:
+        lt = html_bytes.find(b"<", pos)
+        if lt < 0:
+            break
+        gt = html_bytes.find(b">", lt + 1)
+        if gt < 0:
+            break
+        body = html_bytes[lt + 1:gt]
+        pos = gt + 1
+        if body.startswith(b"!--"):
+            end = html_bytes.find(b"-->", lt)
+            pos = end + 3 if end >= 0 else n
+            continue
+        if body[:1] in (b"!", b"?", b"/"):
+            continue
+        tag, _ = _tag_name(body)
+        if tag == "meta":
+            attrs = _parse_attrs(body)
+            content = attrs.get("content")
+            if not content:
+                continue
+            prop = (attrs.get("property") or "").lower()
+            name = (attrs.get("name") or "").lower()
+            if prop in _META_DATE_PROPS or name in _META_DATE_NAMES:
+                m = _ISO_DATE_RE.match(content.strip())
+                if m:
+                    d = _valid_date(*(int(g) for g in m.groups()))
+                    if d:
+                        return d, "meta"
+        elif tag == "time" and time_date is None:
+            attrs = _parse_attrs(body)
+            dt = attrs.get("datetime")
+            if dt:
+                m = _ISO_DATE_RE.match(dt.strip())
+                if m:
+                    time_date = _valid_date(*(int(g) for g in m.groups()))
+    if time_date:
+        return time_date, "time"
+    m = _URL_DATE_RE.search(url or "")
+    if m:
+        d = _valid_date(*(int(g) for g in m.groups()))
+        if d:
+            return d, "url"
+    return None, "none"

@@ -7972,6 +7972,49 @@ def q_posting_compression(sf_dir: str):
         .sort("term")
 
 
+def q_date_extract(sf_dir: str):
+    """Publish-date extraction (the htmldate/trafilatura priority ladder):
+    meta article:published_time beats a <time datetime> element beats a
+    /YYYY/MM/DD/ URL segment.  Docs rotate through the ladder rungs —
+    meta pages also carry a DECOY url date the ladder must outrank, time
+    pages carry an unparseable decoy meta, a quarter of docs have no date
+    at all.  Row-local; closed-form oracle replay."""
+    from ..functions.html_extract import extract_publish_date
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def build_and_extract(t: pa.Table) -> pa.Table:
+        ids, dates, methods = [], [], []
+        for d in t.column("doc_id").to_pylist():
+            y, mo, da = 2023, 1 + d % 12, 1 + d % 28
+            cls = d % 3
+            if cls == 0:
+                html = (f'<html><head><meta property="article:published_'
+                        f'time" content="{y:04d}-{mo:02d}-{da:02d}T08:00:00'
+                        f'+00:00"></head><body>x</body></html>')
+                url = f"https://news.example/2020/01/02/story-{d}"
+            elif cls == 1:
+                html = ('<html><head><meta name="date" content="not a '
+                        'date"></head><body><p>by staff</p><time '
+                        f'datetime="2022-{mo:02d}-{da:02d}">then</time>'
+                        "</body></html>")
+                url = f"https://news.example/story-{d}"
+            else:
+                html = "<html><body>undated page</body></html>"
+                url = (f"https://news.example/{2019 + d % 4}/{mo}/{da}/s-{d}"
+                       if d % 2 == 0 else f"https://news.example/s-{d}")
+            date, method = extract_publish_date(html.encode("utf-8"), url)
+            ids.append(d)
+            dates.append(date or "")
+            methods.append(method)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "pub_date": pa.array(dates, pa.string()),
+                         "method": pa.array(methods, pa.string())})
+
+    return docs.map_batches(build_and_extract, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -8275,6 +8318,7 @@ QUERIES = {
     "bloom_index_lookup": q_bloom_index_lookup,
     "decayed_counts": q_decayed_counts,
     "posting_compression": q_posting_compression,
+    "date_extract": q_date_extract,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -13949,4 +13993,26 @@ ORACLE_SQL["posting_compression"] = r"""
                     WHEN val < 268435456 THEN 4
                     ELSE 5 END) AS packed_bytes
     FROM v GROUP BY term ORDER BY term
+"""
+
+# date_extract oracle: the synthesis is a closed form over doc_id; the
+# ladder outcome is meta (cls 0, decoy url date outranked), time (cls 1,
+# unparseable decoy meta skipped), url for even cls-2 docs, none otherwise.
+ORACLE_SQL["date_extract"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN printf('%04d-%02d-%02d', 2023,
+                            1 + doc_id % 12, 1 + doc_id % 28)
+                WHEN doc_id % 3 = 1
+                THEN printf('%04d-%02d-%02d', 2022,
+                            1 + doc_id % 12, 1 + doc_id % 28)
+                WHEN doc_id % 2 = 0
+                THEN printf('%04d-%02d-%02d', 2019 + doc_id % 4,
+                            1 + doc_id % 12, 1 + doc_id % 28)
+                ELSE '' END AS pub_date,
+           CASE WHEN doc_id % 3 = 0 THEN 'meta'
+                WHEN doc_id % 3 = 1 THEN 'time'
+                WHEN doc_id % 2 = 0 THEN 'url'
+                ELSE 'none' END AS method
+    FROM documents ORDER BY doc_id
 """

@@ -295,3 +295,26 @@ def test_extract_head_meta_fields_and_first_wins():
         b"<head><title>t</title></head>"
         b'<meta name="description" content="after head">')
     assert m2["title"] == "t" and m2["description"] is None
+
+
+def test_publish_date_ladder_and_validation():
+    from document_text_extraction_ray.functions.html_extract import (
+        extract_publish_date)
+
+    # meta beats time beats url
+    html = (b'<html><head>'
+            b'<meta property="article:published_time" content="2023-04-07">'
+            b'</head><body><time datetime="2022-01-01">x</time></body>')
+    assert extract_publish_date(html, "https://x/2020/01/02/s") \
+        == ("2023-04-07", "meta")
+    assert extract_publish_date(
+        b'<html><body><time datetime="2022-01-01">x</time></body>',
+        "https://x/2020/01/02/s") == ("2022-01-01", "time")
+    assert extract_publish_date(b"<html></html>",
+                                "https://x/2020/1/2/s") \
+        == ("2020-01-02", "url")
+    # invalid month falls through the ladder; commented-out meta ignored
+    assert extract_publish_date(
+        b'<html><meta name="date" content="2023-13-01">'
+        b'<!-- <time datetime="2021-01-01"> --></html>',
+        "nope") == (None, "none")
