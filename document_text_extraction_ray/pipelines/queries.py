@@ -8015,6 +8015,48 @@ def q_date_extract(sf_dir: str):
         .sort("doc_id")
 
 
+def q_paginated_stitch(sf_dir: str):
+    """Multi-page article reassembly (crawls fetch ?page=1..N as separate
+    rows; the corpus wants ONE document): each doc is split into
+    1 + doc_id % 3 word-balanced page rows, the page number is parsed
+    back OUT of the url query string (arrow re2), and pages stitch in
+    page order via one bucketed ordered concat.  The contract is
+    IDENTITY: the stitched text must equal the original document
+    byte-for-byte, so a lost page, wrong order or separator drift all
+    hash-mismatch."""
+    from ..stages.aggregate import grouped_concat
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def paginate(t: pa.Table) -> pa.Table:
+        urls, parts = [], []
+        for d, text in zip(t.column("doc_id").to_pylist(),
+                           t.column("text").to_pylist()):
+            words = (text or "").split(" ")
+            p = 1 + d % 3
+            for i in range(p):
+                lo = len(words) * i // p
+                hi = len(words) * (i + 1) // p
+                urls.append(f"https://site.example/a/{d}?page={i + 1}")
+                parts.append(" ".join(words[lo:hi]))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "part": pa.array(parts, pa.large_string())})
+
+    def derive_keys(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("url"),
+                              r"^(?P<base>.*)\?page=(?P<p>[0-9]+)$")
+        base = pc.struct_field(ex, "base")
+        page = pc.cast(pc.struct_field(ex, "p"), pa.int64())
+        return pa.table({"base_url": base, "page_no": page,
+                         "part": t.column("part")})
+
+    pages = docs.map_batches(paginate, batch_format="pyarrow") \
+        .map_batches(derive_keys, batch_format="pyarrow")
+    return grouped_concat(pages, "base_url", "part", ["page_no"],
+                          sep=" ", out_column="full_text") \
+        .sort("base_url")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -8319,6 +8361,7 @@ QUERIES = {
     "decayed_counts": q_decayed_counts,
     "posting_compression": q_posting_compression,
     "date_extract": q_date_extract,
+    "paginated_stitch": q_paginated_stitch,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -14015,4 +14058,14 @@ ORACLE_SQL["date_extract"] = """
                 WHEN doc_id % 2 = 0 THEN 'url'
                 ELSE 'none' END AS method
     FROM documents ORDER BY doc_id
+"""
+
+# paginated_stitch oracle: word-balanced splitting then space-joining in
+# page order reconstructs the single-space-separated source text exactly,
+# so the replay is the identity (plus the page count).
+ORACLE_SQL["paginated_stitch"] = """
+    SELECT 'https://site.example/a/' || doc_id AS base_url,
+           text AS full_text,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n
+    FROM documents ORDER BY base_url
 """
