@@ -8057,6 +8057,41 @@ def q_paginated_stitch(sf_dir: str):
         .sort("base_url")
 
 
+def q_audio_vad(sf_dir: str):
+    """Voice-activity segmentation over envelope-modulated FAKEAUD clips
+    (20 frames x 100 samples; a frame is LOUD when (doc_id + 3*frame) % 7
+    < 3 — closed-form noise at +-2000 loud / +-10 quiet): exact
+    integer frame energies, threshold gate, gaps-and-islands segments.
+    Payloads are synthesized inside map_batches; the oracle replays every
+    sample, frame energy, gate decision and island boundary."""
+    import struct as _struct
+
+    from ..stages.multimodal import FAKE_AUD_MAGIC, vad_segments
+
+    docs = _docs(sf_dir, ["doc_id"])
+    F, NF = 100, 20
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for did in t.column("doc_id").to_pylist():
+            j = np.arange(NF * F, dtype=np.int64)
+            loud = ((did + 3 * (j // F)) % 7) < 3
+            base = did * 2654435761 + j * 2246822519
+            s = np.where(loud, base % 4001 - 2000, base % 21 - 10) \
+                .astype(np.int16)
+            blobs.append(FAKE_AUD_MAGIC
+                         + _struct.pack("<II", NF * F, 16000) + s.tobytes())
+            ids.append(did)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(blobs, pa.large_binary())})
+
+    clips = docs.map_batches(synth, batch_format="pyarrow")
+    return vad_segments(clips, id_column="doc_id", frame_len=F,
+                        threshold=10_000) \
+        .select_columns(["doc_id", "n_frames", "n_active", "n_segments",
+                         "longest"]).sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -8362,6 +8397,7 @@ QUERIES = {
     "posting_compression": q_posting_compression,
     "date_extract": q_date_extract,
     "paginated_stitch": q_paginated_stitch,
+    "audio_vad": q_audio_vad,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -14068,4 +14104,44 @@ ORACLE_SQL["paginated_stitch"] = """
            text AS full_text,
            CAST(1 + doc_id % 3 AS BIGINT) AS n
     FROM documents ORDER BY base_url
+"""
+
+# audio_vad oracle: samples replayed from the closed form (loud frames
+# carry +-2000 noise, quiet +-10), exact |sample| frame sums, the >=10000
+# gate, islands counted at loud-run starts, longest run via run grouping.
+ORACLE_SQL["audio_vad"] = """
+    WITH sm AS (
+      SELECT doc_id, unnest(range(0, 2000)) AS j FROM documents
+    ), v AS (
+      SELECT doc_id, j // 100 AS fr,
+             CASE WHEN (doc_id + 3 * (j // 100)) % 7 < 3
+                  THEN (doc_id * 2654435761 + j * 2246822519) % 4001 - 2000
+                  ELSE (doc_id * 2654435761 + j * 2246822519) % 21 - 10
+             END AS s
+      FROM sm
+    ), e AS (
+      SELECT doc_id, fr, SUM(ABS(s)) >= 10000 AS act
+      FROM v GROUP BY doc_id, fr
+    ), isl AS (
+      SELECT doc_id, fr, act,
+             CASE WHEN act AND NOT COALESCE(
+                      LAG(act) OVER (PARTITION BY doc_id ORDER BY fr),
+                      FALSE)
+                  THEN 1 ELSE 0 END AS is_start
+      FROM e
+    ), grp AS (
+      SELECT doc_id, fr, act,
+             SUM(is_start) OVER (PARTITION BY doc_id ORDER BY fr) AS seg
+      FROM isl
+    ), runs AS (
+      SELECT doc_id, seg, COUNT(*) AS run
+      FROM grp WHERE act GROUP BY doc_id, seg
+    )
+    SELECT d.doc_id,
+           CAST(20 AS BIGINT) AS n_frames,
+           CAST(COALESCE(SUM(r.run), 0) AS BIGINT) AS n_active,
+           CAST(COUNT(r.seg) AS BIGINT) AS n_segments,
+           CAST(COALESCE(MAX(r.run), 0) AS BIGINT) AS longest
+    FROM documents d LEFT JOIN runs r ON d.doc_id = r.doc_id
+    GROUP BY d.doc_id ORDER BY d.doc_id
 """

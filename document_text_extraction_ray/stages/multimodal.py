@@ -493,3 +493,67 @@ def image_patches(ds, grid: int = 4, payload_column: str = "payload",
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def vad_segments(ds, payload_column: str = "payload",
+                 id_column: str = "doc_id", frame_len: int = 100,
+                 threshold: int = 10_000):
+    """Voice-activity detection per audio payload: frames of ``frame_len``
+    samples score exact integer energy (sum of |sample|); a frame is
+    ACTIVE when energy >= ``threshold``; consecutive active frames merge
+    into segments (the webrtcvad-style energy gate over the FAKEAUD
+    container — real codecs are absent, the framing/segmentation plumbing
+    is the engine surface).
+
+    Output per clip: n_frames, n_active, n_segments, longest (longest
+    active run, frames) — exact integers; a trailing partial frame is
+    dropped (standard framing).  Row-local, zero shuffles; undecodable
+    payloads emit in-band error rows."""
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, nf, na, ns, lg, status = [], [], [], [], [], []
+        for did, blob in zip(t.column(id_column).to_pylist(),
+                             t.column(payload_column).to_pylist()):
+            ids.append(did)
+            try:
+                if not blob.startswith(FAKE_AUD_MAGIC):
+                    raise ValueError("not a FAKEAUD payload")
+                n, _sr = struct.unpack_from("<II", blob,
+                                            len(FAKE_AUD_MAGIC))
+                samples = np.frombuffer(
+                    blob, dtype=np.int16,
+                    offset=len(FAKE_AUD_MAGIC) + 8)[:n].astype(np.int64)
+                if samples.size != n:
+                    raise ValueError("truncated samples")
+                frames = n // frame_len
+                e = np.abs(samples[:frames * frame_len]) \
+                    .reshape(frames, frame_len).sum(axis=1)
+                act = e >= threshold
+                # islands: starts where active and (first or prev inactive)
+                starts = act & ~np.concatenate([[False], act[:-1]])
+                runs = []
+                run = 0
+                for a in act:
+                    run = run + 1 if a else 0
+                    runs.append(run)
+                nf.append(int(frames))
+                na.append(int(act.sum()))
+                ns.append(int(starts.sum()))
+                lg.append(int(max(runs)) if runs else 0)
+                status.append("ok")
+            except Exception:
+                nf.append(-1)
+                na.append(-1)
+                ns.append(-1)
+                lg.append(-1)
+                status.append("error")
+        return pa.table({
+            id_column: pa.array(ids),
+            "n_frames": pa.array(nf, pa.int64()),
+            "n_active": pa.array(na, pa.int64()),
+            "n_segments": pa.array(ns, pa.int64()),
+            "longest": pa.array(lg, pa.int64()),
+            "status": pa.array(status, pa.string()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")

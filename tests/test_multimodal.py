@@ -224,3 +224,31 @@ def test_image_patches_cover_exactly_and_errors(ray_session):
                                   w // 3: w * 2 // 3].sum()
     err = out[out.img_id == 99]
     assert len(err) == 1 and err.iloc[0].status == "error"
+
+
+def test_vad_segments_islands_and_error_rows(ray_session):
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_text_extraction_ray.stages.multimodal import (
+        FAKE_AUD_MAGIC, vad_segments)
+
+    # 6 frames of 4 samples: loud, loud, quiet, loud, quiet, quiet
+    pattern = [1000, 1000, 0, 1000, 0, 0]
+    s = np.repeat(np.array(pattern, np.int16), 4)
+    blob = FAKE_AUD_MAGIC + struct.pack("<II", len(s), 8000) + s.tobytes()
+    rows = [{"doc_id": 1, "payload": blob},
+            {"doc_id": 2, "payload": b"junk"}]
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("payload", pa.large_binary())])
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+    df = vad_segments(ds, frame_len=4, threshold=2000).to_pandas() \
+        .set_index("doc_id")
+    assert df.loc[1, "n_frames"] == 6
+    assert df.loc[1, "n_active"] == 3
+    assert df.loc[1, "n_segments"] == 2  # [0,1] and [3]
+    assert df.loc[1, "longest"] == 2
+    assert df.loc[2, "status"] == "error"
