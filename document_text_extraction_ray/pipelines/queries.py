@@ -8092,6 +8092,50 @@ def q_audio_vad(sf_dir: str):
                          "longest"]).sort("doc_id")
 
 
+def q_charset_sniff(sf_dir: str):
+    """Encoding-sniff + decode ladder (WHATWG condensed: BOM > meta
+    charset prescan > strict UTF-8 > latin-1 fallback) over payloads
+    rotating through five encoding classes — UTF-8 BOM, UTF-16-LE BOM,
+    meta-declared ISO-8859-1, BOM-less UTF-8, and bytes only latin-1 can
+    decode.  The contract is an identity ROUND TRIP of the decoded text
+    (non-ASCII chars in every class), not just the label."""
+    from ..functions.charset import sniff_decode
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def build_and_sniff(t: pa.Table) -> pa.Table:
+        import codecs
+        ids, encs, methods, texts = [], [], [], []
+        for d, text in zip(t.column("doc_id").to_pylist(),
+                           t.column("text").to_pylist()):
+            text = text or ""
+            cls = d % 5
+            if cls == 0:
+                payload = codecs.BOM_UTF8 + (text + " bom-ü").encode("utf-8")
+            elif cls == 1:
+                payload = codecs.BOM_UTF16_LE \
+                    + (text + " lé").encode("utf-16-le")
+            elif cls == 2:
+                payload = ('<head><meta charset="ISO-8859-1"></head>'
+                           + text + " café").encode("latin-1")
+            elif cls == 3:
+                payload = (text + " naïve").encode("utf-8")
+            else:
+                payload = (text + " ñoño").encode("latin-1")
+            enc, method, out = sniff_decode(payload)
+            ids.append(d)
+            encs.append(enc)
+            methods.append(method)
+            texts.append(out)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "encoding": pa.array(encs, pa.string()),
+                         "method": pa.array(methods, pa.string()),
+                         "text_out": pa.array(texts, pa.large_string())})
+
+    return docs.map_batches(build_and_sniff, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
 QUERIES = {
     # Registry order is driver-visible evidence: the driver's correctness
     # harness checks the FIRST 50 entries each round.  Head-50 strategy
@@ -8398,6 +8442,7 @@ QUERIES = {
     "date_extract": q_date_extract,
     "paginated_stitch": q_paginated_stitch,
     "audio_vad": q_audio_vad,
+    "charset_sniff": q_charset_sniff,
 }
 
 _NORM_TEXT = _NORM.format(col="text")
@@ -14144,4 +14189,27 @@ ORACLE_SQL["audio_vad"] = """
            CAST(COALESCE(MAX(r.run), 0) AS BIGINT) AS longest
     FROM documents d LEFT JOIN runs r ON d.doc_id = r.doc_id
     GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+# charset_sniff oracle: the five encoding classes decode back to closed
+# forms (u-umlaut 252, e-acute 233, i-diaeresis 239, n-tilde 241); labels
+# and ladder methods per class.
+ORACLE_SQL["charset_sniff"] = """
+    SELECT doc_id,
+           CASE doc_id % 5
+                WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16-le'
+                WHEN 2 THEN 'iso8859-1' WHEN 3 THEN 'utf-8'
+                ELSE 'iso8859-1' END AS encoding,
+           CASE doc_id % 5
+                WHEN 0 THEN 'bom' WHEN 1 THEN 'bom' WHEN 2 THEN 'meta'
+                WHEN 3 THEN 'utf8' ELSE 'fallback' END AS method,
+           CASE doc_id % 5
+                WHEN 0 THEN text || ' bom-' || chr(252)
+                WHEN 1 THEN text || ' l' || chr(233)
+                WHEN 2 THEN '<head><meta charset="ISO-8859-1"></head>'
+                            || text || ' caf' || chr(233)
+                WHEN 3 THEN text || ' na' || chr(239) || 've'
+                ELSE text || ' ' || chr(241) || 'o' || chr(241) || 'o'
+           END AS text_out
+    FROM documents ORDER BY doc_id
 """
