@@ -7,16 +7,16 @@ calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator family
                       (SURVEY.md §2 + the training-data operators)
 - ``oracle_sql()``  — DuckDB-equivalent SQL per query where expressible
-                      (108 of 116, incl. SQL reconstructions of the
-                      language-ID/quality/token/fingerprint kernels); the
-                      QUERIES registry lists every oracle-backed query
+                      (285 of 293, incl. SQL reconstructions of the
+                      language-ID/quality/token/fingerprint kernels and
+                      an unrolled 5-stage replay of BPE merge learning);
+                      the QUERIES registry lists oracle-backed queries
                       FIRST (rows-only last) so a leading-window
-                      correctness check covers them; rows-only queries
-                      (wrapping-uint64 MinHash, raw approximate-ANN
-                      neighbor lists — recall-gated via ann_recall —
-                      synthetic-corpus extraction, structured block
-                      graph, iterative BPE merges — pinned to a local
-                      reference in tests) are intentionally absent.
+                      correctness check covers them; the 8 rows-only
+                      queries (wrapping-uint64 MinHash sketches, raw
+                      approximate-ANN neighbor lists — recall-gated via
+                      ann_recall — synthetic-corpus extraction, pinned
+                      to local references in tests) sit at the tail.
 """
 
 from __future__ import annotations
