@@ -19,7 +19,14 @@ from __future__ import annotations
 import codecs
 import re
 
-_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)")
+# The charset declaration only counts INSIDE a <meta ...> tag (the WHATWG
+# prescan walks tags, not raw bytes): body text mentioning e.g.
+# 'charset=shift_jis' early in a UTF-8 page must not beat the strict-UTF-8
+# rung.  One regex over the prefix: a '<meta' open, then any run of
+# non-'>' bytes, then the charset attribute — still inside the tag.
+_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,256}?charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)",
+    re.IGNORECASE)
 
 
 def sniff_decode(payload: bytes) -> tuple:

@@ -22,6 +22,7 @@ real XML decoding mismatches the oracle byte-for-byte.
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
+from xml.sax.saxutils import escape
 
 ATOM_NS = "{http://www.w3.org/2005/Atom}"
 
@@ -98,7 +99,12 @@ def build_rss(doc_id: int, text: str, n_items: int) -> bytes:
         f"<image><title>logo {doc_id}</title>"
         "<url>https://feeds.example/logo.png</url></image>",
     ]
-    snippet = text[:40]
+    # A ']]>' inside the snippet would close the CDATA section early; the
+    # standard split (']]' ends one section, '>' starts the next) keeps
+    # the payload well-formed, and expat merges adjacent CDATA character
+    # data back into one .text — so the parsed description equals
+    # text[:40] verbatim for ANY corpus content.
+    snippet = text[:40].replace("]]>", "]]]]><![CDATA[>")
     for i in range(n_items):
         out.append(
             "<item>"
@@ -120,7 +126,10 @@ def build_atom(doc_id: int, text: str, n_items: int) -> bytes:
         f"<title>Feed {doc_id}</title>",
         f"<id>urn:feed:{doc_id}</id>",
     ]
-    snippet = text[:40]
+    # Entity-escape the snippet (Atom summaries are plain escaped text):
+    # a raw '&' or '<' in document text would otherwise make
+    # ET.fromstring raise; the parser decodes back to text[:40] verbatim.
+    snippet = escape(text[:40])
     for i in range(n_items):
         out.append(
             "<entry>"

@@ -8130,12 +8130,20 @@ def q_charset_sniff(sf_dir: str):
                 payload = codecs.BOM_UTF16_LE \
                     + (text + " lé").encode("utf-16-le")
             elif cls == 2:
+                # Classes 2/4 synthesize genuinely-latin-1 payloads, so any
+                # non-latin-1 char in the document must be DROPPED before
+                # encoding (a strict .encode would throw and fail the whole
+                # query on one row); the oracle mirrors the drop with
+                # regexp_replace(text, '[^\x00-\xff]', '', 'g').  No-op on
+                # the current ASCII corpus.
+                l1 = text.encode("latin-1", "ignore").decode("latin-1")
                 payload = ('<head><meta charset="ISO-8859-1"></head>'
-                           + text + " café").encode("latin-1")
+                           + l1 + " café").encode("latin-1")
             elif cls == 3:
                 payload = (text + " naïve").encode("utf-8")
             else:
-                payload = (text + " ñoño").encode("latin-1")
+                l1 = text.encode("latin-1", "ignore").decode("latin-1")
+                payload = (l1 + " ñoño").encode("latin-1")
             enc, method, out = sniff_decode(payload)
             ids.append(d)
             encs.append(enc)
@@ -14357,9 +14365,11 @@ ORACLE_SQL["charset_sniff"] = """
                 WHEN 0 THEN text || ' bom-' || chr(252)
                 WHEN 1 THEN text || ' l' || chr(233)
                 WHEN 2 THEN '<head><meta charset="ISO-8859-1"></head>'
-                            || text || ' caf' || chr(233)
+                            || regexp_replace(text, '[^\\x00-\\xff]', '', 'g')
+                            || ' caf' || chr(233)
                 WHEN 3 THEN text || ' na' || chr(239) || 've'
-                ELSE text || ' ' || chr(241) || 'o' || chr(241) || 'o'
+                ELSE regexp_replace(text, '[^\\x00-\\xff]', '', 'g')
+                     || ' ' || chr(241) || 'o' || chr(241) || 'o'
            END AS text_out
     FROM documents ORDER BY doc_id
 """

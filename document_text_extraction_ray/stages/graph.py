@@ -31,6 +31,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import materialize_compact
+
 SCALE = 10**12  # fixed point: rank 1.0 == 10^12
 
 
@@ -175,7 +177,7 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
     from .aggregate import pre_aggregated_count
     from .join import partitioned_hash_join
 
-    e = edges.select_columns([src_col, dst_col]).materialize()
+    e = materialize_compact(edges.select_columns([src_col, dst_col]))
 
     wedges = partitioned_hash_join(e, e, on=src_col, n_buckets=n_buckets,
                                    suffix="_w")
@@ -230,18 +232,7 @@ def hits_int(edges, n_iters: int = 2, src_col: str = "src",
     # a lazy edges lineage would re-run its whole upstream (reads,
     # dedup exchanges) once per half step.  Same contract as
     # pagerank_int: materialize once.
-    edges = edges.materialize()
-
-    def init_hub(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return t
-        return pa.table({
-            "node": t.column(src_col),
-            "__score": pa.array(np.full(t.num_rows, HITS_NORM, np.int64))})
-
-    hub_slim = coalesce_aggregate_blocks(
-        edges.select_columns([src_col]).groupby(src_col).count().map_batches(
-            init_hub, batch_format="pyarrow"), 4).materialize()
+    edges = materialize_compact(edges)
 
     def normed(raw, total, out_name: str):
         def norm(t: pa.Table) -> pa.Table:
@@ -256,11 +247,23 @@ def hits_int(edges, n_iters: int = 2, src_col: str = "src",
         return raw.map_batches(norm, batch_format="pyarrow")
 
     def half_step(score_slim, join_on: str, group_on: str):
-        ej = attach_column(edges, score_slim.map_batches(
-            lambda t: t if t.num_columns == 0 else t.rename_columns(
-                [join_on, "__score"]),
-            batch_format="pyarrow"), on=join_on, value_col="__score",
-            n_buckets=n_buckets)
+        if score_slim is None:
+            # Iteration 1's hub scores are the CONSTANT HITS_NORM on every
+            # src, so the first half step needs no score table and no
+            # attach join at all: auth_raw = HITS_NORM * in_degree.  This
+            # drops the up-front distinct-src groupby AND one join
+            # exchange (measured ~3.6 s of pure fixed cost at sf0.1).
+            def const(t: pa.Table) -> pa.Table:
+                return t.append_column("__score", pa.array(
+                    np.full(t.num_rows, HITS_NORM, np.int64)))
+
+            ej = edges.map_batches(const, batch_format="pyarrow")
+        else:
+            ej = attach_column(edges, score_slim.map_batches(
+                lambda t: t if t.num_columns == 0 else t.rename_columns(
+                    [join_on, "__score"]),
+                batch_format="pyarrow"), on=join_on, value_col="__score",
+                n_buckets=n_buckets)
         raw = pre_aggregated_sum(ej, group_on, "__score",
                                  n_buckets=n_buckets)
         raw = coalesce_aggregate_blocks(raw.map_batches(
@@ -270,6 +273,7 @@ def hits_int(edges, n_iters: int = 2, src_col: str = "src",
         return raw, raw.sum("raw")
 
     araw = atot = None
+    hub_slim = None  # iteration 1: constant HITS_NORM per src (see above)
     for _ in range(n_iters):
         araw, atot = half_step(hub_slim, src_col, dst_col)
         hraw, htot = half_step(normed(araw, atot, "__score"),
@@ -326,7 +330,7 @@ def kcore_int(edges, k: int, src_col: str = "src", dst_col: str = "dst",
             g = nxt
         return g
 
-    cur = edges.select_columns([src_col, dst_col]).materialize()
+    cur = materialize_compact(edges.select_columns([src_col, dst_col]))
     n_edges = cur.count()
     for _ in range(max_iters):
         if n_edges == 0:
@@ -456,7 +460,7 @@ def lpa_communities(edges, n_iters: int = 3, src_col: str = "src",
     from .aggregate import bucketed_fold
     from .join import partitioned_hash_join
 
-    edges = edges.select_columns([src_col, dst_col]).materialize()
+    edges = materialize_compact(edges.select_columns([src_col, dst_col]))
 
     def node_partial(t: pa.Table) -> pa.Table:
         both = pa.concat_tables([
@@ -529,7 +533,7 @@ def earliest_arrival(edges, seeds, n_rounds: int = 4,
     from .aggregate import bucketed_fold
     from .join import partitioned_hash_join
 
-    edges = edges.select_columns([src_col, dst_col, ts_col]).materialize()
+    edges = materialize_compact(edges.select_columns([src_col, dst_col, ts_col]))
     arrivals = rd.from_items(
         [{"node": s, "arr": 0} for s in seeds]).materialize()
 
@@ -578,7 +582,7 @@ def degree_assortativity_sums(edges, src_col: str = "src",
     from .aggregate import pre_aggregated_count
     from .join import coalesce_aggregate_blocks, partitioned_hash_join
 
-    e = edges.select_columns([src_col, dst_col]).materialize()
+    e = materialize_compact(edges.select_columns([src_col, dst_col]))
     outd = coalesce_aggregate_blocks(
         pre_aggregated_count(e, src_col, alias="du",
                              n_buckets=n_buckets), 4)
@@ -654,7 +658,7 @@ def clustering_coefficient(edges, src_col: str = "src",
     from .aggregate import bucketed_fold, pre_aggregated_count
     from .join import partitioned_hash_join
 
-    e = edges.select_columns([src_col, dst_col]).materialize()
+    e = materialize_compact(edges.select_columns([src_col, dst_col]))
 
     wedges = partitioned_hash_join(e, e, on=src_col, n_buckets=n_buckets,
                                    suffix="_w")
@@ -740,7 +744,7 @@ def common_neighbor_pairs(edges, min_common: int = 2,
 
     # Materialized: consumed by the adjacency build AND the edge-key
     # anti-join side.
-    e = edges.select_columns([src_col, dst_col]).materialize()
+    e = materialize_compact(edges.select_columns([src_col, dst_col]))
 
     def sym(t: pa.Table) -> pa.Table:
         a = _as_arrays(pc.cast(t.column(src_col), pa.int64()))
@@ -881,7 +885,14 @@ def modularity_stats(edges, labels, node_col: str = "node",
     node_type = node_type or pa.int64()
     comm_type = comm_type or pa.string()
 
-    e = edges.select_columns([src_col, dst_col])
+    # Both inputs feed a chain of two bucketed joins whose exchange cost
+    # is proportional to INPUT BLOCK COUNT; a small fragmented read (64
+    # row-scarce blocks) snowballs into hundreds of tiny sort/reduce
+    # tasks (measured 11.4 s for 9,850 edges).  materialize_compact
+    # defragments only when blocks are row-scarce — a large well-blocked
+    # table passes straight through, keeping the plan streaming-shaped.
+    e = materialize_compact(edges.select_columns([src_col, dst_col]))
+    labels = materialize_compact(labels)
     lsrc = labels.map_batches(
         lambda t: pa.table({src_col: t.column(node_col),
                             "comm_src": t.column(label_col)}),
@@ -961,7 +972,7 @@ def deterministic_walks(edges, seeds, n_steps: int = 3,
     from .aggregate import bucketed_fold
     from .join import partitioned_hash_join
 
-    edges = edges.select_columns([src_col, dst_col]).materialize()
+    edges = materialize_compact(edges.select_columns([src_col, dst_col]))
     out_frames = [pd.DataFrame(
         {"walk_id": list(seeds), "step": 0, "node": list(seeds)})]
 
@@ -1077,27 +1088,39 @@ def deterministic_walks(edges, seeds, n_steps: int = 3,
 
 
 def resolve_pointers(redirects, src_col: str = "src", dst_col: str = "dst",
-                     max_rounds: int = 16, n_buckets: int = 32):
+                     max_rounds: int = 16, n_buckets: int = 8):
     """Resolve pointer CHAINS to their terminal target with hop counts —
     redirect-map resolution (HTTP 301 chains, symlink farms, alias
     tables): every source maps to the END of its chain, hops = chain
-    length walked.  Pointer DOUBLING with distance accumulation: state
-    (src, ptr, d) self-joins ptr against src each round, so a chain of
-    length L resolves in O(log2 L) exchanges over map-bounded state (the
-    same jumping trick as ``cluster_pairs_distributed`` but directional
-    and distance-carrying).  State is MATERIALIZED per round (the
-    iterative-op lesson: lazy lineage re-executes per consumer).
+    length walked.  Pointer DOUBLING with distance accumulation over
+    map-bounded state (src, ptr, d): a chain of length L resolves in
+    O(log2 L) exchanges (the same jumping trick as
+    ``cluster_pairs_distributed`` but directional, distance-carrying).
 
-    The map must be FUNCTIONAL (one outgoing pointer per src — enforced)
-    and ACYCLIC: a cycle never leaves the src set, so if any pointer still
-    resolves after ``max_rounds`` doublings (reach 2^max_rounds) a
-    ValueError names the surviving count rather than looping forever.
-    Returns a Dataset of (src, final, hops)."""
-    from .aggregate import bucketed_fold
-    from .join import partitioned_hash_join
+    Each round is ONE fused exchange (the r4 fixed-cost lesson — the
+    prior shape paid a 32-bucket generic join + two materializes + a sum
+    per round, ~4 pipeline executions of multi-second fixed cost each):
+    the state streams into the exchange twice (probe rows keyed on ptr,
+    jump rows keyed on src — both map_batches over the SAME materialized
+    blocks), equal keys meet in one bucket task that builds the jump map,
+    left-merges, and advances in place.  The functional-map check (one
+    outgoing pointer per src — duplicates of a src always share its
+    bucket) runs inside round 1's bucket task, so it costs no separate
+    exchange.  Convergence reads ``sum(moved)`` off the round's
+    MATERIALIZED output — a metadata-sized scan, not a lineage replay —
+    and the ``moved`` column rides along in the state (the next round's
+    tag step projects it away) instead of paying a drop_columns
+    materialize.
 
-    state_schema = pa.schema([("src", pa.int64()), ("ptr", pa.int64()),
-                              ("d", pa.int64())])
+    The map must be FUNCTIONAL (enforced) and ACYCLIC: a cycle never
+    stops advancing, so if anything still moves after ``max_rounds``
+    doublings (reach 2^max_rounds) a ValueError names the surviving count
+    rather than looping forever.  Returns a Dataset of (src, final,
+    hops)."""
+    from ..util import pool_size
+    from .join import _bucket_array
+
+    n_buckets = max(1, min(n_buckets, pool_size()))
 
     def init(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1105,61 +1128,63 @@ def resolve_pointers(redirects, src_col: str = "src", dst_col: str = "dst",
             "ptr": pc.cast(t.column(dst_col), pa.int64()),
             "d": pa.array(np.ones(len(t), np.int64))})
 
-    state = redirects.map_batches(init, batch_format="pyarrow")
+    # Defragment the map up front: it typically arrives as many tiny read
+    # blocks (a 64-way SplitBlocks read of a small parquet = 6-row
+    # blocks), and every per-round exchange inherits — then multiplies —
+    # the block count, so per-task fixed cost dominates the round
+    # (measured: 52 s/round at 437 rows fragmented, ~1 s coalesced).  A
+    # large well-blocked map passes through with no extra exchange.
+    state = materialize_compact(
+        redirects.map_batches(init, batch_format="pyarrow"))
 
-    def dup_check(g: pd.DataFrame) -> pd.DataFrame:
-        dup = g["src"].duplicated()
-        if dup.any():
-            raise ValueError(
-                f"non-functional pointer map: src {g['src'][dup].iloc[0]} "
-                "has multiple outgoing pointers")
-        return g
+    def tag(t: pa.Table, side: int) -> pa.Table:
+        key = t.column("ptr" if side == 0 else "src")
+        return pa.table({
+            "src": t.column("src"), "ptr": t.column("ptr"),
+            "d": t.column("d"),
+            "__jbucket": pa.array(_bucket_array(key, n_buckets), pa.int32()),
+            "__jside": pa.array(
+                np.full(t.num_rows, side, dtype=np.int8), pa.int8())})
 
-    state = bucketed_fold(state, "src", dup_check,
-                          n_buckets=n_buckets).materialize()
-
-    def as_right(t: pa.Table) -> pa.Table:
-        return pa.table({"ptr": t.column("src"), "nxt": t.column("ptr"),
-                         "d2": t.column("d")})
-
-    right_schema = pa.schema([("ptr", pa.int64()), ("nxt", pa.int64()),
-                              ("d2", pa.int64())])
+    def step_bucket(g: pd.DataFrame, check_dups: bool) -> pd.DataFrame:
+        lhs = g[g["__jside"] == 0]
+        rhs = g[g["__jside"] == 1]
+        if check_dups:
+            dup = rhs["src"].duplicated()
+            if dup.any():
+                raise ValueError(
+                    f"non-functional pointer map: src "
+                    f"{rhs['src'][dup].iloc[0]} has multiple outgoing "
+                    "pointers")
+        jump = rhs[["src", "ptr", "d"]].rename(
+            columns={"src": "__jk", "ptr": "nxt", "d": "d2"})
+        m = lhs[["src", "ptr", "d"]].merge(
+            jump, left_on="ptr", right_on="__jk", how="left")
+        moved = m["nxt"].notna().to_numpy()
+        return pd.DataFrame({
+            "src": m["src"].to_numpy(np.int64),
+            "ptr": np.where(moved, m["nxt"].fillna(0), m["ptr"])
+                     .astype(np.int64),
+            "d": (m["d"].to_numpy(np.int64)
+                  + np.where(moved, m["d2"].fillna(0), 0).astype(np.int64)),
+            "moved": moved.astype(np.int64)})
 
     for _round in range(max_rounds):
-        right = state.map_batches(as_right, batch_format="pyarrow")
-        joined = partitioned_hash_join(
-            state, right, on="ptr", how="left", n_buckets=n_buckets,
-            left_schema=state_schema, right_schema=right_schema)
-
-        def advance(t: pa.Table) -> pa.Table:
-            nxt = t.column("nxt")
-            d2 = t.column("d2")
-            moved = pc.is_valid(nxt)
-            return pa.table({
-                "src": pc.cast(t.column("src"), pa.int64()),
-                "ptr": pc.cast(pc.if_else(moved, nxt, t.column("ptr")),
-                               pa.int64()),
-                "d": pc.cast(pc.add(t.column("d"),
-                                    pc.if_else(moved, d2, pa.scalar(0))),
-                             pa.int64()),
-                "moved": pc.cast(moved, pa.int64())})
-
-        stepped = joined.map_batches(advance, batch_format="pyarrow") \
-            .materialize()
-        n_moved = stepped.sum("moved") or 0
-        state = stepped.drop_columns(["moved"]).materialize()
+        check = _round == 0
+        tagged = state.map_batches(
+            lambda t: tag(t, 0), batch_format="pyarrow").union(
+            state.map_batches(lambda t: tag(t, 1), batch_format="pyarrow"))
+        state = tagged.groupby("__jbucket").map_groups(
+            lambda g, _c=check: step_bucket(g, _c),
+            batch_format="pandas").materialize()
+        n_moved = state.sum("moved") or 0
         if n_moved == 0:
             break
     else:
-        probe = partitioned_hash_join(
-            state, state.map_batches(as_right, batch_format="pyarrow"),
-            on="ptr", how="inner", n_buckets=n_buckets,
-            left_schema=state_schema, right_schema=right_schema)
-        n_left = probe.count()
-        if n_left:
-            raise ValueError(
-                f"{n_left} pointers unresolved after {max_rounds} doubling "
-                "rounds — cycle in the pointer map (or raise max_rounds)")
+        raise ValueError(
+            f"{n_moved} pointers still advancing after {max_rounds} "
+            "doubling rounds — cycle in the pointer map (or raise "
+            "max_rounds)")
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({"src": t.column("src"),
@@ -1608,7 +1633,7 @@ def topo_layers(edges, src_col: str = "src", dst_col: str = "dst",
             t.column(src_col).combine_chunks().cast(pa.int64()),
             t.column(dst_col).combine_chunks().cast(pa.int64())])})
 
-    e = edges.select_columns([src_col, dst_col]).materialize()
+    e = materialize_compact(edges.select_columns([src_col, dst_col]))
     layers = pre_aggregated_count(
         e.map_batches(both, batch_format="pyarrow"), "node",
         n_buckets=n_buckets) \

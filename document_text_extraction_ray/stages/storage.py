@@ -512,7 +512,13 @@ def read_bloom_lookup(path: str, key: str, values):
             keep_files.append(os.path.join(path, fname))
     n_candidates = len(keep_files)
     if not keep_files:
-        keep_files = [os.path.join(path, zm["file_name"].iloc[0])]
+        # No bloom fired -> the result is empty BY CONSTRUCTION (blooms
+        # have no false negatives).  Return a typed empty dataset from
+        # the first file's parquet SCHEMA (footer only — no data pages
+        # read) instead of paying a full shard scan for a guaranteed
+        #-empty result.
+        schema = pq.read_schema(os.path.join(path, zm["file_name"].iloc[0]))
+        return rd.from_arrow(schema.empty_table()), n_candidates
 
     def row_filter(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t.column(key), value_set=probe))
