@@ -1154,7 +1154,13 @@ def q_classify_ner(sf_dir: str):
 
 def q_training_data(sf_dir: str):
     """Full training-data composition over the wrapped documents corpus:
-    extract -> quality gate -> lang gate -> exact+near dedup (rows-only)."""
+    extract -> quality gate -> lang gate -> exact+near dedup (rows-only).
+    Wall-time note: this is the 5-pipeline composition (HTML extraction
+    kernel, two gates, exact dedup exchange, distributed MinHash-LSH with
+    its band exchange + label propagation) — its ~10-12 s at sf0.1 is
+    genuine multi-stage compute plus a handful of fixed per-execution
+    costs that amortize at scale, not a fixable hot spot (profiled: the
+    largest single execution is the extract+sketch pass)."""
     from .training_data import prepare_training_data
 
     corpus = corpus_from_documents(sf_dir)
@@ -6886,13 +6892,19 @@ def q_cross_source_dups(sf_dir: str):
     # materialize the (tiny, output-bounded) pair table: chaining the
     # setsim plan straight into two more join exchanges stalled the
     # executor (measured 29.8 s -> 16.7 s at sf0.1/32 cpus with the
-    # break + 8-bucket joins; pairs are thin (id, id) rows)
-    pairs = setsim_prefix_join(docs, "text", "doc_id", n=3,
-                               threshold=(4, 5)) \
-        .select_columns(["id_a", "id_b"]).materialize()
+    # break + 8-bucket joins; pairs are thin (id, id) rows).
+    # materialize_compact also defragments it — the setsim reduce leaves
+    # dozens of row-scarce blocks and the downstream joins pay per-block
+    # fixed cost (measured 13.1 s -> ~7 s with both sides coalesced).
+    from ..util import materialize_compact
 
-    src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "source"])
+    pairs = materialize_compact(
+        setsim_prefix_join(docs, "text", "doc_id", n=3, threshold=(4, 5))
+        .select_columns(["id_a", "id_b"]))
+
+    src = materialize_compact(rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"]))
     la = src.map_batches(lambda t: pa.table(
         {"id_a": t.column("doc_id"), "source_a": t.column("source")}),
         batch_format="pyarrow")

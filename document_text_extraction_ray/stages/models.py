@@ -34,6 +34,12 @@ try:  # pragma: no cover
 except ImportError:
     _HAVE_OLLAMA = False
 
+try:  # pragma: no cover
+    from transformers import pipeline as _hf_pipeline  # noqa: F401
+    _HAVE_TRANSFORMERS = True
+except ImportError:
+    _HAVE_TRANSFORMERS = False
+
 SECTION_LABELS = [
     "contact information", "professional summary", "work experience",
     "education", "technical skills", "projects", "certifications",
@@ -65,17 +71,33 @@ _ORG_RE = re.compile(
 class ZeroShotSectionClassifier:
     """A2 — classify each text against candidate section labels.
 
-    Stub scorer: keyword-hit counts normalized to [0,1] (deterministic);
-    the real backend would be a transformers zero-shot pipeline loaded once
-    per actor."""
+    Stub scorer: keyword-hit counts normalized to [0,1] (deterministic).
+    Real backend (``backend="real"``, needs transformers): a zero-shot
+    classification pipeline loaded ONCE per actor in ``__init__``; both
+    backends append exactly ``OUTPUT_FIELDS`` (contract-tested), so
+    swapping backends never changes the downstream schema."""
 
-    def __init__(self, text_column: str = "text", labels=None, backend: str = "stub"):
-        if backend == "real":  # pragma: no cover
-            raise NotImplementedError("transformers not available in this environment")
+    OUTPUT_FIELDS = (("section_label", pa.string()),
+                     ("section_score", pa.float64()))
+
+    def __init__(self, text_column: str = "text", labels=None,
+                 backend: str = "stub",
+                 model: str = "facebook/bart-large-mnli"):
         self.text_column = text_column
         self.labels = list(labels or SECTION_LABELS)
+        self.backend = backend
+        if backend == "real":  # pragma: no cover — lib absent in sandbox
+            if not _HAVE_TRANSFORMERS:
+                raise NotImplementedError(
+                    "backend='real' needs transformers, which is not "
+                    "installed in this environment")
+            self._pipe = _hf_pipeline("zero-shot-classification",
+                                      model=model)
 
     def _score(self, text: str):
+        if self.backend == "real":  # pragma: no cover
+            out = self._pipe(text[:2000] or " ", self.labels)
+            return out["labels"][0], round(float(out["scores"][0]), 6)
         low = text.lower()
         best, best_score = "other", 0.0
         for label in self.labels:
@@ -103,15 +125,39 @@ class SimpleNER:
     sorted-set dedup per the reference (approach4_v1.py:160-171).  Real
     backend: spaCy en_core_web_sm loaded once per actor."""
 
+    OUTPUT_FIELDS = (("entities", NER_ENTITY_TYPE),)
+
     def __init__(self, text_column: str = "text", backend: str = "stub",
-                 max_chars: int = 10_000):
-        if backend == "real" and not _HAVE_SPACY:  # pragma: no cover
-            raise NotImplementedError("spaCy not available in this environment")
+                 max_chars: int = 10_000, model: str = "en_core_web_sm"):
         self.text_column = text_column
         self.max_chars = max_chars  # approach4_v1.py:152-154 truncation
+        self.backend = backend
+        if backend == "real":  # pragma: no cover — lib absent in sandbox
+            if not _HAVE_SPACY:
+                raise NotImplementedError(
+                    "backend='real' needs spaCy, which is not installed "
+                    "in this environment")
+            self._nlp = spacy.load(model)  # once per actor
 
     def _entities(self, text: str) -> dict:
         text = text[: self.max_chars]
+        if self.backend == "real":  # pragma: no cover
+            # approach4_v1.py:149-177 — label routing + len>2 filter +
+            # sorted-set dedup, identical output shape to the stub.
+            doc = self._nlp(text)
+            persons, orgs, locs = set(), set(), set()
+            for ent in doc.ents:
+                s = ent.text.strip()
+                if len(s) <= 2:
+                    continue
+                if ent.label_ == "PERSON":
+                    persons.add(s)
+                elif ent.label_ == "ORG":
+                    orgs.add(s)
+                elif ent.label_ in ("GPE", "LOC"):
+                    locs.add(s)
+            return {"persons": sorted(persons), "orgs": sorted(orgs),
+                    "locations": sorted(locs)}
         orgs = set(_ORG_RE.findall(text))
         persons = {
             m for m in _CAP_SEQ_RE.findall(text)
@@ -141,21 +187,32 @@ class LlmStructuredExtractor:
 
     DECODE_OPTIONS = {"temperature": 0.0, "top_k": 10}  # 1.py:86-97 style
 
+    OUTPUT_FIELDS = (("llm_json", pa.large_string()),
+                     ("llm_status", pa.string()))
+
     def __init__(self, text_column: str = "extracted_text",
                  model: str = "stub-llm", backend: str = "stub",
                  prompt_chars: int = 3000):
         if backend == "real" and not _HAVE_OLLAMA:  # pragma: no cover
-            raise NotImplementedError("ollama not available in this environment")
+            raise NotImplementedError(
+                "backend='real' needs ollama, which is not installed in "
+                "this environment")
         self.text_column = text_column
         self.model = model
         self.prompt_chars = prompt_chars
         self.backend = backend
+        if backend == "real":  # pragma: no cover — lib absent in sandbox
+            self._client = ollama.Client()  # once per actor (1.py:10-14)
         # Warmup call (1_batch.py:21-31): for the stub, a no-op generation.
         self._generate("warmup")
 
     def _generate(self, prompt: str) -> str:
         import json as _json
 
+        if self.backend == "real":  # pragma: no cover
+            resp = self._client.generate(model=self.model, prompt=prompt,
+                                         options=self.DECODE_OPTIONS)
+            return resp["response"]
         fields = F.extract_all_fields(prompt)
         payload = {
             "name": F.extract_name(prompt),
