@@ -6824,20 +6824,23 @@ def q_minhash_recall(sf_dir: str):
     from ..stages.dedup import minhash_candidates, setsim_prefix_join
     from ..stages.join import partitioned_hash_join
 
+    from ..util import materialize_compact
+
     docs = _docs(sf_dir, ["doc_id", "text"])
-    # materialize the thin truth pairs: chaining the setsim plan into
-    # the recall join's exchange stalls the executor (the
-    # cross_source_dups lesson); pairs are output-bounded (id, id) rows
-    truth = setsim_prefix_join(docs, "text", "doc_id", n=3,
-                               threshold=(4, 5)) \
-        .select_columns(["id_a", "id_b"]).materialize()
-    cand = minhash_candidates(docs, "text", "doc_id",
-                              est_threshold=0.5, scale="driver") \
-        .select_columns(["id_a", "id_b"]) \
+    # materialize (and defragment) the thin truth pairs: chaining the
+    # setsim plan into the recall join's exchange stalls the executor
+    # (the cross_source_dups lesson); pairs are output-bounded (id, id)
+    # rows, so compaction keeps the join's per-block fixed cost flat
+    truth = materialize_compact(
+        setsim_prefix_join(docs, "text", "doc_id", n=3, threshold=(4, 5))
+        .select_columns(["id_a", "id_b"]))
+    cand = materialize_compact(  # consumed twice: the join and the count
+        minhash_candidates(docs, "text", "doc_id",
+                           est_threshold=0.5, scale="driver")
+        .select_columns(["id_a", "id_b"])
         .map_batches(lambda t: t.append_column(
             "hit", pa.array(np.ones(t.num_rows, np.int64))),
-            batch_format="pyarrow") \
-        .materialize()  # consumed twice: the join and the count
+            batch_format="pyarrow"))
     joined = partitioned_hash_join(
         truth, cand, on=["id_a", "id_b"], how="left", n_buckets=8,
         left_schema=pa.schema([("id_a", pa.int64()),

@@ -439,9 +439,11 @@ def cluster_pairs_distributed(pairs_ds, max_iters: int = 32,
              "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])}
         )
 
-    edges = pairs_ds.select_columns(["id_a", "id_b"]).map_batches(
-        to_edges, batch_format="pyarrow"
-    ).materialize()
+    from ..util import materialize_compact
+
+    edges = materialize_compact(
+        pairs_ds.select_columns(["id_a", "id_b"]).map_batches(
+            to_edges, batch_format="pyarrow"))
     if edges.count() == 0:
         # Typed empty label table (node/label carry the pair id type) so
         # downstream filters/joins on an empty graph keep a schema.

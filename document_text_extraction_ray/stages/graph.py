@@ -57,6 +57,12 @@ def pagerank_int(edges, n_iters: int = 3, damping_pct: int = 85,
     from .aggregate import bucketed_fold, pre_aggregated_count
     from .join import attach_column, coalesce_aggregate_blocks
 
+    # The edge list is consumed by the degree count AND every iteration's
+    # attach join — a lazy lineage would re-run its upstream (read + edge
+    # build) once per consumer, and a fragmented small read would fan
+    # every exchange into tiny tasks.  Materialize-and-defragment once.
+    edges = materialize_compact(edges.select_columns([src_col, dst_col]))
+
     # Node table + out-degrees (node-bounded, reused every iteration).
     deg = pre_aggregated_count(edges, src_col, alias="out_deg",
                                n_buckets=n_buckets)

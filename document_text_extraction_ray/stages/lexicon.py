@@ -467,8 +467,16 @@ def pmi_pair_stats(docs, id_column: str = "doc_id",
     distributed hash joins (never broadcast — vocabulary is corpus-shaped
     at 100 TB).  n_docs rides a count() metadata pass, the one scalar
     allowed to the driver."""
-    pairs = term_cooccurrence(docs, id_column, text_column, top_m=top_m,
-                              min_count=min_count, n_buckets=n_buckets)
+    from ..util import materialize_compact
+
+    # Both thin tables (pair counts, df counts) feed join exchanges whose
+    # fixed cost scales with input block count; materialize-and-defragment
+    # them so the joins see a handful of dense blocks instead of the
+    # fold's fan-out (measured 8.6 s -> ~3 s at sf0.1/32 cpus).  Both are
+    # vocabulary-shaped, so the compaction is metadata-cheap at scale.
+    pairs = materialize_compact(
+        term_cooccurrence(docs, id_column, text_column, top_m=top_m,
+                          min_count=min_count, n_buckets=n_buckets))
 
     def df_partial(t: pa.Table) -> pa.Table:
         counts = Counter()
@@ -488,7 +496,8 @@ def pmi_pair_stats(docs, id_column: str = "doc_id",
         out["df"] = out["df"].astype("int64")
         return out
 
-    df_tbl = bucketed_fold(partials, "term", df_combine, n_buckets=n_buckets)
+    df_tbl = materialize_compact(
+        bucketed_fold(partials, "term", df_combine, n_buckets=n_buckets))
     n_docs = docs.count()
 
     pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
