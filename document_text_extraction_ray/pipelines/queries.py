@@ -9292,13 +9292,13 @@ ORACLE_SQL["doc_fingerprints"] = r"""
                    WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
                    WHEN len(hs) < 8 THEN [CAST(
                        list_reduce(hs, (a, h) ->
-                           (a * 1000003 + h) % 4503599627370496)
-                       % 4503599627370496 AS BIGINT)]
+                           (a * 1000003 + h) % 2305843009213693951)
+                       % 2305843009213693951 AS BIGINT)]
                    ELSE list_transform(range(1, len(hs) - 6),
                        i -> CAST(
                            list_reduce(list_slice(hs, i, i + 7), (a, h) ->
-                               (a * 1000003 + h) % 4503599627370496)
-                           % 4503599627370496 AS BIGINT))
+                               (a * 1000003 + h) % 2305843009213693951)
+                           % 2305843009213693951 AS BIGINT))
                END AS rh
         FROM t
     ), f AS (
