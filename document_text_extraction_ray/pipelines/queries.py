@@ -34,8 +34,36 @@ from .extract_pipeline import extract_dataset
 _NORM = "regexp_replace(regexp_replace({col}, '\\s+', ' ', 'g'), '^ | $', '', 'g')"
 
 
+# Tables whose consumers do heavy PER-ROW work (payload synthesis,
+# extraction kernels, per-doc folds) — they keep Ray's full read
+# parallelism; the fan-out is the point there.
+_HEAVY_TABLES = {"documents.parquet"}
+
+
+def _read_pq(path, **kwargs):
+    """Size-aware parquet read for the registered queries: Ray splits any
+    read into ~2x-CPU blocks regardless of file size, so a 2 MB events
+    table arrives as 64 row-scarce blocks and every downstream exchange
+    pays per-block fixed cost (the materialize_compact lesson, applied at
+    the READ, where the fragmentation starts).  Small columnar-scan
+    tables get ceil(size / 0.5 MB) blocks (floor 4 so partials still
+    parallelize, cap 64); ``documents`` and any file >= 32 MB keep Ray's
+    own parallelism heuristic unchanged — the 100-TB path is untouched."""
+    if ("override_num_blocks" not in kwargs
+            and isinstance(path, str)
+            and os.path.basename(path) not in _HEAVY_TABLES):
+        try:
+            sz = os.path.getsize(path)
+        except OSError:
+            sz = None
+        if sz is not None and sz < (32 << 20):
+            kwargs["override_num_blocks"] = max(
+                4, min(64, int(-(-sz // (512 * 1024)))))
+    return rd.read_parquet(path, **kwargs)
+
+
 def _docs(sf_dir: str, columns=None):
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
 def _scale_int(table: pa.Table, scales: dict) -> pa.Table:
@@ -159,7 +187,7 @@ def q_doc_source_stats(sf_dir: str):
 
 def q_lang_filter(sf_dir: str):
     """Predicate pushdown at the read (prune + row filter)."""
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang", "n_chars"],
         filter=(pc.field("lang") == "en") & (pc.field("n_chars") >= 300),
@@ -183,7 +211,7 @@ def q_exact_dedup(sf_dir: str):
 
 def q1_pricing(sf_dir: str):
     """TPC-H Q1 shape: vectorized derivation + grouped aggregate + sort."""
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=[
             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
@@ -241,7 +269,7 @@ def q3_top_revenue(sf_dir: str):
     )
     keys_ref = _ray.put(seg_keys.combine_chunks())
 
-    orders = rd.read_parquet(
+    orders = _read_pq(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
     )
 
@@ -252,7 +280,7 @@ def q3_top_revenue(sf_dir: str):
 
     orders = orders.map_batches(seg_orders, batch_format="pyarrow")
 
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -288,7 +316,7 @@ def q3_top_revenue(sf_dir: str):
 def q6_forecast_revenue(sf_dir: str):
     """TPC-H Q6 shape: pure vectorized range filter + global aggregate —
     predicates pushed to the parquet read."""
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
         filter=(
@@ -325,7 +353,7 @@ def q4_semi_join(sf_dir: str):
     + one hash join) — never collected to the driver."""
     from ..stages.join import semi_join
 
-    big = rd.read_parquet(
+    big = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_quantity"],
         filter=(pc.field("l_quantity") >= 45),
@@ -334,7 +362,7 @@ def q4_semi_join(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_pq(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_orderpriority"])
 
     semi = semi_join(orders, big, on="o_orderkey", n_partitions=16)
@@ -364,7 +392,7 @@ def q_anti_join(sf_dir: str):
     custkeys = pc.filter(cust.column("c_custkey"),
                          pc.equal(cust.column("c_mktsegment"), "BUILDING")).to_pylist()
     keys_ref = _ray.put(pa.array(sorted(custkeys)))
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_pq(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_custkey", "o_orderpriority"])
 
     def anti(t: pa.Table) -> pa.Table:
@@ -382,7 +410,7 @@ def q_anti_join(sf_dir: str):
 def q12_conditional_agg(sf_dir: str):
     """TPC-H Q12 shape: conditional (CASE) counts inside a grouped aggregate —
     vectorized flag columns, then sums."""
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_pq(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderpriority", "o_totalprice"])
 
     def flags(t: pa.Table) -> pa.Table:
@@ -415,7 +443,7 @@ def q_supplier_region(sf_dir: str):
         )
     }
 
-    sup = rd.read_parquet(
+    sup = _read_pq(
         os.path.join(sf_dir, "supplier.parquet"), columns=["s_nationkey", "s_acctbal"]
     )
 
@@ -436,7 +464,7 @@ def q_supplier_region(sf_dir: str):
 
 def q_orders_by_status(sf_dir: str):
     agg = (
-        rd.read_parquet(
+        _read_pq(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderstatus", "o_totalprice"],
         )
@@ -450,7 +478,7 @@ def q_orders_by_status(sf_dir: str):
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour window per event_type (streaming-shaped workload,
     ray_guide: windows as grouped aggregation over epoch buckets)."""
-    ev = rd.read_parquet(
+    ev = _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
     )
 
@@ -481,7 +509,7 @@ def q_props_json_stats(sf_dir: str):
     parse events.props per batch, aggregate the extracted field."""
     import json as _json
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "props"])
 
     def parse(t: pa.Table) -> pa.Table:
@@ -506,7 +534,7 @@ def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type — two-level groupby plan."""
     from ..stages.aggregate import exact_distinct_count
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "user_id"])
     return exact_distinct_count(ev, "event_type", "user_id").sort("event_type")
 
@@ -517,7 +545,7 @@ def q_running_totals(sf_dir: str):
     broken by event_id in BOTH engines."""
     from ..stages.aggregate import running_total
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "ts", "user_id", "value"])
 
     # Two-column ordering inside the per-key fold — no composite integer key
@@ -539,7 +567,7 @@ def q_running_totals(sf_dir: str):
 
 
 def q_top_events(sf_dir: str):
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "event_type", "value"],
     )
@@ -557,7 +585,7 @@ def q_ann_topk(sf_dir: str):
     head = pq.read_table(path, filters=[("vec_id", "<", 5)])
     q = np.asarray(head.column("embedding").to_pylist(), dtype=np.float64)
     qids = head.column("vec_id").to_pylist()
-    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    emb = _read_pq(path, columns=["vec_id", "embedding"])
     out = SIM.brute_force_topk(emb, q, qids, k=10)
     return pa.table(
         {
@@ -570,7 +598,7 @@ def q_ann_topk(sf_dir: str):
 
 def q_embedding_label_stats(sf_dir: str):
     agg = (
-        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+        _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
                         columns=["vec_id", "label"])
         .groupby("label")
         .aggregate(Count(alias_name="n_vecs"), Min("vec_id", alias_name="min_vec_id"))
@@ -581,7 +609,7 @@ def q_embedding_label_stats(sf_dir: str):
 def q_hash_join_revenue(sf_dir: str):
     """Distributed hash join (both sides 'large'): lineitem x orders, revenue
     per order priority — one shuffle per side."""
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -593,7 +621,7 @@ def q_hash_join_revenue(sf_dir: str):
         return pa.table({"o_orderkey": t.column("l_orderkey"), "rev": rev})
 
     li = li.map_batches(derive, batch_format="pyarrow")
-    orders = rd.read_parquet(
+    orders = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderpriority"],
     )
@@ -640,12 +668,12 @@ def q_bucketed_storage_join(sf_dir: str):
 
     base = tempfile.mkdtemp(prefix="bucketed_join_")
     try:
-        li = rd.read_parquet(
+        li = _read_pq(
             os.path.join(sf_dir, "lineitem.parquet"),
             columns=["l_orderkey", "l_extendedprice", "l_discount",
                      "l_returnflag"],
         )
-        orders = rd.read_parquet(
+        orders = _read_pq(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_orderstatus"],
         )
@@ -749,7 +777,7 @@ def q_sessionize(sf_dir: str):
     fold — oracle via DuckDB window functions."""
     from ..stages.windows import sessionize
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["ts", "user_id"])
     out = sessionize(ev, "ts", "user_id", gap_s=1800)
     return out.sort(["user_id", "session_start_s"])
@@ -763,7 +791,7 @@ def q_time_weighted_avg(sf_dir: str):
     engines.  Oracle: LEAD window replay."""
     from ..stages.windows import time_weighted_stats
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_id", "ts", "value"])
     return time_weighted_stats(ev, "user_id", "ts", "value",
                                "event_id").sort("user_id")
@@ -776,7 +804,7 @@ def q_rolling_wau(sf_dir: str):
     generate_series + COUNT(DISTINCT)."""
     from ..stages.windows import rolling_distinct
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts"])
     return rolling_distinct(ev, "ts", "user_id", window_days=7).sort("day")
 
@@ -789,7 +817,7 @@ def q_merge_intervals(sf_dir: str):
     with the running-max-end window trick."""
     from ..stages.windows import merge_intervals
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["ts", "user_id"])
 
     def spans(t: pa.Table) -> pa.Table:
@@ -811,7 +839,7 @@ def q_sliding_window(sf_dir: str):
     """1h windows sliding by 15 min over events (explode-to-buckets)."""
     from ..stages.windows import sliding_window
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["ts", "event_type", "value"])
     agg = sliding_window(ev, "ts", "event_type", "value",
                          width_s=3600, slide_s=900)
@@ -826,14 +854,14 @@ def q_asof_latest_order(sf_dir: str):
     from ..stages.aggregate import bucketed_combine
     from ..stages.join import asof_join
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "ts", "user_id"])
     # Right side made unique per (key, time): max orderkey wins (both
     # sides).  Per-batch partial max + bucketed combine on the custkey
     # (the orderdate rides along inside each bucket's pyarrow group_by) —
     # the (cust, date) key is near-unique, Ray's key-sort groupby is the
     # slow path there.
-    raw = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    raw = _read_pq(os.path.join(sf_dir, "orders.parquet"),
                           columns=["o_custkey", "o_orderdate", "o_orderkey"])
 
     def partial_max(t: pa.Table) -> pa.Table:
@@ -956,7 +984,7 @@ def q_lsh_ann(sf_dir: str):
     head = pq.read_table(path, filters=[("vec_id", "<", 5)])
     q = np.asarray(head.column("embedding").to_pylist(), dtype=np.float64)
     qids = head.column("vec_id").to_pylist()
-    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    emb = _read_pq(path, columns=["vec_id", "embedding"])
     out = SIM.lsh_bucket_topk(emb, q, qids, k=10)
     return out.select(["query_id", "neighbor_id", "rank"])
 
@@ -981,7 +1009,7 @@ def q_embedding_dups(sf_dir: str):
             f"embedding_dups is exact all-pairs (O(n^2) compute); corpus has "
             f"{n} vectors > 1M guard. Use stages.similarity."
             f"embedding_dup_pairs (LSH) or semdedup for corpus scale.")
-    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    emb = _read_pq(path, columns=["vec_id", "embedding"])
     return SIM.exact_dup_pairs(emb, threshold=0.4).sort(["id_a", "id_b"])
 
 
@@ -991,7 +1019,7 @@ def q_ivf_ann(sf_dir: str):
     head = pq.read_table(path, filters=[("vec_id", "<", 5)])
     q = np.asarray(head.column("embedding").to_pylist(), dtype=np.float64)
     qids = head.column("vec_id").to_pylist()
-    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    emb = _read_pq(path, columns=["vec_id", "embedding"])
     out = SIM.ivf_topk(emb, q, qids, k=10, n_centroids=16, nprobe=4)
     return out.select(["query_id", "neighbor_id", "rank"])
 
@@ -1015,7 +1043,7 @@ def q_ivf_index_ann(sf_dir: str):
     head = pq.read_table(path, filters=[("vec_id", "<", 5)])
     q = np.asarray(head.column("embedding").to_pylist(), dtype=np.float64)
     qids = head.column("vec_id").to_pylist()
-    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    emb = _read_pq(path, columns=["vec_id", "embedding"])
     base = tempfile.mkdtemp(prefix="ivf_index_")
     try:
         build_ivf_index(emb, base, n_centroids=16)
@@ -1055,7 +1083,7 @@ def q_ann_recall(sf_dir: str):
     head = pq.read_table(path, filters=[("vec_id", "<", 5)])
     q = np.asarray(head.column("embedding").to_pylist(), dtype=np.float64)
     qids = head.column("vec_id").to_pylist()
-    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    emb = _read_pq(path, columns=["vec_id", "embedding"])
     exact = SIM.brute_force_topk(emb, q, query_ids=qids, k=10).to_pandas()
     lsh = SIM.lsh_bucket_topk(emb, q, qids, k=10, probe_radius=3).to_pandas()
     ivf = SIM.ivf_topk(emb, q, qids, k=10, n_centroids=16,
@@ -1352,7 +1380,7 @@ def q_rank_orders(sf_dir: str):
     customer key, per-key sorted head."""
     import pandas as pd
 
-    orders = rd.read_parquet(
+    orders = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderkey", "o_totalprice"],
     )
@@ -1376,7 +1404,7 @@ def q_event_lag_diffs(sf_dir: str):
     on both sides."""
     import pandas as pd
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "ts", "user_id", "value"])
 
     def lag(g: pd.DataFrame) -> pd.DataFrame:
@@ -1396,7 +1424,7 @@ def q_user_first_last(sf_dir: str):
     value in (ts, event_id) order plus the event count."""
     import pandas as pd
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "ts", "user_id", "value"])
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
@@ -1430,7 +1458,7 @@ def q10_returned_items(sf_dir: str):
     attached by broadcast lookup after the top-k."""
     from ..stages.join import native_join
 
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
         filter=(pc.field("l_returnflag") == "R"),
@@ -1444,7 +1472,7 @@ def q10_returned_items(sf_dir: str):
         return pa.table({"o_orderkey": t.column("l_orderkey"), "rev": rev})
 
     li = li.map_batches(derive, batch_format="pyarrow")
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_pq(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"])
     from ..stages.aggregate import pre_aggregated_sum
 
@@ -1487,7 +1515,7 @@ def q14_promo_revenue(sf_dir: str):
     )
     promo_ref = _ray.put(promo.combine_chunks())
 
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     )
@@ -1526,7 +1554,7 @@ def q13_order_distribution(sf_dir: str):
     driver materialization of the fact side."""
     from ..stages.aggregate import pre_aggregated_count
 
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_pq(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_custkey"])
     counts = pre_aggregated_count(orders, "o_custkey", alias="c_count")
     dist = (
@@ -1563,7 +1591,7 @@ def q18_large_orders(sf_dir: str):
     from ..stages.aggregate import pre_aggregated_sum
     from ..stages.join import native_join
 
-    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+    li = _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey", "l_quantity"])
     sums = pre_aggregated_sum(li, "l_orderkey", "l_quantity")
 
@@ -1575,7 +1603,7 @@ def q18_large_orders(sf_dir: str):
                          "total_qty": t.column("sum_l_quantity")})
 
     big = sums.map_batches(having, batch_format="pyarrow")
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_pq(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"])
     joined = native_join(big, orders, on="o_orderkey", n_partitions=8,
                          left_from_aggregate=True)
@@ -1706,7 +1734,7 @@ def q_approx_distinct_users(sf_dir: str):
     5-row aggregates driver-side (tiny results only)."""
     from ..stages.aggregate import approx_distinct_count, exact_distinct_count
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "user_id"])
     exact = exact_distinct_count(ev, "event_type", "user_id").to_pandas()
     est = approx_distinct_count(ev, "event_type", "user_id").to_pandas()
@@ -1749,7 +1777,7 @@ def q_topk_per_user(sf_dir: str):
     history).  Oracle: ROW_NUMBER <= 3."""
     from ..stages.aggregate import grouped_topk
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_id", "event_type", "ts"])
     out = grouped_topk(ev, "user_id", ["ts", "event_id"], k=3,
                        ascending=[False, True])
@@ -1778,7 +1806,7 @@ def q_connected_components(sf_dir: str):
     from ..stages.aggregate import pre_aggregated_count
     from ..stages.dedup import cluster_pairs_distributed
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id"])
     users = pre_aggregated_count(ev, "user_id", alias="__n").map_batches(
         lambda t: t if t.num_columns == 0 else t.select(["user_id"]),
@@ -2064,7 +2092,7 @@ def q_moving_avg(sf_dir: str):
     emitted as a floor(sum*100/n + .5) e4 fixed point."""
     from ..stages.aggregate import bucketed_map_groups
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "ts", "user_id", "value"])
 
     def to_cents(t: pa.Table) -> pa.Table:
@@ -2464,7 +2492,7 @@ def q_semdedup(sf_dir: str):
     (non-SQL-expressible) k-means structure.  The oracle therefore gates
     both failure modes: a false removal (organic vector dropped) and a
     missed removal (planted copy survives)."""
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
 
     def plant(t: pa.Table) -> pa.Table:
@@ -2637,7 +2665,7 @@ def q_range_join(sf_dir: str):
     from ..stages.join import range_join
 
     SIX_H_US = 21_600_000_000
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "ts"])
 
     def to_pts(t: pa.Table) -> pa.Table:
@@ -2703,7 +2731,7 @@ def q5_local_revenue(sf_dir: str):
 
     import datetime as _dt
 
-    orders = rd.read_parquet(
+    orders = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=((pc.field("o_orderdate") >= _dt.datetime(1996, 1, 1))
@@ -2721,7 +2749,7 @@ def q5_local_revenue(sf_dir: str):
 
     o_side = orders.map_batches(tag_cust_nation, batch_format="pyarrow")
 
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
@@ -2787,7 +2815,7 @@ def q7_volume_shipping(sf_dir: str):
     cust_ref = _ray.put(cust.combine_chunks())
     supp_ref = _ray.put(supp.combine_chunks())
 
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
                  "l_shipdate"],
@@ -2816,7 +2844,7 @@ def q7_volume_shipping(sf_dir: str):
                                    value_set=pa.array(sorted(pair), pa.int64())))
 
     l_side = li.map_batches(l_tag, batch_format="pyarrow")
-    o_side = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    o_side = _read_pq(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"]) \
                .map_batches(o_tag, batch_format="pyarrow")
     # The two-nation filter keeps ~2/N^2 of rows: sparse enough that Ray's
@@ -2891,7 +2919,7 @@ def q8_market_share(sf_dir: str):
 
     import datetime as _dt
 
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_partkey", "l_suppkey",
                  "l_extendedprice", "l_discount"])
@@ -2910,7 +2938,7 @@ def q8_market_share(sf_dir: str):
                          "is_target": pc.cast(pc.equal(nat, target_nk),
                                               pa.int64())})
 
-    o_side = rd.read_parquet(
+    o_side = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=((pc.field("o_orderdate") >= _dt.datetime(1996, 1, 1))
@@ -2959,7 +2987,7 @@ def q15_top_supplier(sf_dir: str):
 
     from ..stages.aggregate import pre_aggregated_sum
 
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=((pc.field("l_shipdate") >= _dt.datetime(1996, 1, 1))
@@ -3017,7 +3045,7 @@ def q17_small_qty_revenue(sf_dir: str):
     ).column("p_partkey").combine_chunks()
     keys_ref = _ray.put(brand_keys)
 
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_partkey", "l_quantity", "l_extendedprice"],
     )
@@ -3085,7 +3113,7 @@ def q19_disjunctive_revenue(sf_dir: str):
                          columns=["p_partkey", "p_brand", "p_size"])
     part_ref = _ray.put(part.combine_chunks())
 
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -3137,7 +3165,7 @@ def q22_sales_opportunity(sf_dir: str):
     anti-join (orders ships DISTINCT custkeys only)."""
     from ..stages.join import anti_join
 
-    cust = rd.read_parquet(
+    cust = _read_pq(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_mktsegment", "c_acctbal"],
     )
@@ -3163,7 +3191,7 @@ def q22_sales_opportunity(sf_dir: str):
     rich = cust.map_batches(above_avg, batch_format="pyarrow")
     import datetime as _dt
 
-    orders = rd.read_parquet(
+    orders = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderdate"],
         filter=(pc.field("o_orderdate") >= _dt.datetime(2000, 1, 1)),
@@ -3213,7 +3241,7 @@ def q9_profit_shape(sf_dir: str):
     nat_keys = pa.array(sorted(nmap), pa.int64())
     nat_names = pa.array([nmap[k] for k in sorted(nmap)], pa.string())
 
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_partkey", "l_suppkey",
                  "l_extendedprice", "l_discount"],
@@ -3233,7 +3261,7 @@ def q9_profit_shape(sf_dir: str):
                          "nation": nm, "amount": amount})
 
     l_side = li.map_batches(tag, batch_format="pyarrow")
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_pq(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_orderdate"])
 
     def years(t: pa.Table) -> pa.Table:
@@ -3279,9 +3307,9 @@ def q21_late_suppliers(sf_dir: str):
     smap_keys = pa.array(supp.column("s_suppkey").to_pylist(), pa.int64())
     smap_names = pa.array(supp.column("s_name").to_pylist(), pa.string())
 
-    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+    li = _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey", "l_suppkey", "l_shipdate"])
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_pq(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_orderdate"])
 
     def li_thin(t: pa.Table) -> pa.Table:
@@ -3358,7 +3386,7 @@ def q11_important_parts(sf_dir: str):
         supp.filter(pc.equal(supp.column("s_nationkey"), nkey))
             .column("s_suppkey").to_pylist()), pa.int64())
 
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
@@ -3421,7 +3449,7 @@ def q2_min_cost_supplier(sf_dir: str):
     sname_keys = pa.array(eu_supp.column("s_suppkey").to_pylist(), pa.int64())
     sname_vals = pa.array(eu_supp.column("s_name").to_pylist(), pa.string())
 
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
@@ -3483,7 +3511,7 @@ def q16_supplier_variety(sf_dir: str):
             .column("s_suppkey").to_pylist()), pa.int64())
     pk = part.column("p_partkey")
 
-    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+    li = _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_partkey", "l_suppkey"])
 
     def tag(t: pa.Table) -> pa.Table:
@@ -3529,7 +3557,7 @@ def q20_dominant_suppliers(sf_dir: str):
     sk = pa.array(supp.column("s_suppkey").to_pylist(), pa.int64())
     sn = pa.array(supp.column("s_name").to_pylist(), pa.string())
 
-    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+    li = _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_partkey", "l_suppkey", "l_quantity"])
 
     def thin(t: pa.Table) -> pa.Table:
@@ -3571,7 +3599,7 @@ def q_rank_features(sf_dir: str):
     every rank is deterministic."""
     from ..stages.windows import rank_features
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "user_id", "ts"])
     out = rank_features(ev, "user_id", ["ts", "event_id"], n_tiles=4)
     return out.select_columns(
@@ -3586,7 +3614,7 @@ def q_pivot_events(sf_dir: str):
     pre-aggregation shape; SQL replay is conditional aggregation."""
     from ..stages.aggregate import pivot_counts
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type", "value"])
     out = pivot_counts(ev, "user_id", "event_type",
                        ["click", "error", "purchase", "signup", "view"],
@@ -3701,7 +3729,7 @@ def q_range_window(sf_dir: str):
     both sides.  One bucketed shuffle, per-key two-pointer numpy fold."""
     from ..stages.windows import range_window_sum
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "user_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -3731,7 +3759,7 @@ def q_unpivot_events(sf_dir: str):
     aggregation + UNION ALL."""
     from ..stages.aggregate import pivot_counts, unpivot
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type"])
     wide = pivot_counts(ev, "user_id", "event_type",
                         ["click", "error", "purchase", "signup", "view"])
@@ -3804,7 +3832,7 @@ def q_compact_roundtrip(sf_dir: str):
         compact_parquet(src, dst,
                         target_rows=max(1, total // 4)).to_pandas()
         t = pa.Table.from_pandas(
-            rd.read_parquet(dst).sort("doc_id").to_pandas(),
+            _read_pq(dst).sort("doc_id").to_pandas(),
             preserve_index=False)
         return t.select(["doc_id", "text", "lang"])
     finally:
@@ -3924,7 +3952,7 @@ def q_topk_agg(sf_dir: str):
     shuffle shapes.  Oracle: ROW_NUMBER over counts."""
     from ..stages.aggregate import bucketed_fold, grouped_topk
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type"])
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
@@ -3951,7 +3979,7 @@ def q_grouped_moments(sf_dir: str):
     part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
                          columns=["p_partkey", "p_brand"])
     pk = part.column("p_partkey")
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_partkey", "l_quantity", "l_extendedprice"])
 
@@ -3975,7 +4003,7 @@ def q_grouped_mode(sf_dir: str):
     Oracle: ROW_NUMBER over pair counts."""
     from ..stages.aggregate import grouped_mode
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type"])
     return grouped_mode(ev, "user_id", "event_type").sort("user_id")
 
@@ -3988,7 +4016,7 @@ def q_profile_columns(sf_dir: str):
     engine-stable).  Null counts in n_nulls, never n_distinct."""
     from ..stages.aggregate import profile_columns
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "user_id", "event_type"])
     return profile_columns(ev, ["event_id", "user_id", "event_type"]) \
@@ -4009,7 +4037,7 @@ def q_tdigest_quantiles(sf_dir: str):
     n_rows is exact (total weight is preserved by construction)."""
     from ..stages.aggregate import grouped_quantiles, tdigest_quantiles
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "value"])
     approx = tdigest_quantiles(ev, "event_type", "value",
                                ps=(0.25, 0.5, 0.75, 0.9),
@@ -4037,7 +4065,7 @@ def q_event_sequences(sf_dir: str):
     the true count) — the SQL oracle replays the cap via ROW_NUMBER."""
     from ..stages.aggregate import grouped_concat
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "user_id", "event_type", "ts"])
     return grouped_concat(ev, "user_id", "event_type",
                           ["ts", "event_id"], max_items=64).sort("user_id")
@@ -4054,7 +4082,7 @@ def q_salted_join(sf_dir: str):
     from ..stages.aggregate import pre_aggregated_count
     from ..stages.join import salted_join
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "user_id"])
 
     def remap(t: pa.Table) -> pa.Table:
@@ -4092,7 +4120,7 @@ def q_cube_orders(sf_dir: str):
     NULL-encoding-independent."""
     from ..stages.aggregate import cube_sum
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
     ).map_batches(
@@ -4116,7 +4144,7 @@ def q_grouping_sets(sf_dir: str):
     the group-count-sized result."""
     from ..stages.aggregate import grouping_sets_sum
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
     ).map_batches(
@@ -4150,7 +4178,7 @@ def q_bloom_pruned_join(sf_dir: str):
     from ..stages.dedup import bloom_semi_filter, build_bloom
     from ..stages.join import native_join
 
-    supp = rd.read_parquet(
+    supp = _read_pq(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_name", "s_acctbal"],
         filter=(pc.field("s_acctbal") >= 5000.0),
@@ -4161,7 +4189,7 @@ def q_bloom_pruned_join(sf_dir: str):
     ).materialize()  # dimension-sized; bloom build + join side
 
     bloom_ref = _ray.put(build_bloom(supp, "l_suppkey", m_bits=1 << 16))
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_suppkey", "l_extendedprice", "l_discount"])
 
@@ -4257,7 +4285,7 @@ def q_composite_key_join(sf_dir: str):
     from ..stages.aggregate import bucketed_fold
     from ..stages.join import partitioned_hash_join
 
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"])
 
@@ -4398,7 +4426,7 @@ def q_rollup_orders(sf_dir: str):
     hash compare never depends on NULL ordering."""
     from ..stages.aggregate import rollup_sum
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
     ).map_batches(
@@ -4420,7 +4448,7 @@ def q_set_ops_users(sf_dir: str):
     over one-row-per-key-per-batch partials; no join, no broadcast."""
     from ..stages.aggregate import set_membership
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type"])
     return set_membership(ev, "user_id", "event_type",
                           "click", "purchase").sort("user_id")
@@ -4440,7 +4468,7 @@ def q_funnel_stages(sf_dir: str):
     windowed-funnel contract."""
     from ..stages.aggregate import grouped_concat
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type", "ts", "event_id"])
     seqs = grouped_concat(ev, "user_id", "event_type",
                           order_cols=("ts", "event_id"), sep="|",
@@ -4496,7 +4524,7 @@ def q_full_outer_counts(sf_dir: str):
     from ..stages.aggregate import pre_aggregated_count
     from ..stages.join import partitioned_hash_join
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type"])
 
     def side(ev_type, alias):
@@ -4548,7 +4576,7 @@ def q_event_transitions(sf_dir: str):
     exchange is dimension-sized at any corpus scale."""
     from ..stages.windows import transition_counts
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts", "event_id", "event_type"])
     return transition_counts(ev, "user_id", ("ts", "event_id"),
                              "event_type").sort(["from_type", "to_type"])
@@ -4561,7 +4589,7 @@ def q_burst_dedup(sf_dir: str):
     ONE bucketed exchange; vectorized in-bucket sort+shift+mask."""
     from ..stages.windows import window_dedup
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type", "ts", "event_id"])
     return window_dedup(ev, ["user_id", "event_type"], "ts", "event_id",
                         min_gap_s=86400).sort("event_id")
@@ -4640,7 +4668,7 @@ def q_triangle_count(sf_dir: str):
         return pa.table({"src": pa.array(np.concatenate([a, b])),
                          "dst": pa.array(np.concatenate([a + 1, b + 2]))})
 
-    e = rd.read_parquet(path, columns=["doc_id"]).map_batches(
+    e = _read_pq(path, columns=["doc_id"]).map_batches(
         edges, batch_format="pyarrow")
     out = triangle_count(e, "src", "dst")
     return out.map_batches(
@@ -4659,7 +4687,7 @@ def q_retention_cohorts(sf_dir: str):
     event log never shuffles — only distinct (user, day) rows do."""
     from ..stages.aggregate import bucketed_fold
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts"])
 
     def to_days(t: pa.Table) -> pa.Table:
@@ -4746,7 +4774,7 @@ def q_skyline(sf_dir: str):
     strictly greater qty), NOT the quadratic NOT EXISTS."""
     from ..stages.aggregate import skyline_2d
 
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_linenumber", "l_quantity",
                  "l_extendedprice"])
@@ -4773,7 +4801,7 @@ def q_grouped_regression(sf_dir: str):
     partials, one bucketed combine, then a row-local finish."""
     from ..stages.aggregate import grouped_moments
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -4810,7 +4838,7 @@ def q_anomaly_events(sf_dir: str):
     from ..stages.aggregate import grouped_moments
     from ..stages.join import broadcast_join
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "user_id", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -4856,7 +4884,7 @@ def q_embedding_centroids(sf_dir: str):
     table never shuffles."""
     from ..stages.similarity import embedding_centroids
 
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["label", "embedding"])
 
     def widen(t: pa.Table) -> pa.Table:
@@ -4876,7 +4904,7 @@ def q_hits_scores(sf_dir: str):
     raw*scale product — see graph.HITS_NORM)."""
     from ..stages.graph import hits_int
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type"])
 
     def distinct(t: pa.Table) -> pa.Table:
@@ -4905,7 +4933,7 @@ def q_dense_rank(sf_dir: str):
     (no per-group Python)."""
     from ..stages.windows import value_ranks
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type", "event_id"])
     out = value_ranks(ev, "user_id", "event_type",
                       carry_cols=["event_id"])
@@ -4957,7 +4985,7 @@ def q_interval_overlap(sf_dir: str):
     from ..stages.aggregate import bucketed_fold
     from ..stages.join import interval_overlap_join
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["ts", "user_id", "event_type",
                                   "event_id"])
 
@@ -5008,7 +5036,7 @@ def q_random_projection(sf_dir: str):
     matmul per batch; the JL front end for ANN/LSH indexing at scale."""
     from ..stages.similarity import random_projection
 
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
     return random_projection(emb, out_dim=8).sort(["vec_id", "dim"])
 
@@ -5045,7 +5073,7 @@ def q_fill_forward(sf_dir: str):
     untouched so the float column stays bit-identical to the source."""
     from ..stages.windows import fill_forward
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "ts", "user_id",
                                   "event_type", "value"])
 
@@ -5086,7 +5114,7 @@ def q_key_skew_stats(sf_dir: str):
     stats row.  All integers — hash-exact."""
     from ..stages.aggregate import bucketed_fold, grouped_quantiles
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type"])
     counts = bucketed_fold(
         ev, ["user_id", "event_type"],
@@ -5165,7 +5193,7 @@ def q_weighted_quantiles(sf_dir: str):
     percent thresholds — hash-exact against the SQL window replay."""
     from ..stages.aggregate import grouped_weighted_quantiles
 
-    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+    li = _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_returnflag", "l_extendedprice",
                                   "l_quantity"])
 
@@ -5299,7 +5327,7 @@ def q_embedding_quantize(sf_dir: str):
     deterministic, so the integer output hash-matches the SQL replay."""
     from ..stages.similarity import embedding_quantize
 
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
     return embedding_quantize(emb).sort(["vec_id", "dim"])
 
@@ -5353,7 +5381,7 @@ def q_join_size_estimate(sf_dir: str):
     planner reads before choosing salted vs plain plans."""
     from ..stages.join import join_size_estimate
 
-    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+    li = _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_partkey", "l_returnflag"])
 
     def as_key(t: pa.Table) -> pa.Table:
@@ -5380,10 +5408,10 @@ def q_validate_constraints(sf_dir: str):
     exchange.  Output: one row per check."""
     from ..stages.validate import expectation_counts, fk_violation_counts
 
-    orders = rd.read_parquet(
+    orders = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderstatus", "o_totalprice"])
-    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+    cust = _read_pq(os.path.join(sf_dir, "customer.parquet"),
                            columns=["c_custkey"])
 
     def holed(t: pa.Table) -> pa.Table:
@@ -5519,7 +5547,7 @@ def q_range_partition(sf_dir: str):
     empty partitions in both engines."""
     from ..stages.storage import range_partition_stats
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["value"])
 
     def cents(t: pa.Table) -> pa.Table:
@@ -5540,7 +5568,7 @@ def q_embedding_gram(sf_dir: str):
     independent of row count); one bucketed combine."""
     from ..stages.similarity import embedding_gram
 
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
     return embedding_gram(emb, scale=1000).sort(["i", "j"])
 
@@ -5582,7 +5610,7 @@ def q_inversion_counts(sf_dir: str):
     numbers)."""
     from ..stages.windows import inversion_counts
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts", "event_id", "value"])
     return inversion_counts(ev, "user_id", ["ts", "event_id"],
                             "value").sort("user_id")
@@ -5676,7 +5704,7 @@ def q_nearest_event_join(sf_dir: str):
     replay is an argmin-over-pairs ROW_NUMBER."""
     from ..stages.windows import nearest_event_join
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts", "event_type",
                                   "event_id"])
     return nearest_event_join(ev, "user_id", "ts", "event_type",
@@ -5832,7 +5860,7 @@ def q_k_anonymity(sf_dir: str):
     one tuple-bucketed combine; single governance-report row."""
     from ..stages.validate import k_anonymity_stats
 
-    cust = rd.read_parquet(
+    cust = _read_pq(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
 
@@ -5856,7 +5884,7 @@ def q_scd2_history(sf_dir: str):
     (ts, event_id) total order for exact ties."""
     from ..stages.windows import scd2_history
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts", "event_type",
                                   "event_id"])
     return scd2_history(ev, "user_id", "ts", "event_type") \
@@ -5941,7 +5969,7 @@ def q_zorder_stats(sf_dir: str):
     primitive).  Row-local z + one bucketed combine."""
     from ..stages.storage import zorder_partition_stats
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "value"])
 
     def keys(t: pa.Table) -> pa.Table:
@@ -6030,7 +6058,7 @@ def q_kmv_distinct(sf_dir: str):
     hash-exactly (HLL needs a tolerance gate; KMV does not)."""
     from ..stages.aggregate import kmv_distinct
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id"])
     return kmv_distinct(ev, "user_id", k=32)
 
@@ -6069,7 +6097,7 @@ def q_late_event_stats(sf_dir: str):
     from ..functions.textstats import md5_u64
     from ..stages.streaming import late_event_stats
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "event_type", "ts"])
 
     def with_order(t: pa.Table) -> pa.Table:
@@ -6168,7 +6196,7 @@ def q_clustering_coefficient(sf_dir: str):
             "src": pa.array(np.concatenate([a, b, c])),
             "dst": pa.array(np.concatenate([a + 1, b + 2, c + 5]))})
 
-    e = rd.read_parquet(path, columns=["doc_id"]).map_batches(
+    e = _read_pq(path, columns=["doc_id"]).map_batches(
         edges, batch_format="pyarrow")
     return clustering_coefficient(e, "src", "dst").sort("node")
 
@@ -6195,7 +6223,7 @@ def q_link_prediction(sf_dir: str):
         return pa.table({"src": pa.array(np.concatenate([a, b])),
                          "dst": pa.array(np.concatenate([a + 1, b + 2]))})
 
-    e = rd.read_parquet(path, columns=["doc_id"]).map_batches(
+    e = _read_pq(path, columns=["doc_id"]).map_batches(
         edges, batch_format="pyarrow")
     out = common_neighbor_pairs(e, min_common=2)
     return out.sort(["v", "w"])
@@ -6235,7 +6263,7 @@ def q_mv_maintenance(sf_dir: str):
     from ..stages.aggregate import pre_aggregated_sum
     from ..stages.cdc import maintain_aggregate
 
-    orders = rd.read_parquet(
+    orders = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
@@ -6295,7 +6323,7 @@ def q_mutual_nn(sf_dir: str):
         raise ValueError(
             f"mutual_nn is exact all-pairs (O(n^2) compute); corpus has "
             f"{n} vectors > 1M guard. Use LSH/IVF scale paths.")
-    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    emb = _read_pq(path, columns=["vec_id", "embedding"])
     return mutual_top1_pairs(emb).sort(["id_a", "id_b"])
 
 
@@ -6307,7 +6335,7 @@ def q_kmv_set_ops(sf_dir: str):
     Deterministic md5 hashing makes every estimate hash-exact in SQL."""
     from ..stages.aggregate import kmv_set_ops
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "user_id"])
 
     def tag(t: pa.Table) -> pa.Table:
@@ -6365,7 +6393,7 @@ def q_basket_association(sf_dir: str):
     block."""
     from ..stages.aggregate import basket_association
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts", "event_type"])
 
     def to_day(t: pa.Table) -> pa.Table:
@@ -6494,7 +6522,7 @@ def q_scd2_lookup(sf_dir: str):
     probes before a user's first interval get '__none__'."""
     from ..stages.windows import scd2_history, scd2_lookup
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts", "event_type",
                                   "event_id"])
 
@@ -6525,7 +6553,7 @@ def q_l_diversity(sf_dir: str):
     partials, one QI-bucketed fold."""
     from ..stages.validate import l_diversity_stats
 
-    cust = rd.read_parquet(
+    cust = _read_pq(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
 
@@ -6567,7 +6595,7 @@ def q_shortest_paths(sf_dir: str):
             "dst": pa.array(np.concatenate([a + 1, b + 7])),
             "w": pa.array(np.concatenate([1 + a % 5, 3 + b % 4]))})
 
-    e = rd.read_parquet(path, columns=["doc_id"]).map_batches(
+    e = _read_pq(path, columns=["doc_id"]).map_batches(
         edges, batch_format="pyarrow")
     seeds = [int(i) for i in range(0, int(mx) + 1, 250)]
     return bellman_ford_int(e, seeds, n_rounds=4).sort("node")
@@ -6635,7 +6663,7 @@ def q_running_distinct(sf_dir: str):
     key-bucketed shuffle, vectorized duplicated+cumsum fold."""
     from ..stages.windows import running_distinct
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts", "event_id", "props"])
 
     def to_us(t: pa.Table) -> pa.Table:
@@ -6655,7 +6683,7 @@ def q_embedding_dim_stats(sf_dir: str):
     integers, O(d) wire cost per batch."""
     from ..stages.similarity import embedding_dim_stats
 
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["embedding"])
     return embedding_dim_stats(emb).sort("dim")
 
@@ -6682,8 +6710,8 @@ def q_graph_modularity(sf_dir: str):
         return pa.table({"src": pa.array(np.concatenate([a, b])),
                          "dst": pa.array(np.concatenate([a + 1, b + 2]))})
 
-    nodes = rd.read_parquet(path, columns=["doc_id"])
-    labels = rd.read_parquet(path, columns=["doc_id", "source"])
+    nodes = _read_pq(path, columns=["doc_id"])
+    labels = _read_pq(path, columns=["doc_id", "source"])
     return modularity_stats(
         nodes.map_batches(edges, batch_format="pyarrow"), labels,
         node_col="doc_id", label_col="source").sort("comm")
@@ -6711,7 +6739,7 @@ def q_t_closeness(sf_dir: str):
     QI-bucketed pivot fold."""
     from ..stages.validate import t_closeness_stats
 
-    cust = rd.read_parquet(
+    cust = _read_pq(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
 
@@ -6806,7 +6834,7 @@ def q_vocab_growth(sf_dir: str):
     idx = meta.schema_arrow.get_field_index("doc_id")
     mx = max(meta.metadata.row_group(i).column(idx).statistics.max
              for i in range(meta.metadata.num_row_groups))
-    return vocab_growth(rd.read_parquet(
+    return vocab_growth(_read_pq(
         path, columns=["doc_id", "source", "text"]), id_max=int(mx)) \
         .sort(["source", "checkpoint"])
 
@@ -6905,7 +6933,7 @@ def q_cross_source_dups(sf_dir: str):
         setsim_prefix_join(docs, "text", "doc_id", n=3, threshold=(4, 5))
         .select_columns(["id_a", "id_b"]))
 
-    src = materialize_compact(rd.read_parquet(
+    src = materialize_compact(_read_pq(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source"]))
     la = src.map_batches(lambda t: pa.table(
@@ -6964,7 +6992,7 @@ def q_activity_streaks(sf_dir: str):
     one bucketed exchange, vectorized value-minus-rank fold."""
     from ..stages.windows import streaks
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts"])
 
     def days(t: pa.Table) -> pa.Table:
@@ -6988,7 +7016,7 @@ def q_benford_digits(sf_dir: str):
     trip: d = x // 10^floor(log10 x)), tuple-bucketed count combine."""
     from ..stages.aggregate import bucketed_fold
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_pq(os.path.join(sf_dir, "documents.parquet"),
                            columns=["source", "n_chars"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -7030,7 +7058,7 @@ def q_dict_encode(sf_dir: str):
     never a row-wise join."""
     import pandas as pd
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "props"])
 
     def count_partial(t: pa.Table) -> pa.Table:
@@ -7097,7 +7125,7 @@ def q_graph_walks(sf_dir: str):
         return pa.table({"src": pa.array(np.concatenate([u, v])),
                          "dst": pa.array(np.concatenate([v, u]))})
 
-    nodes = rd.read_parquet(path, columns=["doc_id"])
+    nodes = _read_pq(path, columns=["doc_id"])
     seeds = list(range(0, mx + 1, 50))
     return deterministic_walks(
         nodes.map_batches(edges, batch_format="pyarrow"), seeds,
@@ -7171,7 +7199,7 @@ def q_mmr_topk(sf_dir: str):
     from ..stages.similarity import mmr_topk
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    emb = _read_pq(path, columns=["vec_id", "embedding"])
     import pyarrow.dataset as pads
 
     t = pads.dataset(path).to_table(columns=["vec_id", "embedding"],
@@ -7313,7 +7341,7 @@ def q_countmin(sf_dir: str):
     so the estimator itself is hash-checked, not just bounded."""
     from ..stages.aggregate import countmin_freq, pre_aggregated_count
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id"])
     est = countmin_freq(ev, "user_id", probes=list(range(20)), d=4, w=64)
 
@@ -7580,7 +7608,7 @@ def q_topo_layers(sf_dir: str):
             "src": pa.array(np.concatenate([a, s])),
             "dst": pa.array(np.concatenate([a + b, s + 2 * b]))})
 
-    e = rd.read_parquet(path, columns=["doc_id"]).map_batches(
+    e = _read_pq(path, columns=["doc_id"]).map_batches(
         mk_edges, batch_format="pyarrow")
     return topo_layers(e, n_buckets=8).sort("node")
 
@@ -7600,7 +7628,7 @@ def q_hard_negatives(sf_dir: str):
     path = os.path.join(sf_dir, "embeddings.parquet")
     head = pq.read_table(path, filters=[("vec_id", "<", 5)])
     q = np.asarray(head.column("embedding").to_pylist(), dtype=np.float64)
-    emb = rd.read_parquet(path,
+    emb = _read_pq(path,
                           columns=["vec_id", "embedding", "label"])
     out = hard_negative_topk(
         emb, q, head.column("vec_id").to_pylist(),
@@ -7616,7 +7644,7 @@ def q_window_ntile(sf_dir: str):
     arithmetic replays SQL NTILE's uneven-split rule exactly."""
     from ..stages.windows import ntile_cume
 
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_pq(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderstatus", "o_orderkey"])
     return ntile_cume(orders, "o_orderstatus", "o_orderkey",
                       n_tiles=4).sort(["o_orderstatus", "o_orderkey"])
@@ -7711,7 +7739,7 @@ def q_bootstrap_reps(sf_dir: str):
     downstream CI estimators consume.  Hash-exact md5 replay oracle."""
     from ..stages.aggregate import grouped_bootstrap
 
-    orders = rd.read_parquet(
+    orders = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderstatus", "o_totalprice", "o_orderkey"])
     return grouped_bootstrap(orders, "o_orderstatus", "o_totalprice",
@@ -7741,7 +7769,7 @@ def q_exact_percentiles(sf_dir: str):
     rule pinned to DuckDB quantile_disc (ceil(p*n), 1-based)."""
     from ..stages.aggregate import exact_percentiles
 
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_pq(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_totalprice"])
     return exact_percentiles(orders, "o_totalprice",
                              percents=(25, 50, 75, 90, 99)).sort("pct")
@@ -7899,7 +7927,7 @@ def q_sorted_neighborhood(sf_dir: str):
     from ..stages.dedup import sorted_neighborhood_pairs
 
     cust = _scale_int_ds(
-        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+        _read_pq(os.path.join(sf_dir, "customer.parquet"),
                         columns=["c_custkey", "c_acctbal", "c_mktsegment"]),
         {"c_acctbal": 100})
     pairs = sorted_neighborhood_pairs(
@@ -7918,7 +7946,7 @@ def q_record_linkage(sf_dir: str):
     from ..stages.dedup import sorted_neighborhood_pairs
 
     cust = _scale_int_ds(
-        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+        _read_pq(os.path.join(sf_dir, "customer.parquet"),
                         columns=["c_custkey", "c_nationkey", "c_acctbal",
                                  "c_mktsegment"]),
         {"c_acctbal": 100})
@@ -7981,7 +8009,7 @@ def q_decayed_counts(sf_dir: str):
     scalar max(ts) pass + row-local weights + one small combine."""
     from ..stages.aggregate import time_decayed_counts
 
-    events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    events = _read_pq(os.path.join(sf_dir, "events.parquet"),
                              columns=["event_type", "ts"])
     return time_decayed_counts(events, "event_type", "ts",
                                half_life_days=1, horizon=40) \

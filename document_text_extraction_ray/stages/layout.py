@@ -60,6 +60,15 @@ class LayoutExtractor:
     analogue of cv_yolo_extractor.py:22-35); __call__ handles a batch with
     in-band error rows."""
 
+    # Appended-columns contract, shared by every core (and any future
+    # model-backed core): pinned field-for-field by
+    # tests/test_models_contract.py so swapping cores never changes the
+    # downstream schema.
+    OUTPUT_FIELDS = (("extracted_text", pa.large_string()),
+                     ("n_pages", pa.int32()),
+                     ("method", pa.string()),
+                     ("status", pa.string()))
+
     def __init__(self, core: str = "vector", payload_column: str = "payload",
                  do_ocr: bool = False):
         self.core = EXTRACT_CORES[core]

@@ -67,6 +67,28 @@ def test_real_backend_contract(cls, kwargs, lib):
     assert _appended_fields(cls, kwargs, "real") == list(cls.OUTPUT_FIELDS)
 
 
+def test_layout_extractor_matches_declared_schema():
+    # A4: the layout stage's cores are real (pure numpy); the contract is
+    # that every core appends exactly OUTPUT_FIELDS.
+    import json
+
+    from document_text_extraction_ray.stages.layout import LayoutExtractor
+
+    payload = json.dumps({"pages": [{
+        "width_pt": 612.0, "height_pt": 792.0,
+        "blocks": [{"x0": 72, "y0": 72, "x1": 300, "y1": 90,
+                    "text": "hello layout"}],
+    }]}).encode()
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "payload": pa.array([payload], pa.large_binary())})
+    for core in ("vector", "raster"):
+        out = LayoutExtractor(core=core)(batch)
+        appended = [(f.name, f.type) for f in out.schema
+                    if f.name not in ("doc_id",)]
+        assert appended == list(LayoutExtractor.OUTPUT_FIELDS)
+        assert out.column("status").to_pylist() == ["ok"]
+
+
 def test_stub_and_real_share_one_declared_schema():
     # The contract object itself: one OUTPUT_FIELDS per stage, arrow-typed.
     for cls, _kw, _lib in _STAGES:
