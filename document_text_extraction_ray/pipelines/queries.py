@@ -7840,6 +7840,44 @@ def q_feed_extract(sf_dir: str):
     ).sort(["doc_id", "item_idx"])
 
 
+def q_sitemap_extract(sf_dir: str):
+    """Sitemap extraction end-to-end (the crawl-frontier discovery step):
+    each document becomes a REAL namespaced sitemap payload (even doc_ids
+    a <urlset> leaf with per-URL optional <lastmod> and a <priority>
+    decoy field; odd doc_ids a <sitemapindex> pointing at child
+    sitemaps), parsed back through the namespace-correct ElementTree
+    route and exploded to one frontier row per entry.  A regex-ish parser
+    that ignores the 0.9 namespace or treats <priority> text as a loc
+    mismatches the oracle's closed-form replay."""
+    from ..functions.sitemap_extract import (build_sitemapindex,
+                                             build_urlset, extract_sitemap)
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids, idxs, kinds, locs, lastmods = [], [], [], [], []
+        for did in t.column("doc_id").to_pylist():
+            n = 1 + did % 3
+            payload = (build_urlset(did, n) if did % 2 == 0
+                       else build_sitemapindex(did, n))
+            for i, (kind, loc, lastmod) in enumerate(
+                    extract_sitemap(payload)):
+                ids.append(did)
+                idxs.append(i)
+                kinds.append(kind)
+                locs.append(loc)
+                lastmods.append(lastmod)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "entry_idx": pa.array(idxs, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "loc": pa.array(locs, pa.string()),
+            "lastmod": pa.array(lastmods, pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        roundtrip, batch_format="pyarrow"
+    ).sort(["doc_id", "entry_idx"])
+
+
 def q_eml_extract(sf_dir: str):
     """MIME email extraction end-to-end: each document becomes a real
     RFC-822 message (even doc_ids multipart/alternative with a
@@ -8261,6 +8299,7 @@ QUERIES = {
     "feature_hashing": q_feature_hashing,
     "nearest_event_join": q_nearest_event_join,
     # -- never driver-checked remainder (oracle-backed; past the window) --
+    "sitemap_extract": q_sitemap_extract,
     "ks_drift": q_ks_drift,
     "host_link_graph": q_host_link_graph,
     "cdc_dedup": q_cdc_dedup,
@@ -14130,6 +14169,34 @@ ORACLE_SQL["feed_extract"] = """
            'https://feeds.example/e/' || doc_id || '/' || item_idx AS link,
            substr(text, 1, 40) AS summary
     FROM k ORDER BY doc_id, item_idx
+"""
+
+# sitemap_extract oracle: the synthesized payloads are closed-form —
+# even doc_ids explode to urlset page entries (lastmod only on odd
+# entry indexes, the optional-field case), odd doc_ids to sitemapindex
+# child entries (lastmod always); locs/lastmods replay the builder's
+# deterministic strings.  The <priority> field is a decoy the extractor
+# must NOT emit.
+ORACLE_SQL["sitemap_extract"] = """
+    WITH k AS (
+      SELECT doc_id,
+             unnest(range(0, 1 + doc_id % 3)) AS entry_idx
+      FROM documents
+    )
+    SELECT doc_id, CAST(entry_idx AS BIGINT) AS entry_idx,
+           CASE WHEN doc_id % 2 = 0 THEN 'url' ELSE 'sitemap' END AS kind,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'https://site' || doc_id || '.example/page/'
+                     || entry_idx
+                ELSE 'https://site' || doc_id || '.example/sitemap'
+                     || entry_idx || '.xml' END AS loc,
+           CASE WHEN doc_id % 2 = 1 OR entry_idx % 2 = 1
+                THEN '2026-' || lpad(CAST(entry_idx % 9 + 1 AS VARCHAR),
+                                     2, '0')
+                     || '-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR),
+                                    2, '0')
+                ELSE '' END AS lastmod
+    FROM k ORDER BY doc_id, entry_idx
 """
 
 # eml_extract oracle: subject decodes back from its RFC 2047 encoded word;

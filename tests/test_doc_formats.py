@@ -364,6 +364,41 @@ def test_feed_rejects_non_feed_xml():
         extract_feed_items(b"<html><body>nope</body></html>")
 
 
+def test_sitemap_urlset_entries_with_optional_lastmod_skip_priority():
+    from document_text_extraction_ray.functions.sitemap_extract import (
+        build_urlset, extract_sitemap)
+
+    entries = extract_sitemap(build_urlset(4, 3))
+    assert [e[0] for e in entries] == ["url"] * 3
+    assert entries[1][1] == "https://site4.example/page/1"
+    assert entries[1][2] == "2026-02-05"  # odd index carries lastmod
+    assert entries[0][2] == ""            # even index has none
+    # <priority> text must never leak into loc/lastmod
+    assert all("0." not in e[1] and "0." not in e[2] for e in entries)
+
+
+def test_sitemapindex_children_always_carry_lastmod():
+    from document_text_extraction_ray.functions.sitemap_extract import (
+        build_sitemapindex, extract_sitemap)
+
+    entries = extract_sitemap(build_sitemapindex(7, 2))
+    assert [e[0] for e in entries] == ["sitemap"] * 2
+    assert entries[0][1] == "https://site7.example/sitemap0.xml"
+    assert all(e[2].startswith("2026-") for e in entries)
+
+
+def test_sitemap_rejects_non_sitemap_xml_and_missing_namespace():
+    import pytest
+
+    from document_text_extraction_ray.functions.sitemap_extract import (
+        extract_sitemap)
+
+    with pytest.raises(ValueError):
+        extract_sitemap(b"<urlset><url><loc>x</loc></url></urlset>")
+    with pytest.raises(ValueError):
+        extract_sitemap(b"<html><body>nope</body></html>")
+
+
 def test_eml_multipart_prefers_plain_and_decodes_qp_and_subject():
     from document_text_extraction_ray.functions.eml_extract import (
         build_eml, extract_eml)
