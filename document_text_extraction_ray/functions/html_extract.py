@@ -632,6 +632,93 @@ def extract_head_meta(html_bytes: bytes) -> dict:
     return meta
 
 
+_LINK_TAG_RE = _re.compile(rb"<link\b([^>]*?)/?>", _re.I)
+
+
+def extract_hreflang(html_bytes: bytes) -> list:
+    """``<link rel="alternate" hreflang=... href=...>`` pairs in document
+    order — the translation-cluster declaration a multilingual web corpus
+    reads to group a page with its language variants (dedup across
+    translations, per-language coverage accounting).  ``x-default`` rides
+    through as its own lang code; rel values other than ``alternate``
+    (canonical, stylesheet, next/prev) are filtered, not
+    position-guessed.  Attribute parsing reuses the head scanner's
+    entity-unescaping attr kernel."""
+    out = []
+    for m in _LINK_TAG_RE.finditer(html_bytes):
+        attrs = _parse_attrs(m.group(1))
+        if (attrs.get("rel") or "").lower() != "alternate":
+            continue
+        lang = (attrs.get("hreflang") or "").strip()
+        href = (attrs.get("href") or "").strip()
+        if lang and href:
+            out.append((lang, href))
+    return out
+
+
+_JSONLD_SCRIPT_RE = _re.compile(
+    rb'<script[^>]*type\s*=\s*["\']application/ld\+json["\'][^>]*>(.*?)'
+    rb"</script\s*>",
+    _re.S | _re.I)
+
+
+def _iter_jsonld_nodes(obj):
+    """Walk a JSON-LD value to its node objects: lists flatten, an
+    ``@graph`` container yields its members (schema.org publishers wrap
+    multiple entities in one block that way), plain dicts yield
+    themselves."""
+    if isinstance(obj, list):
+        for item in obj:
+            yield from _iter_jsonld_nodes(item)
+    elif isinstance(obj, dict):
+        if "@graph" in obj:
+            yield from _iter_jsonld_nodes(obj["@graph"])
+        else:
+            yield obj
+
+
+def extract_jsonld_article(html_bytes: bytes) -> dict:
+    """schema.org structured-data extraction: scan every
+    ``<script type="application/ld+json">`` block, JSON-parse it (script
+    content is raw JSON — no entity decoding, unlike attribute values),
+    walk ``@graph`` containers, and return the FIRST ``@type: Article``
+    node's fields plus block accounting.  Malformed JSON blocks are
+    counted but skipped (real pages ship broken JSON-LD constantly);
+    non-Article nodes (BreadcrumbList, WebSite, Organization) are
+    type-filtered, never position-guessed.  ``author`` accepts both the
+    ``{"@type": "Person", "name": ...}`` object shape and a bare string.
+
+    Returns {n_blocks, n_parsed, headline, date_published, author} with
+    '' for absent fields."""
+    import json as _json
+
+    out = {"n_blocks": 0, "n_parsed": 0, "headline": "",
+           "date_published": "", "author": ""}
+    found = False
+    for m in _JSONLD_SCRIPT_RE.finditer(html_bytes):
+        out["n_blocks"] += 1
+        try:
+            obj = _json.loads(m.group(1).decode("utf-8", "replace"))
+        except ValueError:
+            continue
+        out["n_parsed"] += 1
+        if found:
+            continue
+        for node in _iter_jsonld_nodes(obj):
+            if node.get("@type") != "Article":
+                continue
+            out["headline"] = str(node.get("headline") or "")
+            out["date_published"] = str(node.get("datePublished") or "")
+            author = node.get("author")
+            if isinstance(author, dict):
+                out["author"] = str(author.get("name") or "")
+            elif author is not None:
+                out["author"] = str(author)
+            found = True
+            break
+    return out
+
+
 def extract_tables(html_bytes: bytes) -> list:
     """All ``<table>`` cell texts in document order as flat rows
     ``(table_idx, row_idx, col_idx, text)`` — the structured-data

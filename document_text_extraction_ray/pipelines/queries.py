@@ -7878,6 +7878,122 @@ def q_sitemap_extract(sf_dir: str):
     ).sort(["doc_id", "entry_idx"])
 
 
+def q_hreflang_clusters(sf_dir: str):
+    """Translation-cluster discovery from hreflang declarations: each doc
+    synthesizes a page whose <head> lists its cluster's language variants
+    (en/de/fr, clusters of three consecutive doc_ids) as
+    <link rel="alternate" hreflang=...> plus an x-default, next to
+    canonical/stylesheet decoy links; extraction parses the links with
+    the real attr kernel, the x-default href keys the cluster, and one
+    bucketed fold reports per-cluster membership and language coverage —
+    the multilingual-curation primitive (dedup across translations,
+    per-language coverage).  Partial tail clusters surface as n_docs < 3
+    with the langs they actually have."""
+    from ..functions.html_extract import extract_hreflang
+    from ..stages.aggregate import bucketed_fold
+
+    langs = ("en", "de", "fr")
+
+    def build_and_extract(t: pa.Table) -> pa.Table:
+        ids, curls, mylangs, n_alts = [], [], [], []
+        for d in t.column("doc_id").to_pylist():
+            c = d // 3
+            base = f"https://t{c}.example"
+            parts = ["<html><head>",
+                     f'<link rel="canonical" href="{base}/canon">',
+                     '<link rel="stylesheet" href="/s.css">']
+            for lg in langs:
+                parts.append(f'<link rel="alternate" hreflang="{lg}" '
+                             f'href="{base}/{lg}">')
+            parts.append(f'<link rel="alternate" hreflang="x-default" '
+                         f'href="{base}/en">')
+            parts.append("</head><body></body></html>")
+            pairs = extract_hreflang("".join(parts).encode("utf-8"))
+            xdef = next(h for lg, h in pairs if lg == "x-default")
+            ids.append(d)
+            curls.append(xdef)
+            mylangs.append(langs[d % 3])
+            n_alts.append(sum(1 for lg, _ in pairs if lg != "x-default"))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_url": pa.array(curls, pa.string()),
+            "lang": pa.array(mylangs, pa.string()),
+            "n_alternates": pa.array(n_alts, pa.int64()),
+        })
+
+    rows = _docs(sf_dir, ["doc_id"]).map_batches(
+        build_and_extract, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cluster_url", sort=False).agg(
+            n_docs=("doc_id", "size"),
+            langs=("lang", lambda s: ",".join(sorted(s)))).reset_index()
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out[["cluster_url", "n_docs", "langs"]]
+
+    return bucketed_fold(rows, "cluster_url", fold, n_buckets=8) \
+        .sort("cluster_url")
+
+
+def q_jsonld_extract(sf_dir: str):
+    """schema.org JSON-LD extraction end-to-end: each document becomes an
+    HTML page with a BreadcrumbList decoy block FIRST, a malformed-JSON
+    block on every fifth doc (counted, skipped — real pages ship broken
+    JSON-LD constantly), and an Article whose author alternates between
+    the Person-object and bare-string shapes; every third doc wraps the
+    Article inside an @graph container next to a WebSite decoy.  A parser
+    that takes the first block, skips @graph, or dies on bad JSON
+    mismatches the closed-form oracle."""
+    import json as _json
+
+    from ..functions.html_extract import extract_jsonld_article
+
+    def build_and_extract(t: pa.Table) -> pa.Table:
+        ids, blocks, parsed, heads, dates, authors = [], [], [], [], [], []
+        for d in t.column("doc_id").to_pylist():
+            article = {
+                "@type": "Article",
+                "headline": f"Doc {d} headline & more",
+                "datePublished": f"2026-{d % 12 + 1:02d}-{d % 28 + 1:02d}",
+                "author": ({"@type": "Person", "name": f"Author {d % 50}"}
+                           if d % 2 == 0 else f"Author {d % 50}"),
+            }
+            payload = (
+                {"@graph": [{"@type": "WebSite", "name": f"Site {d}"},
+                            article]}
+                if d % 3 == 0 else article)
+            parts = ['<html><head>',
+                     '<script type="application/ld+json">'
+                     + _json.dumps({"@type": "BreadcrumbList",
+                                    "name": f"crumbs {d}"})
+                     + "</script>"]
+            if d % 5 == 0:
+                parts.append('<script type="application/ld+json">'
+                             "{not valid json</script>")
+            parts.append('<script type="application/ld+json">'
+                         + _json.dumps(payload) + "</script>")
+            parts.append(f"</head><body>doc {d}</body></html>")
+            res = extract_jsonld_article("".join(parts).encode("utf-8"))
+            ids.append(d)
+            blocks.append(res["n_blocks"])
+            parsed.append(res["n_parsed"])
+            heads.append(res["headline"])
+            dates.append(res["date_published"])
+            authors.append(res["author"])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_blocks": pa.array(blocks, pa.int64()),
+            "n_parsed": pa.array(parsed, pa.int64()),
+            "headline": pa.array(heads, pa.string()),
+            "date_published": pa.array(dates, pa.string()),
+            "author": pa.array(authors, pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        build_and_extract, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 def q_eml_extract(sf_dir: str):
     """MIME email extraction end-to-end: each document becomes a real
     RFC-822 message (even doc_ids multipart/alternative with a
@@ -8300,6 +8416,8 @@ QUERIES = {
     "nearest_event_join": q_nearest_event_join,
     # -- never driver-checked remainder (oracle-backed; past the window) --
     "sitemap_extract": q_sitemap_extract,
+    "jsonld_extract": q_jsonld_extract,
+    "hreflang_clusters": q_hreflang_clusters,
     "ks_drift": q_ks_drift,
     "host_link_graph": q_host_link_graph,
     "cdc_dedup": q_cdc_dedup,
@@ -14169,6 +14287,40 @@ ORACLE_SQL["feed_extract"] = """
            'https://feeds.example/e/' || doc_id || '/' || item_idx AS link,
            substr(text, 1, 40) AS summary
     FROM k ORDER BY doc_id, item_idx
+"""
+
+# hreflang_clusters oracle: clusters are consecutive doc_id triples with
+# deterministic language assignment (doc_id % 3 -> en/de/fr); the
+# x-default href keys the cluster, so the replay is a plain grouped
+# aggregate — member count + sorted comma-joined langs per cluster.
+ORACLE_SQL["hreflang_clusters"] = """
+    WITH m AS (
+        SELECT doc_id, doc_id // 3 AS c,
+               CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                    ELSE 'fr' END AS lang
+        FROM documents
+    )
+    SELECT 'https://t' || c || '.example/en' AS cluster_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           string_agg(lang, ',' ORDER BY lang) AS langs
+    FROM m GROUP BY c ORDER BY cluster_url
+"""
+
+# jsonld_extract oracle: the synthesized pages are closed-form — the
+# Article always parses (the decoy and malformed blocks never alter its
+# fields), n_blocks counts every ld+json script including the malformed
+# one, n_parsed excludes it.
+ORACLE_SQL["jsonld_extract"] = """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 2 END AS BIGINT)
+               AS n_blocks,
+           CAST(2 AS BIGINT) AS n_parsed,
+           'Doc ' || doc_id || ' headline & more' AS headline,
+           '2026-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+           || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               AS date_published,
+           'Author ' || (doc_id % 50) AS author
+    FROM documents ORDER BY doc_id
 """
 
 # sitemap_extract oracle: the synthesized payloads are closed-form —

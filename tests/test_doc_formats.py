@@ -399,6 +399,65 @@ def test_sitemap_rejects_non_sitemap_xml_and_missing_namespace():
         extract_sitemap(b"<html><body>nope</body></html>")
 
 
+def test_hreflang_pairs_filter_rel_and_keep_x_default():
+    from document_text_extraction_ray.functions.html_extract import (
+        extract_hreflang)
+
+    html = (b'<html><head>'
+            b'<link rel="canonical" href="https://x.example/c">'
+            b'<link rel="stylesheet" href="/s.css">'
+            b'<link rel="alternate" hreflang="en" '
+            b'href="https://x.example/en">'
+            b'<link rel="alternate" hreflang="x-default" '
+            b'href="https://x.example/en"/>'
+            b'<link rel="alternate" type="application/rss+xml" '
+            b'href="/feed">'  # alternate WITHOUT hreflang: not a variant
+            b"</head></html>")
+    pairs = extract_hreflang(html)
+    assert pairs == [("en", "https://x.example/en"),
+                     ("x-default", "https://x.example/en")]
+
+
+def test_jsonld_article_type_filter_graph_walk_and_author_shapes():
+    from document_text_extraction_ray.functions.html_extract import (
+        extract_jsonld_article)
+
+    html = (
+        b'<html><head>'
+        b'<script type="application/ld+json">'
+        b'{"@type": "BreadcrumbList", "name": "crumbs"}</script>'
+        b'<script type="application/ld+json">{"@graph": ['
+        b'{"@type": "WebSite", "name": "decoy"},'
+        b'{"@type": "Article", "headline": "H1", '
+        b'"datePublished": "2026-01-02", '
+        b'"author": {"@type": "Person", "name": "Ada"}}]}</script>'
+        b'</head><body></body></html>')
+    out = extract_jsonld_article(html)
+    assert out == {"n_blocks": 2, "n_parsed": 2, "headline": "H1",
+                   "date_published": "2026-01-02", "author": "Ada"}
+
+    bare = (b'<script type="application/ld+json">'
+            b'{"@type": "Article", "headline": "H2", "author": "Bob"}'
+            b"</script>")
+    out2 = extract_jsonld_article(bare)
+    assert (out2["author"], out2["date_published"]) == ("Bob", "")
+
+
+def test_jsonld_malformed_blocks_counted_but_skipped():
+    from document_text_extraction_ray.functions.html_extract import (
+        extract_jsonld_article)
+
+    html = (b'<script type="application/ld+json">{broken</script>'
+            b'<script type="application/ld+json">'
+            b'{"@type": "Article", "headline": "ok"}</script>')
+    out = extract_jsonld_article(html)
+    assert (out["n_blocks"], out["n_parsed"]) == (2, 1)
+    assert out["headline"] == "ok"
+    # no ld+json scripts at all -> empty accounting, no raise
+    none = extract_jsonld_article(b"<html><script>var x=1;</script></html>")
+    assert none["n_blocks"] == 0 and none["headline"] == ""
+
+
 def test_eml_multipart_prefers_plain_and_decodes_qp_and_subject():
     from document_text_extraction_ray.functions.eml_extract import (
         build_eml, extract_eml)
