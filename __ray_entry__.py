@@ -7,7 +7,7 @@ calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator family
                       (SURVEY.md §2 + the training-data operators)
 - ``oracle_sql()``  — DuckDB-equivalent SQL per query where expressible
-                      (285 of 293, incl. SQL reconstructions of the
+                      (288 of 296, incl. SQL reconstructions of the
                       language-ID/quality/token/fingerprint kernels and
                       an unrolled 5-stage replay of BPE merge learning);
                       the QUERIES registry lists oracle-backed queries
